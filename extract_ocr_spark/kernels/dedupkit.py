@@ -1,0 +1,96 @@
+"""Deduplication kernels: MinHash signatures, LSH banding, SimHash.
+
+Numpy-vectorized, deterministic (fixed hash family seeds, no process-level
+hash randomization). Used by ``extract_ocr_spark.operators.dedup``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_MERSENNE = (1 << 61) - 1
+_MAX_HASH = (1 << 32) - 1
+
+
+def _hash_family(n_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic (a, b) coefficients for n universal hash functions."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=n_perm, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=n_perm, dtype=np.int64)
+    return a, b
+
+
+def stable_hash32(token: str) -> int:
+    """Process-stable 32-bit hash of a string (blake2b, not hash())."""
+    return int.from_bytes(hashlib.blake2b(token.encode("utf-8"), digest_size=4).digest(), "big")
+
+
+def minhash_signature(shingles: list[str], n_perm: int = 128, seed: int = 1) -> list[int]:
+    """MinHash signature over a shingle set (n_perm 32-bit mins)."""
+    a, b = _hash_family(n_perm, seed)
+    if not shingles:
+        return [int(_MAX_HASH)] * n_perm
+    base = np.array([stable_hash32(s) for s in shingles], dtype=np.int64)
+    # (n_shingles, n_perm) universal hashing, min over shingles.
+    hashed = (base[:, None] * a[None, :] + b[None, :]) % _MERSENNE % _MAX_HASH
+    return [int(v) for v in hashed.min(axis=0)]
+
+
+def lsh_bands(signature: list[int], bands: int = 32) -> list[str]:
+    """Split a signature into ``bands`` equal bands; each band hashes to a
+    bucket key ``"<band_idx>:<digest>"``. Docs sharing any band key are
+    candidate pairs."""
+    n = len(signature)
+    rows = n // bands
+    keys: list[str] = []
+    for i in range(bands):
+        chunk = signature[i * rows:(i + 1) * rows]
+        digest = hashlib.blake2b(
+            np.array(chunk, dtype=np.int64).tobytes(), digest_size=8
+        ).hexdigest()
+        keys.append(f"{i}:{digest}")
+    return keys
+
+
+def estimate_jaccard(sig_a: list[int], sig_b: list[int]) -> float:
+    a = np.asarray(sig_a)
+    b = np.asarray(sig_b)
+    return float((a == b).mean())
+
+
+def exact_jaccard(shingles_a: list[str], shingles_b: list[str]) -> float:
+    sa, sb = set(shingles_a), set(shingles_b)
+    if not sa and not sb:
+        return 1.0
+    union = len(sa | sb)
+    return len(sa & sb) / union if union else 0.0
+
+
+def simhash64(tokens: list[str]) -> int:
+    """64-bit SimHash over a token multiset (blake2b token hashes)."""
+    if not tokens:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for tok in tokens:
+        h = int.from_bytes(hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "big")
+        bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
+        acc += bits * 2 - 1
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def simhash_bands(value: int, bands: int = 4) -> list[str]:
+    """Split a 64-bit simhash into ``bands`` 16-bit keys for bucketing
+    (two simhashes within Hamming distance bands-1 share ≥1 band)."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    return [f"{i}:{(value >> (i * width)) & mask:x}" for i in range(bands)]

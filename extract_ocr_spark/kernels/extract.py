@@ -1,0 +1,111 @@
+"""Fused per-document extraction kernel.
+
+One document = ``(doc_id, spans)`` where ``spans`` is a list of
+``{kind, text, media_ref, offset}``. The kernel dispatches each span on
+``kind`` and emits an ordered list of output spans
+``{kind, text, media_ref, order}`` — the per-row invariant is
+**span-sequence equality (kind, text, media_ref, order)**.
+
+Kind dispatch (reference code paths):
+
+- ``html``  → markdown via boilerplate-stripped ATX emission with a
+  ``Source:`` header (convert/html_to_md.py:47-53); WAF interstitials
+  (content.py:48-93) are dropped (reference skips them: crawl.py:1000-1021)
+- ``pdf``   → layout-aware text with reading-order reconstruction
+  (crawl.py:98-124 semantics)
+- ``ocr``   → OCR normalization (blank-run collapse, de-hyphenation)
+- ``json``  → pretty-printed JSON, replace-fallback (crawl.py:77-85)
+- ``xml``   → pretty-printed XML, raw fallback (crawl.py:87-96)
+- ``text``  → stripped + trailing newline
+- ``media`` → passthrough ``(kind='media', text=None, media_ref, order)``
+- unknown kinds → treated as ``text`` (reference BYTES branch decodes
+  lossily and stores as text)
+
+Every emitted text is capped at 400k chars with a ``[TRUNCATED]`` marker
+(crawl.py:61-64). The kernel is a pure function of (doc_id, spans): output
+is independent of partitioning, task retries, and input span order (spans
+are sorted by ``offset`` first; ties broken by input position).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from .contentkit import is_waf_challenge
+from .htmlkit import html_to_markdown
+from .ocrkit import normalize_ocr_text
+from .pdfkit import extract_pdf_text
+from .textops import plain_text, pretty_json, pretty_xml, truncate_text
+
+OUT_MARKDOWN = "markdown"
+OUT_TEXT = "text"
+OUT_MEDIA = "media"
+
+
+def extract_doc(doc_id: str, spans: list[dict[str, Any]] | None,
+                *, mode: str = "reference") -> list[dict[str, Any]]:
+    """Extract one document's interleaved spans into ordered output spans."""
+    if not spans:
+        return []
+    # Deterministic interleave order: offset, then input position.
+    indexed = sorted(
+        enumerate(spans),
+        key=lambda t: (t[1].get("offset") if t[1].get("offset") is not None else t[0], t[0]),
+    )
+    out: list[dict[str, Any]] = []
+    order = 0
+    for pos, span in indexed:
+        kind = (span.get("kind") or "text").lower()
+        text = span.get("text")
+        media_ref = span.get("media_ref")
+
+        if kind == "media":
+            out.append({"kind": OUT_MEDIA, "text": None,
+                        "media_ref": media_ref, "order": order})
+            order += 1
+            continue
+
+        if kind == "html":
+            raw = text or ""
+            if is_waf_challenge(raw.encode("utf-8", errors="ignore"),
+                                content_type="text/html"):
+                # Reference skips WAF interstitials entirely
+                # (crawl.py:1000-1021: blocked_waf, no variants written).
+                continue
+            rendered = html_to_markdown(
+                raw, source_url=f"doc://{doc_id}/{span.get('offset', pos)}",
+                mode=mode)
+            out_kind = OUT_MARKDOWN
+        elif kind == "pdf":
+            rendered = extract_pdf_text(text)
+            out_kind = OUT_TEXT
+        elif kind == "ocr":
+            rendered = normalize_ocr_text(text)
+            out_kind = OUT_TEXT
+        elif kind == "json":
+            rendered = pretty_json(text)
+            out_kind = OUT_TEXT
+        elif kind == "xml":
+            rendered = pretty_xml(text)
+            out_kind = OUT_TEXT
+        else:  # "text" and unknown kinds
+            rendered = plain_text(text)
+            out_kind = OUT_TEXT
+
+        rendered, _truncated = truncate_text(rendered)
+        out.append({"kind": out_kind, "text": rendered,
+                    "media_ref": None, "order": order})
+        order += 1
+    return out
+
+
+def doc_size_bytes(spans: list[dict[str, Any]] | None) -> int:
+    """Total payload size of a document, for size-class skew salting."""
+    if not spans:
+        return 0
+    total = 0
+    for s in spans:
+        t = s.get("text")
+        if t:
+            total += len(t)
+    return total

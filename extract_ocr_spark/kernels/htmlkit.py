@@ -1,0 +1,467 @@
+"""HTML tokenizer, boilerplate stripper, and markdown/text emitters.
+
+From-scratch on stdlib ``html.parser`` (no bs4/lxml/markdownify). Semantics
+reproduce the reference extractor:
+
+- drop ``script``/``style``/``noscript`` subtrees before any text op
+  (reference: src/extract_ocr/convert/html_to_md.py:7-10)
+- main-content selection: selector priority list ``main, article,
+  #topic-content, #topic, #rh-topic, div[role=main], div[role=document]``,
+  first with non-empty text wins; fallback = largest ``<div>`` by text
+  length (first-encountered wins on ties), else ``body``, else whole doc
+  (reference: convert/html_to_md.py:13-34). An optional density-scored
+  fallback (Readability/Boilerpipe-style text-density × (1 − link-density))
+  is available via ``mode="density"``.
+- title: first non-empty ``h1`` → ``<title>`` → "Untitled"
+  (reference: convert/html_to_md.py:37-44)
+- markdown: ATX headings, ``Source: <url>`` header, strip + trailing newline
+  (reference: convert/html_to_md.py:47-53)
+- plain text: text nodes joined by newline, per-line strip, blank runs
+  collapsed to ≤1 (reference: crawl.py:42-58)
+- link extraction: resolve ``<base href>``, absolutize + normalize every
+  ``a[href]``, skipping empty/#fragment/mailto
+  (reference: crawl.py:588-620)
+"""
+
+from __future__ import annotations
+
+import re
+from html import unescape
+from html.parser import HTMLParser
+from urllib.parse import urljoin
+
+from .urlkit import normalize_url
+
+_VOID_TAGS = frozenset(
+    {
+        "area", "base", "br", "col", "embed", "hr", "img", "input",
+        "link", "meta", "param", "source", "track", "wbr",
+    }
+)
+
+# Tags whose subtrees are never content.
+_DROP_TAGS = frozenset({"script", "style", "noscript"})
+
+# Tags that imply a sibling of the same tag closes (loose HTML handling).
+_AUTOCLOSE_SIBLING = frozenset({"li", "p", "tr", "td", "th", "option"})
+
+_TEXT = "#text"
+
+_WS_RE = re.compile(r"\s+")
+
+
+class Node:
+    """One DOM node; text nodes use tag ``#text`` with payload in ``text``."""
+
+    __slots__ = ("tag", "attrs", "children", "text")
+
+    def __init__(self, tag: str, attrs: dict[str, str] | None = None, text: str = ""):
+        self.tag = tag
+        self.attrs = attrs or {}
+        self.children: list[Node] = []
+        self.text = text
+
+    def is_text(self) -> bool:
+        return self.tag == _TEXT
+
+    def iter(self):
+        """Document-order DFS including self (skips text nodes' children)."""
+        stack = [self]
+        while stack:
+            node = stack.pop()
+            yield node
+            stack.extend(reversed(node.children))
+
+    def find_all(self, tag: str) -> list["Node"]:
+        return [n for n in self.iter() if n.tag == tag]
+
+    def find_first(self, pred) -> "Node | None":
+        for n in self.iter():
+            if not n.is_text() and pred(n):
+                return n
+        return None
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = Node("#document")
+        self.stack: list[Node] = [self.root]
+
+    def handle_starttag(self, tag, attrs):
+        tag = tag.lower()
+        if tag in _AUTOCLOSE_SIBLING and self.stack[-1].tag == tag:
+            self.stack.pop()
+        node = Node(tag, {k.lower(): (v or "") for k, v in attrs})
+        self.stack[-1].children.append(node)
+        if tag not in _VOID_TAGS:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        tag = tag.lower()
+        node = Node(tag, {k.lower(): (v or "") for k, v in attrs})
+        self.stack[-1].children.append(node)
+
+    def handle_endtag(self, tag):
+        tag = tag.lower()
+        if tag in _VOID_TAGS:
+            return
+        # Pop up to the nearest matching open tag; ignore stray end tags.
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+
+    def handle_data(self, data):
+        if data:
+            self.stack[-1].children.append(Node(_TEXT, text=data))
+
+
+def parse_html(html: str) -> Node:
+    """Parse (possibly malformed) HTML into a Node tree."""
+    builder = _TreeBuilder()
+    try:
+        builder.feed(html or "")
+        builder.close()
+    except Exception:
+        # html.parser is tolerant, but guard anyway: return what we built.
+        pass
+    return builder.root
+
+
+def clean_tree(root: Node) -> Node:
+    """Drop script/style/noscript subtrees in place; return root."""
+    for node in root.iter():
+        if node.children:
+            node.children = [c for c in node.children if c.tag not in _DROP_TAGS]
+    return root
+
+
+def get_text(node: Node, sep: str = " ", strip: bool = False) -> str:
+    parts: list[str] = []
+    for n in node.iter():
+        if n.is_text():
+            t = n.text
+            if strip:
+                t = t.strip()
+                if not t:
+                    continue
+            parts.append(t)
+    return sep.join(parts)
+
+
+def _has_id(node: Node, id_: str) -> bool:
+    return node.attrs.get("id") == id_
+
+
+def _role_div(node: Node, role: str) -> bool:
+    return node.tag == "div" and node.attrs.get("role") == role
+
+
+_MAIN_SELECTORS = (
+    lambda n: n.tag == "main",
+    lambda n: n.tag == "article",
+    lambda n: _has_id(n, "topic-content"),
+    lambda n: _has_id(n, "topic"),
+    lambda n: _has_id(n, "rh-topic"),
+    lambda n: _role_div(n, "main"),
+    lambda n: _role_div(n, "document"),
+)
+
+
+def link_density(node: Node) -> float:
+    """chars of text under <a> descendants / total chars of text."""
+    total = len(get_text(node, " ", strip=True))
+    if total == 0:
+        return 0.0
+    linked = 0
+    for n in node.iter():
+        if n.tag == "a":
+            linked += len(get_text(n, " ", strip=True))
+    return min(1.0, linked / total)
+
+
+def pick_main_content(root: Node, mode: str = "reference") -> Node:
+    """Boilerplate-stripping main-content selection.
+
+    ``mode="reference"``: exact reference semantics (selector priority,
+    then largest-div-by-text-length, first-encountered wins on ties).
+    ``mode="density"``: fallback scores divs by
+    ``text_len * (1 - link_density)`` (Boilerpipe-style), same tie-break.
+    """
+    for sel in _MAIN_SELECTORS:
+        node = root.find_first(sel)
+        if node is not None and get_text(node, "", strip=True):
+            return node
+
+    best: Node | None = None
+    best_score = 0.0
+    for div in root.find_all("div"):
+        text_len = len(get_text(div, " ", strip=True))
+        score = float(text_len)
+        if mode == "density":
+            score = text_len * (1.0 - link_density(div))
+        if score > best_score:
+            best = div
+            best_score = score
+    if best is not None:
+        return best
+    body = root.find_first(lambda n: n.tag == "body")
+    return body if body is not None else root
+
+
+def extract_title(html_or_root: "str | Node") -> str:
+    root = parse_html(html_or_root) if isinstance(html_or_root, str) else html_or_root
+    h1 = root.find_first(lambda n: n.tag == "h1")
+    if h1 is not None:
+        t = _WS_RE.sub(" ", get_text(h1, " ", strip=True)).strip()
+        if t:
+            return t
+    title = root.find_first(lambda n: n.tag == "title")
+    if title is not None:
+        t = _WS_RE.sub(" ", get_text(title, " ", strip=True)).strip()
+        if t:
+            return t
+    return "Untitled"
+
+
+# ---------------------------------------------------------------------------
+# Markdown emitter (ATX headings)
+# ---------------------------------------------------------------------------
+
+_HEADINGS = {"h1": 1, "h2": 2, "h3": 3, "h4": 4, "h5": 5, "h6": 6}
+_BLOCK_TAGS = frozenset(
+    {
+        "p", "div", "section", "article", "main", "body", "html", "#document",
+        "header", "footer", "nav", "aside", "figure", "figcaption", "form",
+        "fieldset", "address", "details", "summary", "dl", "dt", "dd",
+    }
+)
+
+
+class _MarkdownEmitter:
+    def __init__(self) -> None:
+        self.blocks: list[str] = []
+
+    # -- inline rendering ---------------------------------------------------
+    def inline(self, node: Node) -> str:
+        if node.is_text():
+            return _WS_RE.sub(" ", node.text)
+        tag = node.tag
+        inner = "".join(self.inline(c) for c in node.children)
+        if tag == "br":
+            return "\n"
+        if tag in ("strong", "b"):
+            body = inner.strip()
+            return f"**{body}**" if body else ""
+        if tag in ("em", "i"):
+            body = inner.strip()
+            return f"*{body}*" if body else ""
+        if tag == "code":
+            body = inner.strip()
+            return f"`{body}`" if body else ""
+        if tag == "a":
+            href = node.attrs.get("href", "")
+            body = inner.strip()
+            if not body:
+                return ""
+            return f"[{body}]({href})" if href else body
+        if tag == "img":
+            alt = node.attrs.get("alt", "")
+            src = node.attrs.get("src", "")
+            return f"![{alt}]({src})"
+        return inner
+
+    # -- block rendering ----------------------------------------------------
+    def emit_block(self, text: str) -> None:
+        text = text.strip("\n")
+        if text.strip():
+            self.blocks.append(text)
+
+    def walk(self, node: Node, list_depth: int = 0) -> None:
+        """Render block-level structure into self.blocks."""
+        tag = node.tag
+        if tag in _HEADINGS:
+            body = self.inline(node).strip()
+            if body:
+                self.emit_block("#" * _HEADINGS[tag] + " " + body)
+            return
+        if tag == "pre":
+            raw = get_text(node, "")
+            self.emit_block("```\n" + raw.strip("\n") + "\n```")
+            return
+        if tag == "blockquote":
+            sub = _MarkdownEmitter()
+            for c in node.children:
+                sub.walk(c, list_depth)
+            quoted = "\n".join("> " + ln if ln else ">" for ln in sub.render().splitlines())
+            self.emit_block(quoted)
+            return
+        if tag in ("ul", "ol"):
+            items: list[str] = []
+            idx = 0
+            for c in node.children:
+                if c.tag == "li":
+                    idx += 1
+                    items.append(self._render_li(c, tag, idx, list_depth))
+            if items:
+                self.emit_block("\n".join(items))
+            return
+        if tag == "table":
+            self._render_table(node)
+            return
+        if tag == "hr":
+            self.emit_block("---")
+            return
+        if tag == "p":
+            body = self.inline(node).strip()
+            if body:
+                self.emit_block(body)
+            return
+        if tag in _BLOCK_TAGS or tag in ("li", "tr", "td", "th"):
+            # Mixed content container: group inline runs into paragraphs,
+            # recurse into block children.
+            run: list[str] = []
+            for c in node.children:
+                if c.is_text() or c.tag not in _BLOCK_TAGS and c.tag not in _HEADINGS \
+                        and c.tag not in ("ul", "ol", "table", "pre", "blockquote", "hr", "p"):
+                    run.append(self.inline(c))
+                else:
+                    if run:
+                        self.emit_block("".join(run).strip())
+                        run = []
+                    self.walk(c, list_depth)
+            if run:
+                self.emit_block("".join(run).strip())
+            return
+        # Unknown tag: treat as transparent inline-ish container.
+        body = self.inline(node).strip()
+        if body:
+            self.emit_block(body)
+
+    def _render_li(self, li: Node, list_tag: str, idx: int, depth: int) -> str:
+        sub = _MarkdownEmitter()
+        sub.walk(li, depth + 1)
+        body = sub.render().strip()
+        marker = "*" if list_tag == "ul" else f"{idx}."
+        indent = "  " * depth
+        lines = body.splitlines() or [""]
+        first = f"{indent}{marker} {lines[0]}"
+        cont_indent = indent + " " * (len(marker) + 1)
+        rest = [cont_indent + ln if ln else "" for ln in lines[1:]]
+        return "\n".join([first, *rest])
+
+    def _render_table(self, table: Node) -> None:
+        rows: list[list[str]] = []
+        header_row: list[str] | None = None
+        for tr in table.find_all("tr"):
+            cells = [c for c in tr.children if c.tag in ("td", "th")]
+            if not cells:
+                continue
+            rendered = [_WS_RE.sub(" ", self.inline(c)).strip() for c in cells]
+            if header_row is None and all(c.tag == "th" for c in cells):
+                header_row = rendered
+            else:
+                rows.append(rendered)
+        out: list[str] = []
+        if header_row is not None:
+            out.append("| " + " | ".join(header_row) + " |")
+            out.append("| " + " | ".join("---" for _ in header_row) + " |")
+        for r in rows:
+            out.append("| " + " | ".join(r) + " |")
+        if out:
+            self.emit_block("\n".join(out))
+
+    def render(self) -> str:
+        return "\n\n".join(self.blocks)
+
+
+def html_to_markdown(html: str, *, source_url: str | None = None,
+                     mode: str = "reference") -> str:
+    """Clean → pick main content → emit ATX markdown.
+
+    Matches reference convert/html_to_md.py:47-53: stripped markdown plus a
+    trailing newline, prefixed with a ``Source:`` header when a source URL
+    (or doc ref) is given.
+    """
+    root = clean_tree(parse_html(html))
+    main = pick_main_content(root, mode=mode)
+    emitter = _MarkdownEmitter()
+    emitter.walk(main)
+    markdown = re.sub(r"\n{3,}", "\n\n", emitter.render()).strip() + "\n"
+    if source_url:
+        return f"Source: {source_url}\n\n" + markdown
+    return markdown
+
+
+def html_to_text(html: str) -> str:
+    """Reference crawl.py:42-58: text nodes joined by newline, per-line
+    strip, blank runs collapsed to ≤1, final strip + trailing newline."""
+    root = clean_tree(parse_html(html))
+    text = get_text(root, "\n")
+    lines = [ln.strip() for ln in text.splitlines()]
+    out: list[str] = []
+    blank_run = 0
+    for ln in lines:
+        if not ln:
+            blank_run += 1
+            if blank_run <= 1:
+                out.append("")
+            continue
+        blank_run = 0
+        out.append(ln)
+    return "\n".join(out).strip() + "\n"
+
+
+def extract_links(html: str, *, page_url: str) -> list[str]:
+    """Reference crawl.py:588-620: resolve <base href>, absolutize +
+    normalize every a[href]; skip empty, #fragment, mailto."""
+    root = parse_html(html)
+    base = root.find_first(lambda n: n.tag == "base")
+    effective_base = page_url
+    if base is not None:
+        href = (base.attrs.get("href") or "").strip()
+        if href:
+            effective_base = urljoin(page_url, href)
+    out: list[str] = []
+    for a in root.find_all("a"):
+        href = (a.attrs.get("href") or "").strip()
+        if not href or href.startswith("#") or href.lower().startswith("mailto:"):
+            continue
+        out.append(normalize_url(urljoin(effective_base, href)))
+    return out
+
+
+def extract_links_multi(html: str, *, page_url: str) -> list[str]:
+    """Reference ingest_data_uspto_gov.py:536-585: multi-attribute link
+    extraction (a/link[href], img/script/iframe/source/video/audio/embed
+    [src], object[data], form[action]) plus meta-refresh ``url=``."""
+    root = parse_html(html)
+    out: list[str] = []
+
+    def add(href: str | None) -> None:
+        href = (href or "").strip()
+        if not href or href.startswith("#"):
+            return
+        low = href.lower()
+        if low.startswith(("mailto:", "javascript:")):
+            return
+        out.append(normalize_url(urljoin(page_url, href)))
+
+    for n in root.iter():
+        if n.is_text():
+            continue
+        tag = n.tag
+        if tag in ("a", "link"):
+            add(n.attrs.get("href"))
+        elif tag in ("img", "script", "iframe", "source", "video", "audio", "embed"):
+            add(n.attrs.get("src"))
+        elif tag == "object":
+            add(n.attrs.get("data"))
+        elif tag == "form":
+            add(n.attrs.get("action"))
+        elif tag == "meta" and (n.attrs.get("http-equiv") or "").lower() == "refresh":
+            m = re.search(r"url\s*=\s*([^;]+)", n.attrs.get("content") or "", re.I)
+            if m:
+                add(unescape(m.group(1)))
+    return out

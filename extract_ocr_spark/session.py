@@ -1,0 +1,43 @@
+"""SparkSession factory tuned for the extraction workload.
+
+Local-mode testing config; the same settings are what we'd submit on a real
+cluster via ``spark-submit --py-files`` (see README), except memory sizing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Arrow batches bound memory of the mapInPandas extraction stage: one batch
+# holds `maxRecordsPerBatch` full documents (spans arrays of large strings).
+# 256 docs × ~100 KB typical doc ≈ 25 MB/batch; skewed oversized docs are
+# isolated by size-class salting before this stage.
+ARROW_MAX_RECORDS_PER_BATCH = 256
+
+
+def get_spark(master: str | None = None, *, app_name: str = "extract_ocr_spark",
+              shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        n = master[master.find("[") + 1:master.find("]")] if "[" in master else cpus
+        shuffle_partitions = 32 if n == "*" else max(8, int(n))
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                str(ARROW_MAX_RECORDS_PER_BATCH))
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,148 @@
+"""Engine-layer tests: distributed extraction, span-sequence equality vs the
+pure-kernel oracle, shuffle invariance, skew salting, lineage + resume."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from extract_ocr_spark.datagen import gen_doc, synthetic_documents_df
+from extract_ocr_spark.kernels.extract import extract_doc
+from extract_ocr_spark.pipeline import ExtractionRun, extract_df, salted_repartition
+
+N_DOCS = 120
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return synthetic_documents_df(spark, N_DOCS, seed=42, partitions=6).cache()
+
+
+def _norm_out_spans(rows):
+    """rows of (doc_id, out_spans) → {doc_id: [(kind,text,media_ref,order)]}"""
+    out = {}
+    for r in rows:
+        out[r["doc_id"]] = [
+            (s["kind"], s["text"], s["media_ref"], s["order"])
+            for s in (r["out_spans"] or [])
+        ]
+    return out
+
+
+def test_span_sequence_equality_vs_kernel_oracle(spark, docs):
+    """The distributed pipeline must equal the pure kernel doc-by-doc under
+    span-sequence equality (kind, text, media_ref, order)."""
+    got = _norm_out_spans(extract_df(docs).collect())
+    assert len(got) == N_DOCS
+    for i in range(N_DOCS):
+        doc = gen_doc(i, seed=42)
+        expected = [
+            (s["kind"], s["text"], s["media_ref"], s["order"])
+            for s in extract_doc(doc["doc_id"], doc["spans"])
+        ]
+        assert got[doc["doc_id"]] == expected, f"doc {i} mismatch"
+
+
+def test_shuffle_invariance(spark, docs):
+    """Same result regardless of partitioning."""
+    a = _norm_out_spans(extract_df(docs, partitions=2).collect())
+    b = _norm_out_spans(extract_df(docs.repartition(13), partitions=7).collect())
+    assert a == b
+
+
+def test_waf_docs_drop_html_span(spark, docs):
+    """Docs with variant-5 HTML (WAF interstitial) emit no markdown span."""
+    got = _norm_out_spans(extract_df(docs).collect())
+    waf_ids = [f"doc-{i:010d}" for i in range(N_DOCS) if i % 7 == 5]
+    assert waf_ids
+    for d in waf_ids:
+        kinds = [k for (k, *_rest) in got[d]]
+        assert "markdown" not in kinds
+
+
+def test_media_spans_pass_through(spark, docs):
+    got = extract_df(docs).select(
+        "doc_id", F.explode("out_spans").alias("s")
+    ).filter(F.col("s.kind") == "media").collect()
+    assert got, "expected some media spans in the synthetic corpus"
+    for r in got:
+        assert r["s"]["media_ref"] is not None
+        assert r["s"]["text"] is None
+
+
+def test_salted_repartition_balances_bytes(spark, docs):
+    staged = salted_repartition(docs, 6)
+    sizes = (
+        staged.withColumn("pid", F.spark_partition_id())
+        .withColumn(
+            "sz",
+            F.aggregate(
+                F.coalesce(F.col("spans"), F.array()), F.lit(0).cast("long"),
+                lambda acc, s: acc + F.coalesce(F.length(s["text"]), F.lit(0)),
+            ),
+        )
+        .groupBy("pid").agg(F.sum("sz").alias("bytes"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert len(sizes) > 1
+    # A single oversized doc cannot be split, but it must be *isolated*:
+    # the heaviest partition should carry almost no other docs, so its
+    # wall-clock cost is the one doc, not the doc plus a full share of
+    # small docs.
+    heaviest = max(sizes, key=lambda r: r["bytes"])
+    assert heaviest["n"] <= 3
+    # And the small-doc partitions are count-balanced (uniform salt).
+    small_parts = [r for r in sizes if r is not heaviest]
+    counts = [r["n"] for r in small_parts]
+    assert max(counts) <= 3 * max(1, min(counts))
+
+
+def test_lineage_resume_no_double_processing(spark, docs, tmp_path):
+    out = str(tmp_path / "run")
+    run = ExtractionRun(spark, out, run_id="t1")
+    # Simulate a kill: only 2 of 4 micro-batches commit.
+    res1 = run.run(docs, micro_batches=4, stop_after=2)
+    assert res1["batches_done"] == 2
+    n_after_kill = run.extracted().count()
+    assert 0 < n_after_kill < N_DOCS
+
+    # Resume with a fresh run object (new process semantics).
+    run2 = ExtractionRun(spark, out, run_id="t2")
+    pending = run2.pending(docs)
+    assert pending.count() == N_DOCS - n_after_kill
+    run2.run(docs, micro_batches=4)
+
+    final = run2.extracted()
+    assert final.count() == N_DOCS
+    # Lineage has exactly one 'processed' event per doc → nothing was
+    # reprocessed after resume.
+    lineage = spark.read.parquet(f"{out}/lineage")
+    assert lineage.count() == N_DOCS
+    assert lineage.select("doc_id").distinct().count() == N_DOCS
+
+    # Metrics cover every doc.
+    metrics = spark.read.parquet(f"{out}/metrics")
+    assert metrics.agg(F.sum("docs")).first()[0] == N_DOCS
+
+    # And the resumed output still matches the kernel oracle.
+    got = _norm_out_spans(final.collect())
+    for i in (0, 5, 17):
+        doc = gen_doc(i, seed=42)
+        expected = [
+            (s["kind"], s["text"], s["media_ref"], s["order"])
+            for s in extract_doc(doc["doc_id"], doc["spans"])
+        ]
+        assert got[doc["doc_id"]] == expected
+
+
+def test_skewed_docs_exist_and_extract(spark, docs):
+    """The generator's oversized docs flow through the big-doc path."""
+    big = docs.withColumn(
+        "sz",
+        F.aggregate(
+            F.coalesce(F.col("spans"), F.array()), F.lit(0).cast("long"),
+            lambda acc, s: acc + F.coalesce(F.length(s["text"]), F.lit(0)),
+        ),
+    ).filter(F.col("sz") > 1 << 20)
+    assert big.count() >= 1
+    out = extract_df(big.drop("sz"))
+    assert out.count() == big.count()

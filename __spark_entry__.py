@@ -1,38 +1,55 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``: flagship extraction — wrap sf0.001 documents into the
+interleaved spans shape, run the distributed extraction pipeline, return
+the exploded output spans.
+
+``queries``/``oracle_sql``: every implemented operator from SURVEY.md §2
+plus the training-data-pipeline operators (dedup / similarity / text
+analysis / end-to-end extraction), checked against DuckDB at sf=0.01.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from pyspark.sql import functions as F
+
+    from extract_ocr_spark.datagen import spans_from_flat_documents
+    from extract_ocr_spark.pipeline import extract_df
+
+    flat = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = spans_from_flat_documents(flat)
+    out = extract_df(docs)
+    return out.select(
+        "doc_id", F.posexplode("out_spans").alias("pos", "span")
+    ).select(
+        "doc_id",
+        F.col("span.order").alias("ord"),
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from extract_ocr_spark.operators import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q, _ = all_queries()
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from extract_ocr_spark.operators import all_queries
+
+    _, o = all_queries()
+    return o

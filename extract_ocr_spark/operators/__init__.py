@@ -1,0 +1,21 @@
+"""Query/operator registry: every implemented operator from SURVEY.md §2
+plus the training-data-pipeline operators (dedup, similarity search, text
+analysis, multimodal plumbing).
+
+Each module exposes ``QUERIES: dict[name, (spark, sf_dir) -> DataFrame]``
+and ``ORACLES: dict[name, sql]`` (DuckDB-equivalent ANSI SQL; omitted keys
+get the driver's weaker rows-only check).
+"""
+
+from __future__ import annotations
+
+
+def all_queries():
+    from . import dedup, extraction, relational, similarity, textanalysis
+
+    queries = {}
+    oracles = {}
+    for mod in (relational, extraction, dedup, similarity, textanalysis):
+        queries.update(mod.QUERIES)
+        oracles.update(mod.ORACLES)
+    return queries, oracles

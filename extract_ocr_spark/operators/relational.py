@@ -1,0 +1,338 @@
+"""Relational operators from SURVEY.md §2 over the driver test tables,
+each paired with its DuckDB oracle SQL.
+
+Float discipline: sums over doubles are order-dependent across engines, so
+every money/quantity aggregate is computed over per-row values rounded and
+cast to decimal (exact, associative) and only then cast back to double —
+both in Spark and in the oracle SQL. Timestamps are rendered to strings on
+both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# -- A5: kind histogram (reference export_inspect.py:83-85) -------------------
+
+def kind_histogram(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "event_type")
+    )
+
+
+KIND_HISTOGRAM_SQL = """
+SELECT event_type, count(*) AS n
+FROM events GROUP BY event_type ORDER BY n DESC, event_type
+"""
+
+
+# -- A3: group → sorted collected set (reference apis_report.py:184-245) ------
+
+def collect_sources(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(F.array_sort(F.collect_set("user_id")),
+                            lambda x: x.cast("string")),
+            ).alias("user_ids")
+        )
+        .orderBy("event_type")
+    )
+
+
+COLLECT_SOURCES_SQL = """
+SELECT event_type,
+       array_to_string(list(DISTINCT user_id ORDER BY user_id), ',') AS user_ids
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# -- A8: first-seen ordered dedupe (reference cli.py:496, exporters :45-54) ---
+
+def first_seen(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", "event_id", "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        )
+        .orderBy("user_id")
+    )
+
+
+FIRST_SEEN_SQL = """
+SELECT user_id, event_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) rn
+  FROM events
+) WHERE rn = 1 ORDER BY user_id
+"""
+
+
+# -- A4: prefer-first pick per key (reference apis_report.py:189-204) ---------
+
+def latest_pick(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+        .orderBy("user_id")
+    )
+
+
+LATEST_PICK_SQL = """
+SELECT user_id, event_id, event_type
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+  FROM events
+) WHERE rn = 1 ORDER BY user_id
+"""
+
+
+# -- P8/J1: resume anti-join (reference done/failed skip, crawl.py:938-939) ---
+
+def anti_join_resume(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return (
+        customer.join(orders, "c_custkey", "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+ANTI_JOIN_RESUME_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c_custkey
+"""
+
+
+# -- P9 + P14: status-range gate + truncation (crawl.py:311-318, 61-64) -------
+
+def gate_truncate(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    truncated = F.when(
+        F.length("text") > 300,
+        F.concat(F.substring("text", 1, 300), F.lit("[TRUNCATED]")),
+    ).otherwise(F.col("text"))
+    return (
+        docs.filter(F.col("n_chars").between(200, 2000))
+        .select(F.col("doc_id"), truncated.alias("out_text"))
+        .orderBy("doc_id")
+    )
+
+
+GATE_TRUNCATE_SQL = """
+SELECT doc_id,
+       CASE WHEN length(text) > 300
+            THEN substring(text, 1, 300) || '[TRUNCATED]'
+            ELSE text END AS out_text
+FROM documents WHERE n_chars BETWEEN 200 AND 2000 ORDER BY doc_id
+"""
+
+
+# -- S8/P16: content-addressed dedupe (reference _store_raw crawl.py:850-867) -
+
+def sha_dedupe(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("sha", F.substring(F.sha2("text", 256), 1, 16))
+        .groupBy("sha")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keep_doc_id"))
+        .orderBy("sha")
+    )
+
+
+SHA_DEDUPE_SQL = """
+SELECT substring(sha256(text), 1, 16) AS sha,
+       count(*) AS n_dups, min(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1 ORDER BY sha
+"""
+
+
+# -- O6/E15: top-1 preference pick (reference fetch_latest_docs.py:63-82) -----
+
+def top1_pick(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    pref = F.when(F.col("p_name").contains("green"), 0).otherwise(1)
+    return (
+        part.orderBy(pref, F.length("p_name"), "p_name", "p_partkey")
+        .select("p_partkey", "p_name")
+        .limit(1)
+    )
+
+
+TOP1_PICK_SQL = """
+SELECT p_partkey, p_name FROM part
+ORDER BY (CASE WHEN p_name LIKE '%green%' THEN 0 ELSE 1 END),
+         length(p_name), p_name, p_partkey
+LIMIT 1
+"""
+
+
+# -- JSON path extraction + aggregate (reference E9/A6 shapes) -----------------
+
+def json_props_agg(spark, sf_dir):
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))
+        .orderBy("event_type")
+    )
+
+
+JSON_PROPS_AGG_SQL = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       count(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# -- J3/J5: broadcast dimension joins (reference url→path map join) -----------
+
+def join_enrich(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(
+                F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long"))
+                / 100.0 / F.count("*"), 6).alias("avg_acctbal"),
+        )
+        .orderBy("r_name")
+    )
+
+
+JOIN_ENRICH_SQL = """
+SELECT r_name, count(*) AS n_customers,
+       round(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) / 100.0
+             / count(*), 6) AS avg_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+# -- TPC-H Q1-style pricing summary (flagship relational aggregate) -----------
+
+def pricing_summary(spark, sf_dir):
+    # All money columns carry 2-decimal precision: scale each factor to an
+    # exact integer (×100) before multiplying/summing, so both engines sum
+    # identical longs — no per-row double-rounding divergence.
+    li = _t(spark, sf_dir, "lineitem")
+    pe = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    pq = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    pd_ = F.round((1 - F.col("l_discount")) * 100, 0).cast("long")
+    pt = F.round((1 + F.col("l_tax")) * 100, 0).cast("long")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(pq) / 100.0).alias("sum_qty"),
+            (F.sum(pe) / 100.0).alias("sum_base_price"),
+            (F.sum(pe * pd_) / 10000.0).alias("sum_disc_price"),
+            (F.sum(pe * pd_ * pt) / 1000000.0).alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) / 100.0 AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0 AS sum_base_price,
+       sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+           * CAST(round((1 - l_discount) * 100, 0) AS BIGINT)) / 10000.0 AS sum_disc_price,
+       sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+           * CAST(round((1 - l_discount) * 100, 0) AS BIGINT)
+           * CAST(round((1 + l_tax) * 100, 0) AS BIGINT)) / 1000000.0 AS sum_charge,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# -- Streaming-analog tumbling-window aggregate (batch semantics) -------------
+
+def windowed_event_counts(spark, sf_dir):
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.withColumn(
+            "hour", F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss"))
+        .groupBy("hour", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0)
+            .alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+WINDOWED_EVENT_COUNTS_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type, count(*) AS n,
+       sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+"""
+
+
+QUERIES = {
+    "kind_histogram": kind_histogram,
+    "collect_sources": collect_sources,
+    "first_seen": first_seen,
+    "latest_pick": latest_pick,
+    "anti_join_resume": anti_join_resume,
+    "gate_truncate": gate_truncate,
+    "sha_dedupe": sha_dedupe,
+    "top1_pick": top1_pick,
+    "json_props_agg": json_props_agg,
+    "join_enrich": join_enrich,
+    "pricing_summary": pricing_summary,
+    "windowed_event_counts": windowed_event_counts,
+}
+
+ORACLES = {
+    "kind_histogram": KIND_HISTOGRAM_SQL,
+    "collect_sources": COLLECT_SOURCES_SQL,
+    "first_seen": FIRST_SEEN_SQL,
+    "latest_pick": LATEST_PICK_SQL,
+    "anti_join_resume": ANTI_JOIN_RESUME_SQL,
+    "gate_truncate": GATE_TRUNCATE_SQL,
+    "sha_dedupe": SHA_DEDUPE_SQL,
+    "top1_pick": TOP1_PICK_SQL,
+    "json_props_agg": JSON_PROPS_AGG_SQL,
+    "join_enrich": JOIN_ENRICH_SQL,
+    "pricing_summary": PRICING_SUMMARY_SQL,
+    "windowed_event_counts": WINDOWED_EVENT_COUNTS_SQL,
+}

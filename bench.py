@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Headline benchmark. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Queries:
+- extract_synthetic: the flagship — distributed span extraction (HTML →
+  markdown, PDF layout, OCR, JSON/XML) over a deterministic synthetic
+  interleaved-spans corpus (skewed size distribution included). The corpus
+  is materialized to parquet once and reused, so the timing is extraction,
+  not generation.
+- extract_flat: extraction over the sf documents table wrapped as spans.
+- pricing_summary / minhash_lsh_pairs / ann_topk: relational, dedup, and
+  similarity headliners at the bench scale factor.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_BENCH_DOCS (default 60000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "60000"))
+CORPUS_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".bench_data", f"spans_{N_DOCS}")
+
+
+def ensure_corpus(spark) -> str:
+    marker = os.path.join(CORPUS_DIR, "_SUCCESS")
+    if not os.path.exists(marker):
+        from extract_ocr_spark.datagen import synthetic_documents_df
+
+        synthetic_documents_df(spark, N_DOCS, seed=42).write.mode(
+            "overwrite").parquet(CORPUS_DIR)
+    return CORPUS_DIR
+
+
+def force_extraction(out_df) -> int:
+    """Materialize the extraction: every output text is produced and
+    transferred (bytes_out is computed from the rendered texts in the UDF);
+    the reduce itself is a cheap long-sum."""
+    row = out_df.agg(
+        F.sum("bytes_out").alias("chars"), F.count("*").alias("docs")
+    ).first()
+    return int(row["docs"])
+
+
+def main() -> None:
+    from extract_ocr_spark.datagen import spans_from_flat_documents
+    from extract_ocr_spark.operators.dedup import minhash_lsh_pairs
+    from extract_ocr_spark.operators.relational import pricing_summary
+    from extract_ocr_spark.operators.similarity import ann_topk
+    from extract_ocr_spark.pipeline import extract_df
+    from extract_ocr_spark.session import get_spark
+
+    spark = get_spark(f"local[{CPUS}]", app_name="bench",
+                      shuffle_partitions=max(8, CPUS))
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus = ensure_corpus(spark)
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # 1. flagship: synthetic spans extraction.
+    # One untimed warm-up pass (JIT, Python-worker pool spawn, page cache —
+    # none of which exist on a long-running cluster), then median of 3.
+    docs = spark.read.parquet(corpus)
+    n = force_extraction(
+        extract_df(docs, partitions=max(8, CPUS), with_stats=True))
+    runs = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        n = force_extraction(
+            extract_df(docs, partitions=max(8, CPUS), with_stats=True))
+        runs.append(time.monotonic() - t0)
+    timings["extract_synthetic"] = round(sorted(runs)[1], 3)
+    extras["extraction_docs_per_sec"] = round(n / timings["extract_synthetic"], 1)
+    extras["extraction_docs"] = n
+    extras["extract_runs_sec"] = [round(r, 3) for r in runs]
+
+    # 2. extraction over the driver's flat documents table
+    flat = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    t0 = time.monotonic()
+    force_extraction(extract_df(spans_from_flat_documents(flat),
+                                partitions=max(8, CPUS), with_stats=True))
+    timings["extract_flat"] = round(time.monotonic() - t0, 3)
+
+    # 3. relational headliner
+    t0 = time.monotonic()
+    pricing_summary(spark, SF_DIR).collect()
+    timings["pricing_summary"] = round(time.monotonic() - t0, 3)
+
+    # 4. dedup headliner (MinHash + LSH + exact verify)
+    t0 = time.monotonic()
+    minhash_lsh_pairs(spark, SF_DIR).collect()
+    timings["minhash_lsh_pairs"] = round(time.monotonic() - t0, 3)
+
+    # 5. similarity headliner
+    t0 = time.monotonic()
+    ann_topk(spark, SF_DIR).collect()
+    timings["ann_topk"] = round(time.monotonic() - t0, 3)
+
+    sf = 0.1
+    if "sf0.01" in SF_DIR:
+        sf = 0.01
+    elif "sf0.001" in SF_DIR:
+        sf = 0.001
+    result = {
+        "metric": "headline_suite_wall_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        **extras,
+        "cpus": CPUS,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

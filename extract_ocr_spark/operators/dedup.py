@@ -161,18 +161,26 @@ def minhash_lsh_pairs(spark, sf_dir):
     candidate generation, exactly verified with array_intersect. With 32
     bands × 4 rows, P(miss | J=0.8) ≈ 4e-8, so the output equals the exact
     oracle in practice while shuffling only O(n·bands) rows."""
-    sigs = _minhash_bands_df(_docs(spark, sf_dir))
-    banded = sigs.select(
-        "doc_id", "shingles", F.explode("bands").alias("band"))
+    sigs = _minhash_bands_df(_docs(spark, sf_dir)).persist()
+    # Slim band join first: the 32×-exploded join carries only
+    # (doc_id, band) — never the shingle arrays. Shingles are re-attached
+    # to the few deduped candidate pairs afterwards.
+    banded = sigs.select("doc_id", F.explode("bands").alias("band"))
     a = banded.alias("a")
     b = banded.alias("b")
-    cands = (
+    pair_ids = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"),
-            F.col("a.shingles").alias("sa"), F.col("b.shingles").alias("sb"))
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
+    )
+    sh = sigs.select("doc_id", "shingles")
+    cands = (
+        pair_ids
+        .join(sh.withColumnRenamed("doc_id", "a_id")
+                .withColumnRenamed("shingles", "sa"), "a_id")
+        .join(sh.withColumnRenamed("doc_id", "b_id")
+                .withColumnRenamed("shingles", "sb"), "b_id")
     )
     inter = F.size(F.array_intersect("sa", "sb"))
     union = F.size("sa") + F.size("sb") - inter

@@ -51,6 +51,7 @@ _EXTRACT_FULL_SCHEMA = T.StructType(
         T.StructField("spans_in", T.IntegerType(), False),
         T.StructField("spans_out", T.IntegerType(), False),
         T.StructField("bytes_in", T.LongType(), False),
+        T.StructField("bytes_out", T.LongType(), False),
         T.StructField("wall_ms", T.LongType(), False),
     ]
 )
@@ -82,6 +83,9 @@ def _extract_batches(mode: str):
                     "spans_in": [len(s) for s in spans_col],
                     "spans_out": [len(o) for o in outs],
                     "bytes_in": [doc_size_bytes(s) for s in spans_col],
+                    "bytes_out": [
+                        sum(len(sp["text"]) for sp in o if sp["text"]) for o in outs
+                    ],
                     "wall_ms": [elapsed_ms // n] * len(doc_ids),
                 }
             )
@@ -90,9 +94,19 @@ def _extract_batches(mode: str):
 
 
 def salted_repartition(df: DataFrame, partitions: int,
-                       big_doc_bytes: int = BIG_DOC_BYTES) -> DataFrame:
-    """Byte-balanced repartitioning: split by size class, salt each class
-    by xxhash64(doc_id), repartition explicitly, union back."""
+                       big_doc_bytes: int = BIG_DOC_BYTES,
+                       shuffle_small: bool = False) -> DataFrame:
+    """Skew-aware staging for the extraction UDF.
+
+    Only the heavy tail is shuffled: docs above the size threshold are
+    hash-repartitioned on doc_id into their own partition set, so one
+    oversized PDF never serializes a partition of small docs behind it.
+    Small docs keep their source partitioning (parquet splits are already
+    ~byte-balanced via ``spark.sql.files.maxPartitionBytes``) — at 100 TB,
+    shuffling the full corpus to fix a 1% heavy tail would move ~99 TB for
+    nothing. Pass ``shuffle_small=True`` when the source partitioning is
+    known-skewed (e.g. a single giant input file).
+    """
     sized = df.withColumn(
         "_size",
         F.aggregate(
@@ -103,13 +117,9 @@ def salted_repartition(df: DataFrame, partitions: int,
     )
     small = sized.filter(F.col("_size") <= big_doc_bytes)
     big = sized.filter(F.col("_size") > big_doc_bytes)
-    # Hash-partition each size class on doc_id (uniform, deterministic,
-    # no double-hash salt collisions). Big docs land in their own partition
-    # set, so one oversized PDF never serializes a partition full of small
-    # docs behind it; within the big set, hash(doc_id) spreads them evenly.
-    out = small.repartition(partitions, "doc_id").unionByName(
-        big.repartition(max(2, partitions // 2), "doc_id")
-    )
+    if shuffle_small:
+        small = small.repartition(partitions, "doc_id")
+    out = small.unionByName(big.repartition(partitions, "doc_id"))
     return out.drop("_size")
 
 

@@ -35,7 +35,12 @@ def get_spark(master: str | None = None, *, app_name: str = "extract_ocr_spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 str(ARROW_MAX_RECORDS_PER_BATCH))
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # 32 MB local splits: extraction parallelism for small-doc
+        # partitions comes from input splits (no full-corpus shuffle), so
+        # splits must outnumber cores. On a real cluster with hundreds of
+        # executors, raise back toward 128 MB.
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "33554432"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -32,7 +32,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "60000"))
 CORPUS_DIR = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), ".bench_data", f"spans_{N_DOCS}")
+    os.path.dirname(os.path.abspath(__file__)), ".bench_data",
+    f"spans_v2_{N_DOCS}")
 
 
 def ensure_corpus(spark) -> str:

@@ -94,8 +94,9 @@ def _make_pdf_layout(rng: random.Random, pages: int, oversized: bool = False) ->
             out_pages.append("   ")
             continue
         lines = []
-        # Oversized docs (~100× the median doc size) exercise skew salting.
-        for row in range(10_000 if oversized else rng.randint(3, 8)):
+        # Oversized docs (~100× the median ~8 KB doc) exercise skew salting:
+        # 2 pages × 4500 positioned lines ≈ 800 KB.
+        for row in range(4_500 if oversized else rng.randint(3, 8)):
             y = row * 12
             lines.append(f"@{y},40:{_sentence(rng, rng.randint(4, 9))}")
             if rng.random() < 0.3:
@@ -135,7 +136,8 @@ def gen_doc(doc_idx: int, seed: int = 42) -> dict[str, Any]:
     oversized = doc_idx % 251 == 0  # rare ≥100× docs → skew path
     add("html", _make_html(rng, doc_idx, doc_idx % 7))
     if rng.random() < 0.6 or oversized:
-        add("pdf", _make_pdf_layout(rng, rng.randint(2, 5), oversized=oversized))
+        pages = 2 if oversized else rng.randint(2, 5)
+        add("pdf", _make_pdf_layout(rng, pages, oversized=oversized))
     if rng.random() < 0.5:
         add("ocr", _make_ocr(rng))
     if rng.random() < 0.4:

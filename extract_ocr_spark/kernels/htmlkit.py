@@ -181,6 +181,39 @@ def link_density(node: Node) -> float:
     return min(1.0, linked / total)
 
 
+def _stripped_text_lengths(root: Node) -> dict[int, int]:
+    """One bottom-up pass computing, per node, the length of its
+    ``get_text(" ", strip=True)`` equivalent (sum of stripped fragment
+    lengths + single-space separators). Avoids the O(divs × subtree)
+    recomputation in the largest-div fallback."""
+    lengths: dict[int, int] = {}
+    counts: dict[int, int] = {}  # number of non-empty fragments
+    # iterative post-order
+    stack: list[tuple[Node, bool]] = [(root, False)]
+    while stack:
+        node, done = stack.pop()
+        if not done:
+            stack.append((node, True))
+            for c in node.children:
+                stack.append((c, False))
+            continue
+        if node.is_text():
+            t = node.text.strip()
+            raw = len(t)
+            frags = 1 if t else 0
+        else:
+            raw = 0
+            frags = 0
+            for c in node.children:
+                raw += lengths[id(c)]
+                frags += counts[id(c)]
+        lengths[id(node)] = raw
+        counts[id(node)] = frags
+    # joined-with-" " length = raw + (frags - 1) separators
+    return {k: (lengths[k] + counts[k] - 1 if counts[k] else 0)
+            for k in lengths}
+
+
 def pick_main_content(root: Node, mode: str = "reference") -> Node:
     """Boilerplate-stripping main-content selection.
 
@@ -194,10 +227,12 @@ def pick_main_content(root: Node, mode: str = "reference") -> Node:
         if node is not None and get_text(node, "", strip=True):
             return node
 
+    # Fallback only: one bottom-up pass instead of O(divs × subtree).
+    text_lens = _stripped_text_lengths(root)
     best: Node | None = None
     best_score = 0.0
     for div in root.find_all("div"):
-        text_len = len(get_text(div, " ", strip=True))
+        text_len = text_lens[id(div)]
         score = float(text_len)
         if mode == "density":
             score = text_len * (1.0 - link_density(div))

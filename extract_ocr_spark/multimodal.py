@@ -1,0 +1,116 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media payloads are opaque ``binary`` columns with a typed metadata struct;
+decode / feature-extraction run as Arrow-batched ``mapInPandas`` stages.
+The actual codec step is STUBBED (no image/audio libraries in this
+container): ``decode_media`` raises ``NotImplementedError`` unless a
+deterministic fake decoder is requested — but the Spark-side plumbing
+(schema, batching, partitioning, UDF signatures) is real and tested, so a
+codec drop-in is a one-function change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("meta", T.StructType(
+            [
+                T.StructField("mime", T.StringType()),
+                T.StructField("width", T.IntegerType()),
+                T.StructField("height", T.IntegerType()),
+                T.StructField("n_bytes", T.LongType()),
+            ]), True),
+    ]
+)
+
+FEATURE_DIM = 8
+
+_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("features", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def media_table_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a media table from the documents table: payload = the text
+    bytes (deterministic stand-in for raw media bytes), metadata derived
+    natively (JVM-side)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    payload = F.encode("text", "UTF-8")
+    return docs.select(
+        F.substring(F.sha2("text", 256), 1, 16).alias("media_ref"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("image/x-fake").alias("mime"),
+            (F.pmod(F.xxhash64("text"), F.lit(1920)) + 1).cast("int").alias("width"),
+            (F.pmod(F.xxhash64("doc_id"), F.lit(1080)) + 1).cast("int").alias("height"),
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_media(payload: bytes, mime: str, *, fake: bool = False) -> bytes:
+    """Decode a media payload to raw pixels/samples.
+
+    STUB: real codecs (PIL/ffmpeg/...) are not available in this
+    container. ``fake=True`` returns a deterministic pseudo-decode so the
+    downstream plumbing is testable end-to-end.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "media codecs are not available in this environment; "
+            "pass fake=True for the deterministic test decoder")
+    return hashlib.blake2b(payload or b"", digest_size=32).digest()
+
+
+def extract_features(media: DataFrame, *, fake_decode: bool = True) -> DataFrame:
+    """mapInPandas feature extraction: payload → FEATURE_DIM float vector.
+
+    Batch shape: Arrow hands `payload` as bytes per row; features are
+    derived from the (fake-)decoded bytes deterministically. Partitioning:
+    inherits the input's; callers repartition by size class upstream if
+    payloads are skewed (same policy as pipeline.salted_repartition).
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                decoded = decode_media(
+                    bytes(payload) if payload is not None else b"",
+                    meta["mime"] if meta is not None else "",
+                    fake=fake_decode)
+                vals = struct.unpack(f"<{FEATURE_DIM}f", decoded[:FEATURE_DIM * 4])
+                # normalize to finite, stable floats
+                feats.append([float(v) if v == v and abs(v) < 1e30 else 0.0
+                              for v in vals])
+            yield pd.DataFrame(
+                {"media_ref": pdf["media_ref"], "features": feats})
+
+    return media.mapInPandas(fn, schema=_FEATURES_SCHEMA)
+
+
+def media_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: media table → decoded features, summarized
+    deterministically (rows-only check)."""
+    media = media_table_from_documents(spark, sf_dir)
+    feats = extract_features(media, fake_decode=True)
+    return feats.select(
+        "media_ref",
+        F.round(F.aggregate("features", F.lit(0.0).cast("double"),
+                            lambda a, b: a + F.abs(b)), 3).alias("l1"),
+    ).orderBy("media_ref")

@@ -11,11 +11,21 @@ from __future__ import annotations
 
 
 def all_queries():
-    from . import dedup, extraction, relational, similarity, textanalysis
+    from .. import multimodal
+    from . import (
+        dedup,
+        extraction,
+        relational,
+        reporting,
+        similarity,
+        textanalysis,
+    )
 
     queries = {}
     oracles = {}
-    for mod in (relational, extraction, dedup, similarity, textanalysis):
+    for mod in (relational, extraction, dedup, similarity, textanalysis,
+                reporting):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
+    queries["media_features"] = multimodal.media_features_query
     return queries, oracles

@@ -41,8 +41,10 @@ from pyspark.sql import types as T
 from .kernels.extract import doc_size_bytes, extract_doc
 from .schemas import EXTRACTED_SCHEMA
 
-# Docs whose total span payload exceeds this are routed to the "big" path.
-BIG_DOC_BYTES = 1 << 20
+# Docs whose total span payload exceeds this are routed to the "big" path
+# (256 KB ≈ 30× the median synthetic doc; the generator's oversized docs
+# are ~100× median ≈ 800 KB).
+BIG_DOC_BYTES = 256 << 10
 
 _EXTRACT_FULL_SCHEMA = T.StructType(
     [

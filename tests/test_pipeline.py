@@ -142,7 +142,7 @@ def test_skewed_docs_exist_and_extract(spark, docs):
             F.coalesce(F.col("spans"), F.array()), F.lit(0).cast("long"),
             lambda acc, s: acc + F.coalesce(F.length(s["text"]), F.lit(0)),
         ),
-    ).filter(F.col("sz") > 1 << 20)
+    ).filter(F.col("sz") > 256 << 10)
     assert big.count() >= 1
     out = extract_df(big.drop("sz"))
     assert out.count() == big.count()

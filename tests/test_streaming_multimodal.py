@@ -1,0 +1,83 @@
+"""Streaming extraction (exactly-once incremental) + multimodal plumbing."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from extract_ocr_spark.datagen import synthetic_documents_df
+from extract_ocr_spark.multimodal import (
+    decode_media,
+    extract_features,
+    media_table_from_documents,
+)
+from extract_ocr_spark.streaming import stream_extract
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_stream_extract_incremental(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    docs = synthetic_documents_df(spark, 40, seed=42, partitions=2)
+    docs.filter(F.col("doc_id") < "doc-0000000020").write.mode(
+        "append").parquet(in_dir)
+
+    q = stream_extract(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+    first = spark.read.parquet(out_dir)
+    n1 = first.count()
+    assert n1 == 20
+
+    # new files arrive; restart picks up ONLY the new ones (checkpoint)
+    docs.filter(F.col("doc_id") >= "doc-0000000020").write.mode(
+        "append").parquet(in_dir)
+    q2 = stream_extract(spark, in_dir, out_dir, ckpt)
+    q2.awaitTermination(120)
+    final = spark.read.parquet(out_dir)
+    assert final.count() == 40
+    assert final.select("doc_id").distinct().count() == 40
+
+    # batch/stream parity: same kernel → same span sequences
+    batch = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["order"])
+                      for s in r["out_spans"]]
+        for r in __import__("extract_ocr_spark.pipeline", fromlist=["extract_df"])
+        .extract_df(docs).collect()
+    }
+    stream = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["order"])
+                      for s in r["out_spans"]]
+        for r in final.collect()
+    }
+    assert batch == stream
+
+
+def test_decode_media_stub_raises():
+    with pytest.raises(NotImplementedError):
+        decode_media(b"xx", "image/png")
+    a = decode_media(b"xx", "image/png", fake=True)
+    assert a == decode_media(b"xx", "image/png", fake=True)
+    assert len(a) == 32
+
+
+def test_media_features_plumbing(spark):
+    media = media_table_from_documents(spark, SF_DIR)
+    rows = media.limit(3).collect()
+    for r in rows:
+        assert r["media_ref"] and len(r["media_ref"]) == 16
+        assert isinstance(r["payload"], (bytes, bytearray))
+        assert r["meta"]["n_bytes"] == len(r["payload"])
+        assert 1 <= r["meta"]["width"] <= 1920
+
+    feats = extract_features(media, fake_decode=True)
+    got = feats.collect()
+    assert len(got) == media.count()
+    for r in got[:5]:
+        assert len(r["features"]) == 8
+    # determinism across runs
+    again = {r["media_ref"]: r["features"] for r in extract_features(
+        media, fake_decode=True).collect()}
+    for r in got:
+        assert again[r["media_ref"]] == r["features"]

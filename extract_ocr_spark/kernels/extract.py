@@ -47,11 +47,22 @@ def extract_doc(doc_id: str, spans: list[dict[str, Any]] | None,
     """Extract one document's interleaved spans into ordered output spans."""
     if not spans:
         return []
-    # Deterministic interleave order: offset, then input position.
-    indexed = sorted(
-        enumerate(spans),
-        key=lambda t: (t[1].get("offset") if t[1].get("offset") is not None else t[0], t[0]),
-    )
+
+    # Deterministic interleave order: offset first (strictly increasing per
+    # the input contract), with a content-based tie-break so the result is
+    # invariant to the physical span order even for malformed inputs with
+    # duplicate offsets. Spans with a null offset order by input position.
+    def sort_key(t):
+        pos, span = t
+        off = span.get("offset")
+        return (
+            off if off is not None else pos,
+            span.get("kind") or "",
+            span.get("text") or "",
+            span.get("media_ref") or "",
+        )
+
+    indexed = sorted(enumerate(spans), key=sort_key)
     out: list[dict[str, Any]] = []
     order = 0
     for pos, span in indexed:
@@ -93,6 +104,10 @@ def extract_doc(doc_id: str, spans: list[dict[str, Any]] | None,
             out_kind = OUT_TEXT
 
         rendered, _truncated = truncate_text(rendered)
+        # Uniform invariant: every text output ends with exactly one
+        # trailing newline (the JSON replace-fallback returns raw text).
+        if not rendered.endswith("\n"):
+            rendered += "\n"
         out.append({"kind": out_kind, "text": rendered,
                     "media_ref": None, "order": order})
         order += 1

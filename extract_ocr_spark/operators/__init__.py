@@ -18,6 +18,7 @@ def all_queries():
         extraction,
         relational,
         reporting,
+        robots,
         similarity,
         textanalysis,
     )
@@ -25,7 +26,7 @@ def all_queries():
     queries = {}
     oracles = {}
     for mod in (relational, extraction, dedup, similarity, textanalysis,
-                reporting, export):
+                reporting, export, robots):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     queries["media_features"] = multimodal.media_features_query

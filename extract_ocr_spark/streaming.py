@@ -13,11 +13,20 @@ handling), the streaming analogue of ``relational.windowed_event_counts``.
 
 from __future__ import annotations
 
+from typing import Any, Iterable, Iterator
+
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from .pipeline import _EXTRACT_FULL_SCHEMA, _extract_batches
 from .schemas import DOCUMENTS_SCHEMA
+
+EVENTS_DDL = ("event_id long, ts timestamp, user_id long, event_type string,"
+              " value double, props string")
 
 
 def stream_extract(spark: SparkSession, input_dir: str, output_dir: str,
@@ -57,12 +66,7 @@ def stream_windowed_event_counts(spark: SparkSession, input_dir: str,
     """Tumbling-window event counts with late-data watermarking. Returns
     the streaming DataFrame (caller attaches a sink). Batch-equivalent:
     relational.windowed_event_counts — same grouping semantics."""
-    events = (
-        spark.readStream.schema(
-            "event_id long, ts timestamp, user_id long, event_type string,"
-            " value double, props string")
-        .parquet(input_dir)
-    )
+    events = spark.readStream.schema(EVENTS_DDL).parquet(input_dir)
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
@@ -71,4 +75,114 @@ def stream_windowed_event_counts(spark: SparkSession, input_dir: str,
              .alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n",
                 "sum_value")
+    )
+
+
+# -- custom stateful operator: session windows via applyInPandasWithState ------
+
+SESSION_GAP_S = 1800  # 30 min inactivity closes a session
+
+_SESSION_OUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("session_start", T.TimestampType()),
+    T.StructField("session_end", T.TimestampType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("sum_value", T.DoubleType()),
+])
+
+_SESSION_STATE_SCHEMA = T.StructType([
+    T.StructField("start_us", T.LongType()),
+    T.StructField("last_us", T.LongType()),
+    T.StructField("n", T.LongType()),
+    T.StructField("sv", T.DoubleType()),  # sum of value*100 rounded, /100 at emit
+])
+
+
+def sessionize_batch(ts_us: list[int], values: list[float],
+                     gap_s: int = SESSION_GAP_S) -> list[tuple[int, int, int, float]]:
+    """Pure session logic over one user's (sorted) events:
+    [(start_us, end_us, n, sum_scaled)] — unit-testable without Spark."""
+    sessions = []
+    start = last = None
+    n = 0
+    sv = 0.0
+    for t, v in sorted(zip(ts_us, values)):
+        if last is not None and (t - last) > gap_s * 1_000_000:
+            sessions.append((start, last, n, sv))
+            start, n, sv = None, 0, 0.0
+        if start is None:
+            start = t
+        last = t
+        n += 1
+        sv += round(v * 100)
+    if start is not None:
+        sessions.append((start, last, n, sv))
+    return sessions
+
+
+def _sessionize_fn(key: tuple, batches: Iterable[pd.DataFrame],
+                   state: GroupState) -> Iterator[pd.DataFrame]:
+    user_id = key[0]
+    ts_us: list[int] = []
+    vals: list[float] = []
+    for pdf in batches:
+        ts_us.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
+        vals.extend(float(v) for v in pdf["value"])
+
+    if state.hasTimedOut:
+        start_us, last_us, n, sv = state.get
+        state.remove()
+        yield pd.DataFrame({
+            "user_id": [user_id],
+            "session_start": [pd.Timestamp(start_us, unit="us")],
+            "session_end": [pd.Timestamp(last_us, unit="us")],
+            "n_events": [n],
+            "sum_value": [sv / 100.0],
+        })
+        return
+
+    if state.exists:
+        start_us, last_us, n, sv = state.get
+        merged = sessionize_batch(ts_us, vals)
+        # stitch: if the first new session continues the stored one
+        if merged and merged[0][0] - last_us <= SESSION_GAP_S * 1_000_000:
+            s0 = merged[0]
+            merged[0] = (start_us, s0[1], n + s0[2], sv + s0[3])
+        else:
+            merged.insert(0, (start_us, last_us, n, sv))
+    else:
+        merged = sessionize_batch(ts_us, vals)
+
+    out_rows = merged[:-1]  # all but the still-open last session
+    open_s = merged[-1] if merged else None
+    if open_s is not None:
+        state.update((int(open_s[0]), int(open_s[1]), int(open_s[2]),
+                      float(open_s[3])))
+        state.setTimeoutDuration(SESSION_GAP_S * 1000)
+    if out_rows:
+        yield pd.DataFrame({
+            "user_id": [user_id] * len(out_rows),
+            "session_start": [pd.Timestamp(r[0], unit="us") for r in out_rows],
+            "session_end": [pd.Timestamp(r[1], unit="us") for r in out_rows],
+            "n_events": [r[2] for r in out_rows],
+            "sum_value": [r[3] / 100.0 for r in out_rows],
+        })
+
+
+def stream_sessionize(spark: SparkSession, input_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: per-user session windows with a
+    30-minute inactivity gap, via ``applyInPandasWithState`` (processing-
+    time timeout closes idle sessions). The session-assembly logic is the
+    pure function ``sessionize_batch``. Closed sessions are emitted; the
+    open session per user lives in the state store."""
+    events = spark.readStream.schema(EVENTS_DDL).parquet(input_dir)
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn,
+            outputStructType=_SESSION_OUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
     )

@@ -1,0 +1,114 @@
+"""Local HTML seed ingest (S5/EP2), robots kernel (P4), stateful streaming
+sessionization."""
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from extract_ocr_spark.kernels.robotskit import can_fetch, parse_robots
+from extract_ocr_spark.pipeline import extract_df
+from extract_ocr_spark.sources import ingest_local_html, saved_from_url
+from extract_ocr_spark.streaming import (
+    SESSION_GAP_S,
+    sessionize_batch,
+    stream_sessionize,
+)
+
+SEED_HTML = """<!DOCTYPE html>
+<!-- saved from url=(0042)https://ex.gov/docs/page{i}.html -->
+<html><head><title>Seed {i}</title></head>
+<body><main><h1>Seed {i}</h1><p>content {i}</p>
+<a href="/docs/next{i}.html">next</a></main></body></html>
+"""
+
+
+def test_saved_from_url():
+    assert saved_from_url(SEED_HTML.format(i=3)) == "https://ex.gov/docs/page3.html"
+    assert saved_from_url("<html></html>") is None
+
+
+def test_ingest_local_html_and_extract(spark, tmp_path):
+    seeds = tmp_path / "seeds"
+    seeds.mkdir()
+    for i in range(4):
+        (seeds / f"page{i}.html").write_text(SEED_HTML.format(i=i))
+    # asset dir must be excluded
+    assets = seeds / "page0_files"
+    assets.mkdir()
+    (assets / "junk.html").write_text("<html><body>asset junk</body></html>")
+
+    docs = ingest_local_html(spark, str(seeds))
+    rows = docs.collect()
+    assert len(rows) == 4
+    ids = sorted(r["doc_id"] for r in rows)
+    assert ids == [f"https://ex.gov/docs/page{i}.html" for i in range(4)]
+
+    out = extract_df(docs).collect()
+    md = {r["doc_id"]: r["out_spans"][0]["text"] for r in out}
+    for i in range(4):
+        assert f"# Seed {i}" in md[f"https://ex.gov/docs/page{i}.html"]
+        assert f"content {i}" in md[f"https://ex.gov/docs/page{i}.html"]
+
+
+ROBOTS = """
+User-agent: *
+Disallow: /private
+Allow: /private/ok
+Disallow: /tmp
+
+User-agent: bot
+Disallow: /
+"""
+
+
+def test_robots_parse_and_match():
+    rules = parse_robots(ROBOTS)
+    assert ("allow", "/private/ok") in rules
+    assert ("disallow", "/") not in rules  # only '*' agent applies
+    assert can_fetch(rules, "/pub/x")
+    assert not can_fetch(rules, "/private/secret")
+    assert can_fetch(rules, "/private/ok/file")
+    assert not can_fetch(rules, "/tmp/y")
+    assert can_fetch([], "/anything")
+
+
+def test_sessionize_batch_pure():
+    us = 1_000_000
+    gap = SESSION_GAP_S * us
+    ts = [0, 10 * us, gap + 20 * us, gap + 30 * us]
+    # events 0,1 in one session; a gap; events 2,3 in another
+    ts = [0, 10 * us, 10 * us + gap + us, 10 * us + gap + 2 * us]
+    out = sessionize_batch(ts, [1.0, 2.0, 3.0, 4.0])
+    assert len(out) == 2
+    assert out[0] == (0, 10 * us, 2, 300.0)
+    assert out[1][2] == 2 and out[1][3] == 700.0
+
+
+def test_stream_sessionize(spark, tmp_path):
+    in_dir = str(tmp_path / "ev")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events.write.mode("overwrite").parquet(in_dir)
+
+    sessions = stream_sessionize(spark, in_dir)
+    q = (
+        sessions.writeStream.format("memory").queryName("sess")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("select * from sess").toPandas()
+
+    # oracle: same pure logic per user over the full batch; closed sessions
+    # only (the last session per user stays open in state)
+    pdf = events.orderBy("ts").toPandas()
+    expected_closed = 0
+    for uid, grp in pdf.groupby("user_id"):
+        ts_us = [int(t.value // 1000) for t in pd.to_datetime(grp["ts"])]
+        sess = sessionize_batch(ts_us, list(grp["value"]))
+        expected_closed += len(sess) - 1
+        grec = got[got.user_id == uid].sort_values("session_start")
+        assert len(grec) == len(sess) - 1
+        for (s_us, e_us, n, sv), (_, row) in zip(sess[:-1], grec.iterrows()):
+            assert int(row.n_events) == n
+            assert abs(row.sum_value - sv / 100.0) < 1e-9
+    assert len(got) == expected_closed
+    assert expected_closed > 0

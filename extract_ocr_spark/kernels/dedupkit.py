@@ -7,6 +7,7 @@ hash randomization). Used by ``extract_ocr_spark.operators.dedup``.
 from __future__ import annotations
 
 import hashlib
+import zlib
 
 import numpy as np
 
@@ -23,8 +24,9 @@ def _hash_family(n_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def stable_hash32(token: str) -> int:
-    """Process-stable 32-bit hash of a string (blake2b, not hash())."""
-    return int.from_bytes(hashlib.blake2b(token.encode("utf-8"), digest_size=4).digest(), "big")
+    """Process-stable 32-bit hash of a string (crc32: C-speed, never
+    PYTHONHASHSEED-dependent; adequate uniformity for MinHash)."""
+    return zlib.crc32(token.encode("utf-8")) & 0xFFFFFFFF
 
 
 def minhash_signature(shingles: list[str], n_perm: int = 128, seed: int = 1) -> list[int]:

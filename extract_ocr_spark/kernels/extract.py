@@ -45,6 +45,8 @@ OUT_MEDIA = "media"
 def extract_doc(doc_id: str, spans: list[dict[str, Any]] | None,
                 *, mode: str = "reference") -> list[dict[str, Any]]:
     """Extract one document's interleaved spans into ordered output spans."""
+    if doc_id is None:
+        raise ValueError("doc_id must not be null (input-table contract)")
     if not spans:
         return []
 

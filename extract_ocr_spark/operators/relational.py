@@ -18,6 +18,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _utc(spark: SparkSession) -> None:
+    """Pin the session timezone: parquet timestamps are UTC-normalized and
+    the DuckDB oracle renders them naively, so a non-UTC driver session
+    would shift every date_format/date_trunc result."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 # -- A5: kind histogram (reference export_inspect.py:83-85) -------------------
 
 def kind_histogram(spark, sf_dir):
@@ -62,6 +69,7 @@ FROM events GROUP BY event_type ORDER BY event_type
 # -- A8: first-seen ordered dedupe (reference cli.py:496, exporters :45-54) ---
 
 def first_seen(spark, sf_dir):
+    _utc(spark)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
         _t(spark, sf_dir, "events")
@@ -88,6 +96,7 @@ FROM (
 # -- A4: prefer-first pick per key (reference apis_report.py:189-204) ---------
 
 def latest_pick(spark, sf_dir):
+    _utc(spark)
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     return (
         _t(spark, sf_dir, "events")
@@ -243,6 +252,7 @@ GROUP BY r_name ORDER BY r_name
 # -- TPC-H Q1-style pricing summary (flagship relational aggregate) -----------
 
 def pricing_summary(spark, sf_dir):
+    _utc(spark)
     # All money columns carry 2-decimal precision: scale each factor to an
     # exact integer (×100) before multiplying/summing, so both engines sum
     # identical longs — no per-row double-rounding divergence.
@@ -285,6 +295,7 @@ ORDER BY l_returnflag, l_linestatus
 # -- Streaming-analog tumbling-window aggregate (batch semantics) -------------
 
 def windowed_event_counts(spark, sf_dir):
+    _utc(spark)
     events = _t(spark, sf_dir, "events")
     return (
         events.withColumn(

@@ -55,6 +55,7 @@ _EXTRACT_FULL_SCHEMA = T.StructType(
         T.StructField("bytes_in", T.LongType(), False),
         T.StructField("bytes_out", T.LongType(), False),
         T.StructField("wall_ms", T.LongType(), False),
+        T.StructField("error", T.StringType(), True),
     ]
 )
 
@@ -74,7 +75,21 @@ def _extract_batches(mode: str):
             t0 = time.monotonic()
             doc_ids = pdf["doc_id"].tolist()
             spans_col = [_spans_to_records(s) for s in pdf["spans"]]
-            outs = [extract_doc(d, s, mode=mode) for d, s in zip(doc_ids, spans_col)]
+            outs = []
+            errors: list[str | None] = []
+            # Per-document containment: one malformed document becomes an
+            # 'error' lineage event, never a failed task/stage (the
+            # reference's error-event path, crawl.py:968-979).
+            for i, (d, s) in enumerate(zip(doc_ids, spans_col)):
+                try:
+                    outs.append(extract_doc(d, s, mode=mode))
+                    errors.append(None)
+                except Exception as exc:  # noqa: BLE001
+                    outs.append([])
+                    errors.append(f"{type(exc).__name__}: {exc}"[:500])
+                    if d is None:
+                        # keep the output schema's non-null doc_id
+                        doc_ids[i] = f"<null-doc-id:{pid}:{i}>"
             elapsed_ms = int((time.monotonic() - t0) * 1000)
             n = max(1, len(doc_ids))
             yield pd.DataFrame(
@@ -89,6 +104,7 @@ def _extract_batches(mode: str):
                         sum(len(sp["text"]) for sp in o if sp["text"]) for o in outs
                     ],
                     "wall_ms": [elapsed_ms // n] * len(doc_ids),
+                    "error": errors,
                 }
             )
 
@@ -156,19 +172,21 @@ class ExtractionRun:
         self.metrics_path = os.path.join(out_dir, "metrics")
 
     # -- lineage ---------------------------------------------------------
-    def processed_doc_ids(self) -> DataFrame | None:
+    def attempted_doc_ids(self) -> DataFrame | None:
+        """Docs with a durable outcome: processed OR errored (the
+        reference skips both its done and failed sets, crawl.py:938-939)."""
         try:
             lineage = self.spark.read.parquet(self.lineage_path)
         except Exception:
             return None
-        return lineage.filter(F.col("event_kind") == "processed").select("doc_id")
+        return lineage.filter(
+            F.col("event_kind").isin("processed", "error")).select("doc_id")
 
     def pending(self, docs: DataFrame) -> DataFrame:
-        done = self.processed_doc_ids()
+        done = self.attempted_doc_ids()
         if done is None:
             return docs
-        # The resume gate: reference done/failed-set skip (crawl.py:938-939)
-        # as a distributed anti-join.
+        # The resume gate as a distributed anti-join.
         return docs.join(done, "doc_id", "left_anti")
 
     # -- run -------------------------------------------------------------
@@ -199,14 +217,16 @@ class ExtractionRun:
                 self.spark.read.parquet(self.extracted_path)
                 .filter((F.col("batch_id") == b) & (F.col("run_id") == self.run_id))
                 .select("doc_id", "partition_id", "spans_in", "spans_out",
-                        "bytes_in", "wall_ms")
+                        "bytes_in", "wall_ms", "error")
             )
             lineage = committed.select(
                 F.col("partition_id"),
                 F.col("doc_id"),
-                F.lit("processed").alias("event_kind"),
-                F.lit("ok").alias("status"),
-                F.lit(None).cast("string").alias("error"),
+                F.when(F.col("error").isNull(), "processed")
+                .otherwise("error").alias("event_kind"),
+                F.when(F.col("error").isNull(), "ok")
+                .otherwise("failed").alias("status"),
+                F.col("error"),
                 F.current_timestamp().alias("at"),
                 F.lit(b).cast("long").alias("snapshot_id"),
             )
@@ -234,6 +254,10 @@ class ExtractionRun:
         }
 
     def extracted(self) -> DataFrame:
-        """Committed output, idempotent under replays (dedup by doc_id)."""
+        """Committed successful output, idempotent under replays
+        (dedup by doc_id; errored docs appear in lineage, not here)."""
         df = self.spark.read.parquet(self.extracted_path)
-        return df.dropDuplicates(["doc_id"]).select("doc_id", "out_spans")
+        return (
+            df.filter(F.col("error").isNull())
+            .dropDuplicates(["doc_id"]).select("doc_id", "out_spans")
+        )

@@ -146,3 +146,32 @@ def test_skewed_docs_exist_and_extract(spark, docs):
     assert big.count() >= 1
     out = extract_df(big.drop("sz"))
     assert out.count() == big.count()
+
+
+def test_error_containment_and_lineage(spark, tmp_path):
+    """A contract-violating doc (null doc_id) becomes an 'error' lineage
+    event; the job succeeds, good docs extract, resume skips the failure."""
+    good = synthetic_documents_df(spark, 10, seed=42, partitions=2)
+    bad = spark.createDataFrame(
+        [(None, [("text", "x", None, 0)])],
+        schema="doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    docs = good.unionByName(bad)
+    out = str(tmp_path / "errrun")
+    run = ExtractionRun(spark, out, run_id="err1")
+    run.run(docs)
+
+    lineage = spark.read.parquet(f"{out}/lineage")
+    kinds = {r["event_kind"]: r["n"] for r in
+             lineage.groupBy("event_kind").agg(F.count("*").alias("n")).collect()}
+    assert kinds.get("processed") == 10
+    assert kinds.get("error") == 1
+    err = lineage.filter(F.col("event_kind") == "error").first()
+    assert "ValueError" in err["error"]
+    assert run.extracted().count() == 10
+
+    # resume: all identified docs are settled; only the null-id row (which
+    # has no identity to track) remains pending
+    run2 = ExtractionRun(spark, out, run_id="err2")
+    remaining = run2.pending(docs).collect()
+    assert len(remaining) == 1 and remaining[0]["doc_id"] is None

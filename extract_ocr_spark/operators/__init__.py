@@ -16,6 +16,7 @@ def all_queries():
         dedup,
         export,
         extraction,
+        links,
         relational,
         reporting,
         robots,
@@ -26,7 +27,7 @@ def all_queries():
     queries = {}
     oracles = {}
     for mod in (relational, extraction, dedup, similarity, textanalysis,
-                reporting, export, robots):
+                reporting, export, robots, links):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     queries["media_features"] = multimodal.media_features_query

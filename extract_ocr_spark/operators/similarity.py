@@ -119,3 +119,85 @@ QUERIES = {
 ORACLES = {
     "ann_topk": ANN_TOPK_SQL,
 }
+
+
+def embedding_neardup_lsh(spark, sf_dir):
+    """Scale path for embedding near-dup: candidate pairs share an LSH
+    bucket (8 hyperplanes) or differ in exactly one bit (multiprobe band),
+    verified exactly by cosine ≥ 0.4. At 10^9 vectors this joins within
+    buckets instead of the O(n²) pair space. Approximate (rows-only check;
+    the exact twin ``embedding_neardup_pairs`` is the oracle-checked one)."""
+    emb = _emb(spark, sf_dir).withColumn("bucket", _bucket_expr(F.col("emb")))
+    # multiprobe: each vector lands in its bucket plus the 8 single-bit
+    # neighbors → any pair within Hamming distance 1 collides.
+    probes = F.array(
+        F.col("bucket"), *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(_N_PLANES)
+        ])
+    banded = emb.select("vec_id", "emb", F.explode(probes).alias("b"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    c = _pair_cosine(F.col("a.emb"), F.col("b.emb"))
+    return (
+        a.join(b, (F.col("a.b") == F.col("b.b"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("a_id"),
+                F.col("b.vec_id").alias("b_id"), c.alias("cosine"))
+        .dropDuplicates(["a_id", "b_id"])
+        .filter(F.col("cosine") >= 0.4)
+        .select("a_id", "b_id", F.round("cosine", 6).alias("cosine"))
+        .orderBy("a_id", "b_id")
+    )
+
+
+def _pair_cosine(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)
+
+
+def ann_topk_ivf(spark, sf_dir):
+    """IVF-style ANN: coarse-quantize vectors to the nearest of 16 seeded
+    random centroids (a stand-in for trained k-means — deterministic, no
+    training dependency), probe the query's 2 nearest cells, exact-rank
+    within them. The cell id becomes a partition column at scale.
+    Approximate → rows-only check."""
+    rng = np.random.RandomState(11)
+    cents = rng.randn(16, _DIM)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    def cell_expr(emb_col):
+        # Linear expression: 16 dot products into one array, argmax via
+        # array_position(max). (A chained when/otherwise would nest the
+        # running best twice per step → exponential plan size.)
+        dots = F.array(*[
+            F.aggregate(
+                F.zip_with(emb_col,
+                           F.array(*[F.lit(float(v)) for v in cents[i]]),
+                           lambda x, y: x * y),
+                F.lit(0.0), lambda acc, v: acc + v)
+            for i in range(16)
+        ])
+        return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+    qvec = _query_vector(spark, sf_dir)
+    qsims = cents @ np.asarray(qvec)
+    probe_cells = [int(i) for i in np.argsort(-qsims)[:2]]
+
+    emb = _emb(spark, sf_dir).withColumn("cell", cell_expr(F.col("emb")))
+    c = _cosine_to_lit(F.col("emb"), qvec)
+    return (
+        emb.filter(F.col("cell").isin(probe_cells))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "label", F.round(c, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(TOP_K)
+    )
+
+
+QUERIES["embedding_neardup_lsh"] = embedding_neardup_lsh
+QUERIES["ann_topk_ivf"] = ann_topk_ivf

@@ -222,8 +222,21 @@ def pick_main_content(root: Node, mode: str = "reference") -> Node:
     ``mode="density"``: fallback scores divs by
     ``text_len * (1 - link_density)`` (Boilerpipe-style), same tie-break.
     """
-    for sel in _MAIN_SELECTORS:
-        node = root.find_first(sel)
+    # Single DFS pass records the first doc-order match per selector
+    # (equivalent to 7 sequential find_first traversals, 7× cheaper).
+    first_match: dict[int, Node] = {}
+    remaining = len(_MAIN_SELECTORS)
+    for n in root.iter():
+        if n.is_text():
+            continue
+        for si, sel in enumerate(_MAIN_SELECTORS):
+            if si not in first_match and sel(n):
+                first_match[si] = n
+                remaining -= 1
+        if not remaining:
+            break
+    for si in range(len(_MAIN_SELECTORS)):
+        node = first_match.get(si)
         if node is not None and get_text(node, "", strip=True):
             return node
 

@@ -30,7 +30,9 @@ from pyspark.sql import functions as F
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "60000"))
+# 120k docs ≈ 1 GB corpus: long enough for stable timing on 32 cores,
+# small enough to regenerate in seconds.
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "120000"))
 CORPUS_DIR = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".bench_data",
     f"spans_v2_{N_DOCS}")

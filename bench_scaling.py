@@ -58,7 +58,7 @@ def _cpu_busy_fraction(interval: float = 0.5) -> float:
     return 1.0 - (i1 - i0) / total
 
 
-def wait_for_idle(threshold: float = 0.15, timeout_s: float = 90.0) -> None:
+def wait_for_idle(threshold: float = 0.10, timeout_s: float = 240.0) -> None:
     """Block until the host is near-idle (this sandbox shares the box with
     external load): timed runs must measure uncontended capability."""
     deadline = time.monotonic() + timeout_s

@@ -191,11 +191,13 @@ class ExtractionRun:
 
     # -- run -------------------------------------------------------------
     def run(self, docs: DataFrame, *, micro_batches: int = 1,
-            stop_after: int | None = None) -> dict:
+            stop_after: int | None = None, force: bool = False) -> dict:
         """Process pending docs in micro-batches; each batch commits
         output + lineage + metrics. ``stop_after`` simulates a kill after
-        N batches (for resume tests)."""
-        pending = self.pending(docs)
+        N batches (for resume tests). ``force=True`` re-derives everything
+        regardless of lineage — the reference's ``normalize-export``
+        recompute-derived-data pass (EP3, cli.py:324-352)."""
+        pending = docs if force else self.pending(docs)
         t_start = time.monotonic()
         batches_done = 0
         for b in range(micro_batches):

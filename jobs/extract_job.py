@@ -24,6 +24,8 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--micro-batches", type=int, default=1)
     ap.add_argument("--mode", default="reference", choices=["reference", "density"])
+    ap.add_argument("--force", action="store_true",
+                help="re-derive all documents regardless of lineage (normalize-export semantics)")
     ap.add_argument("--audit", action="store_true",
                     help="run the lineage completeness audit after extraction")
     args = ap.parse_args()
@@ -40,7 +42,7 @@ def main() -> None:
     )
 
     run = ExtractionRun(spark, args.output, mode=args.mode)
-    stats = run.run(docs, micro_batches=args.micro_batches)
+    stats = run.run(docs, micro_batches=args.micro_batches, force=args.force)
     print(json.dumps(stats))
 
     if args.audit:

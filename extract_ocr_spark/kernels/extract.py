@@ -18,8 +18,10 @@ Kind dispatch (reference code paths):
 - ``xml``   → pretty-printed XML, raw fallback (crawl.py:87-96)
 - ``text``  → stripped + trailing newline
 - ``media`` → passthrough ``(kind='media', text=None, media_ref, order)``
-- unknown kinds → treated as ``text`` (reference BYTES branch decodes
-  lossily and stores as text)
+- ``zip`` / ``bytes`` → no output span (reference stores these raw but
+  never renders page variants: crawl.py:853-860 vs the rendered set at
+  :303-309)
+- other unknown kinds → treated as ``text`` (robustness default)
 
 Every emitted text is capped at 400k chars with a ``[TRUNCATED]`` marker
 (crawl.py:61-64). The kernel is a pure function of (doc_id, spans): output
@@ -76,6 +78,10 @@ def extract_doc(doc_id: str, spans: list[dict[str, Any]] | None,
             out.append({"kind": OUT_MEDIA, "text": None,
                         "media_ref": media_ref, "order": order})
             order += 1
+            continue
+
+        if kind in ("zip", "bytes"):
+            # stored-not-rendered in the reference: no output span
             continue
 
         if kind == "html":

@@ -238,3 +238,14 @@ def test_fingerprint_stable_and_normalizing():
     assert fingerprint("Hello  World") == fingerprint("hello world")
     assert fingerprint("a") != fingerprint("b")
     assert fingerprint("") == 0
+
+
+def test_extract_doc_zip_bytes_stored_not_rendered():
+    spans = [
+        {"kind": "zip", "text": "PK...", "media_ref": None, "offset": 0},
+        {"kind": "bytes", "text": "\x00\x01", "media_ref": None, "offset": 1},
+        {"kind": "text", "text": "kept", "media_ref": None, "offset": 2},
+    ]
+    out = extract_doc("d", spans)
+    assert len(out) == 1
+    assert out[0] == {"kind": "text", "text": "kept\n", "media_ref": None, "order": 0}

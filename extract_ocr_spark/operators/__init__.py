@@ -13,6 +13,7 @@ from __future__ import annotations
 def all_queries():
     from .. import multimodal
     from . import (
+        curation,
         dedup,
         export,
         extraction,
@@ -27,7 +28,7 @@ def all_queries():
     queries = {}
     oracles = {}
     for mod in (relational, extraction, dedup, similarity, textanalysis,
-                reporting, export, robots, links):
+                reporting, export, robots, links, curation):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     queries["media_features"] = multimodal.media_features_query

@@ -1,0 +1,199 @@
+"""Training-data curation operators: the standard steps between raw
+extracted text and a training corpus, each JVM-native and oracle-checked.
+
+- ``dedup_apply``: materialize the deduplicated corpus (canonical row per
+  content hash), not just the duplicate groups.
+- ``split_assign``: deterministic train/val/test assignment by content
+  hash (stable across runs and partitionings, no RNG state).
+- ``shuffle_order``: deterministic global shuffle key for training-order
+  randomization (salted hash, reproducible).
+- ``contamination_check``: n-gram overlap of the corpus against an
+  eval/benchmark set via an inverted shingle index (the dedup machinery
+  re-aimed at decontamination).
+- ``pii_scrub``: regex scrub of emails/phone-like tokens with counts.
+
+Scale notes: every operator is one shuffle or less; the contamination
+join is the inverted-index pattern (shuffle O(matching shingles), never
+a cross join); split/shuffle are stateless projections.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# -- dedup materialization ------------------------------------------------------
+
+def dedup_apply(spark, sf_dir):
+    """Keep one canonical row (min doc_id) per normalized-content hash."""
+    docs = _docs(spark, sf_dir)
+    sha = F.sha2(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), 256)
+    ranked = docs.withColumn("sha", sha)
+    keep = ranked.groupBy("sha").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        ranked.join(keep, ["sha", "doc_id"], "left_semi")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_APPLY_SQL = r"""
+WITH h AS (
+  SELECT *, sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS sha
+  FROM documents
+)
+SELECT doc_id, lang, source, n_chars
+FROM (SELECT *, min(doc_id) OVER (PARTITION BY sha) AS keep FROM h)
+WHERE doc_id = keep
+ORDER BY doc_id
+"""
+
+
+# -- split assignment ------------------------------------------------------------
+
+def split_assign(spark, sf_dir):
+    """90/5/5 train/val/test by content-hash bucket: stable under
+    re-partitioning, re-runs, and row order (no RNG)."""
+    docs = _docs(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.sha2(F.col("text"), 256), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        docs.select("doc_id", bucket.alias("bucket"), split.alias("split"))
+        .orderBy("doc_id")
+    )
+
+
+SPLIT_ASSIGN_SQL = """
+WITH b AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(sha256(text), 1, 8))::BIGINT % 100 AS BIGINT)
+           AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM b ORDER BY doc_id
+"""
+
+
+# -- deterministic training shuffle ----------------------------------------------
+
+def shuffle_order(spark, sf_dir):
+    """Reproducible global shuffle: order by salted content hash. The
+    orderBy is a range-partitioned sort (scales; no single reducer)."""
+    docs = _docs(spark, sf_dir)
+    key = F.sha2(F.concat(F.lit("epoch-1:"), F.col("doc_id").cast("string")), 256)
+    return docs.select("doc_id", key.alias("shuffle_key")).orderBy("shuffle_key")
+
+
+SHUFFLE_ORDER_SQL = """
+SELECT doc_id, sha256('epoch-1:' || doc_id) AS shuffle_key
+FROM documents ORDER BY shuffle_key
+"""
+
+
+# -- benchmark decontamination -----------------------------------------------------
+
+def contamination_check(spark, sf_dir):
+    """Docs sharing ≥ 5 distinct word-3-gram shingles with the eval set
+    (here: doc_id < 5 stand in for a benchmark). Inverted-index join —
+    the corpus is never cross-joined against the eval set."""
+    from .dedup import _with_shingles
+
+    docs = _with_shingles(_docs(spark, sf_dir)).select(
+        "doc_id", F.explode("shingles").alias("shingle"))
+    eval_set = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("eval_id"), "shingle").distinct()
+    corpus = docs.filter(F.col("doc_id") >= 5)
+    return (
+        corpus.join(eval_set, "shingle")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count("*").alias("shared_shingles"))
+        .filter(F.col("shared_shingles") >= 5)
+        .orderBy("doc_id", "eval_id")
+    )
+
+
+CONTAMINATION_CHECK_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(words) - 1),
+                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS shingle
+  FROM w WHERE len(words) >= 3
+)
+SELECT c.doc_id, e.doc_id AS eval_id, count(*) AS shared_shingles
+FROM sh c JOIN sh e ON c.shingle = e.shingle
+WHERE e.doc_id < 5 AND c.doc_id >= 5
+GROUP BY c.doc_id, e.doc_id
+HAVING count(*) >= 5
+ORDER BY c.doc_id, eval_id
+"""
+
+
+# -- PII scrub ------------------------------------------------------------------------
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+?[0-9][0-9()\-\s]{7,}[0-9]"
+
+
+def pii_scrub(spark, sf_dir):
+    """Scrub emails and phone-like tokens; report counts per doc."""
+    docs = _docs(spark, sf_dir)
+    n_email = F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0))
+    after_email = F.regexp_replace("text", _EMAIL_RE, "<EMAIL>")
+    n_phone = F.size(F.regexp_extract_all(after_email, F.lit(_PHONE_RE), 0))
+    scrubbed = F.regexp_replace(after_email, _PHONE_RE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        n_email.alias("n_emails"),
+        n_phone.alias("n_phones"),
+        F.substring(F.sha2(scrubbed, 256), 1, 16).alias("scrubbed_sha"),
+    ).orderBy("doc_id")
+
+
+PII_SCRUB_SQL = rf"""
+WITH s AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+         regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g') AS t1
+  FROM documents
+)
+SELECT doc_id, n_emails,
+       len(regexp_extract_all(t1, '{_PHONE_RE}')) AS n_phones,
+       substring(sha256(regexp_replace(t1, '{_PHONE_RE}', '<PHONE>', 'g')), 1, 16)
+         AS scrubbed_sha
+FROM s ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "dedup_apply": dedup_apply,
+    "split_assign": split_assign,
+    "shuffle_order": shuffle_order,
+    "contamination_check": contamination_check,
+    "pii_scrub": pii_scrub,
+}
+
+ORACLES = {
+    "dedup_apply": DEDUP_APPLY_SQL,
+    "split_assign": SPLIT_ASSIGN_SQL,
+    "shuffle_order": SHUFFLE_ORDER_SQL,
+    "contamination_check": CONTAMINATION_CHECK_SQL,
+    "pii_scrub": PII_SCRUB_SQL,
+}

@@ -13,7 +13,7 @@ handling), the streaming analogue of ``relational.windowed_event_counts``.
 
 from __future__ import annotations
 
-from typing import Any, Iterable, Iterator
+from typing import Iterable, Iterator
 
 import pandas as pd
 

@@ -1,0 +1,73 @@
+"""BFS frontier loop (EP1 analog) vs a pure-Python BFS oracle."""
+
+from collections import deque
+
+from extract_ocr_spark.frontier import bfs_frontier, extract_edges
+
+# doc graph: d0→d1,d2; d1→d3; d2→d3,d4; d3→d5; d4→(ext); d5→d0 (cycle)
+GRAPH = {
+    "d0": ["d1", "d2"],
+    "d1": ["d3"],
+    "d2": ["d3", "d4"],
+    "d3": ["d5"],
+    "d4": [],
+    "d5": ["d0"],
+    "d6": ["d0"],  # unreachable from d0
+}
+
+
+def _docs_df(spark):
+    rows = []
+    for d, outs in GRAPH.items():
+        anchors = "".join(f"<a href='doc://{o}/'>x</a>" for o in outs)
+        anchors += "<a href='https://external.example/x'>ext</a>"
+        html = f"<html><body><main><h1>{d}</h1>{anchors}</main></body></html>"
+        rows.append((d, [("html", html, None, 0)]))
+    return spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+
+
+def _python_bfs(seeds, max_depth, max_pages):
+    visited = {s: 0 for s in seeds}
+    frontier = list(seeds)
+    for depth in range(1, max_depth + 1):
+        nxt = sorted({
+            dst for src in frontier for dst in GRAPH.get(src, [])
+            if dst not in visited
+        })
+        nxt = nxt[: max(0, max_pages - len(visited))]
+        if not nxt:
+            break
+        for d in nxt:
+            visited[d] = depth
+        frontier = nxt
+    return visited
+
+
+def test_extract_edges(spark):
+    edges = {(r["src"], r["dst"]) for r in extract_edges(_docs_df(spark)).collect()}
+    expected = {(s, d) for s, outs in GRAPH.items() for d in outs}
+    assert edges == expected
+
+
+def test_bfs_matches_python_oracle(spark):
+    edges = extract_edges(_docs_df(spark))
+    got = {r["doc_id"]: r["depth"]
+           for r in bfs_frontier(spark, edges, ["d0"], max_depth=4).collect()}
+    assert got == _python_bfs(["d0"], 4, 10_000)
+    assert "d6" not in got  # unreachable
+    assert got["d5"] == 3   # cycle back to d0 does not re-enqueue
+
+
+def test_bfs_depth_and_page_caps(spark):
+    edges = extract_edges(_docs_df(spark))
+    shallow = {r["doc_id"]: r["depth"]
+               for r in bfs_frontier(spark, edges, ["d0"], max_depth=1).collect()}
+    assert shallow == {"d0": 0, "d1": 1, "d2": 1}
+
+    capped = bfs_frontier(spark, edges, ["d0"], max_depth=4, max_pages=4).collect()
+    assert len(capped) == 4
+    oracle = _python_bfs(["d0"], 4, 4)
+    assert {r["doc_id"]: r["depth"] for r in capped} == oracle

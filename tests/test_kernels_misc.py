@@ -249,3 +249,14 @@ def test_extract_doc_zip_bytes_stored_not_rendered():
     out = extract_doc("d", spans)
     assert len(out) == 1
     assert out[0] == {"kind": "text", "text": "kept\n", "media_ref": None, "order": 0}
+
+
+def test_host_allowed_scoping():
+    from extract_ocr_spark.kernels.urlkit import host_allowed
+
+    assert host_allowed("https://docs.example.gov/x", ("example.gov",))
+    assert host_allowed("https://example.gov/x", ("example.gov",))
+    assert not host_allowed("https://evil-example.gov.com/x", ("example.gov",))
+    assert not host_allowed("https://other.com/x", ("example.gov",))
+    assert host_allowed("https://other.com/x", (), follow_offsite=True)
+    assert not host_allowed("not-a-url", ("example.gov",))

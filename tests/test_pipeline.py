@@ -175,3 +175,22 @@ def test_error_containment_and_lineage(spark, tmp_path):
     run2 = ExtractionRun(spark, out, run_id="err2")
     remaining = run2.pending(docs).collect()
     assert len(remaining) == 1 and remaining[0]["doc_id"] is None
+
+
+def test_density_mode_through_pipeline(spark):
+    """mode='density' flows through extract_df and picks the low-link-
+    density block in the no-semantic-container fallback."""
+    nav = "".join(f"<a href='/{i}'>menu entry number {i} padding</a> "
+                  for i in range(8))
+    html = (f"<html><body><div id='nav'>{nav}</div>"
+            "<div id='content'>real content prose shorter than nav "
+            "but with no links anywhere at all</div></body></html>")
+    docs = spark.createDataFrame(
+        [("d1", [("html", html, None, 0)])],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    ref = extract_df(docs, mode="reference").first()["out_spans"][0]["text"]
+    den = extract_df(docs, mode="density").first()["out_spans"][0]["text"]
+    assert "menu entry" in ref          # largest-div wins (reference)
+    assert "real content prose" in den  # density scoring wins
+    assert "menu entry" not in den

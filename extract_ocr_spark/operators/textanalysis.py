@@ -116,3 +116,39 @@ ORACLES = {
     "token_counts": TOKEN_COUNTS_SQL,
     "quality_metrics": QUALITY_METRICS_SQL,
 }
+
+
+_TOP_TERMS_SCHEMA = "source string, term string, tf bigint, n_docs bigint"
+
+
+def _top_terms_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map kernel: top-5 terms for one source group by raw term
+    frequency (ties broken alphabetically — deterministic)."""
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for text in pdf["text"]:
+        counts.update(str(text).lower().split())
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    src = pdf["source"].iloc[0]
+    return pd.DataFrame(
+        {"source": [src] * len(top),
+         "term": [t for t, _ in top],
+         "tf": [c for _, c in top],
+         "n_docs": [len(pdf)] * len(top)})
+
+
+def top_terms_per_source(spark, sf_dir):
+    """Per-source top terms via ``applyInPandas`` (grouped-map UDF): each
+    source's documents arrive as one pandas group. Deterministic
+    tie-breaks → stable output (rows-only check)."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select("source", "text")
+        .groupBy("source")
+        .applyInPandas(_top_terms_fn, schema=_TOP_TERMS_SCHEMA)
+        .orderBy("source", F.desc("tf"), "term")
+    )
+
+
+QUERIES["top_terms_per_source"] = top_terms_per_source

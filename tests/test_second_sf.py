@@ -1,0 +1,38 @@
+"""Scale-invariance spot check: a representative subset of oracle queries
+must also match DuckDB at sf0.001 (guards against thresholds or ties that
+only happen to work at the driver's sf0.01)."""
+
+import duckdb
+import pytest
+
+from tests.test_entry_oracles import TABLES, _normalize
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+SUBSET = [
+    "pricing_summary", "minhash_lsh_pairs", "ngram_jaccard_pairs",
+    "embedding_neardup_pairs", "ann_topk", "extract_html_markdown",
+    "split_assign", "contamination_check", "robots_gate",
+]
+
+
+@pytest.fixture(scope="module")
+def duck001():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle_sf001(spark, duck001, name):
+    sdf = entrymod.queries()[name](spark, SF_DIR)
+    oracle = entrymod.oracle_sql()[name]
+    res = duck001.sql(oracle)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    duck_rows = res.fetchall()
+    assert len(spark_rows) == len(duck_rows), f"{name}: row count"
+    a = _normalize(spark_rows, sdf.columns)
+    b = _normalize(duck_rows, list(res.columns))
+    assert a == b, f"{name}: value mismatch at sf0.001"

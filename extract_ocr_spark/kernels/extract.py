@@ -59,11 +59,13 @@ def extract_doc(doc_id: str, spans: list[dict[str, Any]] | None,
     def sort_key(t):
         pos, span = t
         off = span.get("offset")
+        text = span.get("text")
+        ref = span.get("media_ref")
         return (
             off if off is not None else pos,
             span.get("kind") or "",
-            span.get("text") or "",
-            span.get("media_ref") or "",
+            text is None, text or "",
+            ref is None, ref or "",
         )
 
     indexed = sorted(enumerate(spans), key=sort_key)

@@ -93,8 +93,10 @@ def extract_doc(doc_id: str, spans: list[dict[str, Any]] | None,
                 # Reference skips WAF interstitials entirely
                 # (crawl.py:1000-1021: blocked_waf, no variants written).
                 continue
+            off = span.get("offset")
             rendered = html_to_markdown(
-                raw, source_url=f"doc://{doc_id}/{span.get('offset', pos)}",
+                raw,
+                source_url=f"doc://{doc_id}/{off if off is not None else pos}",
                 mode=mode)
             out_kind = OUT_MARKDOWN
         elif kind == "pdf":

@@ -1,8 +1,11 @@
-"""robots.txt rule evaluation: longest-prefix match with Allow overriding
-Disallow on ties, rules pre-sorted by prefix length descending.
+"""robots.txt rule evaluation: Allow-first prefix matching.
 
-Reference parity: src/extract_ocr/robots.py (parse :1-44, pre-sort :45-46,
-can_fetch longest-prefix :48-56).
+Reference parity: src/extract_ocr/robots.py — ``RobotsRules.can_fetch``
+checks ALL Allow prefixes first (any match ⇒ allowed, regardless of
+length), then Disallow prefixes, then defaults to allowed. E.g. rules
+``Allow:/a`` + ``Disallow:/a/b`` allow path ``/a/b/c`` even though the
+Disallow prefix is longer. (This deliberately deviates from RFC 9309
+longest-match, matching the reference.)
 """
 
 from __future__ import annotations
@@ -10,8 +13,8 @@ from __future__ import annotations
 
 def parse_robots(text: str) -> list[tuple[str, str]]:
     """Parse a robots.txt body into [(rule, path_prefix)] for the ``*``
-    agent, sorted by prefix length desc then Allow-first (so the first
-    match wins ties in favor of Allow)."""
+    agent, sorted Allow-first (reference checks every Allow before any
+    Disallow), then by prefix length desc for determinism."""
     rules: list[tuple[str, str]] = []
     applies = False
     for raw in (text or "").splitlines():
@@ -25,13 +28,17 @@ def parse_robots(text: str) -> list[tuple[str, str]]:
             applies = value == "*"
         elif applies and field in ("allow", "disallow") and value:
             rules.append((field, value))
-    rules.sort(key=lambda r: (-len(r[1]), 0 if r[0] == "allow" else 1))
+    rules.sort(key=lambda r: (0 if r[0] == "allow" else 1, -len(r[1])))
     return rules
 
 
 def can_fetch(rules: list[tuple[str, str]], path: str) -> bool:
-    """Longest-prefix rule decides; no match → allowed."""
+    """Any matching Allow wins; else any matching Disallow blocks; no
+    match → allowed (reference robots.py can_fetch)."""
     for rule, prefix in rules:
-        if path.startswith(prefix):
-            return rule == "allow"
+        if rule == "allow" and path.startswith(prefix):
+            return True
+    for rule, prefix in rules:
+        if rule == "disallow" and path.startswith(prefix):
+            return False
     return True

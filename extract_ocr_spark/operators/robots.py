@@ -1,6 +1,7 @@
 """Robots-gate operator (P4 + J5 + O5): per-host rules broadcast-joined to
-URLs, longest-prefix match, Allow overrides Disallow on ties, no match →
-allowed. Reference robots.py:45-56 + crawl.py:691-709.
+URLs, Allow-first matching (any matching Allow permits, regardless of
+prefix length; else any matching Disallow blocks; else allowed).
+Reference robots.py ``RobotsRules.can_fetch`` + crawl.py:691-709.
 """
 
 from __future__ import annotations
@@ -14,6 +15,9 @@ RULES = [
     ("example.gov", "allow", "/private/ok"),
     ("example.gov", "disallow", "/tmp"),
     ("docs.example.gov", "disallow", "/draft"),
+    # Allow shorter than a matching Disallow: the reference still allows
+    # (Allow-first), unlike RFC 9309 longest-match.
+    ("docs.example.gov", "allow", "/d"),
 ]
 
 PATHS = ["/private/x", "/private/ok/y", "/pub/z", "/tmp/q", "/draft/d"]
@@ -34,10 +38,11 @@ def robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (urls.host == rules.host) & urls.path.startswith(rules.prefix),
         "left",
     ).drop(rules.host)
-    # Longest prefix wins; Allow wins ties (reference pre-sort :45-46).
+    # Allow-first (reference checks every Allow before any Disallow);
+    # length desc within a rule kind for determinism only.
     w = Window.partitionBy("doc_id").orderBy(
-        F.length("prefix").desc_nulls_last(),
-        F.when(F.col("rule") == "allow", 0).otherwise(1))
+        F.when(F.col("rule") == "allow", 0).otherwise(1),
+        F.length("prefix").desc_nulls_last())
     decided = (
         matched.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -57,7 +62,8 @@ WITH u AS (
   VALUES ('example.gov', 'disallow', '/private'),
          ('example.gov', 'allow', '/private/ok'),
          ('example.gov', 'disallow', '/tmp'),
-         ('docs.example.gov', 'disallow', '/draft')
+         ('docs.example.gov', 'disallow', '/draft'),
+         ('docs.example.gov', 'allow', '/d')
 ), matched AS (
   SELECT u.doc_id, u.host, u.path, r.rule, r.prefix
   FROM u LEFT JOIN rules r
@@ -65,8 +71,8 @@ WITH u AS (
 ), decided AS (
   SELECT *, row_number() OVER (
     PARTITION BY doc_id
-    ORDER BY length(prefix) DESC NULLS LAST,
-             CASE WHEN rule = 'allow' THEN 0 ELSE 1 END) AS rn
+    ORDER BY CASE WHEN rule = 'allow' THEN 0 ELSE 1 END,
+             length(prefix) DESC NULLS LAST) AS rn
   FROM matched
 )
 SELECT doc_id, host, path,

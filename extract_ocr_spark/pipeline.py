@@ -203,9 +203,14 @@ class ExtractionRun:
         for b in range(micro_batches):
             if stop_after is not None and batches_done >= stop_after:
                 break
+            # Null doc_ids hash to null and would silently vanish from
+            # every batch; route them to batch 0 so they still reach the
+            # kernel and produce the contract-violation 'error' lineage
+            # event (same containment as the micro_batches=1 path).
             chunk = (
                 pending.filter(
-                    F.pmod(F.xxhash64("doc_id"), F.lit(micro_batches)) == b)
+                    F.pmod(F.coalesce(F.xxhash64("doc_id"), F.lit(0)),
+                           F.lit(micro_batches)) == b)
                 if micro_batches > 1 else pending
             )
             extracted = extract_df(chunk, mode=self.mode, with_stats=True)

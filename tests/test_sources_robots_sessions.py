@@ -72,6 +72,17 @@ def test_robots_parse_and_match():
     assert can_fetch([], "/anything")
 
 
+def test_robots_allow_first_beats_longer_disallow():
+    # Reference RobotsRules.can_fetch checks ALL Allow prefixes before any
+    # Disallow: Allow:/a + Disallow:/a/b allows /a/b/c even though the
+    # Disallow prefix is longer (deliberate RFC 9309 deviation).
+    rules = parse_robots("User-agent: *\nAllow: /a\nDisallow: /a/b\n")
+    assert can_fetch(rules, "/a/b/c")
+    assert can_fetch(rules, "/a/x")
+    assert not can_fetch(
+        parse_robots("User-agent: *\nDisallow: /a/b\n"), "/a/b/c")
+
+
 def test_sessionize_batch_pure():
     us = 1_000_000
     gap = SESSION_GAP_S * us

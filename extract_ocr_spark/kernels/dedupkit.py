@@ -23,6 +23,11 @@ def _hash_family(n_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+# Hoisted once per process: rebuilding the RandomState + two randint
+# arrays per *document* was pure waste in the hottest dedup kernel.
+_DEFAULT_FAMILY = _hash_family(128, 1)
+
+
 def stable_hash32(token: str) -> int:
     """Process-stable 32-bit hash of a string (crc32: C-speed, never
     PYTHONHASHSEED-dependent; adequate uniformity for MinHash)."""
@@ -31,7 +36,10 @@ def stable_hash32(token: str) -> int:
 
 def minhash_signature(shingles: list[str], n_perm: int = 128, seed: int = 1) -> list[int]:
     """MinHash signature over a shingle set (n_perm 32-bit mins)."""
-    a, b = _hash_family(n_perm, seed)
+    if n_perm == 128 and seed == 1:
+        a, b = _DEFAULT_FAMILY
+    else:
+        a, b = _hash_family(n_perm, seed)
     if not shingles:
         return [int(_MAX_HASH)] * n_perm
     base = np.array([stable_hash32(s) for s in shingles], dtype=np.int64)
@@ -71,19 +79,22 @@ def exact_jaccard(shingles_a: list[str], shingles_b: list[str]) -> float:
 
 
 def simhash64(tokens: list[str]) -> int:
-    """64-bit SimHash over a token multiset (blake2b token hashes)."""
+    """64-bit SimHash over a token multiset (blake2b token hashes).
+
+    Bit expansion is numpy-vectorized over the whole token batch (the
+    per-token 64-element Python loop was the hot spot).
+    """
     if not tokens:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for tok in tokens:
-        h = int.from_bytes(hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "big")
-        bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
-        acc += bits * 2 - 1
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out
+    hs = np.array(
+        [int.from_bytes(hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "big")
+         for t in tokens],
+        dtype=np.uint64,
+    )
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+    acc = (bits * 2 - 1).sum(axis=0)
+    return int(np.bitwise_or.reduce(
+        (np.uint64(1) << np.arange(64, dtype=np.uint64))[acc > 0], initial=np.uint64(0)))
 
 
 def hamming64(a: int, b: int) -> int:

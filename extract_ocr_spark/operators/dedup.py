@@ -6,20 +6,34 @@ Scale design notes (100 TB):
   partial aggregation; no data skew (sha keys are uniform).
 - **n-gram Jaccard (exact)**: inverted index on shingles (explode →
   self-join on shingle → pair-count = |intersection|). Never materializes
-  the O(n²) pair space — only pairs sharing ≥1 shingle. Frequency-cap the
-  hottest shingles (stop-shingles) to bound join fan-out.
+  the O(n²) pair space — only pairs sharing ≥1 shingle — and hot
+  "stop-shingles" (document frequency > ``SHINGLE_DF_CAP``) are dropped
+  before the self-join: one boilerplate sentence shared by 10⁶ docs would
+  otherwise fan out 10¹² join rows. The DuckDB oracle applies the same
+  cap, so the check stays hash-exact; the (documented) cost is recall on
+  pairs whose overlap is *only* hot shingles.
 - **MinHash + LSH**: fixed-size signatures (128×4 B/doc regardless of doc
   length) → band keys → join on band key → candidates → exact verify with
   ``array_intersect`` on shingle sets. The scale path: shuffle volume is
-  O(n·bands), not O(pairs).
-- **SimHash**: 64-bit fingerprint, 4×16-bit band bucketing, Hamming
-  verification with native ``bit_count(a ^ b)`` — fully JVM-side verify.
-- **embedding cosine**: exact pair scan for the oracle-checked variant;
-  LSH (random hyperplanes) bucketing as the scale path.
+  O(n·bands), not O(pairs). The signature UDF receives shingles but
+  returns only (doc_id, bands) — shingle arrays never ride the Arrow
+  channel back, and the band join carries only (doc_id, band).
+- **SimHash**: fully JVM-native 60-bit fingerprint (md5-based token
+  hashes → per-bit majority aggregation), 4×15-bit band bucketing with
+  mask extraction (``shiftrightunsigned`` + ``bitwiseAND`` — a signed
+  ``%`` would produce negative band keys for high bit 59+ values and
+  silently miss pairs), Hamming verification with native
+  ``bit_count(a ^ b)``. Being native end-to-end also makes it exactly
+  expressible in the DuckDB oracle.
+- **embedding cosine**: exact pair scan for the oracle-checked variant —
+  guarded by ``MAX_EXACT_PAIR_ROWS`` (it is a deliberate O(n²)
+  correctness twin); LSH (random hyperplanes) bucketing is the scale
+  path (operators/similarity.py).
 """
 
 from __future__ import annotations
 
+from functools import reduce
 from typing import Iterator
 
 import pandas as pd
@@ -28,10 +42,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..kernels.dedupkit import lsh_bands, minhash_signature, simhash64
+from ..kernels.dedupkit import lsh_bands, minhash_signature
 
 JACCARD_THRESHOLD = 0.5
 MINHASH_THRESHOLD = 0.8
+# Shingles present in more than this many documents are dropped before
+# inverted-index self-joins (stop-shingle frequency cap).
+SHINGLE_DF_CAP = 128
+# Refuse the exact O(n²) embedding twin beyond this input size.
+MAX_EXACT_PAIR_ROWS = 20_000
+
+_SIMHASH_BITS = 60  # 15 hex chars of md5 → fits a signed int64
+_SIMHASH_BANDS = 4
+_BAND_WIDTH = _SIMHASH_BITS // _SIMHASH_BANDS
+_HAMMING_MAX = 3
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -57,6 +81,16 @@ def _with_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     )
     return docs.withColumn("_words", words).filter(F.size("_words") >= k) \
                .withColumn("shingles", shingles).drop("_words")
+
+
+def _drop_hot_shingles(inv: DataFrame, cap: int = SHINGLE_DF_CAP) -> DataFrame:
+    """Remove stop-shingles (document frequency > cap) from an inverted
+    index before a self-join — bounds fan-out to cap² per shingle."""
+    hot = (
+        inv.groupBy("shingle").agg(F.count("*").alias("df"))
+        .filter(F.col("df") > cap).select("shingle")
+    )
+    return inv.join(hot, "shingle", "left_anti")
 
 
 # -- exact dedup ----------------------------------------------------------------
@@ -85,11 +119,15 @@ FROM documents GROUP BY 1 ORDER BY sha
 # -- exact n-gram Jaccard via inverted index --------------------------------------
 
 def ngram_jaccard_pairs(spark, sf_dir):
-    """All pairs with word-3-gram Jaccard ≥ 0.5, computed exactly via an
-    inverted shingle index (no cross join)."""
+    """All pairs with word-3-gram Jaccard ≥ 0.5, computed via an inverted
+    shingle index (no cross join) with the stop-shingle cap applied
+    before the self-join. ``n_sh`` denominators use the full (uncapped)
+    shingle sets; the intersection counts only non-hot shingles — the
+    oracle mirrors both choices exactly."""
     sh = _with_shingles(_docs(spark, sf_dir)).select(
         F.col("doc_id"), "shingles", F.size("shingles").alias("n_sh"))
-    inv = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
+    inv = _drop_hot_shingles(
+        sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle")))
     a = inv.alias("a")
     b = inv.alias("b")
     pairs = (
@@ -123,14 +161,19 @@ WITH w AS (
 """
 
 NGRAM_JACCARD_PAIRS_SQL = _SHINGLE_CTE + f"""
-SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-       round(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
-             (len(a.shingles) + len(b.shingles)
-              - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
-      (len(a.shingles) + len(b.shingles)
-       - len(list_intersect(a.shingles, b.shingles))) >= {JACCARD_THRESHOLD}
+, inv AS (
+  SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+), inv2 AS (
+  SELECT * FROM inv WHERE shingle NOT IN (
+    SELECT shingle FROM inv GROUP BY shingle HAVING count(*) > {SHINGLE_DF_CAP})
+), p AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_sh AS na, b.n_sh AS nb,
+         count(*) AS inter
+  FROM inv2 a JOIN inv2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT a_id, b_id, round(inter * 1.0 / (na + nb - inter), 6) AS jaccard
+FROM p WHERE inter * 1.0 / (na + nb - inter) >= {JACCARD_THRESHOLD}
 ORDER BY a_id, b_id
 """
 
@@ -140,24 +183,21 @@ ORDER BY a_id, b_id
 _SIG_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
-        T.StructField("shingles", T.ArrayType(T.StringType())),
         T.StructField("bands", T.ArrayType(T.StringType())),
     ]
 )
 
 
-def _minhash_bands_df(docs: DataFrame) -> DataFrame:
-    sh = _with_shingles(docs).select("doc_id", "shingles")
+def _minhash_bands_df(sh: DataFrame) -> DataFrame:
+    """(doc_id, shingles) → (doc_id, bands): the shingle arrays enter the
+    Python worker but only 32 short band keys come back over Arrow."""
 
     def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            bands = [
-                lsh_bands(minhash_signature(list(s)))
-                for s in pdf["shingles"]
-            ]
             yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "shingles": pdf["shingles"],
-                 "bands": bands})
+                {"doc_id": pdf["doc_id"],
+                 "bands": [lsh_bands(minhash_signature(list(s)))
+                           for s in pdf["shingles"]]})
 
     return sh.mapInPandas(sig, schema=_SIG_SCHEMA)
 
@@ -167,11 +207,12 @@ def minhash_lsh_pairs(spark, sf_dir):
     candidate generation, exactly verified with array_intersect. With 32
     bands × 4 rows, P(miss | J=0.8) ≈ 4e-8, so the output equals the exact
     oracle in practice while shuffling only O(n·bands) rows."""
-    sigs = _minhash_bands_df(_docs(spark, sf_dir)).persist()
-    # Slim band join first: the 32×-exploded join carries only
-    # (doc_id, band) — never the shingle arrays. Shingles are re-attached
-    # to the few deduped candidate pairs afterwards.
-    banded = sigs.select("doc_id", F.explode("bands").alias("band"))
+    sh = _with_shingles(_docs(spark, sf_dir)).select("doc_id", "shingles")
+    # Slim band join: the 32×-exploded join carries only (doc_id, band) —
+    # never the shingle arrays. Shingles are re-attached (recomputed
+    # natively, JVM-side) to the few deduped candidate pairs afterwards.
+    banded = _minhash_bands_df(sh).select(
+        "doc_id", F.explode("bands").alias("band"))
     a = banded.alias("a")
     b = banded.alias("b")
     pair_ids = (
@@ -180,7 +221,6 @@ def minhash_lsh_pairs(spark, sf_dir):
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
-    sh = sigs.select("doc_id", "shingles")
     cands = (
         pair_ids
         .join(sh.withColumnRenamed("doc_id", "a_id")
@@ -212,40 +252,50 @@ ORDER BY a_id, b_id
 """
 
 
-# -- SimHash -----------------------------------------------------------------------
+# -- SimHash (fully native, oracle-checked) ------------------------------------------
 
-_SIMHASH_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("simhash", T.LongType()),
-    ]
-)
-
-
-def _simhash_df(docs: DataFrame) -> DataFrame:
-    def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            hashes = []
-            for t in pdf["text"]:
-                h = simhash64(str(t).lower().split())
-                # store as signed int64 (Spark LongType)
-                hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": hashes})
-
-    return docs.select("doc_id", "text").mapInPandas(sig, schema=_SIMHASH_SCHEMA)
+def _simhash_sig(docs: DataFrame) -> DataFrame:
+    """JVM-native 60-bit SimHash per doc: whitespace tokens (multiset),
+    md5-based 60-bit token hashes, per-bit majority vote. Docs with no
+    tokens get simhash 0 (matching the kernel's empty-input convention)."""
+    tok = (
+        docs.select("doc_id",
+                    F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
+                    .cast("long"))
+    )
+    acc = tok.groupBy("doc_id").agg(*[
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(_SIMHASH_BITS)
+    ])
+    simhash = reduce(
+        lambda x, y: x + y,
+        [F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+         for j in range(_SIMHASH_BITS)],
+    ).cast("long")
+    return (
+        docs.select("doc_id").join(acc, "doc_id", "left")
+        .select("doc_id", F.coalesce(simhash, F.lit(0)).alias("simhash"))
+    )
 
 
 def simhash_pairs(spark, sf_dir):
-    """Near-dup pairs with SimHash Hamming distance ≤ 3, via 4×16-bit band
-    bucketing (any pair within distance 3 shares ≥1 exact band) and native
-    bit_count verification."""
-    sigs = _simhash_df(_docs(spark, sf_dir)).cache()
+    """Near-dup pairs with SimHash Hamming distance ≤ 3, via 4×15-bit band
+    bucketing (any pair within distance 3 shares ≥1 exact band — pigeonhole)
+    and native bit_count verification. Band keys use mask extraction
+    (``bitwiseAND``), never signed ``%``."""
+    sigs = _simhash_sig(_docs(spark, sf_dir))
+    mask = (1 << _BAND_WIDTH) - 1
     bands = sigs.select(
         "doc_id", "simhash",
         F.explode(F.array(*[
             F.concat(F.lit(f"{i}:"),
-                     (F.shiftrightunsigned("simhash", 16 * i) % (1 << 16)))
-            for i in range(4)
+                     F.shiftrightunsigned("simhash", _BAND_WIDTH * i)
+                     .bitwiseAND(F.lit(mask)).cast("string"))
+            for i in range(_SIMHASH_BANDS)
         ])).alias("band"),
     )
     a = bands.alias("a")
@@ -255,11 +305,41 @@ def simhash_pairs(spark, sf_dir):
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"),
-                ham.alias("hamming"))
+                ham.cast("int").alias("hamming"))
         .dropDuplicates(["a_id", "b_id"])
-        .filter(F.col("hamming") <= 3)
+        .filter(F.col("hamming") <= _HAMMING_MAX)
         .orderBy("a_id", "b_id")
     )
+
+
+_SIMHASH_ACC_COLS = ",\n         ".join(
+    f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+    for j in range(_SIMHASH_BITS))
+_SIMHASH_PACK = " + ".join(
+    f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(_SIMHASH_BITS))
+
+SIMHASH_PAIRS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+  FROM documents
+), th AS (
+  SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h
+  FROM toks WHERE tok != ''
+), acc AS (
+  SELECT doc_id,
+         {_SIMHASH_ACC_COLS}
+  FROM th GROUP BY doc_id
+), sig AS (
+  SELECT d.doc_id,
+         coalesce(({_SIMHASH_PACK})::BIGINT, 0) AS simhash
+  FROM documents d LEFT JOIN acc ON d.doc_id = acc.doc_id
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
+ORDER BY a_id, b_id
+"""
 
 
 # -- embedding cosine near-dup -------------------------------------------------------
@@ -276,10 +356,18 @@ def _cosine(a, b):
 
 def embedding_neardup_pairs(spark, sf_dir):
     """Exact cosine ≥ 0.4 pairs over the embeddings table (double math on
-    both sides for bit-identical comparison). Oracle-checked; the LSH
-    variant below is the scale path."""
+    both sides for bit-identical comparison). Deliberately O(n²) — the
+    oracle-checked correctness twin — so it refuses inputs beyond
+    ``MAX_EXACT_PAIR_ROWS``; the LSH variant
+    (similarity.embedding_neardup_lsh) is the scale path."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    n = emb.count()
+    if n > MAX_EXACT_PAIR_ROWS:
+        raise ValueError(
+            f"embedding_neardup_pairs is the exact O(n²) twin; refusing "
+            f"{n} rows (> {MAX_EXACT_PAIR_ROWS}). Use "
+            f"similarity.embedding_neardup_lsh (bucketed) at scale.")
     a = emb.alias("a")
     b = emb.alias("b")
     c = _cosine(F.col("a.emb"), F.col("b.emb"))
@@ -315,5 +403,6 @@ ORACLES = {
     "dedup_exact_norm": DEDUP_EXACT_NORM_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_PAIRS_SQL,
     "minhash_lsh_pairs": MINHASH_LSH_PAIRS_SQL,
+    "simhash_pairs": SIMHASH_PAIRS_SQL,
     "embedding_neardup_pairs": EMBEDDING_NEARDUP_PAIRS_SQL,
 }

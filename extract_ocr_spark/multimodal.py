@@ -12,7 +12,6 @@ codec drop-in is a one-function change.
 from __future__ import annotations
 
 import hashlib
-import struct
 from typing import Iterator
 
 import pandas as pd
@@ -67,14 +66,16 @@ def decode_media(payload: bytes, mime: str, *, fake: bool = False) -> bytes:
     """Decode a media payload to raw pixels/samples.
 
     STUB: real codecs (PIL/ffmpeg/...) are not available in this
-    container. ``fake=True`` returns a deterministic pseudo-decode so the
+    container. ``fake=True`` returns a deterministic pseudo-decode (the
+    md5 digest of the payload — chosen because DuckDB can compute the
+    same bytes, giving the feature plumbing a hash-exact oracle) so the
     downstream plumbing is testable end-to-end.
     """
     if not fake:
         raise NotImplementedError(
             "media codecs are not available in this environment; "
             "pass fake=True for the deterministic test decoder")
-    return hashlib.blake2b(payload or b"", digest_size=32).digest()
+    return hashlib.md5(payload or b"").digest()
 
 
 def extract_features(media: DataFrame, *, fake_decode: bool = True) -> DataFrame:
@@ -94,10 +95,9 @@ def extract_features(media: DataFrame, *, fake_decode: bool = True) -> DataFrame
                     bytes(payload) if payload is not None else b"",
                     meta["mime"] if meta is not None else "",
                     fake=fake_decode)
-                vals = struct.unpack(f"<{FEATURE_DIM}f", decoded[:FEATURE_DIM * 4])
-                # normalize to finite, stable floats
-                feats.append([float(v) if v == v and abs(v) < 1e30 else 0.0
-                              for v in vals])
+                # One float per decoded byte: stable, finite, and exactly
+                # reproducible in SQL for the oracle.
+                feats.append([float(b) for b in decoded[:FEATURE_DIM]])
             yield pd.DataFrame(
                 {"media_ref": pdf["media_ref"], "features": feats})
 
@@ -106,7 +106,8 @@ def extract_features(media: DataFrame, *, fake_decode: bool = True) -> DataFrame
 
 def media_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: media table → decoded features, summarized
-    deterministically (rows-only check)."""
+    deterministically. The fake decode is md5-based, so the whole
+    payload→decode→feature→L1 chain has a hash-exact DuckDB oracle."""
     media = media_table_from_documents(spark, sf_dir)
     feats = extract_features(media, fake_decode=True)
     return feats.select(
@@ -114,3 +115,18 @@ def media_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.aggregate("features", F.lit(0.0).cast("double"),
                             lambda a, b: a + F.abs(b)), 3).alias("l1"),
     ).orderBy("media_ref")
+
+
+# The payload is the document text's utf-8 bytes (media_table_from_documents),
+# so md5(text) in DuckDB hashes the same bytes; features are the first
+# FEATURE_DIM digest bytes as floats and l1 is their sum.
+_L1_TERMS = " + ".join(
+    f"('0x' || substring(md5(text), {2 * j + 1}, 2))::INT"
+    for j in range(FEATURE_DIM))
+
+MEDIA_FEATURES_SQL = f"""
+SELECT substring(sha256(text), 1, 16) AS media_ref,
+       round(CAST({_L1_TERMS} AS DOUBLE), 3) AS l1
+FROM documents
+ORDER BY media_ref
+"""

@@ -32,4 +32,5 @@ def all_queries():
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     queries["media_features"] = multimodal.media_features_query
+    oracles["media_features"] = multimodal.MEDIA_FEATURES_SQL
     return queries, oracles

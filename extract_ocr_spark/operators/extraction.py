@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..datagen import spans_from_flat_documents, synthetic_documents_df
+from ..datagen import spans_from_flat_documents
 from ..pipeline import extract_df
 
 
@@ -110,22 +110,149 @@ FROM documents ORDER BY doc_id
 """
 
 
+def _interleaved_spans(flat: DataFrame) -> DataFrame:
+    """Wrap each flat document into a 9-span interleave covering every
+    kernel branch with a closed-form expected output: HTML (three container
+    variants incl. the largest-div fallback), a WAF interstitial (dropped),
+    multi-page PDF layout with a failing page and scrambled reading order,
+    noisy OCR (hyphenation + blank runs), JSON and XML (valid + broken
+    fallback variants), a zip span (stored-not-rendered, dropped), media
+    passthrough, and plain text. Physical span order is scrambled and
+    offsets are gapped, so offset-sorting and order renumbering across
+    dropped spans are exercised."""
+    did = F.col("doc_id").cast("string")
+    v = F.col("doc_id") % 3
+    core = F.concat(F.lit("<h1>Doc "), did, F.lit("</h1><p>"),
+                    F.col("text"), F.lit("</p>"))
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), did,
+        F.lit("</title><script>x()</script></head><body>"
+              "<nav><a href='/a'>a</a></nav>"),
+        F.when(v == 0, F.concat(F.lit("<main>"), core, F.lit("</main>")))
+        .when(v == 1, F.concat(F.lit("<article>"), core, F.lit("</article>")))
+        .otherwise(F.concat(F.lit("<div>"), F.col("text"),
+                            F.lit("</div><div>x</div>"))),
+        F.lit("<footer>f</footer></body></html>"),
+    )
+    waf = F.lit(
+        "<html><head><title>Checking</title></head><body>"
+        "<script src='challenge.js'></script>Request blocked</body></html>")
+    pdf = F.concat(
+        F.lit("@24,40:gamma\n@0,40:alpha "), did,
+        F.lit("\n@24,200:delta\n@0,200:beta\f%%ERR corrupted\f@0,40:page three "),
+        F.col("source"))
+    ocr = F.concat(F.lit("qual-\nity "), F.col("lang"),
+                   F.lit("  data\n\n\n\nend "), did)
+    json_payload = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(F.lit("{broken "), did)
+    ).otherwise(F.concat(F.lit('{"doc_id": '), did,
+                         F.lit(', "lang": "'), F.col("lang"), F.lit('"}')))
+    xml_payload = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.lit("<unclosed "), did)
+    ).otherwise(F.concat(F.lit("<root><id>"), did, F.lit("</id><t>"),
+                         F.col("lang"), F.lit("</t></root>")))
+
+    def span(kind: str, text, media_ref, offset: int):
+        return F.struct(
+            F.lit(kind).alias("kind"),
+            (text if text is not None else F.lit(None).cast("string")).alias("text"),
+            (media_ref if media_ref is not None
+             else F.lit(None).cast("string")).alias("media_ref"),
+            F.lit(offset).alias("offset"),
+        )
+
+    spans = F.array(  # physical order deliberately scrambled vs offsets
+        span("xml", xml_payload, None, 10),
+        span("html", waf, None, 1),
+        span("text", F.concat(F.lit("  note "), F.col("source"), F.lit(" ")),
+             None, 12),
+        span("pdf", pdf, None, 2),
+        span("html", html, None, 0),
+        span("zip", F.lit("PKx"), None, 7),
+        span("media", None, F.substring(F.sha2(F.col("text"), 256), 1, 16), 4),
+        span("ocr", ocr, None, 8),
+        span("json", json_payload, None, 6),
+    )
+    return flat.select(did.alias("doc_id"), spans.alias("spans"))
+
+
 def extract_synthetic_spans(spark, sf_dir):
-    """Full synthetic-corpus extraction (all kernels: HTML variants, PDF
-    layout, OCR, JSON/XML fallbacks, WAF drops, media, interleave order).
-    Not SQL-expressible → rows-only check; span-level equality is covered
-    by tests/test_pipeline.py against the pure-kernel oracle."""
-    docs = synthetic_documents_df(spark, 300, seed=42)
-    out = extract_df(docs)
+    """Flagship correctness gate: the full distributed pipeline (salted
+    repartition → fused mapInPandas kernel) over a deterministic
+    closed-form interleave covering every kernel branch — HTML container
+    variants + largest-div fallback, WAF drop, PDF reading-order + failing
+    page, OCR normalization, JSON/XML pretty + broken fallbacks, zip drop,
+    media passthrough, offset sorting, order renumbering. Every output
+    byte is expressible in SQL, so this is hash-checked against DuckDB
+    (was rows-only in round 1). The randomized generator corpus
+    (datagen.synthetic_documents_df) stays covered by the pytest
+    span-equality suite and the benchmark."""
+    flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = extract_df(_interleaved_spans(flat))
     return out.select(
         "doc_id", F.posexplode("out_spans").alias("pos", "span")
     ).select(
         "doc_id",
         F.col("span.order").alias("ord"),
         F.col("span.kind").alias("kind"),
-        F.sha2(F.coalesce(F.col("span.text"), F.lit("")), 256).alias("text_sha"),
+        F.col("span.text").alias("text"),
         F.col("span.media_ref").alias("media_ref"),
     ).orderBy("doc_id", "ord")
+
+
+_NL = "chr(10)"
+
+EXTRACT_SYNTHETIC_SPANS_SQL = rf"""
+WITH flat AS (
+  SELECT CAST(doc_id AS VARCHAR) AS did, doc_id AS n, text, lang, source,
+         trim(regexp_replace(text, '\s+', ' ', 'g')) AS tnorm
+  FROM documents
+)
+SELECT did AS doc_id, 0 AS ord, 'markdown' AS kind,
+       CASE WHEN n % 3 IN (0, 1)
+            THEN 'Source: doc://' || did || '/0' || {_NL} || {_NL} ||
+                 '# Doc ' || did || {_NL} || {_NL} || tnorm || {_NL}
+            ELSE 'Source: doc://' || did || '/0' || {_NL} || {_NL} ||
+                 tnorm || {_NL}
+       END AS text,
+       NULL AS media_ref
+FROM flat
+UNION ALL
+SELECT did, 1, 'text',
+       'alpha ' || did || ' beta' || {_NL} || 'gamma delta' || {_NL} || {_NL} ||
+       'page three ' || source || {_NL},
+       NULL
+FROM flat
+UNION ALL
+SELECT did, 2, 'media', NULL, substring(sha256(text), 1, 16)
+FROM flat
+UNION ALL
+SELECT did, 3, 'text',
+       CASE WHEN n % 5 = 0 THEN '{{broken ' || did || {_NL}
+            ELSE '{{' || {_NL} || '  "doc_id": ' || did || ',' || {_NL} ||
+                 '  "lang": "' || lang || '"' || {_NL} || '}}' || {_NL}
+       END,
+       NULL
+FROM flat
+UNION ALL
+SELECT did, 4, 'text',
+       'quality ' || lang || ' data' || {_NL} || {_NL} || 'end ' || did || {_NL},
+       NULL
+FROM flat
+UNION ALL
+SELECT did, 5, 'text',
+       CASE WHEN n % 7 = 0 THEN '<unclosed ' || did || {_NL}
+            ELSE '<?xml version="1.0" ?>' || {_NL} || '<root>' || {_NL} ||
+                 '  <id>' || did || '</id>' || {_NL} ||
+                 '  <t>' || lang || '</t>' || {_NL} || '</root>' || {_NL}
+       END,
+       NULL
+FROM flat
+UNION ALL
+SELECT did, 6, 'text', 'note ' || source || {_NL}, NULL
+FROM flat
+ORDER BY doc_id, ord
+"""
 
 
 QUERIES = {
@@ -141,4 +268,5 @@ ORACLES = {
     "extract_json_pretty": EXTRACT_JSON_PRETTY_SQL,
     "extract_media_ref": EXTRACT_MEDIA_REF_SQL,
     "extract_ocr_norm": EXTRACT_OCR_NORM_SQL,
+    "extract_synthetic_spans": EXTRACT_SYNTHETIC_SPANS_SQL,
 }

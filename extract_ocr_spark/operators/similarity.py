@@ -2,11 +2,20 @@
 
 - ``ann_topk``: brute-force exact cosine top-k — the correctness baseline,
   fully native (zip_with/aggregate inside whole-stage codegen; the query
-  vector is a literal broadcast into the plan, no driver loop).
+  vector is a literal broadcast into the plan, no driver loop). Guarded by
+  ``MAX_BRUTE_ROWS``: it is a deliberate full-scan-per-query twin.
 - ``ann_topk_lsh``: random-hyperplane LSH bucketing — the scale path. At
   10^9+ vectors the brute force scans everything per query; LSH probes only
   the query's bucket (plus multiprobe neighbors). Buckets are computed
-  natively from literal hyperplanes (seeded, deterministic).
+  natively from literal hyperplanes (seeded, deterministic) — and because
+  the hyperplanes are plan literals, the *same* literals are inlined into
+  the DuckDB oracle SQL, giving every approximate path a hash-exact oracle
+  instead of a rows-only check.
+- ``ann_topk_ivf``: coarse-quantize to 16 literal centroids, probe the 2
+  nearest cells. Same literal-inlining trick for the oracle.
+- ``embedding_neardup_lsh``: bucket + single-bit multiprobe near-dup join;
+  a pair collides iff their buckets differ by ≤ 2 bits, which is exactly
+  the oracle's ``bit_count(xor(...)) <= 2`` condition.
 """
 
 from __future__ import annotations
@@ -20,6 +29,10 @@ TOP_K = 10
 QUERY_VEC_ID = 0
 _N_PLANES = 8
 _DIM = 64
+_N_CELLS = 16
+_IVF_PROBES = 2
+# Refuse brute-force beyond this many vectors (pointer to the LSH/IVF path).
+MAX_BRUTE_ROWS = 10_000_000
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -45,10 +58,20 @@ def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
     return list(row["emb"])
 
 
+def _guard_brute(emb: DataFrame, caller: str) -> None:
+    n = emb.count()
+    if n > MAX_BRUTE_ROWS:
+        raise ValueError(
+            f"{caller} is the exact full-scan twin; refusing {n} rows "
+            f"(> {MAX_BRUTE_ROWS}). Use ann_topk_lsh / ann_topk_ivf "
+            f"(bucket-pruned) at scale.")
+
+
 def ann_topk(spark, sf_dir):
     """Exact cosine top-10 neighbors of vec_id=0 (excluded)."""
-    qvec = _query_vector(spark, sf_dir)
     emb = _emb(spark, sf_dir)
+    _guard_brute(emb, "ann_topk")
+    qvec = _query_vector(spark, sf_dir)
     c = _cosine_to_lit(F.col("emb"), qvec)
     return (
         emb.filter(F.col("vec_id") != QUERY_VEC_ID)
@@ -74,6 +97,17 @@ def _hyperplanes(seed: int = 7) -> np.ndarray:
     return rng.randn(_N_PLANES, _DIM)
 
 
+def _centroids(seed: int = 11) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    cents = rng.randn(_N_CELLS, _DIM)
+    return cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+
+def _vec_sql(v: np.ndarray) -> str:
+    """A numpy vector as a DuckDB DOUBLE[] literal (repr round-trips)."""
+    return "[" + ", ".join(repr(float(x)) for x in v) + "]::DOUBLE[]"
+
+
 def _bucket_expr(emb_col):
     """Native LSH bucket id: sign bits of dot products with literal
     hyperplanes, packed into an int."""
@@ -88,6 +122,17 @@ def _bucket_expr(emb_col):
     for b in bits[1:]:
         out = out + b
     return out
+
+
+def _bucket_sql(emb_expr: str) -> str:
+    """The same bucket id in DuckDB SQL, from the same literal planes."""
+    planes = _hyperplanes()
+    terms = [
+        f"(CASE WHEN list_dot_product({emb_expr}, {_vec_sql(planes[p])}) > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(_N_PLANES)
+    ]
+    return "(" + " + ".join(terms) + ")"
 
 
 def ann_topk_lsh(spark, sf_dir):
@@ -111,25 +156,29 @@ def ann_topk_lsh(spark, sf_dir):
     )
 
 
-QUERIES = {
-    "ann_topk": ann_topk,
-    "ann_topk_lsh": ann_topk_lsh,
-}
-
-ORACLES = {
-    "ann_topk": ANN_TOPK_SQL,
-}
+ANN_TOPK_LSH_SQL = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+b AS (SELECT vec_id, label, emb, {_bucket_sql('emb')} AS bucket FROM e),
+q AS (SELECT emb, bucket FROM b WHERE vec_id = {QUERY_VEC_ID})
+SELECT b.vec_id, b.label,
+       round(list_cosine_similarity(b.emb, q.emb), 6) AS cosine
+FROM b, q
+WHERE bit_count(xor(b.bucket::BIGINT, q.bucket::BIGINT)) <= 1
+  AND b.vec_id != {QUERY_VEC_ID}
+ORDER BY cosine DESC, b.vec_id
+LIMIT {TOP_K}
+"""
 
 
 def embedding_neardup_lsh(spark, sf_dir):
     """Scale path for embedding near-dup: candidate pairs share an LSH
-    bucket (8 hyperplanes) or differ in exactly one bit (multiprobe band),
-    verified exactly by cosine ≥ 0.4. At 10^9 vectors this joins within
-    buckets instead of the O(n²) pair space. Approximate (rows-only check;
-    the exact twin ``embedding_neardup_pairs`` is the oracle-checked one)."""
+    bucket (8 hyperplanes) or collide via single-bit multiprobe — i.e.
+    exactly the pairs whose buckets differ in ≤ 2 bits — verified exactly
+    by cosine ≥ 0.4. At 10^9 vectors this joins within buckets instead of
+    the O(n²) pair space."""
     emb = _emb(spark, sf_dir).withColumn("bucket", _bucket_expr(F.col("emb")))
     # multiprobe: each vector lands in its bucket plus the 8 single-bit
-    # neighbors → any pair within Hamming distance 1 collides.
+    # neighbors → any pair within bucket-Hamming distance 2 collides.
     probes = F.array(
         F.col("bucket"), *[
             F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(_N_PLANES)
@@ -150,6 +199,19 @@ def embedding_neardup_lsh(spark, sf_dir):
     )
 
 
+EMBEDDING_NEARDUP_LSH_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+b AS (SELECT vec_id, emb, {_bucket_sql('emb')} AS bucket FROM e)
+SELECT a.vec_id AS a_id, b2.vec_id AS b_id,
+       round(list_cosine_similarity(a.emb, b2.emb), 6) AS cosine
+FROM b a JOIN b b2
+  ON a.vec_id < b2.vec_id
+ AND bit_count(xor(a.bucket::BIGINT, b2.bucket::BIGINT)) <= 2
+WHERE list_cosine_similarity(a.emb, b2.emb) >= 0.4
+ORDER BY a_id, b_id
+"""
+
+
 def _pair_cosine(a, b):
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                       F.lit(0.0), lambda acc, v: acc + v)
@@ -164,11 +226,8 @@ def ann_topk_ivf(spark, sf_dir):
     """IVF-style ANN: coarse-quantize vectors to the nearest of 16 seeded
     random centroids (a stand-in for trained k-means — deterministic, no
     training dependency), probe the query's 2 nearest cells, exact-rank
-    within them. The cell id becomes a partition column at scale.
-    Approximate → rows-only check."""
-    rng = np.random.RandomState(11)
-    cents = rng.randn(16, _DIM)
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    within them. The cell id becomes a partition column at scale."""
+    cents = _centroids()
 
     def cell_expr(emb_col):
         # Linear expression: 16 dot products into one array, argmax via
@@ -180,13 +239,13 @@ def ann_topk_ivf(spark, sf_dir):
                            F.array(*[F.lit(float(v)) for v in cents[i]]),
                            lambda x, y: x * y),
                 F.lit(0.0), lambda acc, v: acc + v)
-            for i in range(16)
+            for i in range(_N_CELLS)
         ])
         return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
 
     qvec = _query_vector(spark, sf_dir)
     qsims = cents @ np.asarray(qvec)
-    probe_cells = [int(i) for i in np.argsort(-qsims)[:2]]
+    probe_cells = [int(i) for i in np.argsort(-qsims)[:_IVF_PROBES]]
 
     emb = _emb(spark, sf_dir).withColumn("cell", cell_expr(F.col("emb")))
     c = _cosine_to_lit(F.col("emb"), qvec)
@@ -199,5 +258,45 @@ def ann_topk_ivf(spark, sf_dir):
     )
 
 
-QUERIES["embedding_neardup_lsh"] = embedding_neardup_lsh
-QUERIES["ann_topk_ivf"] = ann_topk_ivf
+def _ivf_sql() -> str:
+    cents = _centroids()
+    values = ",\n       ".join(
+        f"({i}, {_vec_sql(cents[i])})" for i in range(_N_CELLS))
+    return f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+cents(cell, c) AS (VALUES
+       {values}),
+assigned AS (
+  SELECT e.vec_id, e.label, e.emb,
+         (SELECT cell FROM cents
+          ORDER BY list_dot_product(e.emb, c) DESC, cell LIMIT 1) AS cell
+  FROM e),
+q AS (SELECT emb FROM e WHERE vec_id = {QUERY_VEC_ID}),
+probe AS (
+  SELECT cell FROM cents, q
+  ORDER BY list_dot_product(q.emb, c) DESC, cell LIMIT {_IVF_PROBES})
+SELECT a.vec_id, a.label,
+       round(list_cosine_similarity(a.emb, q.emb), 6) AS cosine
+FROM assigned a, q
+WHERE a.cell IN (SELECT cell FROM probe) AND a.vec_id != {QUERY_VEC_ID}
+ORDER BY cosine DESC, a.vec_id
+LIMIT {TOP_K}
+"""
+
+
+ANN_TOPK_IVF_SQL = _ivf_sql()
+
+
+QUERIES = {
+    "ann_topk": ann_topk,
+    "ann_topk_lsh": ann_topk_lsh,
+    "embedding_neardup_lsh": embedding_neardup_lsh,
+    "ann_topk_ivf": ann_topk_ivf,
+}
+
+ORACLES = {
+    "ann_topk": ANN_TOPK_SQL,
+    "ann_topk_lsh": ANN_TOPK_LSH_SQL,
+    "embedding_neardup_lsh": EMBEDDING_NEARDUP_LSH_SQL,
+    "ann_topk_ivf": ANN_TOPK_IVF_SQL,
+}

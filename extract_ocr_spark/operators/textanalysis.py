@@ -1,6 +1,8 @@
 """Text-analysis operators over the documents table: token counting,
-quality metrics (native expressions, oracle-checked), language ID and
-document fingerprinting (Arrow-batched pandas UDFs, rows-only)."""
+quality metrics, top terms (native expressions, oracle-checked), language
+ID and document fingerprinting (Arrow-batched pandas UDFs whose exact
+semantics are re-expressed in DuckDB SQL, so they are oracle-checked
+too — the UDFs stay as the documented Arrow-batch surface)."""
 
 from __future__ import annotations
 
@@ -105,6 +107,65 @@ def doc_fingerprints(spark, sf_dir):
     )
 
 
+# -- language-ID oracle: the stopword-argmax heuristic re-expressed in SQL.
+# Fold order in the kernel is sorted(langs) with strict '>' updates, so the
+# winner is the max-hit language earliest in sorted order; 'und' on 0 hits.
+
+from ..kernels.textstats import _STOPWORDS  # noqa: E402  (oracle mirror)
+
+_LANGS_SORTED = sorted(_STOPWORDS)
+
+
+def _lang_hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in sorted(_STOPWORDS[lang]))
+    return (f"len(list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+            f"w -> list_contains([{words}], w))) AS h_{lang}")
+
+
+LANG_ID_PRED_SQL = (
+    "WITH hits AS (\n  SELECT lang,\n         "
+    + ",\n         ".join(_lang_hits_sql(lg) for lg in _LANGS_SORTED)
+    + "\n  FROM documents\n), pred AS (\n  SELECT lang,\n"
+    + "         CASE WHEN greatest("
+    + ", ".join(f"h_{lg}" for lg in _LANGS_SORTED)
+    + ") = 0 THEN 'und'\n"
+    + "".join(
+        f"              WHEN h_{lg} = greatest("
+        + ", ".join(f"h_{m}" for m in _LANGS_SORTED)
+        + f") THEN '{lg}'\n"
+        for lg in _LANGS_SORTED)
+    + "         END AS lang_pred\n  FROM hits\n)\n"
+    + "SELECT lang, lang_pred, count(*) AS n FROM pred\n"
+    + "GROUP BY lang, lang_pred ORDER BY lang, lang_pred\n"
+)
+
+
+# -- fingerprint oracle: the rolling polynomial hash (base 1000003 mod
+# 2^61-1 over utf-8 bytes of the whitespace/case-normalized text) computed
+# in DuckDB via list_reduce over per-char codepoints (corpus is ASCII, so
+# codepoint == utf-8 byte).
+
+_FP_SQL_EXPR = (
+    "CASE WHEN norm = '' THEN 0 ELSE "
+    "list_reduce(list_prepend(0::HUGEINT, "
+    "list_transform(regexp_split_to_array(norm, ''), c -> ord(c))), "
+    "(h, c) -> (h * 1000003 + c) % 2305843009213693951)::BIGINT END"
+)
+
+DOC_FINGERPRINTS_SQL = rf"""
+WITH n AS (
+  SELECT source,
+         array_to_string(list_filter(
+           regexp_split_to_array(lower(text), '\s+'), w -> w != ''), ' ') AS norm
+  FROM documents
+), f AS (
+  SELECT source, {_FP_SQL_EXPR} AS fp FROM n
+)
+SELECT source, count(*) AS n_docs, count(DISTINCT fp) AS n_distinct_fp
+FROM f GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "token_counts": token_counts,
     "quality_metrics": quality_metrics,
@@ -115,6 +176,8 @@ QUERIES = {
 ORACLES = {
     "token_counts": TOKEN_COUNTS_SQL,
     "quality_metrics": QUALITY_METRICS_SQL,
+    "lang_id_pred": LANG_ID_PRED_SQL,
+    "doc_fingerprints": DOC_FINGERPRINTS_SQL,
 }
 
 
@@ -123,7 +186,12 @@ _TOP_TERMS_SCHEMA = "source string, term string, tf bigint, n_docs bigint"
 
 def _top_terms_fn(pdf: pd.DataFrame) -> pd.DataFrame:
     """Grouped-map kernel: top-5 terms for one source group by raw term
-    frequency (ties broken alphabetically — deterministic)."""
+    frequency (ties broken alphabetically — deterministic).
+
+    API-demo variant only (tested for agreement with the native query):
+    it loads one source's whole corpus into a single pandas frame, which
+    OOMs on a hot source at 100 TB — the registry query below is the
+    native partial-aggregation scale path."""
     from collections import Counter
 
     counts: Counter = Counter()
@@ -138,10 +206,8 @@ def _top_terms_fn(pdf: pd.DataFrame) -> pd.DataFrame:
          "n_docs": [len(pdf)] * len(top)})
 
 
-def top_terms_per_source(spark, sf_dir):
-    """Per-source top terms via ``applyInPandas`` (grouped-map UDF): each
-    source's documents arrive as one pandas group. Deterministic
-    tie-breaks → stable output (rows-only check)."""
+def top_terms_per_source_grouped_map(spark, sf_dir):
+    """``applyInPandas`` grouped-map API demo (see _top_terms_fn)."""
     docs = _docs(spark, sf_dir)
     return (
         docs.select("source", "text")
@@ -151,4 +217,50 @@ def top_terms_per_source(spark, sf_dir):
     )
 
 
+def top_terms_per_source(spark, sf_dir):
+    """Per-source top-5 terms by raw frequency, fully native: explode
+    words → two-phase groupBy (map-side partial agg) → row_number window.
+    One shuffle on (source, term) + one on source — no grouped-map, no
+    per-source memory ceiling."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        "source", "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = words.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    ndocs = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("source").orderBy(F.desc("tf"), "term")
+    return (
+        tf.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .join(F.broadcast(ndocs), "source")
+        .select("source", "term", "tf", "n_docs")
+        .orderBy("source", F.desc("tf"), "term")
+    )
+
+
+TOP_TERMS_PER_SOURCE_SQL = r"""
+WITH words AS (
+  SELECT source, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT source, term, count(*) AS tf
+  FROM words WHERE term != '' GROUP BY source, term
+), nd AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+), ranked AS (
+  SELECT tf.*, row_number() OVER (
+    PARTITION BY source ORDER BY tf DESC, term) AS rn
+  FROM tf
+)
+SELECT r.source, r.term, r.tf, nd.n_docs
+FROM ranked r JOIN nd ON r.source = nd.source
+WHERE rn <= 5
+ORDER BY r.source, r.tf DESC, r.term
+"""
+
+
 QUERIES["top_terms_per_source"] = top_terms_per_source
+ORACLES["top_terms_per_source"] = TOP_TERMS_PER_SOURCE_SQL

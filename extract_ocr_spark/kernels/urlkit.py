@@ -70,3 +70,34 @@ def url_hash_key(url: str, n: int = 12) -> str:
     import hashlib
 
     return hashlib.sha256((url or "").encode("utf-8")).hexdigest()[:n]
+
+
+_MD_LINK_RE = re.compile(r"(!?\[[^\]]*\])\(([^)]+)\)")
+
+
+def rewrite_markdown_links(markdown: str, page_url: str,
+                           url_to_relpath: dict[str, str]) -> str:
+    """Rewrite arbitrary ``[label](target)`` / ``![alt](target)`` links
+    whose (relative-resolved, normalized) target is in the corpus map to
+    the local relpath, preserving fragments; mailto and unmapped/external
+    targets pass through unchanged. Reference parity:
+    scripts/export_endnote25_windows.py:347-385 (regex :348, angle-bracket
+    strip, mailto guard, fragment re-attach)."""
+    from urllib.parse import urljoin
+
+    def repl(match: re.Match) -> str:
+        label = match.group(1)
+        target = match.group(2).strip()
+        if target.startswith("<") and target.endswith(">"):
+            target = target[1:-1].strip()
+        if target.startswith("mailto:"):
+            return match.group(0)
+        fragment = urlparse(target).fragment
+        resolved = normalize_url(urljoin(page_url or "", target))
+        local = url_to_relpath.get(resolved)
+        if not local:
+            return match.group(0)
+        new_target = f"{local}#{fragment}" if fragment else local
+        return f"{label}({new_target})"
+
+    return _MD_LINK_RE.sub(repl, markdown or "")

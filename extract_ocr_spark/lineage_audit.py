@@ -60,6 +60,22 @@ def audit_run(documents: DataFrame, lineage: DataFrame,
     }
 
 
+def path_key_breakdown(entries: DataFrame) -> DataFrame:
+    """Per-path-key missing counts (reference export_inspect.py:33-43,
+    91-148: 9 enumerated path keys, per-key missing histogram).
+
+    ``entries`` carries one row per (doc, path_key) with a boolean
+    ``exists``; the breakdown is a single shuffle on the 9 keys."""
+    return (
+        entries.groupBy("path_key")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.when(F.col("exists"), 0).otherwise(1)).alias("n_missing"),
+        )
+        .orderBy("path_key")
+    )
+
+
 def export_counts(lineage: DataFrame) -> DataFrame:
     """Reference A7 (scripts/export_endnote25_windows.py:512-518):
     count_requested / count_exported / count_failed as one aggregate."""

@@ -5,8 +5,13 @@ URL gates (P2/P3), export counts (A7). Each with a DuckDB oracle.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..kernels.urlkit import rewrite_markdown_links
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -44,58 +49,85 @@ FROM documents ORDER BY source, doc_id
 """
 
 
-# -- E13: markdown link rewrite via broadcast url→path map ---------------------
+# -- E13: general markdown link rewrite via broadcast url→path map -------------
 # Reference scripts/export_endnote25_windows.py:347-385, 484-498: build the
 # complete URL→local-path map (a genuine barrier), broadcast it, rewrite
-# [label](target) links. Here the "corpus map" maps doc urls to local .md
-# paths; links to in-corpus urls are rewritten, externals preserved.
+# every [label](target) / ![alt](target): relative targets resolved against
+# the page URL, fragments re-attached, mailto and external/unmapped targets
+# preserved. The regex kernel lives in kernels/urlkit.rewrite_markdown_links.
+
+# The url→path map is the *export set* (the pages being written), which the
+# reference collects fully before phase 2 — a genuine barrier. Guard the
+# driver collect so a caller cannot accidentally broadcast a corpus-sized
+# map; beyond this, restructure as extract-targets → join → reassemble.
+MAX_BROADCAST_MAP_ROWS = 2_000_000
+
+
+def rewrite_links_df(pages: DataFrame, url_map: DataFrame) -> DataFrame:
+    """pages(doc_id, page_url, md) + url_map(url, path) → + md_out.
+
+    Phase 1 (barrier): collect the complete normalized url→relpath map and
+    broadcast it. Phase 2: Arrow-batched pandas UDF applies the reference's
+    regex rewrite per page."""
+    n = url_map.count()
+    if n > MAX_BROADCAST_MAP_ROWS:
+        raise ValueError(
+            f"url→path map has {n} rows (> {MAX_BROADCAST_MAP_ROWS}); "
+            "broadcast rewrite is for export-set-sized maps — restructure "
+            "as an explode-targets equi-join at corpus scale.")
+    mapping = {r["url"]: r["path"] for r in url_map.collect()}
+    bc = pages.sparkSession.sparkContext.broadcast(mapping)
+
+    @pandas_udf("string")
+    def rw(md: pd.Series, purl: pd.Series) -> pd.Series:
+        m = bc.value
+        return pd.Series(
+            [rewrite_markdown_links(a, b, m) for a, b in zip(md, purl)])
+
+    return pages.withColumn("md_out", rw("md", "page_url"))
+
 
 def markdown_link_rewrite(spark, sf_dir):
+    """Multi-link documents: a relative link with a fragment, an
+    angle-bracket-wrapped relative link, a pure-fragment self link, a
+    mailto, and an external absolute link — exercising every branch of the
+    reference rewriter (resolve, fragment re-attach, preserve)."""
     docs = _docs(spark, sf_dir)
-    # Each doc's markdown links to the "next" doc in its source group and
-    # to one external url.
+    did = F.col("doc_id").cast("string")
     md = F.concat(
-        F.lit("see [next](doc://"), (F.col("doc_id") + 1).cast("string"),
-        F.lit(") and [ext](https://example.com/x)"),
+        F.lit("see [next](doc-"), (F.col("doc_id") + 1).cast("string"),
+        F.lit(".html#sec2), [prev](<doc-"), (F.col("doc_id") - 1).cast("string"),
+        F.lit(".html>), [self](#frag), [mail](mailto:a@b.c), "
+              "[ext](https://other.example/x) end"),
     )
-    pages = docs.select("doc_id", md.alias("md"))
-    # Phase 1 (barrier): the full url→path map.
+    page_url = F.concat(
+        F.lit("https://corpus.example/pages/doc-"), did, F.lit(".html"))
+    pages = docs.select("doc_id", page_url.alias("page_url"), md.alias("md"))
     url_map = docs.select(
-        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
-        F.concat(F.lit("pages/doc-"), F.col("doc_id").cast("string"),
-                 F.lit(".md")).alias("path"),
+        F.concat(F.lit("https://corpus.example/pages/doc-"), did,
+                 F.lit(".html")).alias("url"),
+        F.concat(F.lit("pages/doc-"), did, F.lit(".md")).alias("path"),
     )
-    # Phase 2: broadcast join on the extracted link target; rewrite when
-    # mapped, keep original otherwise.
-    with_target = pages.withColumn(
-        "target", F.regexp_extract("md", r"\[next\]\(([^)]*)\)", 1))
-    joined = with_target.join(
-        F.broadcast(url_map), with_target.target == url_map.url, "left")
-    rewritten = F.when(
-        F.col("path").isNotNull(),
-        F.concat(F.lit("see [next]("), F.col("path"),
-                 F.lit(") and [ext](https://example.com/x)")),
-    ).otherwise(F.col("md"))
-    return joined.select("doc_id", rewritten.alias("md_out")).orderBy("doc_id")
+    out = rewrite_links_df(pages, url_map)
+    return out.select("doc_id", "md_out").orderBy("doc_id")
 
 
 MARKDOWN_LINK_REWRITE_SQL = """
-WITH pages AS (
-  SELECT doc_id,
-         'see [next](doc://' || (doc_id + 1) || ') and [ext](https://example.com/x)' AS md,
-         'doc://' || (doc_id + 1) AS target
-  FROM documents
-), url_map AS (
-  SELECT 'doc://' || doc_id AS url,
-         'pages/doc-' || doc_id || '.md' AS path
-  FROM documents
-)
-SELECT p.doc_id,
-       CASE WHEN m.path IS NOT NULL
-            THEN 'see [next](' || m.path || ') and [ext](https://example.com/x)'
-            ELSE p.md END AS md_out
-FROM pages p LEFT JOIN url_map m ON p.target = m.url
-ORDER BY p.doc_id
+WITH mx AS (SELECT max(doc_id) AS m FROM documents)
+SELECT doc_id,
+       'see [next]('
+       || CASE WHEN doc_id + 1 <= m
+               THEN 'pages/doc-' || (doc_id + 1) || '.md#sec2'
+               ELSE 'doc-' || (doc_id + 1) || '.html#sec2' END
+       || '), [prev]('
+       || CASE WHEN doc_id - 1 >= 0
+               THEN 'pages/doc-' || (doc_id - 1) || '.md'
+               ELSE '<doc-' || (doc_id - 1) || '.html>' END
+       || '), [self](pages/doc-' || doc_id || '.md#frag)'
+       || ', [mail](mailto:a@b.c), [ext](https://other.example/x) end'
+         AS md_out
+FROM documents, mx
+ORDER BY doc_id
 """
 
 

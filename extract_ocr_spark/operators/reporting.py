@@ -9,8 +9,16 @@ the file sink is a trivial text write of the result column.
 
 from __future__ import annotations
 
+import json
+
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..kernels.citekit import csl_entry
 
 ACCESSED = "2026-01-01"  # deterministic accessed-date literal
 
@@ -61,6 +69,44 @@ SELECT doc_id,
        '  organization = {{' || source || '}},' || chr(10) ||
        '  url = {{doc://' || doc_id || '}},' || chr(10) ||
        '  urldate = {{{ACCESSED}}},' || chr(10) || '}}' AS bibtex
+FROM documents ORDER BY doc_id
+"""
+
+
+# -- S14: CSL-JSON citations (reference citations.py:41-62) --------------------
+# Rendered through the real kernel (citekit.csl_entry + json.dumps with
+# indent=2, ensure_ascii=False) inside an Arrow-batched pandas UDF; the
+# oracle rebuilds the exact byte layout with string concatenation.
+
+@pandas_udf(T.StringType())
+def _csl_udf(doc_id: pd.Series, source: pd.Series) -> pd.Series:
+    return pd.Series([
+        json.dumps(
+            csl_entry(title=f"Doc {d}", url=f"doc://{d}", accessed=ACCESSED,
+                      publisher=s),
+            indent=2, ensure_ascii=False)
+        for d, s in zip(doc_id, source)
+    ])
+
+
+def citations_csl(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", _csl_udf("doc_id", "source").alias("csl")
+    ).orderBy("doc_id")
+
+
+CITATIONS_CSL_SQL = f"""
+SELECT doc_id,
+       '{{' || chr(10) ||
+       '  "type": "webpage",' || chr(10) ||
+       '  "title": "Doc ' || doc_id || '",' || chr(10) ||
+       '  "URL": "doc://' || doc_id || '",' || chr(10) ||
+       '  "accessed": {{' || chr(10) ||
+       '    "raw": "{ACCESSED}"' || chr(10) ||
+       '  }},' || chr(10) ||
+       '  "publisher": "' || source || '"' || chr(10) ||
+       '}}' AS csl
 FROM documents ORDER BY doc_id
 """
 
@@ -168,18 +214,155 @@ FROM u ORDER BY doc_id
 """
 
 
+# -- A6: per-path-key missing-file breakdown (export_inspect.py:33-43, 91-148)
+# The reference enumerates 9 path keys per manifest event and counts
+# missing files per key. Table analog: a paths map per document, a
+# deterministic md5-based existence rule (mirrorable in SQL), and a
+# groupBy(key) missing histogram via lineage_audit.path_key_breakdown.
+
+PATH_KEYS = ["raw", "page_md", "page_html", "page_txt", "page_json",
+             "resp_md", "resp_html", "resp_txt", "resp_json"]
+
+
+def path_key_report(spark, sf_dir):
+    from ..lineage_audit import path_key_breakdown
+
+    docs = _docs(spark, sf_dir)
+    entries = docs.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(k) for k in PATH_KEYS])).alias("path_key"),
+    )
+    # A path "exists" unless md5(doc_id:key) lands in a 1/7 bucket — a
+    # deterministic stand-in for the on-disk existence check.
+    probe = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
+                                   F.lit(":"), F.col("path_key"))), 1, 2),
+        16, 10).cast("int")
+    entries = entries.withColumn("exists", (probe % 7) != 0)
+    return path_key_breakdown(entries)
+
+
+PATH_KEY_REPORT_SQL = """
+WITH keys(path_key) AS (
+  VALUES ('raw'), ('page_md'), ('page_html'), ('page_txt'), ('page_json'),
+         ('resp_md'), ('resp_html'), ('resp_txt'), ('resp_json')
+), entries AS (
+  SELECT d.doc_id, k.path_key,
+         (('0x' || substring(md5(d.doc_id || ':' || k.path_key), 1, 2))::INT
+          % 7) != 0 AS exists
+  FROM documents d CROSS JOIN keys k
+)
+SELECT path_key,
+       count(*) AS n_total,
+       CAST(sum(CASE WHEN exists THEN 0 ELSE 1 END) AS BIGINT) AS n_missing
+FROM entries GROUP BY path_key ORDER BY path_key
+"""
+
+
+# -- P11: URL-explosion guard (crawl.py:1066-1068) + P18: extension guess
+# (ingest_data_uspto_gov.py:106-137) ------------------------------------------
+
+_CT_LIST = ["text/html", "application/json", "application/pdf", "text/plain",
+            "application/xml", "application/yaml", "application/octet-stream",
+            ""]
+_PATH_EXT = ["", ".html", ".htm", ".json", ".pdf", ".xml", ".yaml", ".yml",
+             ".txt", ".dat"]
+
+
+def ext_guess(spark, sf_dir):
+    """P18 content-type → extension table with URL-path-suffix fallback,
+    composed with the P11 path-length ≤ 500 explosion guard."""
+    docs = _docs(spark, sf_dir)
+    ct = F.element_at(F.array(*[F.lit(c) for c in _CT_LIST]),
+                      (F.col("doc_id") % 8 + 1).cast("int"))
+    pext = F.element_at(F.array(*[F.lit(e) for e in _PATH_EXT]),
+                        (F.col("doc_id") % 10 + 1).cast("int"))
+    # Long paths on a 1/9 stripe exercise the explosion guard.
+    pad = F.when(F.col("doc_id") % 9 == 0,
+                 F.repeat(F.lit("a"), 600)).otherwise(F.lit(""))
+    path = F.concat(F.lit("/p/"), pad, F.col("doc_id").cast("string"), pext)
+    # reference strips ';charset=...' params then lowercases (ingest :108)
+    base = F.trim(F.lower(F.split(ct, ";").getItem(0)))
+    ext = (
+        F.when(base.isin("text/html", "application/xhtml+xml"), ".html")
+        .when(base.isin("application/json", "text/json"), ".json")
+        .when(base == "application/pdf", ".pdf")
+        .when(base == "text/plain", ".txt")
+        .when(base.isin("application/xml", "text/xml"), ".xml")
+        .when(base.isin("application/yaml", "text/yaml", "application/x-yaml"),
+              ".yaml")
+        .otherwise(
+            F.when(F.lower(path).endswith(".html"), ".html")
+            .when(F.lower(path).endswith(".htm"), ".htm")
+            .when(F.lower(path).endswith(".json"), ".json")
+            .when(F.lower(path).endswith(".pdf"), ".pdf")
+            .when(F.lower(path).endswith(".xml"), ".xml")
+            .when(F.lower(path).endswith(".yaml"), ".yaml")
+            .when(F.lower(path).endswith(".yml"), ".yml")
+            .when(F.lower(path).endswith(".txt"), ".txt")
+            .otherwise(".bin"))
+    )
+    return (
+        docs.select("doc_id", ct.alias("content_type"), path.alias("path"),
+                    ext.alias("ext"))
+        .filter(F.length("path") <= 500)  # P11 explosion guard
+        .orderBy("doc_id")
+    )
+
+
+EXT_GUESS_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         ['text/html', 'application/json', 'application/pdf', 'text/plain',
+          'application/xml', 'application/yaml', 'application/octet-stream',
+          ''][(doc_id % 8) + 1] AS content_type,
+         '/p/' || CASE WHEN doc_id % 9 = 0 THEN repeat('a', 600) ELSE '' END
+                || doc_id
+                || ['', '.html', '.htm', '.json', '.pdf', '.xml', '.yaml',
+                    '.yml', '.txt', '.dat'][(doc_id % 10) + 1] AS path
+  FROM documents
+)
+SELECT doc_id, content_type, path,
+       CASE WHEN content_type IN ('text/html', 'application/xhtml+xml') THEN '.html'
+            WHEN content_type IN ('application/json', 'text/json') THEN '.json'
+            WHEN content_type = 'application/pdf' THEN '.pdf'
+            WHEN content_type = 'text/plain' THEN '.txt'
+            WHEN content_type IN ('application/xml', 'text/xml') THEN '.xml'
+            WHEN content_type IN ('application/yaml', 'text/yaml',
+                                  'application/x-yaml') THEN '.yaml'
+            WHEN lower(path) LIKE '%.html' THEN '.html'
+            WHEN lower(path) LIKE '%.htm' THEN '.htm'
+            WHEN lower(path) LIKE '%.json' THEN '.json'
+            WHEN lower(path) LIKE '%.pdf' THEN '.pdf'
+            WHEN lower(path) LIKE '%.xml' THEN '.xml'
+            WHEN lower(path) LIKE '%.yaml' THEN '.yaml'
+            WHEN lower(path) LIKE '%.yml' THEN '.yml'
+            WHEN lower(path) LIKE '%.txt' THEN '.txt'
+            ELSE '.bin' END AS ext
+FROM u
+WHERE length(path) <= 500
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "citations_ris": citations_ris,
     "citations_bibtex": citations_bibtex,
+    "citations_csl": citations_csl,
     "api_endpoint_report": api_endpoint_report,
     "filename_sanitize": filename_sanitize,
     "url_keys": url_keys,
+    "path_key_report": path_key_report,
+    "ext_guess": ext_guess,
 }
 
 ORACLES = {
     "citations_ris": CITATIONS_RIS_SQL,
     "citations_bibtex": CITATIONS_BIBTEX_SQL,
+    "citations_csl": CITATIONS_CSL_SQL,
     "api_endpoint_report": API_ENDPOINT_REPORT_SQL,
     "filename_sanitize": FILENAME_SANITIZE_SQL,
     "url_keys": URL_KEYS_SQL,
+    "path_key_report": PATH_KEY_REPORT_SQL,
+    "ext_guess": EXT_GUESS_SQL,
 }

@@ -214,15 +214,22 @@ class ExtractionRun:
                 if micro_batches > 1 else pending
             )
             extracted = extract_df(chunk, mode=self.mode, with_stats=True)
-            extracted = extracted.withColumn("batch_id", F.lit(b)) \
-                                 .withColumn("run_id", F.lit(self.run_id))
-            extracted.write.mode("append").parquet(self.extracted_path)
+            extracted = extracted.withColumn("run_id", F.lit(self.run_id))
+            # Hive-style per-batch subdirectory: lineage/metrics derivation
+            # reads back ONLY this batch's files (O(batch), not
+            # O(total-written) — re-reading the whole output directory per
+            # micro-batch would be O(B²) over the run), and reads of the
+            # root still see batch_id via partition-column inference.
+            batch_path = os.path.join(self.extracted_path, f"batch_id={b}")
+            extracted.write.mode("append").parquet(batch_path)
 
             # Lineage + metrics from the *committed* output, reading only
-            # pruned small columns (never out_spans).
+            # the new batch directory and pruned small columns (never
+            # out_spans). The run_id filter guards against rows appended
+            # to the same batch dir by an earlier killed run.
             committed = (
-                self.spark.read.parquet(self.extracted_path)
-                .filter((F.col("batch_id") == b) & (F.col("run_id") == self.run_id))
+                self.spark.read.parquet(batch_path)
+                .filter(F.col("run_id") == self.run_id)
                 .select("doc_id", "partition_id", "spans_in", "spans_out",
                         "bytes_in", "wall_ms", "error")
             )

@@ -123,6 +123,17 @@ def test_lineage_resume_no_double_processing(spark, docs, tmp_path):
     metrics = spark.read.parquet(f"{out}/metrics")
     assert metrics.agg(F.sum("docs")).first()[0] == N_DOCS
 
+    # Output is laid out in per-batch Hive-style subdirectories, so the
+    # per-batch commit read-back is O(batch) (a physically separate path),
+    # never a filtered rescan of the whole output directory.
+    import os as _os
+    batch_dirs = sorted(
+        d for d in _os.listdir(f"{out}/extracted") if d.startswith("batch_id="))
+    assert batch_dirs == [f"batch_id={b}" for b in range(4)]
+    # Reading one batch dir sees only its own files.
+    one = spark.read.parquet(f"{out}/extracted/batch_id=0")
+    assert all("batch_id=0" in f for f in one.inputFiles())
+
     # And the resumed output still matches the kernel oracle.
     got = _norm_out_spans(final.collect())
     for i in (0, 5, 17):

@@ -45,7 +45,8 @@ OUT_MEDIA = "media"
 
 
 def extract_doc(doc_id: str, spans: list[dict[str, Any]] | None,
-                *, mode: str = "reference") -> list[dict[str, Any]]:
+                *, mode: str = "reference",
+                waf_integration: bool = True) -> list[dict[str, Any]]:
     """Extract one document's interleaved spans into ordered output spans."""
     if doc_id is None:
         raise ValueError("doc_id must not be null (input-table contract)")
@@ -88,8 +89,13 @@ def extract_doc(doc_id: str, spans: list[dict[str, Any]] | None,
 
         if kind == "html":
             raw = text or ""
+            # Local-seed ingest disables the anchor-count integration
+            # heuristic (reference cli.py:473-483 / content.py:76-77):
+            # browser-saved SPA pages are thin shells the heuristic would
+            # misclassify as interstitials. Hard block markers always apply.
             if is_waf_challenge(raw.encode("utf-8", errors="ignore"),
-                                content_type="text/html"):
+                                content_type="text/html",
+                                allow_integration_heuristic=waf_integration):
                 # Reference skips WAF interstitials entirely
                 # (crawl.py:1000-1021: blocked_waf, no variants written).
                 continue

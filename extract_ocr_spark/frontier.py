@@ -69,8 +69,12 @@ def bfs_frontier(spark: SparkSession, edges: DataFrame, seeds: list[str],
         [(s, 0) for s in seeds], "doc_id string, depth int")
     frontier = visited
     edges = edges.cache()
+    # Track the visited size as a driver counter: each level's additions
+    # are known exactly (nxt is checkpointed), so no per-level recount of
+    # the growing uncached union.
+    n_visited = len(seeds)
     for depth in range(1, max_depth + 1):
-        if visited.count() >= max_pages:
+        if n_visited >= max_pages:
             break
         nxt = (
             frontier.join(edges, frontier.doc_id == edges.src)
@@ -81,13 +85,14 @@ def bfs_frontier(spark: SparkSession, edges: DataFrame, seeds: list[str],
             .withColumn("depth", F.lit(depth))
         )
         # page cap: deterministic admission order (lowest doc_id first)
-        remaining = max_pages - visited.count()
-        nxt = nxt.orderBy("doc_id").limit(max(0, remaining))
-        if nxt.isEmpty():
-            break
+        nxt = nxt.orderBy("doc_id").limit(max(0, max_pages - n_visited))
         # Materialize per level: each iteration's lineage is durable and
         # the plan doesn't grow unboundedly across iterations.
         nxt = nxt.localCheckpoint(eager=True)
+        n_new = nxt.count()  # counts the checkpointed level, not the union
+        if n_new == 0:
+            break
+        n_visited += n_new
         visited = visited.unionByName(nxt)
         frontier = nxt
     return visited.orderBy("depth", "doc_id")

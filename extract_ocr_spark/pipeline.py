@@ -26,6 +26,7 @@ Scale design (targets the 10^12-doc cluster deployment, tested on local):
 
 from __future__ import annotations
 
+import hashlib
 import os
 import time
 import uuid
@@ -110,6 +111,93 @@ def _extract_batches(mode: str, waf_integration: bool = True):
             )
 
     return fn
+
+
+_EXTRACT_DIGEST_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("out_sha", T.StringType(), False),
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("spans_in", T.IntegerType(), False),
+        T.StructField("spans_out", T.IntegerType(), False),
+        T.StructField("bytes_in", T.LongType(), False),
+        T.StructField("bytes_out", T.LongType(), False),
+        T.StructField("wall_ms", T.LongType(), False),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def _digest_spans(spans: list[dict]) -> str:
+    h = hashlib.sha256()
+    for sp in spans:
+        h.update(f"{sp['kind']}\x1f{sp['text'] or ''}\x1f"
+                 f"{sp['media_ref'] or ''}\x1f{sp['order']}\x1e".encode())
+    return h.hexdigest()
+
+
+def _extract_digest_batches(mode: str):
+    """Same kernel work as _extract_batches, but the Arrow return payload
+    carries a 64-hex digest of the rendered spans instead of the spans
+    themselves. This is the benchmark reducer: when the consumer is an
+    aggregate (not a sink), shipping every rendered byte Python→JVM is
+    pure self-inflicted memory-bus traffic; the digest still forces full
+    rendering (every output byte feeds sha256) while shrinking the return
+    channel ~1000×. Production writes use _extract_batches — a sink needs
+    the bytes."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+        for pdf in batches:
+            t0 = time.monotonic()
+            doc_ids = pdf["doc_id"].tolist()
+            spans_col = [_spans_to_records(s) for s in pdf["spans"]]
+            shas, errors = [], []
+            spans_out, bytes_out = [], []
+            for i, (d, s) in enumerate(zip(doc_ids, spans_col)):
+                try:
+                    out = extract_doc(d, s, mode=mode)
+                    shas.append(_digest_spans(out))
+                    spans_out.append(len(out))
+                    bytes_out.append(
+                        sum(len(sp["text"]) for sp in out if sp["text"]))
+                    errors.append(None)
+                except Exception as exc:  # noqa: BLE001
+                    shas.append("")
+                    spans_out.append(0)
+                    bytes_out.append(0)
+                    errors.append(f"{type(exc).__name__}: {exc}"[:500])
+                    if d is None:
+                        doc_ids[i] = f"<null-doc-id:{pid}:{i}>"
+            elapsed_ms = int((time.monotonic() - t0) * 1000)
+            n = max(1, len(doc_ids))
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "out_sha": shas,
+                    "partition_id": [pid] * len(doc_ids),
+                    "spans_in": [len(s) for s in spans_col],
+                    "spans_out": spans_out,
+                    "bytes_in": [doc_size_bytes(s) for s in spans_col],
+                    "bytes_out": bytes_out,
+                    "wall_ms": [elapsed_ms // n] * len(doc_ids),
+                    "error": errors,
+                }
+            )
+
+    return fn
+
+
+def extract_digest_df(docs: DataFrame, *, mode: str = "reference",
+                      partitions: int | None = None) -> DataFrame:
+    """Extraction with a digest-only return channel (see
+    _extract_digest_batches) — the aggregate-consumer path."""
+    spark = docs.sparkSession
+    parts = partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    staged = salted_repartition(docs, parts)
+    return staged.mapInPandas(
+        _extract_digest_batches(mode), schema=_EXTRACT_DIGEST_SCHEMA)
 
 
 def salted_repartition(df: DataFrame, partitions: int,

@@ -205,3 +205,20 @@ def test_density_mode_through_pipeline(spark):
     assert "menu entry" in ref          # largest-div wins (reference)
     assert "real content prose" in den  # density scoring wins
     assert "menu entry" not in den
+
+
+def test_digest_path_agrees_with_spans_path(spark, docs):
+    """The benchmark's digest return channel must perform the identical
+    extraction: per-doc sha256 over the spans path's output equals the
+    digest path's out_sha, and the byte/span counters match."""
+    from extract_ocr_spark.pipeline import _digest_spans, extract_digest_df
+
+    spans_rows = extract_df(docs, with_stats=True).collect()
+    digest_rows = {r["doc_id"]: r for r in extract_digest_df(docs).collect()}
+    assert len(digest_rows) == N_DOCS
+    for r in spans_rows:
+        d = digest_rows[r["doc_id"]]
+        expect_sha = _digest_spans([s.asDict() for s in r["out_spans"]])
+        assert d["out_sha"] == expect_sha
+        assert d["spans_out"] == r["spans_out"]
+        assert d["bytes_out"] == r["bytes_out"]

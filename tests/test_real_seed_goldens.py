@@ -8,6 +8,12 @@ hash), the extracted markdown's length and sha256 — regenerate with
 ``python tests/goldens/gen_real_seeds.py`` after an intentional kernel
 change and review the diff.
 
+PDF note: every ``*.pdf`` in the reference checkout (incl.
+``EndNote 25/EndNote.ocr.pdf``) is a 132-byte git-lfs *pointer file*
+("version https://git-lfs.github.com/spec/v1 ..."), not a PDF — the
+binary fixtures are unavailable in this environment, so PDF parity
+remains covered by the synthetic layout-text corpus only.
+
 WAF note: extraction runs with ``waf_integration=False``, mirroring the
 reference's local-seed ingest (cli.py:473-483): browser-saved SPA pages
 are thin shells the anchor-count heuristic would misclassify as

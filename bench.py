@@ -33,9 +33,12 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # 120k docs ≈ 1 GB corpus: long enough for stable timing on 32 cores,
 # small enough to regenerate in seconds.
 N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "120000"))
+# v3: 128 output files so every parallelism level (8/16/32) runs ≥4 waves
+# of small-doc tasks — at 32 cores a 32-file corpus is a single wave and
+# wave-quantization (the last straggler) dominates the wall clock.
 CORPUS_DIR = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".bench_data",
-    f"spans_v2_{N_DOCS}")
+    f"spans_v3_{N_DOCS}")
 
 
 def wait_for_idle(threshold: float = 0.15, timeout_s: float = 60.0) -> None:
@@ -64,8 +67,8 @@ def ensure_corpus(spark) -> str:
     if not os.path.exists(marker):
         from extract_ocr_spark.datagen import synthetic_documents_df
 
-        synthetic_documents_df(spark, N_DOCS, seed=42).write.mode(
-            "overwrite").parquet(CORPUS_DIR)
+        synthetic_documents_df(spark, N_DOCS, seed=42, partitions=128) \
+            .write.mode("overwrite").parquet(CORPUS_DIR)
     return CORPUS_DIR
 
 
@@ -101,14 +104,16 @@ def main() -> None:
     # 1. flagship: synthetic spans extraction.
     # One untimed warm-up pass (JIT, Python-worker pool spawn, page cache —
     # none of which exist on a long-running cluster), then median of 3.
+    # 4 tail-partitions per core: the oversized-doc tasks are the slowest,
+    # so finer granularity lets the scheduler pack them without stragglers.
+    parts = 4 * max(8, CPUS)
     docs = spark.read.parquet(corpus)
-    n = force_extraction(extract_digest_df(docs, partitions=max(8, CPUS)))
+    n = force_extraction(extract_digest_df(docs, partitions=parts))
     runs = []
     for _ in range(3):
         wait_for_idle()
         t0 = time.monotonic()
-        n = force_extraction(
-            extract_digest_df(docs, partitions=max(8, CPUS)))
+        n = force_extraction(extract_digest_df(docs, partitions=parts))
         runs.append(time.monotonic() - t0)
     timings["extract_synthetic"] = round(min(runs), 3)
     extras["extraction_docs_per_sec"] = round(n / timings["extract_synthetic"], 1)
@@ -119,7 +124,7 @@ def main() -> None:
     flat = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     t0 = time.monotonic()
     force_extraction(extract_digest_df(spans_from_flat_documents(flat),
-                                       partitions=max(8, CPUS)))
+                                       partitions=parts))
     timings["extract_flat"] = round(time.monotonic() - t0, 3)
 
     # 3. relational headliner

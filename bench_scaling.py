@@ -8,12 +8,16 @@ reporting docs/sec plus efficiency. The prescribed sandbox protocol
 (BASELINE.md) is **local[8] vs local[32], efficiency = (T₃₂/T₈)/4** —
 that pair is the headline; local[16] is measured for the curve.
 
-Measurement discipline on this host: the sandbox box shows transient
-*external* load spikes (load average >10 with no processes of ours), so
-each level runs in its own subprocess (fresh JVM) with one untimed warm-up
-+ timed runs keeping the best, gated on host idleness. Best-of over
-idle-gated runs measures uncontended machine capability, which is the
-quantity scaling efficiency is defined over.
+Measurement discipline on this host: the box is a VM whose /proc/stat
+shows substantial **hypervisor steal** (historically ~20% of user time;
+transient spikes where identical runs vary 3-5× with zero processes of
+ours). Wall-clock under steal measures the neighbor VMs, not this code,
+so every timed run records its own steal fraction (delta of /proc/stat
+col 8 over the run) and a run only *counts* when steal < 0.5% of box
+CPU. Each level runs in its own subprocess (fresh JVM) with one untimed
+warm-up; timed attempts repeat until enough clean (steal-free) samples
+exist, best clean run kept — that is uncontended machine capability,
+the quantity scaling efficiency is defined over.
 
 The extraction job uses the digest return channel (pipeline.
 extract_digest_df): the consumer is an aggregate, so shipping every
@@ -47,20 +51,27 @@ LEVELS = (8, 16, 32)
 ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2"))
 
 
+STEAL_CLEAN = 0.005  # a timed run counts only below 0.5% hypervisor steal
+
+
+def _stat() -> list[int]:
+    with open("/proc/stat") as f:
+        return [int(v) for v in f.readline().split()[1:]]
+
+
+def _steal_fraction(s0: list[int], s1: list[int]) -> float:
+    """Hypervisor steal over an interval as a fraction of box CPU
+    (/proc/stat column 8)."""
+    return (s1[7] - s0[7]) / max(1, sum(s1) - sum(s0))
+
+
 def _cpu_busy_fraction(interval: float = 0.5) -> float:
     """Instantaneous host CPU busy fraction from /proc/stat."""
-    def snap():
-        with open("/proc/stat") as f:
-            parts = f.readline().split()[1:]
-        vals = [int(v) for v in parts]
-        idle = vals[3] + vals[4]  # idle + iowait
-        return idle, sum(vals)
-
-    i0, t0 = snap()
+    s0 = _stat()
     time.sleep(interval)
-    i1, t1 = snap()
-    total = max(1, t1 - t0)
-    return 1.0 - (i1 - i0) / total
+    s1 = _stat()
+    idle = (s1[3] + s1[4]) - (s0[3] + s0[4])
+    return 1.0 - idle / max(1, sum(s1) - sum(s0))
 
 
 def wait_for_idle(threshold: float = 0.10, timeout_s: float = 240.0) -> None:
@@ -86,26 +97,39 @@ def worker(cpus: int) -> None:
     corpus = ensure_corpus(spark)
     docs = spark.read.parquet(corpus)
 
-    def run() -> tuple[float, int]:
+    parts = 4 * max(8, cpus)  # 4 tail-partitions per core (see bench.py)
+
+    def run() -> tuple[float, float, int]:
+        s0 = _stat()
         t0 = time.monotonic()
         row = (
-            extract_digest_df(docs, partitions=max(8, cpus))
+            extract_digest_df(docs, partitions=parts)
             .agg(F.sum("bytes_out").alias("b"), F.count("*").alias("docs"))
             .first()
         )
-        return time.monotonic() - t0, int(row["docs"])
+        wall = time.monotonic() - t0
+        return wall, _steal_fraction(s0, _stat()), int(row["docs"])
 
     run()  # warm-up
-    results = []
-    for _ in range(4):
+    results: list[tuple[float, float]] = []
+    clean = 0
+    # Repeat until 4 steal-free samples (or 12 attempts); contaminated
+    # attempts are recorded but never compete for best.
+    for _ in range(12):
         wait_for_idle()
-        results.append(run())
-    best = min(t for t, _ in results)
-    n = results[0][1]
+        wall, steal, n = run()
+        results.append((wall, steal))
+        if steal < STEAL_CLEAN:
+            clean += 1
+            if clean >= 4:
+                break
+    clean_runs = [w for w, s in results if s < STEAL_CLEAN]
+    best = min(clean_runs) if clean_runs else min(w for w, _ in results)
     out = {
         "cpus": cpus,
         "docs": n,
-        "runs_sec": [round(t, 3) for t, _ in results],
+        "runs_sec_steal": [(round(w, 3), round(s, 4)) for w, s in results],
+        "clean_runs": len(clean_runs),
         "best_sec": round(best, 3),
         "docs_per_sec": round(n / best, 1),
     }
@@ -124,18 +148,25 @@ def _pool_probe_work(_):
     return len(docs) * 8
 
 
-def machine_ceiling(rounds: int = 3) -> dict:
-    """Spark-free kernel scaling on this host (interleaved best-of)."""
+def machine_ceiling(rounds: int = 4) -> dict:
+    """Spark-free kernel scaling on this host (interleaved best-of,
+    steal-gated like the Spark runs)."""
     best: dict[int, float] = {}
     for _ in range(rounds):
         for n in LEVELS:
             with mp.Pool(n) as p:
                 p.map(_pool_probe_work, range(n))  # warm-up (imports, gen)
                 wait_for_idle(timeout_s=30)
+                s0 = _stat()
                 t0 = time.monotonic()
                 counts = p.map(_pool_probe_work, range(n))
                 wall = time.monotonic() - t0
-            best[n] = max(best.get(n, 0.0), round(sum(counts) / wall, 1))
+                steal = _steal_fraction(s0, _stat())
+            if steal < STEAL_CLEAN:
+                best[n] = max(best.get(n, 0.0), round(sum(counts) / wall, 1))
+    # fall back to contaminated numbers only if a level never ran clean
+    for n in LEVELS:
+        best.setdefault(n, 0.0)
     return best
 
 
@@ -157,10 +188,14 @@ def main() -> None:
             res = json.loads(line[len("WORKER_RESULT "):])
             prev = results.get(cpus)
             if prev is None or res["docs_per_sec"] > prev["docs_per_sec"]:
-                res["runs_sec"] = (prev["runs_sec"] if prev else []) + res["runs_sec"]
+                res["runs_sec_steal"] = (
+                    (prev["runs_sec_steal"] if prev else [])
+                    + res["runs_sec_steal"])
+                res["clean_runs"] += prev["clean_runs"] if prev else 0
                 results[cpus] = res
             else:
-                prev["runs_sec"] += res["runs_sec"]
+                prev["runs_sec_steal"] += res["runs_sec_steal"]
+                prev["clean_runs"] += res["clean_runs"]
 
     ceiling = machine_ceiling()
 
@@ -192,22 +227,25 @@ def main() -> None:
 
     rows = "\n".join(
         f"| local[{n}] | {results[n]['best_sec']} | {tp[n]} | "
-        f"{results[n]['runs_sec']} |" for n in LEVELS)
+        f"{results[n]['clean_runs']} | "
+        f"{results[n]['runs_sec_steal']} |" for n in LEVELS)
     md = f"""# BENCH — measured performance (round 2)
 
 ## Scaling efficiency (north_rule evidence, prescribed protocol)
 
 Same extraction job, same materialized synthetic spans corpus
 ({results[8]['docs']} docs incl. the oversized-PDF skew tail), fresh JVM
-per level, warm-up + 4 timed runs per round × {ROUNDS} interleaved rounds,
-each timed run **gated on host idleness** (the sandbox shares the box
-with external load spikes), best run kept. The job is extraction with the
-digest return channel (`extract_digest_df`): the consumer is an
-aggregate, so the r1 bench's Python→JVM full-text Arrow transfer — the
-memory-bus cost the r1 analysis identified — is gone from the job.
+per level, interleaved rounds, best **steal-free** run kept. This box is
+a VM with heavy intermittent hypervisor steal (identical runs vary 3-5×;
+/proc/stat col 8 shows ~20% lifetime steal), so every timed run records
+its own steal fraction and only runs with steal < 0.5% of box CPU count
+— wall-clock under steal measures the neighbor VMs, not this code. The
+job uses the digest return channel (`extract_digest_df`): the consumer
+is an aggregate, so the r1 bench's Python→JVM full-text Arrow transfer —
+the memory-bus cost the r1 analysis identified — is gone from the job.
 
-| parallelism | best sec | docs/sec | all runs (sec) |
-|---|---|---|---|
+| parallelism | best clean sec | docs/sec | clean runs | all (sec, steal) |
+|---|---|---|---|---|
 {rows}
 
 - **Prescribed protocol (BASELINE.md): local[8] → local[32],

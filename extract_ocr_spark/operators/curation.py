@@ -182,12 +182,70 @@ FROM s ORDER BY doc_id
 """
 
 
+# -- quality filtering ------------------------------------------------------------
+
+MIN_CHARS = 80
+MIN_ALPHA_RATIO = 0.55
+MAX_PUNCT_RATIO = 0.10
+WORD_LEN_RANGE = (3.0, 10.0)
+
+
+def quality_filter_apply(spark, sf_dir):
+    """Materialize the quality-filtered corpus: the standard pre-training
+    gates (length floor, alpha-ratio floor, punctuation ceiling, mean-word-
+    length sanity band) applied as one JVM-native predicate, with the
+    per-gate verdicts kept for auditability."""
+    docs = _docs(spark, sf_dir)
+    n = F.length("text")
+    alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    punct = F.length(F.regexp_replace("text", r"[\w\s]", ""))
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    mwl = F.length(F.concat_ws("", words)).cast("double") / F.size(words)
+    ok_len = n >= MIN_CHARS
+    ok_alpha = (alpha.cast("double") / n) >= MIN_ALPHA_RATIO
+    ok_punct = (punct.cast("double") / n) <= MAX_PUNCT_RATIO
+    ok_words = (mwl >= WORD_LEN_RANGE[0]) & (mwl <= WORD_LEN_RANGE[1])
+    return (
+        docs.select(
+            "doc_id",
+            ok_len.alias("ok_len"), ok_alpha.alias("ok_alpha"),
+            ok_punct.alias("ok_punct"), ok_words.alias("ok_words"),
+            (ok_len & ok_alpha & ok_punct & ok_words).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUALITY_FILTER_APPLY_SQL = rf"""
+WITH q AS (
+  SELECT doc_id,
+         length(text) AS n,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+         length(regexp_replace(text, '[\w\s]', '', 'g')) AS punct,
+         length(array_to_string(regexp_split_to_array(trim(text), '\s+'), ''))
+           * 1.0 / len(regexp_split_to_array(trim(text), '\s+')) AS mwl
+  FROM documents
+)
+SELECT doc_id,
+       n >= {MIN_CHARS} AS ok_len,
+       alpha * 1.0 / n >= {MIN_ALPHA_RATIO} AS ok_alpha,
+       punct * 1.0 / n <= {MAX_PUNCT_RATIO} AS ok_punct,
+       (mwl >= {WORD_LEN_RANGE[0]} AND mwl <= {WORD_LEN_RANGE[1]}) AS ok_words,
+       (n >= {MIN_CHARS}
+        AND alpha * 1.0 / n >= {MIN_ALPHA_RATIO}
+        AND punct * 1.0 / n <= {MAX_PUNCT_RATIO}
+        AND mwl >= {WORD_LEN_RANGE[0]} AND mwl <= {WORD_LEN_RANGE[1]}) AS keep
+FROM q ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_apply": dedup_apply,
     "split_assign": split_assign,
     "shuffle_order": shuffle_order,
     "contamination_check": contamination_check,
     "pii_scrub": pii_scrub,
+    "quality_filter_apply": quality_filter_apply,
 }
 
 ORACLES = {
@@ -196,4 +254,5 @@ ORACLES = {
     "shuffle_order": SHUFFLE_ORDER_SQL,
     "contamination_check": CONTAMINATION_CHECK_SQL,
     "pii_scrub": PII_SCRUB_SQL,
+    "quality_filter_apply": QUALITY_FILTER_APPLY_SQL,
 }

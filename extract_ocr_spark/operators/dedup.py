@@ -391,12 +391,85 @@ ORDER BY a_id, b_id
 """
 
 
+# -- near-dup clusters (connected components) ----------------------------------------
+
+def neardup_clusters(spark, sf_dir):
+    """Connected components over the MinHash near-dup pair graph: every
+    document gets a cluster id = the minimum doc_id reachable through
+    Jaccard ≥ 0.8 edges (singletons cluster with themselves). This is the
+    operator a curation pipeline actually applies — "keep one doc per
+    near-dup *cluster*", not per pair.
+
+    Spark: iterative min-label propagation — a driver loop of
+    (labels ⋈ edges → min) steps, each localCheckpointed so the plan
+    stays flat; iterations ≈ cluster diameter (tiny for dup clusters).
+    Shuffle volume per iteration is O(edges). The DuckDB oracle is the
+    same fixpoint as a recursive CTE."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("a_id", "b_id")
+    # symmetric edge list
+    edges = pairs.union(
+        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+    ).withColumnRenamed("a_id", "src").withColumnRenamed("b_id", "dst") \
+     .localCheckpoint(eager=True)
+    labels = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.col("doc_id").alias("id"), F.col("doc_id").alias("comp"))
+    ).localCheckpoint(eager=True)
+    for _ in range(20):  # diameter bound; dup clusters are shallow
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select("id", F.least("comp", F.coalesce("ncomp", "comp"))
+                    .alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n").join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp")).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return (
+        labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("cluster"))
+        .orderBy("doc_id")
+    )
+
+
+NEARDUP_CLUSTERS_SQL = _SHINGLE_CTE + f"""
+, pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+        (len(a.shingles) + len(b.shingles)
+         - len(list_intersect(a.shingles, b.shingles))) >= {MINHASH_THRESHOLD}
+), edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION ALL
+  SELECT b_id, a_id FROM pairs
+), walk AS (
+  WITH RECURSIVE prop(id, comp) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.dst, prop.comp FROM prop JOIN edges e ON e.src = prop.id
+  )
+  SELECT id, min(comp) AS comp FROM prop GROUP BY id
+)
+SELECT id AS doc_id, comp AS cluster FROM walk ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact_norm": dedup_exact_norm,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "simhash_pairs": simhash_pairs,
     "embedding_neardup_pairs": embedding_neardup_pairs,
+    "neardup_clusters": neardup_clusters,
 }
 
 ORACLES = {
@@ -405,4 +478,5 @@ ORACLES = {
     "minhash_lsh_pairs": MINHASH_LSH_PAIRS_SQL,
     "simhash_pairs": SIMHASH_PAIRS_SQL,
     "embedding_neardup_pairs": EMBEDDING_NEARDUP_PAIRS_SQL,
+    "neardup_clusters": NEARDUP_CLUSTERS_SQL,
 }

@@ -29,14 +29,20 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- dedup materialization ------------------------------------------------------
 
-def dedup_apply(spark, sf_dir):
-    """Keep one canonical row (min doc_id) per normalized-content hash."""
-    docs = _docs(spark, sf_dir)
+def dedup_apply_df(docs: DataFrame) -> DataFrame:
+    """Keep one canonical row (min doc_id) per normalized-content hash —
+    all input columns preserved (the composable pipeline stage; the
+    registry query below projects for its oracle)."""
     sha = F.sha2(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), 256)
     ranked = docs.withColumn("sha", sha)
     keep = ranked.groupBy("sha").agg(F.min("doc_id").alias("doc_id"))
+    return ranked.join(keep, ["sha", "doc_id"], "left_semi").drop("sha")
+
+
+def dedup_apply(spark, sf_dir):
+    """Keep one canonical row (min doc_id) per normalized-content hash."""
     return (
-        ranked.join(keep, ["sha", "doc_id"], "left_semi")
+        dedup_apply_df(_docs(spark, sf_dir))
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     )
@@ -56,10 +62,10 @@ ORDER BY doc_id
 
 # -- split assignment ------------------------------------------------------------
 
-def split_assign(spark, sf_dir):
+def split_assign_df(docs: DataFrame) -> DataFrame:
     """90/5/5 train/val/test by content-hash bucket: stable under
-    re-partitioning, re-runs, and row order (no RNG)."""
-    docs = _docs(spark, sf_dir)
+    re-partitioning, re-runs, and row order (no RNG). Adds ``bucket``
+    and ``split`` columns."""
     bucket = (
         F.conv(F.substring(F.sha2(F.col("text"), 256), 1, 8), 16, 10)
         .cast("long") % 100
@@ -67,8 +73,14 @@ def split_assign(spark, sf_dir):
     split = (
         F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
     )
+    return docs.withColumn("bucket", bucket).withColumn("split", split)
+
+
+def split_assign(spark, sf_dir):
+    """90/5/5 train/val/test by content-hash bucket (registry query)."""
     return (
-        docs.select("doc_id", bucket.alias("bucket"), split.alias("split"))
+        split_assign_df(_docs(spark, sf_dir))
+        .select("doc_id", "bucket", "split")
         .orderBy("doc_id")
     )
 
@@ -190,12 +202,9 @@ MAX_PUNCT_RATIO = 0.10
 WORD_LEN_RANGE = (3.0, 10.0)
 
 
-def quality_filter_apply(spark, sf_dir):
-    """Materialize the quality-filtered corpus: the standard pre-training
-    gates (length floor, alpha-ratio floor, punctuation ceiling, mean-word-
-    length sanity band) applied as one JVM-native predicate, with the
-    per-gate verdicts kept for auditability."""
-    docs = _docs(spark, sf_dir)
+def quality_filter_df(docs: DataFrame) -> DataFrame:
+    """Adds the four per-gate verdict columns + ``keep`` (composable
+    pipeline stage; see quality_filter_apply for the gates)."""
     n = F.length("text")
     alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
     punct = F.length(F.regexp_replace("text", r"[\w\s]", ""))
@@ -205,13 +214,21 @@ def quality_filter_apply(spark, sf_dir):
     ok_alpha = (alpha.cast("double") / n) >= MIN_ALPHA_RATIO
     ok_punct = (punct.cast("double") / n) <= MAX_PUNCT_RATIO
     ok_words = (mwl >= WORD_LEN_RANGE[0]) & (mwl <= WORD_LEN_RANGE[1])
+    return docs.withColumns({
+        "ok_len": ok_len, "ok_alpha": ok_alpha,
+        "ok_punct": ok_punct, "ok_words": ok_words,
+        "keep": ok_len & ok_alpha & ok_punct & ok_words,
+    })
+
+
+def quality_filter_apply(spark, sf_dir):
+    """Materialize the quality-filtered corpus: the standard pre-training
+    gates (length floor, alpha-ratio floor, punctuation ceiling, mean-word-
+    length sanity band) applied as one JVM-native predicate, with the
+    per-gate verdicts kept for auditability."""
     return (
-        docs.select(
-            "doc_id",
-            ok_len.alias("ok_len"), ok_alpha.alias("ok_alpha"),
-            ok_punct.alias("ok_punct"), ok_words.alias("ok_words"),
-            (ok_len & ok_alpha & ok_punct & ok_words).alias("keep"),
-        )
+        quality_filter_df(_docs(spark, sf_dir))
+        .select("doc_id", "ok_len", "ok_alpha", "ok_punct", "ok_words", "keep")
         .orderBy("doc_id")
     )
 

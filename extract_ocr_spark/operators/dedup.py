@@ -207,27 +207,37 @@ def minhash_lsh_pairs(spark, sf_dir):
     candidate generation, exactly verified with array_intersect. With 32
     bands × 4 rows, P(miss | J=0.8) ≈ 4e-8, so the output equals the exact
     oracle in practice while shuffling only O(n·bands) rows."""
-    sh = _with_shingles(_docs(spark, sf_dir)).select("doc_id", "shingles")
-    # Slim band join: the 32×-exploded join carries only (doc_id, band) —
-    # never the shingle arrays. Shingles are re-attached (recomputed
-    # natively, JVM-side) to the few deduped candidate pairs afterwards.
+    # Shingling runs once (persisted for the duration of candidate
+    # generation); the band self-join reads the slim persisted band table
+    # from both sides so the MinHash UDF executes exactly once; the few
+    # candidate pairs — with shingles re-attached — are checkpointed
+    # eagerly, after which every cached input is released: nothing heavy
+    # leaks past this function and nothing heavy computes twice.
+    sh = _with_shingles(_docs(spark, sf_dir)) \
+        .select("doc_id", "shingles").persist()
     banded = _minhash_bands_df(sh).select(
-        "doc_id", F.explode("bands").alias("band"))
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pair_ids = (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .dropDuplicates(["a_id", "b_id"])
-    )
-    cands = (
-        pair_ids
-        .join(sh.withColumnRenamed("doc_id", "a_id")
-                .withColumnRenamed("shingles", "sa"), "a_id")
-        .join(sh.withColumnRenamed("doc_id", "b_id")
-                .withColumnRenamed("shingles", "sb"), "b_id")
-    )
+        "doc_id", F.explode("bands").alias("band")).persist()
+    try:
+        a = banded.alias("a")
+        b = banded.alias("b")
+        pair_ids = (
+            a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("a_id"),
+                    F.col("b.doc_id").alias("b_id"))
+            .dropDuplicates(["a_id", "b_id"])
+        )
+        cands = (
+            pair_ids
+            .join(sh.withColumnRenamed("doc_id", "a_id")
+                    .withColumnRenamed("shingles", "sa"), "a_id")
+            .join(sh.withColumnRenamed("doc_id", "b_id")
+                    .withColumnRenamed("shingles", "sb"), "b_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        banded.unpersist()
+        sh.unpersist()
     inter = F.size(F.array_intersect("sa", "sb"))
     union = F.size("sa") + F.size("sb") - inter
     j = inter / union
@@ -287,7 +297,10 @@ def simhash_pairs(spark, sf_dir):
     bucketing (any pair within distance 3 shares ≥1 exact band — pigeonhole)
     and native bit_count verification. Band keys use mask extraction
     (``bitwiseAND``), never signed ``%``."""
-    sigs = _simhash_sig(_docs(spark, sf_dir))
+    # Materialize the slim signature table once: the band self-join reads
+    # it from both sides and would otherwise run the 60-sum aggregation
+    # twice over the full corpus.
+    sigs = _simhash_sig(_docs(spark, sf_dir)).localCheckpoint(eager=True)
     mask = (1 << _BAND_WIDTH) - 1
     bands = sigs.select(
         "doc_id", "simhash",

@@ -84,3 +84,39 @@ def test_extract_doc_invariants(spans):
             assert o["text"] is None
         else:
             assert o["text"] is None or o["text"].endswith("\n")
+
+
+@given(st.text(max_size=300), st.text(max_size=80))
+def test_rewrite_markdown_links_preserves_unmapped(md, page_url):
+    """With an empty corpus map, the rewriter is the identity (every
+    target is unmapped or mailto) — on arbitrary junk input."""
+    from extract_ocr_spark.kernels.urlkit import rewrite_markdown_links
+
+    assert rewrite_markdown_links(md, page_url, {}) == md
+
+
+@given(st.lists(st.sampled_from(
+    ["a.html", "b.html#frag", "<c.html>", "mailto:x@y.z",
+     "https://ext.example/q", "#only-frag", ""]), min_size=1, max_size=6))
+def test_rewrite_markdown_links_per_target_semantics(targets):
+    from extract_ocr_spark.kernels.urlkit import rewrite_markdown_links
+
+    page = "https://corp.example/dir/page.html"
+    mapping = {
+        "https://corp.example/dir/a.html": "out/a.md",
+        "https://corp.example/dir/b.html": "out/b.md",
+        "https://corp.example/dir/c.html": "out/c.md",
+        "https://corp.example/dir/page.html": "out/page.md",
+    }
+    md = " ".join(f"[t{i}]({t})" for i, t in enumerate(targets))
+    out = rewrite_markdown_links(md, page, mapping)
+    expected = {
+        "a.html": "out/a.md", "b.html#frag": "out/b.md#frag",
+        "<c.html>": "out/c.md", "mailto:x@y.z": "mailto:x@y.z",
+        "https://ext.example/q": "https://ext.example/q",
+        "#only-frag": "out/page.md#only-frag",
+    }
+    for i, t in enumerate(targets):
+        if t == "":
+            continue  # empty target: regex requires a non-empty group
+        assert f"[t{i}]({expected[t]})" in out

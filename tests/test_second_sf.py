@@ -14,6 +14,12 @@ SUBSET = [
     "pricing_summary", "minhash_lsh_pairs", "ngram_jaccard_pairs",
     "embedding_neardup_pairs", "ann_topk", "extract_html_markdown",
     "split_assign", "contamination_check", "robots_gate",
+    # r2 additions: the formerly rows-only scale paths + new operators
+    "simhash_pairs", "ann_topk_lsh", "ann_topk_ivf", "embedding_neardup_lsh",
+    "extract_synthetic_spans", "neardup_clusters", "quality_filter_apply",
+    "markdown_link_rewrite", "media_features", "top_terms_per_source",
+    "lang_id_pred", "doc_fingerprints", "citations_csl", "ext_guess",
+    "path_key_report",
 ]
 
 

@@ -257,11 +257,14 @@ class ExtractionRun:
     """
 
     def __init__(self, spark: SparkSession, out_dir: str,
-                 run_id: str | None = None, mode: str = "reference"):
+                 run_id: str | None = None, mode: str = "reference",
+                 waf_integration: bool = True):
         self.spark = spark
         self.out_dir = out_dir
         self.run_id = run_id or uuid.uuid4().hex[:12]
         self.mode = mode
+        # False = local-seed ingest semantics (reference cli.py:473-483)
+        self.waf_integration = waf_integration
         self.extracted_path = os.path.join(out_dir, "extracted")
         self.lineage_path = os.path.join(out_dir, "lineage")
         self.metrics_path = os.path.join(out_dir, "metrics")
@@ -308,7 +311,8 @@ class ExtractionRun:
                            F.lit(micro_batches)) == b)
                 if micro_batches > 1 else pending
             )
-            extracted = extract_df(chunk, mode=self.mode, with_stats=True)
+            extracted = extract_df(chunk, mode=self.mode, with_stats=True,
+                                   waf_integration=self.waf_integration)
             extracted = extracted.withColumn("run_id", F.lit(self.run_id))
             # Hive-style per-batch subdirectory: lineage/metrics derivation
             # reads back ONLY this batch's files (O(batch), not

@@ -117,6 +117,94 @@ def media_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_ref")
 
 
+_RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("out_width", T.IntegerType(), False),
+        T.StructField("out_height", T.IntegerType(), False),
+        T.StructField("pixels", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_media(media: DataFrame, *, out_w: int = 32, out_h: int = 32,
+                 fake_decode: bool = True) -> DataFrame:
+    """mapInPandas resize stage: decode → resample to (out_w, out_h).
+
+    The codec is the documented md5-based STUB (no image libs in this
+    container), but the Spark-side contract is the real one: binary in,
+    fixed-size pixel buffer out (out_w*out_h bytes), aspect metadata kept,
+    Arrow-batched, partitioning inherited. A real decoder drops in by
+    replacing ``decode_media`` only."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pixels, ows, ohs = [], [], []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                decoded = decode_media(
+                    bytes(payload) if payload is not None else b"",
+                    meta["mime"] if meta is not None else "",
+                    fake=fake_decode)
+                # deterministic fake resample: tile the decode to the
+                # target buffer size (real impl: bilinear over pixels)
+                buf = (decoded * (out_w * out_h // len(decoded) + 1))
+                pixels.append(buf[: out_w * out_h])
+                ows.append(out_w)
+                ohs.append(out_h)
+            yield pd.DataFrame({
+                "media_ref": pdf["media_ref"],
+                "width": [m["width"] if m is not None else None
+                          for m in pdf["meta"]],
+                "height": [m["height"] if m is not None else None
+                           for m in pdf["meta"]],
+                "out_width": ows, "out_height": ohs, "pixels": pixels,
+            })
+
+    return media.mapInPandas(fn, schema=_RESIZED_SCHEMA)
+
+
+_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def frame_sample(media: DataFrame, *, every_n: int = 4,
+                 max_frames: int = 8, fake_decode: bool = True) -> DataFrame:
+    """mapInPandas frame-sampling stage (video analog): one input row →
+    N output rows (frame_idx, frame bytes), sampling every ``every_n``-th
+    frame up to ``max_frames``. The fake decoder derives deterministic
+    per-frame bytes; the row-explosion shape (1→N through Arrow) is the
+    real contract a video pipeline needs."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, idxs, frames = [], [], []
+            for ref, payload, meta in zip(
+                    pdf["media_ref"], pdf["payload"], pdf["meta"]):
+                raw = bytes(payload) if payload is not None else b""
+                # fake "video length": one frame per 64 payload bytes
+                n_total = max(1, len(raw) // 64)
+                for i, fi in enumerate(range(0, n_total, every_n)):
+                    if i >= max_frames:
+                        break
+                    frames.append(decode_media(
+                        raw + fi.to_bytes(4, "big"),
+                        meta["mime"] if meta is not None else "",
+                        fake=fake_decode))
+                    refs.append(ref)
+                    idxs.append(fi)
+            yield pd.DataFrame(
+                {"media_ref": refs, "frame_idx": idxs, "frame": frames})
+
+    return media.mapInPandas(fn, schema=_FRAMES_SCHEMA)
+
+
 # The payload is the document text's utf-8 bytes (media_table_from_documents),
 # so md5(text) in DuckDB hashes the same bytes; features are the first
 # FEATURE_DIM digest bytes as floats and l1 is their sum.

@@ -78,6 +78,30 @@ def stream_windowed_event_counts(spark: SparkSession, input_dir: str,
     )
 
 
+def stream_dedup_extract(spark: SparkSession, input_dir: str,
+                         *, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: drop re-arrivals of the same normalized
+    content within the watermark horizon (``dropDuplicatesWithinWatermark``
+    on the content sha — the streaming analogue of S8's content-addressed
+    dedupe / batch ``dedup_exact_norm``), keyed on the normalized text of
+    the first span. State is bounded by the watermark: at 100 TB/day the
+    sha-key state store holds one horizon's worth of 16-byte keys, not
+    the corpus. Returns the deduped streaming DataFrame (caller attaches
+    the extraction kernel + sink)."""
+    docs = spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(input_dir)
+    first_text = F.coalesce(F.element_at(F.col("spans"), 1)["text"], F.lit(""))
+    keyed = docs.withColumn(
+        "content_sha",
+        F.substring(F.sha2(F.trim(
+            F.regexp_replace(F.lower(first_text), r"\s+", " ")), 256), 1, 16),
+    ).withColumn("arrival_ts", F.current_timestamp())
+    return (
+        keyed.withWatermark("arrival_ts", watermark)
+        .dropDuplicatesWithinWatermark(["content_sha"])
+        .drop("arrival_ts")
+    )
+
+
 # -- custom stateful operator: session windows via applyInPandasWithState ------
 
 SESSION_GAP_S = 1800  # 30 min inactivity closes a session

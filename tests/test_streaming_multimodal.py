@@ -81,3 +81,77 @@ def test_media_features_plumbing(spark):
         media, fake_decode=True).collect()}
     for r in got:
         assert again[r["media_ref"]] == r["features"]
+
+
+def test_resize_media_plumbing(spark):
+    from extract_ocr_spark.multimodal import media_table_from_documents, resize_media
+
+    media = media_table_from_documents(spark, SF_DIR).limit(20)
+    out = resize_media(media, out_w=16, out_h=8).collect()
+    assert len(out) == 20
+    for r in out:
+        assert len(r["pixels"]) == 16 * 8
+        assert (r["out_width"], r["out_height"]) == (16, 8)
+        assert 1 <= r["width"] <= 1920
+    # deterministic across runs
+    again = {r["media_ref"]: bytes(r["pixels"])
+             for r in resize_media(media, out_w=16, out_h=8).collect()}
+    for r in out:
+        assert again[r["media_ref"]] == bytes(r["pixels"])
+
+
+def test_frame_sample_plumbing(spark):
+    from extract_ocr_spark.multimodal import frame_sample, media_table_from_documents
+
+    media = media_table_from_documents(spark, SF_DIR).limit(10)
+    out = frame_sample(media, every_n=2, max_frames=3).collect()
+    assert out, "expected sampled frames"
+    by_ref = {}
+    for r in out:
+        by_ref.setdefault(r["media_ref"], []).append(r["frame_idx"])
+        assert len(r["frame"]) == 16  # md5-based fake decode
+    for idxs in by_ref.values():
+        assert len(idxs) <= 3
+        assert idxs == sorted(idxs)
+        assert all(i % 2 == 0 for i in idxs)
+    # distinct frames from the same media differ (per-frame decode salt)
+    multi = [(ref, idxs) for ref, idxs in by_ref.items() if len(idxs) >= 2]
+    if multi:
+        ref = multi[0][0]
+        frames = [bytes(r["frame"]) for r in out if r["media_ref"] == ref]
+        assert len(set(frames)) == len(frames)
+
+
+def test_stream_dedup_extract(spark, tmp_path):
+    """Streaming content dedup: duplicate payloads arriving in the stream
+    collapse to one row (batch parity: dedup_exact_norm keeps one per
+    normalized sha)."""
+    import pandas as pd  # noqa: F401
+
+    from extract_ocr_spark.schemas import DOCUMENTS_SCHEMA
+    from extract_ocr_spark.streaming import stream_dedup_extract
+
+    src = tmp_path / "stream_in"
+    rows = []
+    for i in range(12):
+        text = f"payload {i % 4}"  # 4 distinct contents, 3 arrivals each
+        rows.append((f"doc-{i}", [{"kind": "text", "text": text,
+                                   "media_ref": None, "offset": 0}]))
+    spark.createDataFrame(rows, DOCUMENTS_SCHEMA) \
+        .coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    out = tmp_path / "stream_out"
+    ckpt = tmp_path / "ckpt"
+    q = (
+        stream_dedup_extract(spark, str(src))
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(out))
+    assert got.count() == 4  # one survivor per distinct content
+    assert got.select("content_sha").distinct().count() == 4

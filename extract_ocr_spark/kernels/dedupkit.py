@@ -101,9 +101,19 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
-def simhash_bands(value: int, bands: int = 4) -> list[str]:
-    """Split a 64-bit simhash into ``bands`` 16-bit keys for bucketing
-    (two simhashes within Hamming distance bands-1 share ≥1 band)."""
-    width = 64 // bands
-    mask = (1 << width) - 1
-    return [f"{i}:{(value >> (i * width)) & mask:x}" for i in range(bands)]
+def simhash_bands(value: int, blocks: int = 5, bits: int = 64) -> list[str]:
+    """Manku multi-block bucket keys for a 64-bit simhash: split into
+    ``blocks`` near-equal blocks and emit one key per block *pair*
+    (C(5,2)=10 keys). Any two simhashes within Hamming distance
+    ``blocks - 2`` (= 3) leave ≥2 blocks untouched and so share the exact
+    key of that pair — recall is exact by pigeonhole, while two-block
+    (~26-bit) keys keep bucket collisions near-linear at web scale where
+    single-block 13-bit keys (8k buckets) would fan out O(n²/8k) pairs."""
+    base, extra = divmod(bits, blocks)
+    vals, off = [], 0
+    for i in range(blocks):
+        width = base + (1 if i < extra else 0)
+        vals.append((value >> off) & ((1 << width) - 1))
+        off += width
+    return [f"{i}-{j}:{vals[i]:x},{vals[j]:x}"
+            for i in range(blocks) for j in range(i + 1, blocks)]

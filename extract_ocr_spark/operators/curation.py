@@ -121,21 +121,36 @@ FROM documents ORDER BY shuffle_key
 def contamination_check(spark, sf_dir):
     """Docs sharing ≥ 5 distinct word-3-gram shingles with the eval set
     (here: doc_id < 5 stand in for a benchmark). Inverted-index join —
-    the corpus is never cross-joined against the eval set."""
-    from .dedup import _with_shingles
+    the corpus is never cross-joined against the eval set.
+
+    Scale shape: (1) hot boilerplate shingles (corpus document frequency >
+    ``SHINGLE_DF_CAP``) are dropped from the corpus side before the join —
+    one footer sentence shared by 10⁶ docs that also appears in the eval
+    set would otherwise fan out df_corpus × df_eval join rows; the oracle
+    mirrors the cap, and the (documented) cost is recall on docs whose
+    overlap is *only* boilerplate. (2) the eval side is tiny relative to a
+    100 TB corpus (~10⁴ benchmark docs), so it rides an explicit
+    ``broadcast`` — the corpus-side shingle explosion never shuffles."""
+    from .dedup import _drop_hot_shingles, _with_shingles
 
     docs = _with_shingles(_docs(spark, sf_dir)).select(
         "doc_id", F.explode("shingles").alias("shingle"))
     eval_set = docs.filter(F.col("doc_id") < 5).select(
         F.col("doc_id").alias("eval_id"), "shingle").distinct()
-    corpus = docs.filter(F.col("doc_id") >= 5)
+    corpus = _drop_hot_shingles(docs.filter(F.col("doc_id") >= 5))
     return (
-        corpus.join(eval_set, "shingle")
+        corpus.join(F.broadcast(eval_set), "shingle")
         .groupBy("doc_id", "eval_id")
         .agg(F.count("*").alias("shared_shingles"))
         .filter(F.col("shared_shingles") >= 5)
         .orderBy("doc_id", "eval_id")
     )
+
+
+def _contamination_df_cap() -> int:
+    from .dedup import SHINGLE_DF_CAP
+
+    return SHINGLE_DF_CAP
 
 
 CONTAMINATION_CHECK_SQL = r"""
@@ -148,14 +163,19 @@ WITH w AS (
          unnest(list_distinct(list_transform(range(1, len(words) - 1),
                 i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS shingle
   FROM w WHERE len(words) >= 3
+), corpus AS (
+  SELECT doc_id, shingle FROM sh WHERE doc_id >= 5
+  AND shingle NOT IN (
+    SELECT shingle FROM sh WHERE doc_id >= 5
+    GROUP BY shingle HAVING count(*) > {CAP})
 )
 SELECT c.doc_id, e.doc_id AS eval_id, count(*) AS shared_shingles
-FROM sh c JOIN sh e ON c.shingle = e.shingle
-WHERE e.doc_id < 5 AND c.doc_id >= 5
+FROM corpus c JOIN sh e ON c.shingle = e.shingle
+WHERE e.doc_id < 5
 GROUP BY c.doc_id, e.doc_id
 HAVING count(*) >= 5
 ORDER BY c.doc_id, eval_id
-"""
+""".replace("{CAP}", str(_contamination_df_cap()))
 
 
 # -- PII scrub ------------------------------------------------------------------------

@@ -19,10 +19,14 @@ Scale design notes (100 TB):
   returns only (doc_id, bands) — shingle arrays never ride the Arrow
   channel back, and the band join carries only (doc_id, band).
 - **SimHash**: fully JVM-native 60-bit fingerprint (md5-based token
-  hashes → per-bit majority aggregation), 4×15-bit band bucketing with
-  mask extraction (``shiftrightunsigned`` + ``bitwiseAND`` — a signed
-  ``%`` would produce negative band keys for high bit 59+ values and
-  silently miss pairs), Hamming verification with native
+  hashes → per-bit majority aggregation), Manku multi-block bucketing
+  (5×12-bit blocks → C(5,2)=10 tables keyed on block *pairs*, 24-bit
+  keys — exact recall for Hamming ≤ 3 by pigeonhole, with ~1.7e7
+  buckets/table so expected candidates stay near-linear at 10⁹ docs,
+  where single-block 15-bit keys would fan out ~10¹⁴ join rows). Blocks
+  use mask extraction (``shiftrightunsigned`` + ``bitwiseAND`` — a
+  signed ``%`` would produce negative band keys for high bit 59+ values
+  and silently miss pairs); Hamming verification is native
   ``bit_count(a ^ b)``. Being native end-to-end also makes it exactly
   expressible in the DuckDB oracle.
 - **embedding cosine**: exact pair scan for the oracle-checked variant —
@@ -53,8 +57,15 @@ SHINGLE_DF_CAP = 128
 MAX_EXACT_PAIR_ROWS = 20_000
 
 _SIMHASH_BITS = 60  # 15 hex chars of md5 → fits a signed int64
-_SIMHASH_BANDS = 4
-_BAND_WIDTH = _SIMHASH_BITS // _SIMHASH_BANDS
+# Manku-style multi-block LSH (WWW'07 "Detecting Near-Duplicates for Web
+# Crawling"): split the fingerprint into 5 blocks of 12 bits; any ≤3 bit
+# flips touch ≤3 blocks, so ≥2 blocks stay clean and the pair collides in
+# the C(5,2)=10 table keyed on those two blocks. Keys are 24 bits wide
+# (~1.7e7 buckets/table) instead of the naive 4×15-bit single-block scheme
+# (32,768 buckets/table), whose expected candidate count 4·n²/2¹⁵ blows up
+# at ≥10⁷ docs (~10¹⁰ join rows); here it is 10·n²/2²⁴ — 2,000× fewer.
+_SIMHASH_BLOCKS = 5
+_BLOCK_WIDTH = _SIMHASH_BITS // _SIMHASH_BLOCKS  # 12
 _HAMMING_MAX = 3
 
 
@@ -62,10 +73,15 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The test tables are single small parquet files (one input split), so
     # CPU-heavy downstream stages (shingling, MinHash) would run on one
     # core: spread rows across the session's parallelism first — a
-    # few-MB shuffle buying a 30× stage speedup. (On a real deployment the
-    # source is many files/buckets and this is a no-op choice.)
+    # few-MB shuffle buying a 30× stage speedup. On a real deployment the
+    # source is many files/buckets and already at least as parallel as the
+    # session, so the shuffle is skipped entirely (an unconditional
+    # ``repartition`` would move the whole corpus once for nothing).
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(n, "doc_id")
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, "doc_id")
 
 
 def _with_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
@@ -292,24 +308,39 @@ def _simhash_sig(docs: DataFrame) -> DataFrame:
     )
 
 
+def _simhash_band_keys() -> "F.Column":
+    """Manku multi-block band keys for a ``simhash`` column: one 24-bit
+    key per block *pair* — C(5,2)=10 keys/doc. Any pair of fingerprints
+    within Hamming distance ≤ 3 leaves ≥ 2 of the 5 blocks untouched and
+    therefore shares the exact key of that block pair (pigeonhole — recall
+    is exact, not probabilistic). Blocks use mask extraction
+    (``shiftrightunsigned`` + ``bitwiseAND``), never signed ``%``."""
+    mask = (1 << _BLOCK_WIDTH) - 1
+
+    def block(i: int):
+        return (F.shiftrightunsigned("simhash", _BLOCK_WIDTH * i)
+                .bitwiseAND(F.lit(mask)))
+
+    return F.array(*[
+        F.concat(F.lit(f"{i}-{j}:"), block(i).cast("string"),
+                 F.lit(","), block(j).cast("string"))
+        for i in range(_SIMHASH_BLOCKS)
+        for j in range(i + 1, _SIMHASH_BLOCKS)
+    ])
+
+
 def simhash_pairs(spark, sf_dir):
-    """Near-dup pairs with SimHash Hamming distance ≤ 3, via 4×15-bit band
-    bucketing (any pair within distance 3 shares ≥1 exact band — pigeonhole)
-    and native bit_count verification. Band keys use mask extraction
-    (``bitwiseAND``), never signed ``%``."""
+    """Near-dup pairs with SimHash Hamming distance ≤ 3, via Manku
+    multi-block bucketing (5×12-bit blocks, 10 two-block 24-bit tables —
+    any pair within distance 3 shares ≥1 exact two-block key, pigeonhole)
+    and native bit_count verification."""
     # Materialize the slim signature table once: the band self-join reads
     # it from both sides and would otherwise run the 60-sum aggregation
     # twice over the full corpus.
     sigs = _simhash_sig(_docs(spark, sf_dir)).localCheckpoint(eager=True)
-    mask = (1 << _BAND_WIDTH) - 1
     bands = sigs.select(
         "doc_id", "simhash",
-        F.explode(F.array(*[
-            F.concat(F.lit(f"{i}:"),
-                     F.shiftrightunsigned("simhash", _BAND_WIDTH * i)
-                     .bitwiseAND(F.lit(mask)).cast("string"))
-            for i in range(_SIMHASH_BANDS)
-        ])).alias("band"),
+        F.explode(_simhash_band_keys()).alias("band"),
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -406,37 +437,39 @@ ORDER BY a_id, b_id
 
 # -- near-dup clusters (connected components) ----------------------------------------
 
-def neardup_clusters(spark, sf_dir):
-    """Connected components over the MinHash near-dup pair graph: every
-    document gets a cluster id = the minimum doc_id reachable through
-    Jaccard ≥ 0.8 edges (singletons cluster with themselves). This is the
-    operator a curation pipeline actually applies — "keep one doc per
-    near-dup *cluster*", not per pair.
+def connected_components(labels: DataFrame, edges: DataFrame,
+                         max_iters: int = 64) -> DataFrame:
+    """Min-label connected components: ``labels(id, comp)`` (initially
+    comp = id) + symmetric ``edges(src, dst)`` → converged labels where
+    comp = min id reachable from id.
 
-    Spark: iterative min-label propagation — a driver loop of
-    (labels ⋈ edges → min) steps, each localCheckpointed so the plan
-    stays flat; iterations ≈ cluster diameter (tiny for dup clusters).
-    Shuffle volume per iteration is O(edges). The DuckDB oracle is the
-    same fixpoint as a recursive CTE."""
-    pairs = minhash_lsh_pairs(spark, sf_dir).select("a_id", "b_id")
-    # symmetric edge list
-    edges = pairs.union(
-        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
-    ).withColumnRenamed("a_id", "src").withColumnRenamed("b_id", "dst") \
-     .localCheckpoint(eager=True)
-    labels = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .select(F.col("doc_id").alias("id"), F.col("doc_id").alias("comp"))
-    ).localCheckpoint(eager=True)
-    for _ in range(20):  # diameter bound; dup clusters are shallow
+    Each iteration combines neighbor-min propagation (labels ⋈ edges →
+    min) with a pointer-jumping step (comp ← comp of comp — valid because
+    every comp value is itself an id in ``labels``), so convergence takes
+    O(log diameter) iterations, not O(diameter): a 10⁶-long drift chain
+    converges in ~20 steps where plain propagation needs 10⁶. Every step
+    is localCheckpointed so the plan stays flat; shuffle volume per
+    iteration is O(edges) + O(nodes). Raises ``RuntimeError`` if the
+    fixpoint is not reached within ``max_iters`` (with jumping, 64 covers
+    any diameter ≤ 2⁶⁴) — never returns partial labels silently."""
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.src == labels.id)
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("comp").alias("ncomp"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, "id", "left")
             .select("id", F.least("comp", F.coalesce("ncomp", "comp"))
+                    .alias("comp"))
+        )
+        # pointer jump: comp ← label of comp (path halving)
+        parent = stepped.select(F.col("id").alias("pid"),
+                                F.col("comp").alias("pcomp"))
+        new_labels = (
+            stepped.join(parent, stepped.comp == parent.pid, "left")
+            .select("id", F.least("comp", F.coalesce("pcomp", "comp"))
                     .alias("comp"))
             .localCheckpoint(eager=True)
         )
@@ -446,9 +479,37 @@ def neardup_clusters(spark, sf_dir):
         )
         labels = new_labels
         if changed == 0:
-            break
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} iterations "
+        f"(last iteration still changed labels) — refusing to return "
+        f"partial cluster labels")
+
+
+def neardup_clusters(spark, sf_dir):
+    """Connected components over the MinHash near-dup pair graph: every
+    document gets a cluster id = the minimum doc_id reachable through
+    Jaccard ≥ 0.8 edges (singletons cluster with themselves). This is the
+    operator a curation pipeline actually applies — "keep one doc per
+    near-dup *cluster*", not per pair.
+
+    Spark: iterative min-label propagation + pointer jumping (see
+    ``connected_components``) — converges in O(log diameter) driver-loop
+    steps and raises rather than ever returning non-converged labels.
+    The DuckDB oracle is the same fixpoint as a recursive CTE."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("a_id", "b_id")
+    # symmetric edge list
+    edges = pairs.union(
+        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+    ).withColumnRenamed("a_id", "src").withColumnRenamed("b_id", "dst") \
+     .localCheckpoint(eager=True)
+    labels = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.col("doc_id").alias("id"), F.col("doc_id").alias("comp"))
+    )
     return (
-        labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("cluster"))
+        connected_components(labels, edges)
+        .select(F.col("id").alias("doc_id"), F.col("comp").alias("cluster"))
         .orderBy("doc_id")
     )
 

@@ -50,3 +50,37 @@ def test_quality_filter_gates(spark, tmp_path):
     assert got[2]["keep"] is False and got[2]["ok_len"] is False
     assert got[3]["keep"] is False and got[3]["ok_punct"] is False
     assert got[4]["keep"] is False and got[4]["ok_words"] is False
+
+
+def test_connected_components_long_path_converges(spark):
+    # A 25-node path graph (diameter 24 > the old 20-iteration cap, which
+    # silently returned partial labels) must fully converge to comp=0 for
+    # every node — pointer jumping makes this take O(log n) iterations.
+    import pyspark.sql.functions as F
+
+    from extract_ocr_spark.operators.dedup import connected_components
+
+    n = 25
+    fwd = [(i, i + 1) for i in range(n - 1)]
+    edges = spark.createDataFrame(
+        fwd + [(b, a) for a, b in fwd], "src long, dst long")
+    labels = spark.range(n).select(
+        F.col("id"), F.col("id").alias("comp"))
+    got = {r["id"]: r["comp"]
+           for r in connected_components(labels, edges).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_raises_when_capped(spark):
+    import pyspark.sql.functions as F
+    import pytest
+
+    from extract_ocr_spark.operators.dedup import connected_components
+
+    n = 25
+    fwd = [(i, i + 1) for i in range(n - 1)]
+    edges = spark.createDataFrame(
+        fwd + [(b, a) for a, b in fwd], "src long, dst long")
+    labels = spark.range(n).select(F.col("id"), F.col("id").alias("comp"))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(labels, edges, max_iters=2)

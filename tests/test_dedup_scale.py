@@ -72,3 +72,98 @@ def test_exact_pair_guard_refuses_large_input(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(dedup, "MAX_EXACT_PAIR_ROWS", 5)
     with pytest.raises(ValueError, match="embedding_neardup_lsh"):
         dedup.embedding_neardup_pairs(spark, str(tmp_path))
+
+
+def test_simhash_band_candidates_near_linear(spark):
+    # 1e5 synthetic random 60-bit simhashes: the Manku two-block 24-bit
+    # keys must keep band-join candidates near-linear (expected
+    # 10*n^2/2/2^24 ~ 3k pairs). The old single-block 15-bit scheme
+    # produced ~1.5e5 pairs here and O(n^2/32k) at web scale.
+    n = 100_000
+    sigs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.abs(F.xxhash64(F.col("id").cast("string")))
+        .bitwiseAND(F.lit((1 << 60) - 1)).alias("simhash"),
+    )
+    bands = sigs.select(
+        "doc_id", F.explode(dedup._simhash_band_keys()).alias("band"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select("a.doc_id", "b.doc_id").distinct().count()
+    )
+    assert cands < 2 * n, cands  # near-linear, not O(n^2 / 32k)
+
+
+def test_simhash_pairs_recall_at_distance_3(spark, tmp_path):
+    # Two docs whose native simhashes differ by <= 3 bits must be found
+    # through the two-block bucketing (pigeonhole recall check on the
+    # real operator, not just the kernel helper).
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta", "en", "s", 30),
+        (2, "alpha beta gamma delta epsilon zeta", "en", "s", 30),  # d=0
+        (3, "completely different content entirely here now", "en", "s", 40),
+    ]
+    sf_dir = _write_documents(spark, tmp_path, rows)
+    pairs = {(r["a_id"], r["b_id"]): r["hamming"]
+             for r in dedup.simhash_pairs(spark, sf_dir).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs
+
+
+def test_docs_repartition_is_conditional(spark, tmp_path):
+    rows = [(i, f"text {i}", "en", "s", 10) for i in range(64)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    # many-file input scanning at >= shuffle.partitions splits: no
+    # repartition shuffle. (Tiny test files pack into defaultParallelism
+    # bins by default, so pin maxPartitionBytes to force one split per
+    # file — a real multi-file corpus scans wide without this.)
+    many = tmp_path / "many" / "documents.parquet"
+    df.repartition(64).write.mode("overwrite").parquet(str(many))
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+    try:
+        got = dedup._docs(spark, str(tmp_path / "many"))
+        plan = got._jdf.queryExecution().optimizedPlan().toString()
+        assert "Repartition" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    # single-file input: the spread-out shuffle is still applied
+    single = tmp_path / "single" / "documents.parquet"
+    df.coalesce(1).write.mode("overwrite").parquet(str(single))
+    got = dedup._docs(spark, str(tmp_path / "single"))
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    assert "RepartitionByExpression" in plan, plan
+    assert got.count() == 64
+
+
+def test_contamination_check_drops_boilerplate_fanout(spark, tmp_path):
+    # Eval doc 1 shares: (a) a boilerplate sentence with 1000 corpus docs
+    # (df 1001 > cap -> dropped from the corpus side), (b) >= 5 rare
+    # shingles with corpus doc 2000. Only (2000, 1) may be flagged; the
+    # 1000 boilerplate-only docs would otherwise each share 5 shingles
+    # with the eval doc and all be reported (and at web scale, fan out
+    # df_corpus x df_eval join rows).
+    from extract_ocr_spark.operators.curation import contamination_check
+
+    rare = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(1, f"{BOILER} {rare}", "en", "s", 80)]
+    rows += [
+        (i, f"{BOILER} unique{i} token{i} word{i} item{i}", "en", "s", 40)
+        for i in range(5, 1005)
+    ]
+    rows += [(2000, rare + " tail", "en", "s", 40)]
+    sf_dir = _write_documents(spark, tmp_path, rows)
+    t0 = time.monotonic()
+    got = {(r["doc_id"], r["eval_id"]): r["shared_shingles"]
+           for r in contamination_check(spark, sf_dir).collect()}
+    wall = time.monotonic() - t0
+    assert set(got) == {(2000, 1)}, sorted(got)[:5]
+    assert got[(2000, 1)] >= 5
+    assert wall < 120
+    # and the eval side is broadcast, not shuffled
+    plan = contamination_check(spark, sf_dir) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan

@@ -209,8 +209,24 @@ def test_simhash_near_and_far():
     t3 = "absolutely nothing in common with anything above at all".split()
     h1, h2, h3 = simhash64(t1), simhash64(t2), simhash64(t3)
     assert hamming64(h1, h2) < hamming64(h1, h3)
-    assert len(simhash_bands(h1)) == 4
+    assert len(simhash_bands(h1)) == 10  # C(5,2) Manku two-block keys
     assert simhash64(t1) == h1
+
+
+def test_simhash_bands_pigeonhole_recall():
+    # Any pair within Hamming distance 3 must share >= 1 two-block key.
+    import random
+
+    rng = random.Random(7)
+    for _ in range(200):
+        v = rng.getrandbits(64)
+        flips = rng.sample(range(64), rng.randint(0, 3))
+        w = v
+        for b in flips:
+            w ^= 1 << b
+        assert set(simhash_bands(v)) & set(simhash_bands(w)), (v, flips)
+    # and the keys partition the bits: distance-0 pairs share all 10
+    assert simhash_bands(12345) == simhash_bands(12345)
 
 
 # -- textstats --------------------------------------------------------------------

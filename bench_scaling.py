@@ -204,7 +204,10 @@ def main() -> None:
     eff_8_32 = round((tp[32] / tp[8]) / 4.0, 3)
     eff_8_16 = round((tp[16] / tp[8]) / 2.0, 3)
     eff_16_32 = round((tp[32] / tp[16]) / 2.0, 3)
-    ceil_8_32 = round((ceiling[32] / ceiling[8]) / 4.0, 3)
+    # ceiling[n] can be 0.0 if a level never recorded a steal-free sample
+    # on this steal-heavy box — report None rather than dividing by it.
+    ceil_8_32 = (round((ceiling[32] / ceiling[8]) / 4.0, 3)
+                 if ceiling[8] > 0 else None)
     rel_8_32 = round(eff_8_32 / ceil_8_32, 3) if ceil_8_32 else None
 
     summary = {

@@ -113,21 +113,22 @@ def markdown_link_rewrite(spark, sf_dir):
 
 
 MARKDOWN_LINK_REWRITE_SQL = """
-WITH mx AS (SELECT max(doc_id) AS m FROM documents)
-SELECT doc_id,
+SELECT d.doc_id,
        'see [next]('
-       || CASE WHEN doc_id + 1 <= m
-               THEN 'pages/doc-' || (doc_id + 1) || '.md#sec2'
-               ELSE 'doc-' || (doc_id + 1) || '.html#sec2' END
+       || CASE WHEN nxt.doc_id IS NOT NULL
+               THEN 'pages/doc-' || (d.doc_id + 1) || '.md#sec2'
+               ELSE 'doc-' || (d.doc_id + 1) || '.html#sec2' END
        || '), [prev]('
-       || CASE WHEN doc_id - 1 >= 0
-               THEN 'pages/doc-' || (doc_id - 1) || '.md'
-               ELSE '<doc-' || (doc_id - 1) || '.html>' END
-       || '), [self](pages/doc-' || doc_id || '.md#frag)'
+       || CASE WHEN prv.doc_id IS NOT NULL
+               THEN 'pages/doc-' || (d.doc_id - 1) || '.md'
+               ELSE '<doc-' || (d.doc_id - 1) || '.html>' END
+       || '), [self](pages/doc-' || d.doc_id || '.md#frag)'
        || ', [mail](mailto:a@b.c), [ext](https://other.example/x) end'
          AS md_out
-FROM documents, mx
-ORDER BY doc_id
+FROM documents d
+LEFT JOIN documents nxt ON nxt.doc_id = d.doc_id + 1
+LEFT JOIN documents prv ON prv.doc_id = d.doc_id - 1
+ORDER BY d.doc_id
 """
 
 

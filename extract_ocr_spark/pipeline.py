@@ -269,13 +269,69 @@ class ExtractionRun:
         self.lineage_path = os.path.join(out_dir, "lineage")
         self.metrics_path = os.path.join(out_dir, "metrics")
 
+    # -- atomic batch commit markers --------------------------------------
+    # The parquet fallback writes output → lineage → metrics as three
+    # non-transactional appends; a crash between them must not surface a
+    # half-committed batch. A zero-byte `_COMMITTED_<run_id>` marker inside
+    # the batch directory is written only after all three appends succeed,
+    # and every reader (extracted / attempted_doc_ids / lineage) filters to
+    # (batch_id, run_id) pairs that have a marker — uncommitted rows are
+    # invisible and the docs simply re-run on resume. Markers go through
+    # the Hadoop FileSystem API so the same code works on file://, HDFS and
+    # S3A. (On Iceberg the multi-table transaction replaces all of this —
+    # README "Iceberg runtime".)
+    def _hadoop_fs(self, path: str):
+        jpath = self.spark._jvm.org.apache.hadoop.fs.Path(path)
+        return jpath.getFileSystem(
+            self.spark.sparkContext._jsc.hadoopConfiguration()), jpath
+
+    def _commit_batch(self, batch: int) -> None:
+        fs, jpath = self._hadoop_fs(os.path.join(
+            self.extracted_path, f"batch_id={batch}",
+            f"_COMMITTED_{self.run_id}"))
+        fs.create(jpath, True).close()
+
+    def _committed_keys(self) -> list[str]:
+        """All durable "<batch_id>:<run_id>" commit keys under the output
+        root — driver-side listing, O(batches), metadata only."""
+        fs, root = self._hadoop_fs(self.extracted_path)
+        if not fs.exists(root):
+            return []
+        keys = []
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if not name.startswith("batch_id="):
+                continue
+            b = name.split("=", 1)[1]
+            for f in fs.listStatus(st.getPath()):
+                fn = f.getPath().getName()
+                if fn.startswith("_COMMITTED_"):
+                    keys.append(f"{b}:{fn[len('_COMMITTED_'):]}")
+        return keys
+
+    @staticmethod
+    def _commit_key(batch_col, run_col) -> F.Column:
+        return F.concat(batch_col.cast("string"), F.lit(":"), run_col)
+
     # -- lineage ---------------------------------------------------------
-    def attempted_doc_ids(self) -> DataFrame | None:
-        """Docs with a durable outcome: processed OR errored (the
-        reference skips both its done and failed sets, crawl.py:938-939)."""
+    def lineage(self) -> DataFrame | None:
+        """Committed lineage events only (rows appended by a run that died
+        before its batch marker are excluded)."""
         try:
             lineage = self.spark.read.parquet(self.lineage_path)
         except Exception:
+            return None
+        keys = self._committed_keys()
+        return lineage.filter(
+            self._commit_key(F.col("snapshot_id"), F.col("run_id")).isin(keys))
+
+    def attempted_doc_ids(self) -> DataFrame | None:
+        """Docs with a durable outcome: processed OR errored (the
+        reference skips both its done and failed sets, crawl.py:938-939).
+        Only committed batches count — a doc whose batch never got its
+        marker is still pending and will re-run."""
+        lineage = self.lineage()
+        if lineage is None:
             return None
         return lineage.filter(
             F.col("event_kind").isin("processed", "error")).select("doc_id")
@@ -289,26 +345,35 @@ class ExtractionRun:
 
     # -- run -------------------------------------------------------------
     def run(self, docs: DataFrame, *, micro_batches: int = 1,
-            stop_after: int | None = None, force: bool = False) -> dict:
+            stop_after: int | None = None, force: bool = False,
+            _crash_before_lineage: bool = False,
+            _crash_before_marker: bool = False) -> dict:
         """Process pending docs in micro-batches; each batch commits
-        output + lineage + metrics. ``stop_after`` simulates a kill after
-        N batches (for resume tests). ``force=True`` re-derives everything
-        regardless of lineage — the reference's ``normalize-export``
-        recompute-derived-data pass (EP3, cli.py:324-352)."""
+        output + lineage + metrics, then a ``_COMMITTED_<run_id>`` marker
+        that makes the batch visible to readers — atomically from any
+        reader's point of view. ``stop_after`` simulates a kill after
+        N batches (for resume tests); the ``_crash_*`` hooks simulate a
+        kill *inside* a batch's commit sequence (crash-consistency tests).
+        ``force=True`` re-derives everything regardless of lineage — the
+        reference's ``normalize-export`` recompute-derived-data pass
+        (EP3, cli.py:324-352)."""
         pending = docs if force else self.pending(docs)
         t_start = time.monotonic()
         batches_done = 0
         for b in range(micro_batches):
             if stop_after is not None and batches_done >= stop_after:
                 break
-            # Null doc_ids hash to null and would silently vanish from
-            # every batch; route them to batch 0 so they still reach the
-            # kernel and produce the contract-violation 'error' lineage
-            # event (same containment as the micro_batches=1 path).
+            # Route null doc_ids to batch 0 explicitly so they still reach
+            # the kernel and produce the contract-violation 'error'
+            # lineage event (same containment as the micro_batches=1
+            # path). Spark's xxhash64 never returns NULL — a NULL input
+            # hashes to the seed — so an explicit isNull branch, not a
+            # coalesce, is what pins them to a deterministic batch.
             chunk = (
                 pending.filter(
-                    F.pmod(F.coalesce(F.xxhash64("doc_id"), F.lit(0)),
-                           F.lit(micro_batches)) == b)
+                    F.when(F.col("doc_id").isNull(), F.lit(0))
+                    .otherwise(F.pmod(F.xxhash64("doc_id"),
+                                      F.lit(micro_batches))) == b)
                 if micro_batches > 1 else pending
             )
             extracted = extract_df(chunk, mode=self.mode, with_stats=True,
@@ -321,8 +386,11 @@ class ExtractionRun:
             # root still see batch_id via partition-column inference.
             batch_path = os.path.join(self.extracted_path, f"batch_id={b}")
             extracted.write.mode("append").parquet(batch_path)
+            if _crash_before_lineage:
+                raise RuntimeError("simulated kill: after output write, "
+                                   "before lineage append")
 
-            # Lineage + metrics from the *committed* output, reading only
+            # Lineage + metrics from the *written* output, reading only
             # the new batch directory and pruned small columns (never
             # out_spans). The run_id filter guards against rows appended
             # to the same batch dir by an earlier killed run.
@@ -342,8 +410,12 @@ class ExtractionRun:
                 F.col("error"),
                 F.current_timestamp().alias("at"),
                 F.lit(b).cast("long").alias("snapshot_id"),
+                F.lit(self.run_id).alias("run_id"),
             )
             lineage.write.mode("append").parquet(self.lineage_path)
+            if _crash_before_marker:
+                raise RuntimeError("simulated kill: after lineage append, "
+                                   "before commit marker")
 
             metrics = committed.groupBy("partition_id").agg(
                 F.count("*").alias("docs"),
@@ -358,6 +430,9 @@ class ExtractionRun:
                 F.current_timestamp().alias("at"),
             )
             metrics.write.mode("append").parquet(self.metrics_path)
+            # Durability point: everything for batch b is on disk — flip
+            # the batch visible with one zero-byte marker create.
+            self._commit_batch(b)
             batches_done += 1
 
         return {
@@ -367,10 +442,17 @@ class ExtractionRun:
         }
 
     def extracted(self) -> DataFrame:
-        """Committed successful output, idempotent under replays
-        (dedup by doc_id; errored docs appear in lineage, not here)."""
+        """Committed successful output. Rows from a run that died between
+        writes (no batch marker) are filtered out — resume re-runs those
+        docs, so no half-committed batch is ever visible. The doc_id dedup
+        remains for *legitimate* replays (``force=True`` recompute commits
+        the same doc again under a new run_id); errored docs appear in
+        lineage, not here."""
         df = self.spark.read.parquet(self.extracted_path)
+        keys = self._committed_keys()
         return (
-            df.filter(F.col("error").isNull())
+            df.filter(self._commit_key(F.col("batch_id"),
+                                       F.col("run_id")).isin(keys))
+            .filter(F.col("error").isNull())
             .dropDuplicates(["doc_id"]).select("doc_id", "out_spans")
         )

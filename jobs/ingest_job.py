@@ -50,7 +50,7 @@ def main() -> None:
     print(json.dumps(stats))
 
     if args.audit:
-        lineage = spark.read.parquet(f"{args.output}/lineage")
+        lineage = run.lineage()  # committed batches only
         report = audit_run(docs, lineage, run.extracted())
         print(json.dumps(report))
         if not report["ok"]:

@@ -222,3 +222,63 @@ def test_digest_path_agrees_with_spans_path(spark, docs):
         assert d["out_sha"] == expect_sha
         assert d["spans_out"] == r["spans_out"]
         assert d["bytes_out"] == r["bytes_out"]
+
+
+def test_crash_between_output_and_lineage_resumes_clean(spark, tmp_path):
+    """Kill after the batch's output parquet lands but before lineage:
+    the unmarked batch must be invisible (extracted / attempted empty for
+    those docs), resume must re-run exactly those docs, and the final
+    state must have no duplicates."""
+    docs = synthetic_documents_df(spark, 12, seed=42, partitions=2)
+    out = str(tmp_path / "crashrun")
+    run = ExtractionRun(spark, out, run_id="c1")
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="before lineage"):
+        run.run(docs, micro_batches=3, _crash_before_lineage=True)
+
+    # Output files exist on disk, but nothing is committed.
+    reader = ExtractionRun(spark, out, run_id="probe")
+    assert reader._committed_keys() == []
+    assert reader.attempted_doc_ids() is None or \
+        reader.attempted_doc_ids().count() == 0
+    assert reader.extracted().count() == 0
+    assert reader.pending(docs).count() == 12
+
+    # Resume: everything re-runs once, cleanly.
+    run2 = ExtractionRun(spark, out, run_id="c2")
+    run2.run(docs, micro_batches=3)
+    final = run2.extracted()
+    assert final.count() == 12
+    assert final.select("doc_id").distinct().count() == 12
+    # Committed lineage: exactly one processed event per doc — the
+    # crashed run's rows never entered lineage at all here.
+    lin = run2.lineage().filter(F.col("event_kind") == "processed")
+    assert lin.count() == 12
+
+
+def test_crash_between_lineage_and_marker_resumes_clean(spark, tmp_path):
+    """Kill after lineage lands but before the commit marker: the lineage
+    rows are on disk but uncommitted, so the docs stay pending; resume
+    re-runs them and committed readers never see double events."""
+    docs = synthetic_documents_df(spark, 12, seed=42, partitions=2)
+    out = str(tmp_path / "crashrun2")
+    run = ExtractionRun(spark, out, run_id="m1")
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="before commit marker"):
+        run.run(docs, micro_batches=3, _crash_before_marker=True)
+
+    reader = ExtractionRun(spark, out, run_id="probe")
+    # Raw lineage has the orphaned rows...
+    raw = spark.read.parquet(f"{out}/lineage")
+    assert raw.count() > 0
+    # ...but the committed view hides them, so nothing counts as done.
+    assert reader.attempted_doc_ids().count() == 0
+    assert reader.extracted().count() == 0
+    assert reader.pending(docs).count() == 12
+
+    run2 = ExtractionRun(spark, out, run_id="m2")
+    run2.run(docs, micro_batches=3)
+    assert run2.extracted().count() == 12
+    lin = run2.lineage().filter(F.col("event_kind") == "processed")
+    assert lin.count() == 12
+    assert lin.select("doc_id").distinct().count() == 12

@@ -41,25 +41,62 @@ CORPUS_DIR = os.path.join(
     f"spans_v3_{N_DOCS}")
 
 
+STEAL_CLEAN = 0.005  # a timed run is 'clean' below 0.5% hypervisor steal
+
+
+def _stat() -> list[int]:
+    with open("/proc/stat") as f:
+        return [int(v) for v in f.readline().split()[1:]]
+
+
+def _steal_fraction(s0: list[int], s1: list[int]) -> float:
+    """Hypervisor steal over an interval as a fraction of box CPU
+    (/proc/stat column 8). This box is a VM: identical runs vary 3-5×
+    under neighbor-VM steal, so every timed run records its own steal and
+    the JSON is self-defending — a reader can tell a measurement from a
+    steal artifact without re-running."""
+    return (s1[7] - s0[7]) / max(1, sum(s1) - sum(s0))
+
+
 def wait_for_idle(threshold: float = 0.15, timeout_s: float = 60.0) -> None:
-    """Gate timed runs on host idleness: this sandbox shares the box with
-    external load spikes; timings must measure uncontended capability."""
-    def busy(interval: float = 0.5) -> float:
-        def snap():
-            with open("/proc/stat") as f:
-                parts = f.readline().split()[1:]
-            vals = [int(v) for v in parts]
-            return vals[3] + vals[4], sum(vals)
-        i0, t0 = snap()
+    """Gate timed runs on host idleness AND low hypervisor steal: this
+    sandbox shares the box with external load spikes; timings must
+    measure uncontended capability."""
+    def busy_and_steal(interval: float = 0.5) -> tuple[float, float]:
+        s0 = _stat()
         time.sleep(interval)
-        i1, t1 = snap()
-        return 1.0 - (i1 - i0) / max(1, t1 - t0)
+        s1 = _stat()
+        idle = (s1[3] + s1[4]) - (s0[3] + s0[4])
+        return 1.0 - idle / max(1, sum(s1) - sum(s0)), _steal_fraction(s0, s1)
 
     deadline = time.monotonic() + timeout_s
     while time.monotonic() < deadline:
-        if busy() < threshold:
+        b, s = busy_and_steal()
+        if b < threshold and s < STEAL_CLEAN:
             return
         time.sleep(2.0)
+
+
+def timed(fn, attempts: int = 3, extra_if_dirty: int = 2):
+    """Run ``fn`` up to ``attempts`` (+``extra_if_dirty`` when no
+    steal-clean sample appeared) times; return (best_clean_or_overall_wall,
+    [(wall, steal), ...]). Contaminated attempts are recorded but never
+    beat a clean one."""
+    runs: list[tuple[float, float]] = []
+    budget = attempts
+    while budget > 0:
+        wait_for_idle()
+        s0 = _stat()
+        t0 = time.monotonic()
+        fn()
+        wall = time.monotonic() - t0
+        runs.append((round(wall, 3), round(_steal_fraction(s0, _stat()), 4)))
+        budget -= 1
+        if budget == 0 and extra_if_dirty > 0 \
+                and not any(s < STEAL_CLEAN for _, s in runs):
+            budget, extra_if_dirty = extra_if_dirty, 0
+    clean = [w for w, s in runs if s < STEAL_CLEAN]
+    return (min(clean) if clean else min(w for w, _ in runs)), runs
 
 
 def ensure_corpus(spark) -> str:
@@ -109,43 +146,44 @@ def main() -> None:
     parts = 4 * max(8, CPUS)
     docs = spark.read.parquet(corpus)
     n = force_extraction(extract_digest_df(docs, partitions=parts))
-    runs = []
-    for _ in range(3):
-        wait_for_idle()
-        t0 = time.monotonic()
-        n = force_extraction(extract_digest_df(docs, partitions=parts))
-        runs.append(time.monotonic() - t0)
-    timings["extract_synthetic"] = round(min(runs), 3)
+    steals: dict[str, list] = {}
+    best, runs = timed(
+        lambda: force_extraction(extract_digest_df(docs, partitions=parts)))
+    timings["extract_synthetic"] = round(best, 3)
+    steals["extract_synthetic"] = runs
     extras["extraction_docs_per_sec"] = round(n / timings["extract_synthetic"], 1)
     extras["extraction_docs"] = n
-    extras["extract_runs_sec"] = [round(r, 3) for r in runs]
 
     # 2. extraction over the driver's flat documents table
     flat = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    t0 = time.monotonic()
-    force_extraction(extract_digest_df(spans_from_flat_documents(flat),
-                                       partitions=parts))
-    timings["extract_flat"] = round(time.monotonic() - t0, 3)
+    best, runs = timed(
+        lambda: force_extraction(extract_digest_df(
+            spans_from_flat_documents(flat), partitions=parts)),
+        attempts=1, extra_if_dirty=1)
+    timings["extract_flat"] = round(best, 3)
+    steals["extract_flat"] = runs
 
     # 3. relational headliner
-    wait_for_idle()
-    t0 = time.monotonic()
-    pricing_summary(spark, SF_DIR).collect()
-    timings["pricing_summary"] = round(time.monotonic() - t0, 3)
+    best, runs = timed(lambda: pricing_summary(spark, SF_DIR).collect(),
+                       attempts=1, extra_if_dirty=1)
+    timings["pricing_summary"] = round(best, 3)
+    steals["pricing_summary"] = runs
 
     # 4. dedup headliner (MinHash + LSH + exact verify); untimed warm-up
     # first — steady-state, consistent with the extraction measurement.
     minhash_lsh_pairs(spark, SF_DIR).collect()
-    wait_for_idle()
-    t0 = time.monotonic()
-    minhash_lsh_pairs(spark, SF_DIR).collect()
-    timings["minhash_lsh_pairs"] = round(time.monotonic() - t0, 3)
+    best, runs = timed(lambda: minhash_lsh_pairs(spark, SF_DIR).collect(),
+                       attempts=1, extra_if_dirty=1)
+    timings["minhash_lsh_pairs"] = round(best, 3)
+    steals["minhash_lsh_pairs"] = runs
 
     # 5. similarity headliner
-    wait_for_idle()
-    t0 = time.monotonic()
-    ann_topk(spark, SF_DIR).collect()
-    timings["ann_topk"] = round(time.monotonic() - t0, 3)
+    best, runs = timed(lambda: ann_topk(spark, SF_DIR).collect(),
+                       attempts=1, extra_if_dirty=1)
+    timings["ann_topk"] = round(best, 3)
+    steals["ann_topk"] = runs
+    extras["runs_sec_steal"] = steals
+    extras["steal_clean_threshold"] = STEAL_CLEAN
 
     sf = 0.1
     if "sf0.01" in SF_DIR:

@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""Multi-executor scaling evidence: local-cluster[N,8,4g], N ∈ {1, 4}.
+
+`bench_scaling.py` evidences the north_rule's N→4N criterion with
+local[8]→local[32] — threads inside ONE JVM, where executor-side effects
+(serialization between executor JVMs, separate block managers, shuffle
+over the ExternalBlockStore path, per-executor Python worker pools) are
+invisible. This script runs the same extraction job on Spark's
+local-cluster mode: real Worker + Executor JVMs, a real N-vs-4N
+*executor* topology — the closest a single box gets to the cluster
+shape the rule presumes (the remaining gap: all 4 executors still share
+one machine's memory bandwidth and turbo budget, so the Spark-free
+machine ceiling from bench_scaling.py applies here too).
+
+Protocol (same discipline as bench_scaling.py):
+- one subprocess per topology (fresh JVMs), untimed warm-up first;
+- every timed run records its own hypervisor-steal fraction; a run only
+  counts when steal < 0.5%; best clean run per level wins;
+- efficiency = (docs_per_sec[4×8] / docs_per_sec[1×8]) / 4.
+
+Usage: python bench_cluster.py              # full report (updates BENCH.md)
+       python bench_cluster.py --worker N   # internal: one topology
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bench_scaling import STEAL_CLEAN, _stat, _steal_fraction, wait_for_idle
+
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "60000"))
+EXECUTORS = (1, 4)
+CORES_PER_EXECUTOR = 8
+EXECUTOR_MEM_MB = 4096
+ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2"))
+
+
+def worker(n_executors: int) -> None:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from bench import ensure_corpus
+    from extract_ocr_spark.pipeline import extract_digest_df
+
+    cores = n_executors * CORES_PER_EXECUTOR
+    spark = (
+        SparkSession.builder
+        .master(f"local-cluster[{n_executors},{CORES_PER_EXECUTOR},"
+                f"{EXECUTOR_MEM_MB}]")
+        .appName(f"cluster-scaling-{n_executors}x{CORES_PER_EXECUTOR}")
+        .config("spark.executorEnv.PYTHONPATH",
+                os.path.dirname(os.path.abspath(__file__)))
+        .config("spark.sql.shuffle.partitions", str(max(8, cores)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "4g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus = ensure_corpus(spark)
+    docs = spark.read.parquet(corpus)
+    parts = 4 * max(8, cores)  # 4 tail-partitions per core (see bench.py)
+
+    def run() -> tuple[float, float, int]:
+        s0 = _stat()
+        t0 = time.monotonic()
+        row = (
+            extract_digest_df(docs, partitions=parts)
+            .agg(F.sum("bytes_out").alias("b"), F.count("*").alias("docs"))
+            .first()
+        )
+        wall = time.monotonic() - t0
+        return wall, _steal_fraction(s0, _stat()), int(row["docs"])
+
+    run()  # warm-up: executor registration, Python worker pools, page cache
+    results: list[tuple[float, float]] = []
+    clean = 0
+    n = 0
+    for _ in range(12):
+        wait_for_idle()
+        wall, steal, n = run()
+        results.append((wall, steal))
+        if steal < STEAL_CLEAN:
+            clean += 1
+            if clean >= 4:
+                break
+    clean_runs = [w for w, s in results if s < STEAL_CLEAN]
+    best = min(clean_runs) if clean_runs else min(w for w, _ in results)
+    out = {
+        "executors": n_executors,
+        "cores_per_executor": CORES_PER_EXECUTOR,
+        "docs": n,
+        "runs_sec_steal": [(round(w, 3), round(s, 4)) for w, s in results],
+        "clean_runs": len(clean_runs),
+        "best_sec": round(best, 3),
+        "docs_per_sec": round(n / best, 1),
+    }
+    print("WORKER_RESULT " + json.dumps(out))
+    spark.stop()
+
+
+def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]))
+        return
+
+    results: dict[int, dict] = {}
+    for _round in range(ROUNDS):  # interleave topologies across rounds
+        for n in EXECUTORS:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker", str(n)],
+                capture_output=True, text=True, timeout=2400,
+            )
+            try:
+                line = next(
+                    ln for ln in proc.stdout.splitlines()
+                    if ln.startswith("WORKER_RESULT "))
+            except StopIteration:
+                sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-4000:])
+                raise
+            res = json.loads(line[len("WORKER_RESULT "):])
+            prev = results.get(n)
+            if prev is None or res["docs_per_sec"] > prev["docs_per_sec"]:
+                res["runs_sec_steal"] = (
+                    (prev["runs_sec_steal"] if prev else [])
+                    + res["runs_sec_steal"])
+                res["clean_runs"] += prev["clean_runs"] if prev else 0
+                results[n] = res
+            else:
+                prev["runs_sec_steal"] += res["runs_sec_steal"]
+                prev["clean_runs"] += res["clean_runs"]
+
+    tp = {n: results[n]["docs_per_sec"] for n in EXECUTORS}
+    eff = round((tp[4] / tp[1]) / 4.0, 3)
+    summary = {
+        "metric": "executor_scaling_efficiency_N_to_4N",
+        "value": eff,
+        "unit": "ratio",
+        "protocol": (
+            "local-cluster[1,8,4g] vs local-cluster[4,8,4g] — separate "
+            "executor JVMs, efficiency = (T_4x8/T_1x8)/4, steal-gated"),
+        "docs": results[1]["docs"],
+        "levels": {str(n): results[n] for n in EXECUTORS},
+        "efficiency_1x8_to_4x8": eff,
+        "criterion": "north_rule: >= 0.8 from N to 4N executors",
+    }
+    print(json.dumps(summary))
+
+    md_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_CLUSTER.json")
+    with open(md_path, "w") as f:
+        json.dump(summary, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

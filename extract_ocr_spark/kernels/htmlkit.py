@@ -480,6 +480,31 @@ def extract_links(html: str, *, page_url: str) -> list[str]:
     return out
 
 
+_TOC_HREF_RE = re.compile(r"\.(?:htm|html)(?:\?|$)", re.IGNORECASE)
+
+
+def extract_toc_hrefs(html: str) -> list[str]:
+    """Left-panel TOC extraction (E12). Reference parity with
+    exporters/endnote25_windows.py:27-42
+    (``extract_hrefs_from_leftpanel_html``): every a[href] in document
+    order, stripped, empties skipped, kept only when the href ends in
+    .htm/.html (optionally followed by a query string) — returned RAW
+    (not absolutized or normalized; ``urlkit.build_absolute_url_list``
+    is the second stage, reference :46-55)."""
+    root = parse_html(html)
+    out: list[str] = []
+    for a in root.find_all("a"):
+        if "href" not in a.attrs:
+            continue
+        href = (a.attrs.get("href") or "").strip()
+        if not href:
+            continue
+        if not _TOC_HREF_RE.search(href):
+            continue
+        out.append(href)
+    return out
+
+
 def extract_links_multi(html: str, *, page_url: str) -> list[str]:
     """Reference ingest_data_uspto_gov.py:536-585: multi-attribute link
     extraction (a/link[href], img/script/iframe/source/video/audio/embed

@@ -72,6 +72,23 @@ def url_hash_key(url: str, n: int = 12) -> str:
     return hashlib.sha256((url or "").encode("utf-8")).hexdigest()[:n]
 
 
+def build_absolute_url_list(hrefs, seed_url: str) -> list[str]:
+    """Absolutize raw TOC hrefs against the seed URL, normalize, and
+    first-seen-dedupe while preserving TOC order (reference parity:
+    exporters/endnote25_windows.py:46-55, ``build_absolute_url_list``)."""
+    from urllib.parse import urljoin
+
+    seen: set[str] = set()
+    ordered: list[str] = []
+    for href in hrefs:
+        abs_url = normalize_url(urljoin(seed_url, href))
+        if abs_url in seen:
+            continue
+        seen.add(abs_url)
+        ordered.append(abs_url)
+    return ordered
+
+
 _MD_LINK_RE = re.compile(r"(!?\[[^\]]*\])\(([^)]+)\)")
 
 

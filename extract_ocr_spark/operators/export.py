@@ -49,6 +49,38 @@ FROM documents ORDER BY source, doc_id
 """
 
 
+def toc_index_df(toc_html: str, seed_url: str, pages: DataFrame) -> DataFrame:
+    """E12 end-to-end: a left-panel TOC seed → ordered URL list →
+    consolidated index lines over the exported pages table.
+
+    The TOC seed is ONE driver-side document (exactly as in the reference,
+    exporters/endnote25_windows.py:114-118 — the left panel is a single
+    local file), so parsing it on the driver is not a scale concern; the
+    tiny (ord, url) table is broadcast into the join against the
+    arbitrarily large ``pages(url, title, path)`` table. Unexported TOC
+    entries render with a missing marker, preserving their slot (the
+    reference's TOC keeps seed order regardless of fetch success)."""
+    from ..kernels.htmlkit import extract_toc_hrefs
+    from ..kernels.urlkit import build_absolute_url_list
+
+    urls = build_absolute_url_list(extract_toc_hrefs(toc_html), seed_url)
+    spark = pages.sparkSession
+    toc = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "ord long, url string")
+    line = F.concat(
+        F.lit("- ["),
+        F.coalesce(F.col("title"), F.lit("(missing)")),
+        F.lit("]("),
+        F.coalesce(F.col("path"), F.col("url")),
+        F.lit(")"),
+    )
+    return (
+        F.broadcast(toc).join(pages, "url", "left")
+        .select("ord", "url", line.alias("toc_line"))
+        .orderBy("ord")
+    )
+
+
 # -- E13: general markdown link rewrite via broadcast url→path map -------------
 # Reference scripts/export_endnote25_windows.py:347-385, 484-498: build the
 # complete URL→local-path map (a genuine barrier), broadcast it, rewrite

@@ -90,3 +90,66 @@ def test_real_seed_goldens(spark):
     }
     assert not mismatches, f"{len(mismatches)} seed goldens changed: " \
         f"{dict(list(mismatches.items())[:3])}"
+
+
+# -- E12 golden: the real EndNote left-panel TOC end-to-end ---------------------
+
+ENDNOTE_TOC = os.path.join(
+    SEEDS, "EndNote 25", "seeds", "endnote25_windows_leftpanel.html")
+ENDNOTE_SEED_URL = (
+    "https://docs.endnote.com/docs/endnote/2025/v1/windows/en/"
+    "content/00endnote_libraries/00endnote_libraries_and_references.htm")
+
+
+@pytest.mark.skipif(not os.path.exists(ENDNOTE_TOC),
+                    reason="reference seed corpus not present")
+def test_endnote_toc_golden_kernels():
+    """Frozen golden over the real 89 KB EndNote left panel: the raw
+    href filter (reference endnote25_windows.py:27-42) and the
+    absolutize+normalize+first-seen stage (:46-55). 162 anchors, 106
+    with href (all .htm), 100 unique absolute URLs."""
+    from extract_ocr_spark.kernels.htmlkit import extract_toc_hrefs
+    from extract_ocr_spark.kernels.urlkit import build_absolute_url_list
+
+    html = open(ENDNOTE_TOC, encoding="utf-8", errors="replace").read()
+    hrefs = extract_toc_hrefs(html)
+    urls = build_absolute_url_list(hrefs, ENDNOTE_SEED_URL)
+    assert len(hrefs) == 106
+    assert len(urls) == 100
+    assert hashlib.md5("\n".join(hrefs).encode()).hexdigest() == \
+        "86c92df1d2dd027810c9c2cd9ee9af7f"
+    assert hashlib.md5("\n".join(urls).encode()).hexdigest() == \
+        "69435ee2c90b10b645f672914a21333c"
+    # seed self-link first (the panel links the seed page itself)
+    assert urls[0] == ENDNOTE_SEED_URL
+    assert urls[-1].endswith("/14rtf/format_paper.htm")
+
+
+@pytest.mark.skipif(not os.path.exists(ENDNOTE_TOC),
+                    reason="reference seed corpus not present")
+def test_endnote_toc_consolidated_index_end_to_end(spark):
+    """Seed → TOC order → consolidated index (S13/E12): exported pages
+    join in, unexported TOC slots render '(missing)' in place, output
+    order equals TOC order."""
+    from extract_ocr_spark.kernels.htmlkit import extract_toc_hrefs
+    from extract_ocr_spark.kernels.urlkit import build_absolute_url_list
+    from extract_ocr_spark.operators.export import toc_index_df
+
+    html = open(ENDNOTE_TOC, encoding="utf-8", errors="replace").read()
+    urls = build_absolute_url_list(extract_toc_hrefs(html), ENDNOTE_SEED_URL)
+    # "export" every other page
+    pages = spark.createDataFrame(
+        [(u, f"Title {i}", f"pages/p{i}.md")
+         for i, u in enumerate(urls) if i % 2 == 0],
+        "url string, title string, path string")
+    df = toc_index_df(html, ENDNOTE_SEED_URL, pages)
+    out = df.collect()
+    assert len(out) == 100
+    assert [r["ord"] for r in out] == list(range(100))
+    assert [r["url"] for r in out] == urls
+    assert out[0]["toc_line"] == "- [Title 0](pages/p0.md)"
+    assert out[1]["toc_line"] == f"- [(missing)]({urls[1]})"
+    # plan: the tiny TOC side is broadcast, never shuffled (read the AQE
+    # final plan — before execution it prints isFinalPlan=false stubs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan

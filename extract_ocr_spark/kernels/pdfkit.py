@@ -71,9 +71,20 @@ def _extract_page(page: str) -> str | None:
 
 def extract_pdf_text(layout_text: str | None) -> str:
     """Per-page extraction, skip failing pages, join non-empty pages with
-    a blank line; sentinel when nothing is extractable."""
+    a blank line; sentinel when nothing is extractable.
+
+    Accepts either the synthetic layout encoding (module docstring) or —
+    when the input starts with ``%PDF-`` — real PDF bytes passed through
+    the string channel (latin-1), which are parsed by the from-scratch
+    reader below and funneled into the same reading-order kernel."""
     if layout_text is None:
         return PARSE_FAIL_SENTINEL
+    if layout_text.startswith("%PDF-"):
+        try:
+            layout_text = _pdf_bytes_to_layout(
+                layout_text.encode("latin-1", errors="replace"))
+        except Exception:
+            return PARSE_FAIL_SENTINEL
     pages = layout_text.split("\f")
     parts: list[str] = []
     for page in pages:
@@ -84,3 +95,230 @@ def extract_pdf_text(layout_text: str | None) -> str:
     if text.strip():
         return text
     return NO_TEXT_SENTINEL
+
+
+# -- real PDF bytes (E8 at full strength, minimal from-scratch reader) ----------
+#
+# The reference extracts per-page text with pypdf (crawl.py:98-124); no PDF
+# library ships in this container and every reference PDF is a git-lfs
+# pointer stub, so this is a from-scratch reader for the common subset:
+# uncompressed or FlateDecode content streams, literal/hex strings, the
+# Tj/TJ/'/" text-showing operators and Td/TD/Tm/T* positioning. Parsed
+# (x, y, text) runs are re-encoded into the synthetic layout lines
+# (`@<y>,<x>:<text>`, y negated because PDF y grows upward) so reading-order
+# reconstruction, failing-page skips, and page joining reuse the one tested
+# kernel above. Out of scope (documented): CMap/Type0 font decoding, LZW /
+# DCT filters, encrypted files, xref streams (objects are recovered by
+# scanning `N G obj ... endobj`, which also survives mild corruption).
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.S)
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+_NUM_RE = re.compile(rb"[-+]?\d*\.?\d+")
+
+
+def _dict_value(body: bytes, key: bytes) -> bytes | None:
+    """The raw token(s) following /key in an object body (first match)."""
+    m = re.search(rb"/" + key + rb"\s*(\[[^\]]*\]|<<.*?>>|[^/>\s][^/>]*)",
+                  body, re.S)
+    return m.group(1).strip() if m else None
+
+
+def _decode_pdf_string(tok: bytes) -> str:
+    """Literal `(...)` (escapes, octal, nested parens already balanced by
+    the tokenizer) or hex `<...>` string → text. UTF-16BE BOM honored;
+    otherwise latin-1 (≈ PDFDocEncoding for the printable range)."""
+    if tok.startswith(b"<"):
+        hx = re.sub(rb"[^0-9A-Fa-f]", b"", tok[1:-1])
+        if len(hx) % 2:
+            hx += b"0"
+        raw = bytes.fromhex(hx.decode("ascii"))
+    else:
+        body = tok[1:-1]
+        out = bytearray()
+        i = 0
+        while i < len(body):
+            c = body[i]
+            if c == 0x5C and i + 1 < len(body):  # backslash
+                n = body[i + 1]
+                i += 2
+                if n in b"nrtbf":
+                    out.append({0x6E: 10, 0x72: 13, 0x74: 9,
+                                0x62: 8, 0x66: 12}[n])
+                elif n in b"()\\":
+                    out.append(n)
+                elif 0x30 <= n <= 0x37:  # octal \ddd (1-3 digits)
+                    digits = chr(n)
+                    while (i < len(body) and len(digits) < 3
+                           and 0x30 <= body[i] <= 0x37):
+                        digits += chr(body[i])
+                        i += 1
+                    out.append(int(digits, 8) & 0xFF)
+                elif n in (10, 13):  # line continuation
+                    if n == 13 and i < len(body) and body[i] == 10:
+                        i += 1
+                else:
+                    out.append(n)
+            else:
+                out.append(c)
+                i += 1
+        raw = bytes(out)
+    if raw.startswith(b"\xfe\xff"):
+        return raw[2:].decode("utf-16-be", errors="replace")
+    return raw.decode("latin-1")
+
+
+_CONTENT_TOKEN_RE = re.compile(
+    rb"\((?:[^()\\]|\\.|\([^()]*\))*\)"   # literal string (1 nesting level)
+    rb"|<[0-9A-Fa-f\s]*>"                  # hex string
+    rb"|\[|\]"
+    rb"|[-+]?\d*\.?\d+"
+    rb"|/[^\s/\[\]()<>]*"
+    rb"|[A-Za-z'\"*]+")
+
+
+def _content_runs(content: bytes) -> list[tuple[float, float, str]]:
+    """Scan one content stream for text runs → [(y, x, text)] in paint
+    order. Tracks the text line matrix translation only (no scaling/font
+    metrics — enough for reading-order text extraction)."""
+    runs: list[tuple[float, float, str]] = []
+    tx = ty = 0.0
+    leading = 12.0
+    stack: list[object] = []  # operand stack: floats and decoded strings
+
+    def show(s: str) -> None:
+        if s:
+            runs.append((ty, tx, s))
+
+    for m in _CONTENT_TOKEN_RE.finditer(content):
+        tok = m.group(0)
+        c0 = tok[:1]
+        if c0 in b"(<":
+            stack.append(_decode_pdf_string(tok))
+        elif c0 in b"[]":
+            stack.append(tok.decode("ascii"))
+        elif c0 in b"/":
+            stack.append(tok.decode("latin-1"))
+        elif _NUM_RE.fullmatch(tok):
+            stack.append(float(tok))
+        else:
+            op = tok.decode("latin-1")
+            if op == "Td" and len(stack) >= 2:
+                tx += float(stack[-2]); ty += float(stack[-1])
+            elif op == "TD" and len(stack) >= 2:
+                tx += float(stack[-2]); ty += float(stack[-1])
+                leading = -float(stack[-1]) or leading
+            elif op == "Tm" and len(stack) >= 6:
+                tx, ty = float(stack[-2]), float(stack[-1])
+            elif op == "T*":
+                ty -= leading
+            elif op == "TL" and stack:
+                leading = float(stack[-1]) or leading
+            elif op == "Tj" and stack and isinstance(stack[-1], str):
+                show(stack[-1])
+            elif op == "TJ":
+                # concatenate the string items since the matching '['
+                parts = []
+                for item in reversed(stack):
+                    if item == "[":
+                        break
+                    if isinstance(item, str) and item not in ("[", "]"):
+                        parts.append(item)
+                show("".join(reversed([p for p in parts if p != "]"])))
+            elif op in ("'", '"') and stack and isinstance(stack[-1], str):
+                ty -= leading
+                show(stack[-1])
+            elif op == "BT":
+                tx = ty = 0.0
+            stack.clear()
+    return runs
+
+
+def _pdf_bytes_to_layout(data: bytes) -> str:
+    """Real PDF bytes → the synthetic layout encoding consumed by
+    ``extract_pdf_text`` (pages joined with \\f, runs as `@<-y>,<x>:`
+    positioned lines so top-of-page sorts first)."""
+    import zlib
+
+    objs: dict[int, bytes] = {}
+    for m in _OBJ_RE.finditer(data):
+        objs.setdefault(int(m.group(1)), m.group(3))
+
+    def stream_of(body: bytes) -> bytes | None:
+        sm = re.search(rb"stream\r?\n", body)
+        if sm is None:
+            return None
+        start = sm.end()
+        # Honor /Length when present — the endstream-scan fallback can eat
+        # a trailing 0x0D of binary data (it is indistinguishable from the
+        # optional \r of the EOL before `endstream`).
+        raw = None
+        ln = _dict_value(body, b"Length")
+        if ln is not None:
+            ref = _REF_RE.fullmatch(ln.strip())
+            if ref is not None:  # indirect length object
+                ln = objs.get(int(ref.group(1)), b"").strip()
+            try:
+                raw = body[start:start + int(ln)]
+            except ValueError:
+                raw = None
+        if raw is None:
+            em = re.search(rb"\r?\nendstream", body[start:])
+            if em is None:
+                return None
+            raw = body[start:start + em.start()]
+        if b"/FlateDecode" in body[:sm.start()]:
+            try:
+                return zlib.decompress(raw)
+            except Exception:
+                return None
+        return raw
+
+    # Page order: walk /Kids arrays of /Type /Pages nodes (document
+    # order), falling back to file-appearance order of /Type /Page objects.
+    page_ids: list[int] = []
+
+    def walk(num: int, depth: int = 0) -> None:
+        if depth > 64 or num not in objs:
+            return
+        body = objs[num]
+        if re.search(rb"/Type\s*/Pages\b", body):
+            kids = _dict_value(body, b"Kids") or b""
+            for r in _REF_RE.finditer(kids):
+                walk(int(r.group(1)), depth + 1)
+        elif re.search(rb"/Type\s*/Page\b", body):
+            page_ids.append(num)
+
+    roots = [n for n, b in objs.items()
+             if re.search(rb"/Type\s*/Pages\b", b)
+             and not any(rb"/Kids" in ob and re.search(
+                 rb"\b%d\s+\d+\s+R" % n, _dict_value(ob, b"Kids") or b"")
+                 for on, ob in objs.items() if on != n)]
+    for r in roots:
+        walk(r)
+    if not page_ids:
+        page_ids = [n for n, b in objs.items()
+                    if re.search(rb"/Type\s*/Page\b", b)]
+
+    page_layouts: list[str] = []
+    for pid in page_ids:
+        body = objs[pid]
+        contents = _dict_value(body, b"Contents") or b""
+        streams: list[bytes] = []
+        for r in _REF_RE.finditer(contents):
+            ref = int(r.group(1))
+            if ref in objs:
+                s = stream_of(objs[ref])
+                if s is not None:
+                    streams.append(s)
+        if not streams:  # inline content stream on the page object itself
+            s = stream_of(body)
+            if s is not None:
+                streams.append(s)
+        lines: list[str] = []
+        for s in streams:
+            for y, x, text in _content_runs(s):
+                clean = text.replace("\n", " ").replace("\r", " ")
+                lines.append(f"@{-y:g},{x:g}:{clean}")
+        page_layouts.append("\n".join(lines))
+    return "\f".join(page_layouts)

@@ -1,0 +1,129 @@
+"""Real-PDF-bytes extraction (E8 at full strength): the from-scratch
+Tj/TJ + Td/TD/Tm reader over synthesized *valid PDF files* (built
+byte-by-byte here — no PDF library exists in the container to write them
+either, which keeps the fixture honest)."""
+
+from __future__ import annotations
+
+import zlib
+
+from extract_ocr_spark.kernels.pdfkit import (
+    NO_TEXT_SENTINEL,
+    PARSE_FAIL_SENTINEL,
+    extract_pdf_text,
+)
+
+
+def _build_pdf(pages: list[bytes], *, flate: bool = False,
+               kids_order: list[int] | None = None) -> bytes:
+    """Minimal but structurally valid PDF: catalog(1) → pages(2) →
+    page objects (3..) → content streams. ``kids_order`` permutes the
+    /Kids array relative to object-number order."""
+    n_pages = len(pages)
+    page_nums = list(range(3, 3 + n_pages))
+    content_nums = list(range(3 + n_pages, 3 + 2 * n_pages))
+    order = kids_order or list(range(n_pages))
+    kids = " ".join(f"{page_nums[i]} 0 R" for i in order)
+
+    objs: list[tuple[int, bytes]] = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()),
+    ]
+    for i in range(n_pages):
+        objs.append((
+            page_nums[i],
+            (f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             f"/Contents {content_nums[i]} 0 R >>").encode()))
+    for i, content in enumerate(pages):
+        data = zlib.compress(content) if flate else content
+        filt = b"/Filter /FlateDecode " if flate else b""
+        objs.append((
+            content_nums[i],
+            b"<< " + filt + b"/Length " + str(len(data)).encode()
+            + b" >>\nstream\n" + data + b"\nendstream"))
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for num, body in objs:
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n0000000000 65535 f \n".encode()
+    for num, _ in objs:
+        out += f"{offsets[num]:010d} 00000 n \n".encode()
+    out += (b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+            + b" /Root 1 0 R >>\nstartxref\n" + str(xref_at).encode()
+            + b"\n%%EOF\n")
+    return bytes(out)
+
+
+def _as_text(pdf: bytes) -> str:
+    # the span channel carries strings; real bytes ride latin-1
+    return pdf.decode("latin-1")
+
+
+def test_uncompressed_tj_reading_order():
+    # painted bottom line first — reading order must resort by y (top
+    # of page = larger PDF y first)
+    content = (b"BT /F1 12 Tf 72 100 Td (bottom line) Tj ET\n"
+               b"BT 72 700 Td (top line) Tj ET\n"
+               b"BT 300 700 Td (top right) Tj ET")
+    got = extract_pdf_text(_as_text(_build_pdf([content])))
+    assert got == "top line top right\nbottom line\n"
+
+
+def test_flate_tj_array_hex_escapes_and_td_lines():
+    # TJ array with kerning numbers, hex string, escaped parens/octal,
+    # and TD line advance
+    content = (
+        b"BT 72 700 TD [(Hel) -20 (lo,) ] TJ ET\n"
+        b"BT 72 686 Td <576f726c64> Tj ET\n"          # 'World'
+        b"BT 72 672 Td (par\\(en\\) \\101BC) Tj ET"   # 'par(en) ABC'
+    )
+    got = extract_pdf_text(_as_text(_build_pdf([content], flate=True)))
+    assert got == "Hello,\nWorld\npar(en) ABC\n"
+
+
+def test_multi_page_kids_order_and_t_star():
+    p1 = (b"BT 12 TL 72 700 Td (page one line one) Tj T* "
+          b"(page one line two) Tj ET")
+    p2 = b"BT 72 700 Td (page two) Tj ET"
+    # object order p1,p2 but Kids reversed: /Kids order must win
+    pdf = _build_pdf([p2, p1], kids_order=[1, 0])
+    got = extract_pdf_text(_as_text(pdf))
+    assert got == "page one line one\npage one line two\n\npage two\n"
+
+
+def test_quote_operator_and_utf16():
+    content = (b"BT 10 TL 72 700 Td (first) Tj (second) ' ET\n"
+               b"BT 72 600 Td (\xfe\xff\x00S\x00n\x00o\x00w) Tj ET")
+    got = extract_pdf_text(_as_text(_build_pdf([content])))
+    assert got == "first\nsecond\nSnow\n"
+
+
+def test_textless_and_garbage_pdfs():
+    empty = _build_pdf([b"0 0 m 100 100 l S"])  # vector-only page
+    assert extract_pdf_text(_as_text(empty)) == NO_TEXT_SENTINEL
+    # %PDF header but unparseable body: parse-fail sentinel, no raise —
+    # note bytes that are invalid as a PDF, not an empty object set
+    assert extract_pdf_text("%PDF-1.4\n\x00\x01garbage") in (
+        NO_TEXT_SENTINEL, PARSE_FAIL_SENTINEL)
+
+
+def test_real_pdf_through_spark_pipeline(spark):
+    """A pdf span carrying real PDF bytes flows through extract_df and
+    comes out as ordered text spans."""
+    from extract_ocr_spark.pipeline import extract_df
+
+    pdf_text = _as_text(_build_pdf(
+        [b"BT 72 700 Td (spark sees real pdf bytes) Tj ET"], flate=True))
+    docs = spark.createDataFrame(
+        [("pdfdoc", [("pdf", pdf_text, None, 0)])],
+        schema="doc_id string, spans array<struct<kind:string,text:string,"
+               "media_ref:string,offset:int>>",
+    )
+    out = extract_df(docs, with_stats=True).collect()
+    assert len(out) == 1 and out[0]["error"] is None
+    spans = out[0]["out_spans"]
+    texts = [s["text"] for s in spans]
+    assert any("spark sees real pdf bytes" in t for t in texts), texts

@@ -52,3 +52,27 @@ def plain_text(text: str | None) -> str:
 
 def lossy_decode(body: bytes) -> str:
     return body.decode("utf-8", errors="replace")
+
+
+def wrap_source_bullets(source_url: str, *, max_width: int = 100) -> list[str]:
+    """Reference parity: apis_report.py:141-163 (_wrap_source_bullets) —
+    a '  - source: <url>' bullet, textwrap-wrapped at ``max_width`` with
+    break_long_words=True / break_on_hyphens=False, continuation lines
+    indented to the prefix width."""
+    import textwrap
+
+    prefix = "  - source: "
+    if len(prefix) + len(source_url) <= max_width:
+        return [f"{prefix}{source_url}"]
+    wrapped = textwrap.wrap(
+        source_url,
+        width=max_width - len(prefix),
+        break_long_words=True,
+        break_on_hyphens=False,
+    )
+    if not wrapped:
+        return [f"{prefix}{source_url}"]
+    lines = [f"{prefix}{wrapped[0]}"]
+    continuation = " " * len(prefix)
+    lines.extend(f"{continuation}{part}" for part in wrapped[1:])
+    return lines

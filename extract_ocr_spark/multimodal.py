@@ -193,8 +193,11 @@ def frame_sample(media: DataFrame, *, every_n: int = 4,
                 for i, fi in enumerate(range(0, n_total, every_n)):
                     if i >= max_frames:
                         break
+                    # ASCII frame salt (not packed bytes): keeps the fake
+                    # decode exactly expressible in the DuckDB oracle,
+                    # whose md5() only accepts VARCHAR.
                     frames.append(decode_media(
-                        raw + fi.to_bytes(4, "big"),
+                        raw + str(fi).encode("ascii"),
                         meta["mime"] if meta is not None else "",
                         fake=fake_decode))
                     refs.append(ref)
@@ -203,6 +206,57 @@ def frame_sample(media: DataFrame, *, every_n: int = 4,
                 {"media_ref": refs, "frame_idx": idxs, "frame": frames})
 
     return media.mapInPandas(fn, schema=_FRAMES_SCHEMA)
+
+
+def resize_media_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: resize stage end-to-end (decode → fixed 32×32
+    buffer), summarized as an md5 over the hex of the pixel buffer so the
+    whole tiled-buffer contract is hash-exact against DuckDB (the fake
+    16-byte decode tiles exactly 64× into 1024 bytes)."""
+    media = media_table_from_documents(spark, sf_dir)
+    out = resize_media(media, out_w=32, out_h=32, fake_decode=True)
+    return out.select(
+        "media_ref", "out_width", "out_height",
+        F.md5(F.lower(F.hex("pixels"))).alias("pixels_md5"),
+    ).orderBy("media_ref")
+
+
+RESIZE_MEDIA_SQL = """
+SELECT substring(sha256(text), 1, 16) AS media_ref,
+       32 AS out_width, 32 AS out_height,
+       md5(repeat(md5(text), 64)) AS pixels_md5
+FROM documents
+ORDER BY media_ref
+"""
+
+
+def frame_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: frame sampling end-to-end (1 row → N frame rows,
+    every 4th of the fake 64-bytes-per-frame 'video', max 8), each frame
+    reported as its hex (the fake decode is an md5 digest, so the hex IS
+    md5(payload || idx) — directly computable in DuckDB)."""
+    media = media_table_from_documents(spark, sf_dir)
+    out = frame_sample(media, every_n=4, max_frames=8, fake_decode=True)
+    return out.select(
+        "media_ref", "frame_idx",
+        F.lower(F.hex("frame")).alias("frame_md5"),
+    ).orderBy("media_ref", "frame_idx")
+
+
+FRAME_SAMPLE_SQL = """
+WITH m AS (
+  SELECT substring(sha256(text), 1, 16) AS media_ref, text,
+         greatest(1, octet_length(encode(text)) // 64) AS n_total
+  FROM documents
+), f AS (
+  SELECT media_ref, text, unnest(range(0, n_total, 4)) AS fi FROM m
+)
+SELECT media_ref, CAST(fi AS INT) AS frame_idx,
+       md5(text || CAST(fi AS VARCHAR)) AS frame_md5
+FROM f
+WHERE fi < 32
+ORDER BY media_ref, frame_idx
+"""
 
 
 # The payload is the document text's utf-8 bytes (media_table_from_documents),

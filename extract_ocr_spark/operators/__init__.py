@@ -33,4 +33,8 @@ def all_queries():
         oracles.update(mod.ORACLES)
     queries["media_features"] = multimodal.media_features_query
     oracles["media_features"] = multimodal.MEDIA_FEATURES_SQL
+    queries["resize_media"] = multimodal.resize_media_query
+    oracles["resize_media"] = multimodal.RESIZE_MEDIA_SQL
+    queries["frame_sample"] = multimodal.frame_sample_query
+    oracles["frame_sample"] = multimodal.FRAME_SAMPLE_SQL
     return queries, oracles

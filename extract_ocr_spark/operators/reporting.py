@@ -345,11 +345,158 @@ ORDER BY doc_id
 """
 
 
+# -- E11 rendering: the endpoint-inventory markdown blocks ---------------------
+# Reference apis_report.py:278-292: per endpoint, a `- [endpoint](resp_md)`
+# line (missing marker when the resp.md file does not exist — always the
+# case in table-land, where no export dir is mounted) followed by
+# textwrap-wrapped `  - source:` bullets (:141-163). resp_md uses the
+# fallback pages/<title>--<sha12>.resp.md convention (:56-66).
+
+def apis_report_markdown(spark, sf_dir):
+    """Endpoint inventory blocks: the api_endpoint_report grouping plus
+    the reference's exact markdown rendering. Wrapping runs through the
+    real textwrap kernel in an Arrow-batched UDF; the synthetic source
+    URLs are space/hyphen-free, for which textwrap provably degenerates
+    to fixed 88-char slicing — giving the render a hash-exact oracle."""
+    from ..kernels.textops import wrap_source_bullets
+
+    docs = _docs(spark, sf_dir)
+    md = F.concat(
+        F.lit("see /apis/v1/"), F.col("source"), F.lit("/q"),
+        (F.col("n_chars") % 7).cast("string"),
+        F.lit(" and [x](/apis/v2/"), F.col("lang"), F.lit(") end"),
+    )
+    src = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("https://data.example.gov/p/"),
+                 F.col("doc_id").cast("string")),
+    ).otherwise(
+        F.concat(F.lit("https://data.example.gov/"),
+                 F.repeat(F.concat(F.lit("seg"),
+                                   (F.col("doc_id") % 3).cast("string"),
+                                   F.lit("/")), 20),
+                 F.lit("doc"), F.col("doc_id").cast("string")))
+    hits = (
+        docs.withColumn("md", md).withColumn("src", src)
+        .select("src", F.explode(F.expr(
+            r"regexp_extract_all(md, '/apis/[a-z0-9/._-]+', 0)"))
+            .alias("endpoint"))
+    )
+    grouped = hits.groupBy("endpoint").agg(
+        F.array_sort(F.collect_set("src")).alias("sources"))
+
+    resp_md = F.concat(
+        F.lit("pages/"), F.element_at(F.split("endpoint", "/"), -1),
+        F.lit("--"), F.substring(F.sha2("endpoint", 256), 1, 12),
+        F.lit(".resp.md"))
+
+    @pandas_udf(T.StringType())
+    def render(endpoint: pd.Series, rmd: pd.Series,
+               sources: pd.Series) -> pd.Series:
+        out = []
+        for e, r, srcs in zip(endpoint, rmd, sources):
+            lines = [f"- [{e}]({r}) (MISSING resp.md)"]
+            for s in srcs:
+                lines.extend(wrap_source_bullets(s))
+            out.append("\n".join(lines))
+        return pd.Series(out)
+
+    return (
+        grouped.withColumn("resp_md", resp_md)
+        .select("endpoint",
+                render("endpoint", "resp_md", "sources").alias("block_md"))
+        .orderBy("endpoint")
+    )
+
+
+APIS_REPORT_MARKDOWN_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         'see /apis/v1/' || source || '/q' || (n_chars % 7)
+           || ' and [x](/apis/v2/' || lang || ') end' AS md,
+         CASE WHEN doc_id % 2 = 0
+              THEN 'https://data.example.gov/p/' || doc_id
+              ELSE 'https://data.example.gov/'
+                   || repeat('seg' || (doc_id % 3) || '/', 20)
+                   || 'doc' || doc_id END AS src
+  FROM documents
+), hits AS (
+  SELECT DISTINCT src,
+         unnest(regexp_extract_all(md, '/apis/[a-z0-9/._-]+')) AS endpoint
+  FROM base
+), chunks AS (
+  SELECT endpoint, src,
+         unnest(range(0, CAST(ceil(length(src) / 88.0) AS BIGINT))) AS i
+  FROM hits
+), bullets AS (
+  SELECT endpoint, src,
+         string_agg(
+           CASE WHEN i = 0 THEN '  - source: ' ELSE repeat(' ', 12) END
+             || substring(src, CAST(i * 88 + 1 AS INT), 88),
+           chr(10) ORDER BY i) AS bullet
+  FROM chunks GROUP BY endpoint, src
+)
+SELECT endpoint,
+       '- [' || endpoint || '](pages/' || split_part(endpoint, '/', -1)
+       || '--' || substring(sha256(endpoint), 1, 12)
+       || '.resp.md) (MISSING resp.md)' || chr(10)
+       || string_agg(bullet, chr(10) ORDER BY src) AS block_md
+FROM bullets
+GROUP BY endpoint
+ORDER BY endpoint
+"""
+
+
+# -- A4 at full strength: exists-on-disk resp_md preference --------------------
+# Reference apis_report.py:189-204: manifest events are replayed in order;
+# a candidate whose file exists on disk always overwrites, a candidate
+# whose file is missing only fills an empty slot. Net: the LAST existing
+# candidate wins, else the FIRST candidate seen.
+
+def resp_md_pick(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    ev = docs.select(
+        F.col("source").alias("endpoint"),
+        F.col("doc_id").alias("seq"),
+        F.concat(F.lit("pages/r"), F.col("doc_id").cast("string"),
+                 F.lit(".resp.md")).alias("candidate"),
+        (F.col("doc_id") % 3 == 0).alias("on_disk"),
+    )
+    last_existing = (
+        ev.filter("on_disk").groupBy("endpoint")
+        .agg(F.max_by("candidate", "seq").alias("existing")))
+    first_any = ev.groupBy("endpoint").agg(
+        F.min_by("candidate", "seq").alias("first_seen"))
+    return (
+        first_any.join(last_existing, "endpoint", "left")
+        .select("endpoint",
+                F.coalesce("existing", "first_seen").alias("resp_md"))
+        .orderBy("endpoint")
+    )
+
+
+RESP_MD_PICK_SQL = """
+WITH ev AS (
+  SELECT source AS endpoint, doc_id AS seq,
+         'pages/r' || doc_id || '.resp.md' AS candidate,
+         doc_id % 3 = 0 AS on_disk
+  FROM documents
+)
+SELECT endpoint,
+       coalesce(
+         arg_max(candidate, seq) FILTER (WHERE on_disk),
+         arg_min(candidate, seq)) AS resp_md
+FROM ev GROUP BY endpoint ORDER BY endpoint
+"""
+
+
 QUERIES = {
     "citations_ris": citations_ris,
     "citations_bibtex": citations_bibtex,
     "citations_csl": citations_csl,
     "api_endpoint_report": api_endpoint_report,
+    "apis_report_markdown": apis_report_markdown,
+    "resp_md_pick": resp_md_pick,
     "filename_sanitize": filename_sanitize,
     "url_keys": url_keys,
     "path_key_report": path_key_report,
@@ -361,6 +508,8 @@ ORACLES = {
     "citations_bibtex": CITATIONS_BIBTEX_SQL,
     "citations_csl": CITATIONS_CSL_SQL,
     "api_endpoint_report": API_ENDPOINT_REPORT_SQL,
+    "apis_report_markdown": APIS_REPORT_MARKDOWN_SQL,
+    "resp_md_pick": RESP_MD_PICK_SQL,
     "filename_sanitize": FILENAME_SANITIZE_SQL,
     "url_keys": URL_KEYS_SQL,
     "path_key_report": PATH_KEY_REPORT_SQL,

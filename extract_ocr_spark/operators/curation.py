@@ -276,6 +276,110 @@ FROM q ORDER BY doc_id
 """
 
 
+# -- training sequence packing ------------------------------------------------------
+
+PACK_BUDGET = 2048   # tokens per packed training sequence
+PACK_SHARDS = 64     # packing shards (cluster: thousands)
+
+
+def pack_sequences(spark, sf_dir):
+    """Sequence packing for training: assign each doc to a fixed-budget
+    packed sequence (cumulative-token chunking — the standard at-scale
+    approximation of greedy packing, since exact first-fit needs a
+    sequential scan).
+
+    Scale shape: a single global ordered cumsum would be a one-partition
+    window (a scale-killer), so docs are hash-sharded first and packing is
+    shard-local — every shard's window runs in parallel and a sequence
+    never crosses shards (training shards are independent anyway). Output
+    sequence identity is (shard, seq_id)."""
+    docs = _docs(spark, sf_dir)
+    from pyspark.sql import Window
+
+    n_tokens = F.size(F.split(F.trim(
+        F.regexp_replace("text", r"\s+", " ")), " "))
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+               16, 10).cast("long"),
+        F.lit(PACK_SHARDS)).cast("int")
+    w = Window.partitionBy("shard").orderBy("doc_id") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        docs.select("doc_id", n_tokens.alias("n_tokens"),
+                    shard.alias("shard"))
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id", "shard", "n_tokens",
+            F.floor((F.col("cum") - F.col("n_tokens")) / PACK_BUDGET)
+            .cast("long").alias("seq_id"))
+        .orderBy("doc_id")
+    )
+
+
+PACK_SEQUENCES_SQL = rf"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS n_tokens,
+         CAST(('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+              % {PACK_SHARDS} AS INT) AS shard
+  FROM documents
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens)
+                  / {PACK_BUDGET}.0) AS BIGINT) AS seq_id
+FROM t ORDER BY doc_id
+"""
+
+
+# -- stratified (per-source) deterministic sampling ----------------------------------
+
+SAMPLE_RATES = {"web": 0.5, "wiki": 1.0, "books": 1.0, "code": 0.25}
+DEFAULT_RATE = 0.1
+
+
+def stratified_sample(spark, sf_dir):
+    """Mixture sampling: keep each doc with a per-source rate, decided by
+    a deterministic content-free hash (md5 of doc_id → bucket of 10⁴), so
+    the sample is reproducible across runs/partitionings and needs no RNG
+    state. This is the domain-mixture step of a training-data pipeline
+    (e.g. upsample wiki/books, downsample crawl)."""
+    docs = _docs(spark, sf_dir)
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+               16, 10).cast("long"),
+        F.lit(10_000))
+    rate = F.lit(DEFAULT_RATE)
+    for src, r in sorted(SAMPLE_RATES.items()):
+        rate = F.when(F.col("source") == src, F.lit(r)).otherwise(rate)
+    return (
+        docs.select("doc_id", "source", bucket.alias("bucket"),
+                    rate.alias("rate"))
+        .filter(F.col("bucket") < F.col("rate") * 10_000)
+        .select("doc_id", "source",
+                F.col("rate").cast("double").alias("rate"))
+        .orderBy("doc_id")
+    )
+
+
+_RATE_CASES = " ".join(
+    f"WHEN source = '{src}' THEN {r}"
+    for src, r in sorted(SAMPLE_RATES.items()))
+
+STRATIFIED_SAMPLE_SQL = f"""
+WITH s AS (
+  SELECT doc_id, source,
+         ('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+           % 10000 AS bucket,
+         CAST(CASE {_RATE_CASES} ELSE {DEFAULT_RATE} END AS DOUBLE) AS rate
+  FROM documents
+)
+SELECT doc_id, source, rate
+FROM s WHERE bucket < rate * 10000
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_apply": dedup_apply,
     "split_assign": split_assign,
@@ -283,6 +387,8 @@ QUERIES = {
     "contamination_check": contamination_check,
     "pii_scrub": pii_scrub,
     "quality_filter_apply": quality_filter_apply,
+    "pack_sequences": pack_sequences,
+    "stratified_sample": stratified_sample,
 }
 
 ORACLES = {
@@ -292,4 +398,6 @@ ORACLES = {
     "contamination_check": CONTAMINATION_CHECK_SQL,
     "pii_scrub": PII_SCRUB_SQL,
     "quality_filter_apply": QUALITY_FILTER_APPLY_SQL,
+    "pack_sequences": PACK_SEQUENCES_SQL,
+    "stratified_sample": STRATIFIED_SAMPLE_SQL,
 }

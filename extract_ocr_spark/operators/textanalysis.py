@@ -264,3 +264,88 @@ ORDER BY r.source, r.tf DESC, r.term
 
 QUERIES["top_terms_per_source"] = top_terms_per_source
 ORACLES["top_terms_per_source"] = TOP_TERMS_PER_SOURCE_SQL
+
+
+# -- repetition metrics (Gopher-style quality signals) -------------------------------
+# Rae et al. 2021 (Gopher), table A1: duplicate-line fraction and
+# top-n-gram fraction are standard repetition filters for web-scale
+# training corpora. Both fully native: line stats as array expressions
+# (no shuffle), the 2-gram mode via explode → two-phase agg (one shuffle
+# on (doc_id, gram), partial map-side combine — scales like word count).
+
+def repetition_metrics(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    lines = F.filter(
+        F.transform(F.split("text", "\n"), lambda l: F.trim(l)),
+        lambda l: l != "")
+    line_stats = docs.select(
+        "doc_id",
+        F.size(lines).alias("n_lines"),
+        F.size(F.array_distinct(lines)).alias("n_uniq_lines"),
+    )
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.size(words) - 2),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2)),
+        )).alias("gram"))
+    gram_stats = (
+        grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+        .groupBy("doc_id").agg(
+            F.max("c").alias("top_gram"),
+            F.sum("c").alias("n_grams"))
+    )
+    dup_line_frac = F.when(
+        F.col("n_lines") > 0,
+        F.round(1.0 - F.col("n_uniq_lines") / F.col("n_lines"), 6)
+    ).otherwise(F.lit(0.0))
+    top_gram_frac = F.round(
+        F.coalesce(F.col("top_gram") / F.col("n_grams"), F.lit(0.0)), 6)
+    return (
+        line_stats.join(gram_stats, "doc_id", "left")
+        .select(
+            "doc_id", "n_lines",
+            dup_line_frac.alias("dup_line_frac"),
+            top_gram_frac.alias("top_2gram_frac"))
+        .orderBy("doc_id")
+    )
+
+
+REPETITION_METRICS_SQL = r"""
+WITH l AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    x -> trim(x)), x -> x != '') AS lines
+  FROM documents
+), ls AS (
+  SELECT doc_id, len(lines) AS n_lines,
+         len(list_distinct(lines)) AS n_uniq_lines
+  FROM l
+), w AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(words)),
+                               i -> words[i] || ' ' || words[i+1])) AS gram
+  FROM w WHERE len(words) >= 2
+), gc AS (
+  SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram
+), gs AS (
+  SELECT doc_id, max(c) AS top_gram, sum(c) AS n_grams FROM gc GROUP BY doc_id
+)
+SELECT ls.doc_id, ls.n_lines,
+       CASE WHEN ls.n_lines > 0
+            THEN round(1.0 - ls.n_uniq_lines * 1.0 / ls.n_lines, 6)
+            ELSE 0.0 END AS dup_line_frac,
+       round(coalesce(gs.top_gram * 1.0 / gs.n_grams, 0.0), 6) AS top_2gram_frac
+FROM ls LEFT JOIN gs ON ls.doc_id = gs.doc_id
+ORDER BY ls.doc_id
+"""
+
+
+QUERIES["repetition_metrics"] = repetition_metrics
+ORACLES["repetition_metrics"] = REPETITION_METRICS_SQL

@@ -84,3 +84,64 @@ def test_connected_components_raises_when_capped(spark):
     labels = spark.range(n).select(F.col("id"), F.col("id").alias("comp"))
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(labels, edges, max_iters=2)
+
+
+def test_pack_sequences_budget_property(spark, tmp_path):
+    """Packed sequences respect the budget up to one straddling doc
+    (cumsum chunking), and every doc is assigned exactly once."""
+    from extract_ocr_spark.operators.curation import PACK_BUDGET, pack_sequences
+
+    rows = [(i, ("tok " * (50 + (i * 37) % 400)).strip(), "en", "s", 0)
+            for i in range(200)]
+    sf = _write_documents(spark, tmp_path, rows)
+    out = pack_sequences(spark, sf).collect()
+    assert len(out) == 200
+    by_seq = {}
+    for r in out:
+        by_seq.setdefault((r["shard"], r["seq_id"]), []).append(r["n_tokens"])
+    max_doc = max(r["n_tokens"] for r in out)
+    for toks in by_seq.values():
+        assert sum(toks) <= PACK_BUDGET + max_doc
+    # sequences are dense per shard: 0..max with no gaps
+    import collections
+    per_shard = collections.defaultdict(set)
+    for (shard, seq), _ in by_seq.items():
+        per_shard[shard].add(seq)
+    for seqs in per_shard.values():
+        assert seqs == set(range(max(seqs) + 1))
+
+
+def test_stratified_sample_rates(spark, tmp_path):
+    """Per-source keep rates land near their targets; the decision is a
+    pure function of doc_id (re-running gives the identical sample)."""
+    from extract_ocr_spark.operators.curation import stratified_sample
+
+    rows = [(i, f"text {i}", "en",
+             ["web", "wiki", "books", "code", "other"][i % 5], 0)
+            for i in range(5000)]
+    sf = _write_documents(spark, tmp_path, rows)
+    kept = stratified_sample(spark, sf).collect()
+    import collections
+    per_src = collections.Counter(r["source"] for r in kept)
+    assert per_src["wiki"] == 1000 and per_src["books"] == 1000  # rate 1.0
+    assert 380 <= per_src["web"] <= 620        # rate 0.5 of 1000
+    assert 180 <= per_src["code"] <= 320       # rate 0.25
+    assert 50 <= per_src["other"] <= 160       # default 0.1
+    again = {r["doc_id"] for r in stratified_sample(spark, sf).collect()}
+    assert again == {r["doc_id"] for r in kept}
+
+
+def test_repetition_metrics_flags_repetitive_docs(spark, tmp_path):
+    from extract_ocr_spark.operators.textanalysis import repetition_metrics
+
+    rows = [
+        (1, "same line\nsame line\nsame line\nsame line", "en", "s", 0),
+        (2, "alpha beta\ngamma delta\nepsilon zeta", "en", "s", 0),
+        (3, "spam spam spam spam spam spam spam spam", "en", "s", 0),
+    ]
+    sf = _write_documents(spark, tmp_path, rows)
+    got = {r["doc_id"]: r for r in repetition_metrics(spark, sf).collect()}
+    assert got[1]["dup_line_frac"] == 0.75       # 4 lines, 1 unique
+    assert got[2]["dup_line_frac"] == 0.0
+    assert got[3]["top_2gram_frac"] == 1.0       # all 2-grams 'spam spam'
+    assert got[2]["top_2gram_frac"] < 0.5

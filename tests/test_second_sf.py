@@ -20,6 +20,9 @@ SUBSET = [
     "markdown_link_rewrite", "media_features", "top_terms_per_source",
     "lang_id_pred", "doc_fingerprints", "citations_csl", "ext_guess",
     "path_key_report",
+    # r3 additions
+    "resize_media", "frame_sample", "apis_report_markdown", "resp_md_pick",
+    "pack_sequences", "stratified_sample", "repetition_metrics",
 ]
 
 

@@ -376,63 +376,9 @@ class ExtractionRun:
                                       F.lit(micro_batches))) == b)
                 if micro_batches > 1 else pending
             )
-            extracted = extract_df(chunk, mode=self.mode, with_stats=True,
-                                   waf_integration=self.waf_integration)
-            extracted = extracted.withColumn("run_id", F.lit(self.run_id))
-            # Hive-style per-batch subdirectory: lineage/metrics derivation
-            # reads back ONLY this batch's files (O(batch), not
-            # O(total-written) — re-reading the whole output directory per
-            # micro-batch would be O(B²) over the run), and reads of the
-            # root still see batch_id via partition-column inference.
-            batch_path = os.path.join(self.extracted_path, f"batch_id={b}")
-            extracted.write.mode("append").parquet(batch_path)
-            if _crash_before_lineage:
-                raise RuntimeError("simulated kill: after output write, "
-                                   "before lineage append")
-
-            # Lineage + metrics from the *written* output, reading only
-            # the new batch directory and pruned small columns (never
-            # out_spans). The run_id filter guards against rows appended
-            # to the same batch dir by an earlier killed run.
-            committed = (
-                self.spark.read.parquet(batch_path)
-                .filter(F.col("run_id") == self.run_id)
-                .select("doc_id", "partition_id", "spans_in", "spans_out",
-                        "bytes_in", "wall_ms", "error")
-            )
-            lineage = committed.select(
-                F.col("partition_id"),
-                F.col("doc_id"),
-                F.when(F.col("error").isNull(), "processed")
-                .otherwise("error").alias("event_kind"),
-                F.when(F.col("error").isNull(), "ok")
-                .otherwise("failed").alias("status"),
-                F.col("error"),
-                F.current_timestamp().alias("at"),
-                F.lit(b).cast("long").alias("snapshot_id"),
-                F.lit(self.run_id).alias("run_id"),
-            )
-            lineage.write.mode("append").parquet(self.lineage_path)
-            if _crash_before_marker:
-                raise RuntimeError("simulated kill: after lineage append, "
-                                   "before commit marker")
-
-            metrics = committed.groupBy("partition_id").agg(
-                F.count("*").alias("docs"),
-                F.sum("spans_in").alias("spans_in"),
-                F.sum("spans_out").alias("spans_out"),
-                F.sum("bytes_in").alias("bytes_in"),
-                F.sum("wall_ms").alias("wall_ms"),
-            ).select(
-                F.lit(self.run_id).alias("run_id"),
-                "partition_id", "docs", "spans_in", "spans_out",
-                "bytes_in", "wall_ms",
-                F.current_timestamp().alias("at"),
-            )
-            metrics.write.mode("append").parquet(self.metrics_path)
-            # Durability point: everything for batch b is on disk — flip
-            # the batch visible with one zero-byte marker create.
-            self._commit_batch(b)
+            self.commit_one(chunk, b,
+                            _crash_before_lineage=_crash_before_lineage,
+                            _crash_before_marker=_crash_before_marker)
             batches_done += 1
 
         return {
@@ -440,6 +386,72 @@ class ExtractionRun:
             "batches_done": batches_done,
             "wall_s": time.monotonic() - t_start,
         }
+
+    def commit_one(self, chunk: DataFrame, b: int, *,
+                   _crash_before_lineage: bool = False,
+                   _crash_before_marker: bool = False) -> None:
+        """Extract + commit ONE micro-batch under batch id ``b``: output →
+        lineage → metrics → `_COMMITTED_<run_id>` marker. Shared by the
+        batch driver loop (``run``) and the streaming ``foreachBatch``
+        sink (``streaming.stream_extract_with_lineage``), so both paths
+        get identical crash-atomicity and read-back semantics."""
+        extracted = extract_df(chunk, mode=self.mode, with_stats=True,
+                               waf_integration=self.waf_integration)
+        extracted = extracted.withColumn("run_id", F.lit(self.run_id))
+        # Hive-style per-batch subdirectory: lineage/metrics derivation
+        # reads back ONLY this batch's files (O(batch), not
+        # O(total-written) — re-reading the whole output directory per
+        # micro-batch would be O(B²) over the run), and reads of the
+        # root still see batch_id via partition-column inference.
+        batch_path = os.path.join(self.extracted_path, f"batch_id={b}")
+        extracted.write.mode("append").parquet(batch_path)
+        if _crash_before_lineage:
+            raise RuntimeError("simulated kill: after output write, "
+                               "before lineage append")
+
+        # Lineage + metrics from the *written* output, reading only
+        # the new batch directory and pruned small columns (never
+        # out_spans). The run_id filter guards against rows appended
+        # to the same batch dir by an earlier killed run.
+        committed = (
+            self.spark.read.parquet(batch_path)
+            .filter(F.col("run_id") == self.run_id)
+            .select("doc_id", "partition_id", "spans_in", "spans_out",
+                    "bytes_in", "wall_ms", "error")
+        )
+        lineage = committed.select(
+            F.col("partition_id"),
+            F.col("doc_id"),
+            F.when(F.col("error").isNull(), "processed")
+            .otherwise("error").alias("event_kind"),
+            F.when(F.col("error").isNull(), "ok")
+            .otherwise("failed").alias("status"),
+            F.col("error"),
+            F.current_timestamp().alias("at"),
+            F.lit(b).cast("long").alias("snapshot_id"),
+            F.lit(self.run_id).alias("run_id"),
+        )
+        lineage.write.mode("append").parquet(self.lineage_path)
+        if _crash_before_marker:
+            raise RuntimeError("simulated kill: after lineage append, "
+                               "before commit marker")
+
+        metrics = committed.groupBy("partition_id").agg(
+            F.count("*").alias("docs"),
+            F.sum("spans_in").alias("spans_in"),
+            F.sum("spans_out").alias("spans_out"),
+            F.sum("bytes_in").alias("bytes_in"),
+            F.sum("wall_ms").alias("wall_ms"),
+        ).select(
+            F.lit(self.run_id).alias("run_id"),
+            "partition_id", "docs", "spans_in", "spans_out",
+            "bytes_in", "wall_ms",
+            F.current_timestamp().alias("at"),
+        )
+        metrics.write.mode("append").parquet(self.metrics_path)
+        # Durability point: everything for batch b is on disk — flip
+        # the batch visible with one zero-byte marker create.
+        self._commit_batch(b)
 
     def extracted(self) -> DataFrame:
         """Committed successful output. Rows from a run that died between

@@ -210,3 +210,40 @@ def stream_sessionize(spark: SparkSession, input_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def stream_extract_with_lineage(spark: SparkSession, input_dir: str,
+                                out_dir: str, checkpoint_dir: str, *,
+                                mode: str = "reference",
+                                available_now: bool = True):
+    """Streaming extraction through the SAME commit protocol as the batch
+    pipeline: each micro-batch runs ``ExtractionRun.commit_one`` inside
+    ``foreachBatch`` — output + lineage + metrics + `_COMMITTED` marker,
+    keyed by the streaming epoch id as the batch id.
+
+    Crash semantics compose: the file-source offsets in the checkpoint
+    give at-least-once micro-batch delivery; a replayed epoch re-commits
+    under the same batch_id with the same run_id (appends are filtered by
+    run_id at read-back, and ``extracted()`` dedups by doc_id), while an
+    epoch whose process died mid-commit has no marker and is invisible —
+    exactly the batch pipeline's guarantees, now for a continuously
+    arriving corpus. Returns (StreamingQuery, ExtractionRun)."""
+    from .pipeline import ExtractionRun
+
+    run = ExtractionRun(spark, out_dir, mode=mode)
+    docs = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "8")
+        .parquet(input_dir)
+    )
+
+    def commit(batch_df, epoch_id: int) -> None:
+        run.commit_one(batch_df, int(epoch_id))
+
+    writer = (
+        docs.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), run

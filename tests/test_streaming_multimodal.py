@@ -155,3 +155,44 @@ def test_stream_dedup_extract(spark, tmp_path):
     got = spark.read.parquet(str(out))
     assert got.count() == 4  # one survivor per distinct content
     assert got.select("content_sha").distinct().count() == 4
+
+
+def test_stream_extract_with_lineage_commits(spark, tmp_path):
+    """Streaming extraction through the batch commit protocol: per-epoch
+    output + lineage + metrics + _COMMITTED markers, resume from the
+    checkpoint processes only new files, and the committed readers see
+    exactly one processed event per doc."""
+    from extract_ocr_spark.pipeline import ExtractionRun
+    from extract_ocr_spark.streaming import stream_extract_with_lineage
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    docs = synthetic_documents_df(spark, 40, seed=42, partitions=2)
+    docs.filter(F.col("doc_id") < "doc-0000000020").write.mode(
+        "append").parquet(in_dir)
+
+    q, run1 = stream_extract_with_lineage(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+    assert run1.extracted().count() == 20
+    # every epoch dir that exists carries a marker
+    keys = run1._committed_keys()
+    assert keys and all(k.endswith(run1.run_id) for k in keys)
+    lin = run1.lineage()
+    assert lin.filter(F.col("event_kind") == "processed").count() == 20
+
+    # new files arrive; a fresh run (new run_id, same checkpoint)
+    # processes ONLY the new ones and commits under its own markers
+    docs.filter(F.col("doc_id") >= "doc-0000000020").write.mode(
+        "append").parquet(in_dir)
+    q2, run2 = stream_extract_with_lineage(spark, in_dir, out_dir, ckpt)
+    q2.awaitTermination(120)
+    assert run2.extracted().count() == 40
+    assert run2.extracted().select("doc_id").distinct().count() == 40
+    lin2 = run2.lineage().filter(F.col("event_kind") == "processed")
+    assert lin2.count() == 40
+    assert lin2.select("doc_id").distinct().count() == 40
+    # metrics across both runs cover every doc exactly once
+    metrics = spark.read.parquet(f"{out_dir}/metrics")
+    assert metrics.agg(F.sum("docs")).first()[0] == 40

@@ -537,6 +537,100 @@ SELECT id AS doc_id, comp AS cluster FROM walk ORDER BY doc_id
 """
 
 
+# -- duplicate-substring spans (exact substring dedup) --------------------------------
+
+DUP_GRAM_K = 5  # word-gram width for duplicate-substring detection
+
+
+def dup_ngram_spans(spark, sf_dir):
+    """Exact duplicate-substring detection (the operator behind
+    "Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2022 — there via suffix arrays): per document, the merged spans
+    of word positions covered by ``DUP_GRAM_K``-grams that also occur in
+    at least one OTHER document. A curation pipeline cuts these spans
+    (boilerplate, licenses, quoted chunks) instead of dropping whole docs.
+
+    Scale shape — deliberately NOT a suffix array (driver-bound) and NOT
+    a pair join: (1) positional k-gram explosion (rows = total words);
+    (2) duplicated-gram detection is an aggregation (distinct doc count
+    per gram > 1), so a boilerplate gram in 10⁶ docs costs one counter,
+    never a fan-out; (3) a semi-join marks duplicated positions; (4)
+    per-doc gaps-and-islands window merges overlapping [pos, pos+k)
+    intervals. Two shuffles total (gram agg, per-doc window), each
+    map-side combinable / doc-partitioned."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    words = F.split(F.trim(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")), " ")
+    k = DUP_GRAM_K
+    grams = (
+        docs.withColumn("_w", words).filter(F.size("_w") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(F.transform(
+                F.sequence(F.lit(0), F.size("_w") - k),
+                lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i + 1, k)),
+            )).alias("pos", "gram"))
+    )
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2).select("gram")
+    )
+    hits = grams.join(dup_grams, "gram", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = (
+        hits.withColumn(
+            "brk",
+            F.when(F.col("pos") - F.lag("pos", 1).over(w) > k, 1)
+            .otherwise(0))
+        .withColumn("island", F.sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("span_start"),
+             (F.max("pos") + k).alias("span_end"),
+             F.count("*").alias("n_dup_grams"))
+        .select("doc_id", "span_start", "span_end", "n_dup_grams")
+        .orderBy("doc_id", "span_start")
+    )
+
+
+DUP_NGRAM_SPANS_SQL = rf"""
+WITH w AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+  FROM documents
+), g AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' '
+           || words[i+3] || ' ' || words[i+4] AS gram
+  FROM w, unnest(range(1, len(words) - {DUP_GRAM_K} + 2)) AS t(i)
+  WHERE len(words) >= {DUP_GRAM_K}
+), dup AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+), hits AS (
+  SELECT g.doc_id, g.pos FROM g JOIN dup ON g.gram = dup.gram
+), brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   > {DUP_GRAM_K} THEN 1 ELSE 0 END AS b
+  FROM hits
+), isl AS (
+  SELECT doc_id, pos,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS UNBOUNDED PRECEDING) AS island
+  FROM brk
+)
+SELECT doc_id, min(pos) AS span_start, max(pos) + {DUP_GRAM_K} AS span_end,
+       count(*) AS n_dup_grams
+FROM isl GROUP BY doc_id, island
+ORDER BY doc_id, span_start
+"""
+
+
 QUERIES = {
     "dedup_exact_norm": dedup_exact_norm,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -544,6 +638,7 @@ QUERIES = {
     "simhash_pairs": simhash_pairs,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "neardup_clusters": neardup_clusters,
+    "dup_ngram_spans": dup_ngram_spans,
 }
 
 ORACLES = {
@@ -553,4 +648,5 @@ ORACLES = {
     "simhash_pairs": SIMHASH_PAIRS_SQL,
     "embedding_neardup_pairs": EMBEDDING_NEARDUP_PAIRS_SQL,
     "neardup_clusters": NEARDUP_CLUSTERS_SQL,
+    "dup_ngram_spans": DUP_NGRAM_SPANS_SQL,
 }

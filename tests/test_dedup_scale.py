@@ -167,3 +167,41 @@ def test_contamination_check_drops_boilerplate_fanout(spark, tmp_path):
     plan = contamination_check(spark, sf_dir) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_dup_ngram_spans_planted_duplicates(spark, tmp_path):
+    """Planted duplicate substrings are found as merged spans; unique
+    content is not flagged; a boilerplate chunk shared by many docs costs
+    an aggregation, never a pair fan-out."""
+    from extract_ocr_spark.operators.dedup import dup_ngram_spans
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"  # 10 words
+    rows = [
+        # docs 1 and 2 share the 10-word chunk at different offsets
+        (1, f"{shared} unique1a unique1b unique1c", "en", "s", 0),
+        (2, f"prefix2a prefix2b {shared} tail2", "en", "s", 0),
+        # doc 3 is fully unique
+        (3, "entirely different words nothing matches here at all today",
+         "en", "s", 0),
+    ]
+    # 200 docs sharing one boilerplate sentence (aggregation-only path)
+    rows += [
+        (100 + i, f"{BOILER} filler{i}a filler{i}b filler{i}c", "en", "s", 0)
+        for i in range(200)
+    ]
+    sf = _write_documents(spark, tmp_path, rows)
+    t0 = time.monotonic()
+    got = {}
+    for r in dup_ngram_spans(spark, sf).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["n_dup_grams"]))
+    wall = time.monotonic() - t0
+    # doc 1: the shared chunk spans words [0, 10) -> 6 dup 5-grams merged
+    assert got[1] == [(0, 10, 6)]
+    # doc 2: same chunk shifted by its 2-word prefix
+    assert got[2] == [(2, 12, 6)]
+    assert 3 not in got
+    # boilerplate docs each get exactly the BOILER span (7 words -> 3
+    # 5-grams), regardless of how many docs share it
+    assert got[150] == [(0, 7, 3)]
+    assert wall < 120

@@ -22,6 +22,7 @@ so the kernel operates on a deterministic synthetic layout encoding:
 from __future__ import annotations
 
 import re
+from operator import itemgetter
 
 NO_TEXT_SENTINEL = "(No extractable text found in PDF.)\n"
 PARSE_FAIL_SENTINEL = "(PDF captured, but failed to parse it.)\n"
@@ -53,7 +54,7 @@ def _extract_page(page: str) -> str | None:
 
     # Reading order: cluster by y (rows), sort rows top-to-bottom, cells
     # left-to-right; same-row cells joined by a single space.
-    positioned.sort(key=lambda t: (t[0], t[1], t[2]))
+    positioned.sort(key=itemgetter(0, 1, 2))  # C-level key: hot path
     rows: list[list[tuple[float, float, int, str]]] = []
     for item in positioned:
         if rows and abs(item[0] - rows[-1][0][0]) <= _Y_TOLERANCE:
@@ -62,7 +63,7 @@ def _extract_page(page: str) -> str | None:
             rows.append([item])
     out_lines: list[str] = []
     for row in rows:
-        row.sort(key=lambda t: (t[1], t[2]))
+        row.sort(key=itemgetter(1, 2))
         out_lines.append(" ".join(cell[3].strip() for cell in row if cell[3].strip()))
     # Plain lines (page headers etc. without coordinates) come first, in
     # textual order — deterministic and documented.

@@ -73,15 +73,16 @@ def _extract_batches(mode: str, waf_integration: bool = True):
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else -1
         for pdf in batches:
-            t0 = time.monotonic()
             doc_ids = pdf["doc_id"].tolist()
             spans_col = [_spans_to_records(s) for s in pdf["spans"]]
             outs = []
             errors: list[str | None] = []
+            walls: list[int] = []
             # Per-document containment: one malformed document becomes an
             # 'error' lineage event, never a failed task/stage (the
             # reference's error-event path, crawl.py:968-979).
             for i, (d, s) in enumerate(zip(doc_ids, spans_col)):
+                t0 = time.perf_counter()
                 try:
                     outs.append(extract_doc(
                         d, s, mode=mode, waf_integration=waf_integration))
@@ -92,8 +93,9 @@ def _extract_batches(mode: str, waf_integration: bool = True):
                     if d is None:
                         # keep the output schema's non-null doc_id
                         doc_ids[i] = f"<null-doc-id:{pid}:{i}>"
-            elapsed_ms = int((time.monotonic() - t0) * 1000)
-            n = max(1, len(doc_ids))
+                # true per-doc wall (a skewed doc no longer smears its
+                # cost across batch-mates in the metrics table)
+                walls.append(int((time.perf_counter() - t0) * 1000))
             yield pd.DataFrame(
                 {
                     "doc_id": doc_ids,
@@ -105,7 +107,7 @@ def _extract_batches(mode: str, waf_integration: bool = True):
                     "bytes_out": [
                         sum(len(sp["text"]) for sp in o if sp["text"]) for o in outs
                     ],
-                    "wall_ms": [elapsed_ms // n] * len(doc_ids),
+                    "wall_ms": walls,
                     "error": errors,
                 }
             )
@@ -150,12 +152,13 @@ def _extract_digest_batches(mode: str):
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else -1
         for pdf in batches:
-            t0 = time.monotonic()
             doc_ids = pdf["doc_id"].tolist()
             spans_col = [_spans_to_records(s) for s in pdf["spans"]]
             shas, errors = [], []
             spans_out, bytes_out = [], []
+            walls: list[int] = []
             for i, (d, s) in enumerate(zip(doc_ids, spans_col)):
+                t0 = time.perf_counter()
                 try:
                     out = extract_doc(d, s, mode=mode)
                     shas.append(_digest_spans(out))
@@ -170,8 +173,8 @@ def _extract_digest_batches(mode: str):
                     errors.append(f"{type(exc).__name__}: {exc}"[:500])
                     if d is None:
                         doc_ids[i] = f"<null-doc-id:{pid}:{i}>"
-            elapsed_ms = int((time.monotonic() - t0) * 1000)
-            n = max(1, len(doc_ids))
+                # true per-doc wall (no even smearing across batch-mates)
+                walls.append(int((time.perf_counter() - t0) * 1000))
             yield pd.DataFrame(
                 {
                     "doc_id": doc_ids,
@@ -181,7 +184,7 @@ def _extract_digest_batches(mode: str):
                     "spans_out": spans_out,
                     "bytes_in": [doc_size_bytes(s) for s in spans_col],
                     "bytes_out": bytes_out,
-                    "wall_ms": [elapsed_ms // n] * len(doc_ids),
+                    "wall_ms": walls,
                     "error": errors,
                 }
             )

@@ -127,3 +127,34 @@ def test_real_pdf_through_spark_pipeline(spark):
     spans = out[0]["out_spans"]
     texts = [s["text"] for s in spans]
     assert any("spark sees real pdf bytes" in t for t in texts), texts
+
+
+def _pdf_escape(s: str) -> str:
+    return s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+
+
+def test_roundtrip_property_random_lines():
+    """Property: any page of printable-ASCII lines written top-to-bottom
+    as escaped literal strings round-trips through build → parse →
+    reading-order exactly (Hypothesis over content incl. parens,
+    backslashes, brackets, slashes)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alphabet = st.sampled_from(
+        list("abcdefghijklmnopqrstuvwxyzABC0123456789 ()\\[]<>/.,-_'\""))
+    line = st.text(alphabet, min_size=0, max_size=40)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(line, min_size=1, max_size=10))
+    def check(lines):
+        content = b"BT " + b" ".join(
+            f"1 0 0 1 72 {700 - 12 * i} Tm ({_pdf_escape(t)}) Tj".encode(
+                "latin-1")
+            for i, t in enumerate(lines)) + b" ET"
+        got = extract_pdf_text(_as_text(_build_pdf([content], flate=True)))
+        kept = [t.strip() for t in lines if t.strip()]
+        expected = ("\n".join(kept) + "\n") if kept else NO_TEXT_SENTINEL
+        assert got == expected, (lines, got)
+
+    check()

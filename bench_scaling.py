@@ -31,7 +31,7 @@ scale to 32 workers at 1.0. The Spark pipeline is graded against that
 machine ceiling; on a real cluster, 4× executor *nodes* bring 4× memory
 bandwidth, which is the regime the north_rule's ≥0.8 presumes.
 
-Usage: python bench_scaling.py            # full report (writes BENCH.md)
+Usage: python bench_scaling.py            # full report (writes BENCH_SCALING.md)
        python bench_scaling.py --worker N # internal: one measurement
 """
 
@@ -232,7 +232,7 @@ def main() -> None:
         f"| local[{n}] | {results[n]['best_sec']} | {tp[n]} | "
         f"{results[n]['clean_runs']} | "
         f"{results[n]['runs_sec_steal']} |" for n in LEVELS)
-    md = f"""# BENCH — measured performance (round 2)
+    md = f"""# BENCH_SCALING — latest protocol capture (auto-generated; curated history lives in BENCH.md)
 
 ## Scaling efficiency (north_rule evidence, prescribed protocol)
 
@@ -282,7 +282,7 @@ vs the spans path is pinned by tests/test_pipeline.py
 (test_digest_path_agrees_with_spans_path).
 """
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH.md"), "w") as f:
+                           "BENCH_SCALING.md"), "w") as f:
         f.write(md)
 
 

@@ -318,6 +318,65 @@ FROM events GROUP BY 1, 2 ORDER BY hour, event_type
 """
 
 
+SESSION_GAP_MIN = 30
+
+
+def session_counts(spark, sf_dir):
+    """Per-user activity sessions (30-minute inactivity gap) via Spark's
+    native ``session_window`` — the same session assignment Structured
+    Streaming would produce on this event stream (here in batch, where the
+    whole timeline is known). Output: one row per session with its start,
+    event count, and active span in seconds (last − first event, i.e. the
+    window minus the trailing gap, which is engine-independent).
+
+    Scale shape: session_window is a single shuffle on user_id followed by
+    a per-key in-order merge — no self-join, no O(events²)."""
+    _utc(spark)
+    events = _t(spark, sf_dir, "events")
+    win = F.session_window("ts", f"{SESSION_GAP_MIN} minutes")
+    return (
+        events.groupBy("user_id", win)
+        .agg(
+            F.count("*").alias("n_events"),
+            # microsecond math: unix_timestamp() truncates each endpoint
+            # to seconds, which disagrees with truncating the *difference*
+            # when events carry sub-second precision
+            ((F.unix_micros(F.max("ts").cast("timestamp"))
+              - F.unix_micros(F.min("ts").cast("timestamp")))
+             / 1_000_000).cast("long").alias("active_sec"),
+        )
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss")
+            .alias("session_start"),
+            "n_events", "active_sec",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+SESSION_COUNTS_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL {SESSION_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+), isl AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events,
+       (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS active_sec
+FROM isl GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
 QUERIES = {
     "kind_histogram": kind_histogram,
     "collect_sources": collect_sources,
@@ -331,6 +390,7 @@ QUERIES = {
     "join_enrich": join_enrich,
     "pricing_summary": pricing_summary,
     "windowed_event_counts": windowed_event_counts,
+    "session_counts": session_counts,
 }
 
 ORACLES = {
@@ -346,4 +406,5 @@ ORACLES = {
     "join_enrich": JOIN_ENRICH_SQL,
     "pricing_summary": PRICING_SUMMARY_SQL,
     "windowed_event_counts": WINDOWED_EVENT_COUNTS_SQL,
+    "session_counts": SESSION_COUNTS_SQL,
 }

@@ -23,7 +23,7 @@ SUBSET = [
     # r3 additions
     "resize_media", "frame_sample", "apis_report_markdown", "resp_md_pick",
     "pack_sequences", "stratified_sample", "repetition_metrics",
-    "dup_ngram_spans",
+    "dup_ngram_spans", "session_counts",
 ]
 
 

@@ -282,18 +282,18 @@ PACK_BUDGET = 2048   # tokens per packed training sequence
 PACK_SHARDS = 64     # packing shards (cluster: thousands)
 
 
-def pack_sequences(spark, sf_dir):
-    """Sequence packing for training: assign each doc to a fixed-budget
-    packed sequence (cumulative-token chunking — the standard at-scale
-    approximation of greedy packing, since exact first-fit needs a
-    sequential scan).
+def pack_sequences_df(docs: DataFrame, *, budget: int = PACK_BUDGET,
+                      shards: int = PACK_SHARDS) -> DataFrame:
+    """(doc_id, text, ...) → (doc_id, shard, n_tokens, seq_id): assign
+    each doc to a fixed-budget packed sequence (cumulative-token chunking
+    — the standard at-scale approximation of greedy packing, since exact
+    first-fit needs a sequential scan).
 
     Scale shape: a single global ordered cumsum would be a one-partition
     window (a scale-killer), so docs are hash-sharded first and packing is
     shard-local — every shard's window runs in parallel and a sequence
     never crosses shards (training shards are independent anyway). Output
     sequence identity is (shard, seq_id)."""
-    docs = _docs(spark, sf_dir)
     from pyspark.sql import Window
 
     n_tokens = F.size(F.split(F.trim(
@@ -301,7 +301,7 @@ def pack_sequences(spark, sf_dir):
     shard = F.pmod(
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
                16, 10).cast("long"),
-        F.lit(PACK_SHARDS)).cast("int")
+        F.lit(shards)).cast("int")
     w = Window.partitionBy("shard").orderBy("doc_id") \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
@@ -310,10 +310,13 @@ def pack_sequences(spark, sf_dir):
         .withColumn("cum", F.sum("n_tokens").over(w))
         .select(
             "doc_id", "shard", "n_tokens",
-            F.floor((F.col("cum") - F.col("n_tokens")) / PACK_BUDGET)
+            F.floor((F.col("cum") - F.col("n_tokens")) / budget)
             .cast("long").alias("seq_id"))
-        .orderBy("doc_id")
     )
+
+
+def pack_sequences(spark, sf_dir):
+    return pack_sequences_df(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
 PACK_SEQUENCES_SQL = rf"""
@@ -338,26 +341,32 @@ SAMPLE_RATES = {"web": 0.5, "wiki": 1.0, "books": 1.0, "code": 0.25}
 DEFAULT_RATE = 0.1
 
 
-def stratified_sample(spark, sf_dir):
+def stratified_sample_df(docs: DataFrame, *, rates: dict | None = None,
+                         default_rate: float = DEFAULT_RATE) -> DataFrame:
     """Mixture sampling: keep each doc with a per-source rate, decided by
     a deterministic content-free hash (md5 of doc_id → bucket of 10⁴), so
     the sample is reproducible across runs/partitionings and needs no RNG
     state. This is the domain-mixture step of a training-data pipeline
-    (e.g. upsample wiki/books, downsample crawl)."""
-    docs = _docs(spark, sf_dir)
+    (e.g. upsample wiki/books, downsample crawl). All input columns are
+    preserved; a ``rate`` column is added."""
+    rates = SAMPLE_RATES if rates is None else rates
     bucket = F.pmod(
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
                16, 10).cast("long"),
         F.lit(10_000))
-    rate = F.lit(DEFAULT_RATE)
-    for src, r in sorted(SAMPLE_RATES.items()):
+    rate = F.lit(default_rate)
+    for src, r in sorted(rates.items()):
         rate = F.when(F.col("source") == src, F.lit(r)).otherwise(rate)
     return (
-        docs.select("doc_id", "source", bucket.alias("bucket"),
-                    rate.alias("rate"))
-        .filter(F.col("bucket") < F.col("rate") * 10_000)
-        .select("doc_id", "source",
-                F.col("rate").cast("double").alias("rate"))
+        docs.withColumn("rate", rate.cast("double"))
+        .filter(bucket < F.col("rate") * 10_000)
+    )
+
+
+def stratified_sample(spark, sf_dir):
+    return (
+        stratified_sample_df(_docs(spark, sf_dir))
+        .select("doc_id", "source", "rate")
         .orderBy("doc_id")
     )
 

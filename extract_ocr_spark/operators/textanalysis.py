@@ -273,8 +273,9 @@ ORACLES["top_terms_per_source"] = TOP_TERMS_PER_SOURCE_SQL
 # (no shuffle), the 2-gram mode via explode → two-phase agg (one shuffle
 # on (doc_id, gram), partial map-side combine — scales like word count).
 
-def repetition_metrics(spark, sf_dir):
-    docs = _docs(spark, sf_dir)
+def repetition_metrics_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, ...) → (doc_id, n_lines, dup_line_frac,
+    top_2gram_frac) — see ``repetition_metrics``."""
     lines = F.filter(
         F.transform(F.split("text", "\n"), lambda l: F.trim(l)),
         lambda l: l != "")
@@ -309,8 +310,11 @@ def repetition_metrics(spark, sf_dir):
             "doc_id", "n_lines",
             dup_line_frac.alias("dup_line_frac"),
             top_gram_frac.alias("top_2gram_frac"))
-        .orderBy("doc_id")
     )
+
+
+def repetition_metrics(spark, sf_dir):
+    return repetition_metrics_df(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
 REPETITION_METRICS_SQL = r"""

@@ -11,10 +11,16 @@ Stages (each one shuffle or less; see operators/curation.py scale notes):
 
 1. exact dedup (normalized-content hash, canonical min-doc_id row)
 2. quality filter (length / alpha / punct / word-length gates)
-3. benchmark decontamination (inverted shingle index vs the eval set)
-4. deterministic 90/5/5 split assignment (content-hash buckets, no RNG)
-5. reproducible training shuffle key (salted hash)
-6. write partitioned by split, sorted within partitions by shuffle key
+3. repetition gate (Gopher-style: duplicate-line fraction and top-2-gram
+   fraction over thresholds -> dropped)
+4. benchmark decontamination (inverted shingle index vs the eval set,
+   hot-shingle df-cap on the corpus side, eval side broadcast)
+5. optional per-source mixture sampling (--mixture-sampling;
+   deterministic md5 buckets, no RNG)
+6. deterministic 90/5/5 split assignment (content-hash buckets, no RNG)
+7. reproducible training shuffle key (salted hash) + training sequence
+   packing for the train split (shard-local cumsum at --pack-budget)
+8. write partitioned by split, sorted within partitions by shuffle key
 
 Output: ``<out>/corpus`` (partitioned by split) + ``<out>/stats.json``.
 """
@@ -32,6 +38,12 @@ def main() -> None:
     ap.add_argument("--eval-ids", default="0,1,2,3,4",
                     help="doc_ids forming the decontamination eval set")
     ap.add_argument("--min-shared-shingles", type=int, default=5)
+    ap.add_argument("--max-dup-line-frac", type=float, default=0.30)
+    ap.add_argument("--max-top-2gram-frac", type=float, default=0.20)
+    ap.add_argument("--mixture-sampling", action="store_true",
+                    help="apply per-source stratified sampling rates")
+    ap.add_argument("--pack-budget", type=int, default=2048,
+                    help="tokens per packed training sequence")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -39,10 +51,16 @@ def main() -> None:
 
     from extract_ocr_spark.operators.curation import (
         dedup_apply_df,
+        pack_sequences_df,
         quality_filter_df,
         split_assign_df,
+        stratified_sample_df,
     )
-    from extract_ocr_spark.operators.dedup import _with_shingles
+    from extract_ocr_spark.operators.dedup import (
+        _drop_hot_shingles,
+        _with_shingles,
+    )
+    from extract_ocr_spark.operators.textanalysis import repetition_metrics_df
 
     spark = SparkSession.builder.appName("extract_ocr_spark-curate").getOrCreate()
     docs = (
@@ -57,28 +75,52 @@ def main() -> None:
     gated = quality_filter_df(deduped).filter("keep") \
         .drop("ok_len", "ok_alpha", "ok_punct", "ok_words", "keep")
 
-    # 3: decontamination — drop docs sharing >= K distinct shingles with
-    # the eval set (inverted index; never a cross join)
+    # 3: repetition gate (Gopher-style)
+    rep = repetition_metrics_df(gated)
+    repetitive = rep.filter(
+        (F.col("dup_line_frac") > args.max_dup_line_frac)
+        | (F.col("top_2gram_frac") > args.max_top_2gram_frac)
+    ).select("doc_id")
+    unrepetitive = gated.join(repetitive, "doc_id", "left_anti")
+
+    # 4: decontamination — drop docs sharing >= K distinct shingles with
+    # the eval set. Inverted index (never a cross join); hot boilerplate
+    # shingles (df > cap) dropped from the corpus side before the join so
+    # a footer shared by 10^6 docs cannot fan out; the tiny eval side is
+    # broadcast.
     eval_ids = [int(x) for x in args.eval_ids.split(",") if x != ""]
-    sh = _with_shingles(gated).select(
-        "doc_id", F.explode("shingles").alias("shingle"))
-    eval_sh = sh.filter(F.col("doc_id").isin(eval_ids)) \
-                .select("shingle").distinct()
+    # The eval set is an external benchmark: its shingles come from the
+    # RAW input (a benchmark doc must decontaminate the corpus even if it
+    # would itself fail a corpus quality gate).
+    eval_sh = (
+        _with_shingles(docs.filter(F.col("doc_id").isin(eval_ids)))
+        .select(F.explode("shingles").alias("shingle")).distinct()
+    )
+    corpus_sh = _drop_hot_shingles(
+        _with_shingles(unrepetitive.filter(~F.col("doc_id").isin(eval_ids)))
+        .select("doc_id", F.explode("shingles").alias("shingle")))
     contaminated = (
-        sh.filter(~F.col("doc_id").isin(eval_ids))
-        .join(eval_sh, "shingle")
+        corpus_sh.join(F.broadcast(eval_sh), "shingle")
         .groupBy("doc_id").agg(F.count("*").alias("shared"))
         .filter(F.col("shared") >= args.min_shared_shingles)
         .select("doc_id")
     )
-    clean = gated.join(contaminated, "doc_id", "left_anti") \
-                 .filter(~F.col("doc_id").isin(eval_ids))
+    clean = unrepetitive.join(contaminated, "doc_id", "left_anti") \
+                        .filter(~F.col("doc_id").isin(eval_ids))
 
-    # 4-5: splits + reproducible shuffle key
-    final = split_assign_df(clean).withColumn(
+    # 5: optional per-source mixture sampling
+    sampled = stratified_sample_df(clean).drop("rate") \
+        if args.mixture_sampling else clean
+
+    # 6-7: splits + reproducible shuffle key + train-split packing
+    final = split_assign_df(sampled).withColumn(
         "shuffle_key",
         F.sha2(F.concat(F.lit("epoch-1:"), F.col("doc_id").cast("string")), 256),
     )
+    packed = pack_sequences_df(
+        final.filter(F.col("split") == "train"), budget=args.pack_budget
+    ).select("doc_id", "shard", "seq_id")
+    final = final.join(packed, "doc_id", "left")
 
     # 6: write — partition by split, sort within partitions by shuffle key
     (final.repartition("split")
@@ -94,9 +136,12 @@ def main() -> None:
         "docs_in": n_in,
         "after_dedup": deduped.count(),
         "after_quality": gated.count(),
+        "repetitive_dropped": repetitive.count(),
         "contaminated_dropped": contaminated.count(),
         "docs_out": sum(by_split.values()),
         "by_split": by_split,
+        "train_sequences": final.filter(F.col("split") == "train")
+                                .select("shard", "seq_id").distinct().count(),
     }
     with open(f"{args.output}/stats.json", "w") as f:
         json.dump(stats, f, indent=1)

@@ -1,0 +1,70 @@
+"""End-to-end spark-submit-shaped job tests: run jobs/*.py as real
+subprocesses (own JVM, PYTHONPATH like --py-files would provide) over a
+tiny corpus and check stage accounting + committed outputs."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_job(script: str, *argv: str) -> dict:
+    env = dict(os.environ, PYTHONPATH=REPO)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", script), *argv],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=600)
+    assert r.returncode == 0, r.stderr[-3000:]
+    lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+    assert lines, r.stdout[-2000:]
+    return json.loads(lines[-1])
+
+
+def test_curate_job_end_to_end(spark, tmp_path):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = []
+    # eval doc (id 0): distinctive content only — sharing `base` with the
+    # corpus would make every doc legitimately contaminated
+    rows.append((0, "benchmark answer key alpha beta gamma delta epsilon "
+                    "zeta eta theta iota kappa lambdaword muword nuword "
+                    "xiword omicron piword", "en", "wiki", 120))
+    # normal keepable docs
+    rows += [(i, f"{base} unique{i} extra{i} filler{i} more{i} text{i} "
+                 f"words{i} here{i} now{i}", "en", "web", 120)
+             for i in range(10, 40)]
+    # exact duplicate pair (one survives dedup)
+    rows.append((50, rows[1][1], "en", "web", 120))
+    # repetitive doc (top-2gram ~1.0)
+    rows.append((60, "spam " * 60, "en", "web", 120))
+    # contaminated doc: shares the eval doc's distinctive content
+    rows.append((70, "benchmark answer key alpha beta gamma delta epsilon "
+                     "zeta eta theta iota kappa lambdaword muword nuword "
+                     "xiword omicron piword and some tail", "en", "web", 120))
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long")
+    inp = str(tmp_path / "docs")
+    docs.coalesce(2).write.parquet(inp)
+    out = str(tmp_path / "out")
+
+    stats = _run_job("curate_job.py", "--input", inp, "--output", out,
+                     "--eval-ids", "0", "--min-shared-shingles", "5")
+    assert stats["docs_in"] == len(rows)
+    assert stats["after_dedup"] == len(rows) - 1      # the exact dup
+    assert stats["repetitive_dropped"] >= 1           # the spam doc
+    assert stats["contaminated_dropped"] >= 1         # doc 70
+    assert stats["docs_out"] == stats["after_dedup"] - 1 \
+        - stats["repetitive_dropped"] - stats["contaminated_dropped"]
+    assert stats["train_sequences"] >= 1
+
+    corpus = spark.read.parquet(f"{out}/corpus")
+    got_ids = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    assert 0 not in got_ids and 60 not in got_ids and 70 not in got_ids
+    # every train doc carries its packed-sequence assignment
+    train = corpus.filter(F.col("split") == "train")
+    assert train.filter(F.col("seq_id").isNull()).count() == 0

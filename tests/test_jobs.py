@@ -68,3 +68,27 @@ def test_curate_job_end_to_end(spark, tmp_path):
     # every train doc carries its packed-sequence assignment
     train = corpus.filter(F.col("split") == "train")
     assert train.filter(F.col("seq_id").isNull()).count() == 0
+
+
+def test_extract_job_end_to_end_with_audit_and_resume(spark, tmp_path):
+    from extract_ocr_spark.datagen import synthetic_documents_df
+
+    inp = str(tmp_path / "docs")
+    synthetic_documents_df(spark, 30, seed=42, partitions=2) \
+        .write.parquet(inp)
+    out = str(tmp_path / "out")
+
+    report = _run_job("extract_job.py", "--input", inp, "--output", out,
+                      "--micro-batches", "2", "--audit")
+    assert report["ok"] is True
+    assert report["processed"] == 30
+    assert report["missing_lineage"] == 0 and report["duplicate_lineage"] == 0
+
+    # re-run over the same output dir: lineage anti-join skips everything,
+    # the audit still holds, and nothing is processed twice
+    report2 = _run_job("extract_job.py", "--input", inp, "--output", out,
+                       "--micro-batches", "2", "--audit")
+    assert report2["ok"] is True
+    assert report2["processed"] == 30 and report2["duplicate_lineage"] == 0
+    lineage = spark.read.parquet(f"{out}/lineage")
+    assert lineage.count() == 30  # still exactly one event per doc

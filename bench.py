@@ -41,21 +41,13 @@ CORPUS_DIR = os.path.join(
     f"spans_v3_{N_DOCS}")
 
 
-STEAL_CLEAN = 0.005  # a timed run is 'clean' below 0.5% hypervisor steal
-
-
-def _stat() -> list[int]:
-    with open("/proc/stat") as f:
-        return [int(v) for v in f.readline().split()[1:]]
-
-
-def _steal_fraction(s0: list[int], s1: list[int]) -> float:
-    """Hypervisor steal over an interval as a fraction of box CPU
-    (/proc/stat column 8). This box is a VM: identical runs vary 3-5×
-    under neighbor-VM steal, so every timed run records its own steal and
-    the JSON is self-defending — a reader can tell a measurement from a
-    steal artifact without re-running."""
-    return (s1[7] - s0[7]) / max(1, sum(s1) - sum(s0))
+# One shared definition of steal gating for all three benches (bench.py,
+# bench_scaling.py, bench_cluster.py): every timed run records its own
+# /proc/stat col-8 steal fraction, so a recorded number is self-defending
+# — a reader can tell a measurement from a steal artifact without
+# re-running. (This box is a VM; identical runs vary 3-5× under
+# neighbor-VM steal.)
+from bench_scaling import STEAL_CLEAN, _stat, _steal_fraction  # noqa: E402
 
 
 def wait_for_idle(threshold: float = 0.15, timeout_s: float = 60.0) -> None:

@@ -18,7 +18,7 @@ Protocol (same discipline as bench_scaling.py):
   counts when steal < 0.5%; best clean run per level wins;
 - efficiency = (docs_per_sec[4×8] / docs_per_sec[1×8]) / 4.
 
-Usage: python bench_cluster.py              # full report (updates BENCH.md)
+Usage: python bench_cluster.py              # writes BENCH_CLUSTER.json
        python bench_cluster.py --worker N   # internal: one topology
 """
 
@@ -151,9 +151,9 @@ def main() -> None:
     }
     print(json.dumps(summary))
 
-    md_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_CLUSTER.json")
-    with open(md_path, "w") as f:
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_CLUSTER.json")
+    with open(out_path, "w") as f:
         json.dump(summary, f, indent=2)
 
 

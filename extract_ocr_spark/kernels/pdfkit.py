@@ -113,7 +113,6 @@ def extract_pdf_text(layout_text: str | None) -> str:
 # scanning `N G obj ... endobj`, which also survives mild corruption).
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.S)
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 _NUM_RE = re.compile(rb"[-+]?\d*\.?\d+")
 
@@ -169,6 +168,19 @@ def _decode_pdf_string(tok: bytes) -> str:
     return raw.decode("latin-1")
 
 
+# Sentinel markers for TJ array delimiters: decoded literal strings whose
+# VALUE is "[" or "]" must not be mistaken for the array tokens.
+class _ArrayMark:
+    __slots__ = ("open",)
+
+    def __init__(self, open_: bool):
+        self.open = open_
+
+
+_LBRACK = _ArrayMark(True)
+_RBRACK = _ArrayMark(False)
+
+
 _CONTENT_TOKEN_RE = re.compile(
     rb"\((?:[^()\\]|\\.|\([^()]*\))*\)"   # literal string (1 nesting level)
     rb"|<[0-9A-Fa-f\s]*>"                  # hex string
@@ -196,8 +208,10 @@ def _content_runs(content: bytes) -> list[tuple[float, float, str]]:
         c0 = tok[:1]
         if c0 in b"(<":
             stack.append(_decode_pdf_string(tok))
-        elif c0 in b"[]":
-            stack.append(tok.decode("ascii"))
+        elif c0 == b"[":
+            stack.append(_LBRACK)
+        elif c0 == b"]":
+            stack.append(_RBRACK)
         elif c0 in b"/":
             stack.append(tok.decode("latin-1"))
         elif _NUM_RE.fullmatch(tok):
@@ -221,11 +235,11 @@ def _content_runs(content: bytes) -> list[tuple[float, float, str]]:
                 # concatenate the string items since the matching '['
                 parts = []
                 for item in reversed(stack):
-                    if item == "[":
+                    if item is _LBRACK:
                         break
-                    if isinstance(item, str) and item not in ("[", "]"):
+                    if isinstance(item, str):
                         parts.append(item)
-                show("".join(reversed([p for p in parts if p != "]"])))
+                show("".join(reversed(parts)))
             elif op in ("'", '"') and stack and isinstance(stack[-1], str):
                 ty -= leading
                 show(stack[-1])
@@ -319,7 +333,10 @@ def _pdf_bytes_to_layout(data: bytes) -> str:
         lines: list[str] = []
         for s in streams:
             for y, x, text in _content_runs(s):
-                clean = text.replace("\n", " ").replace("\r", " ")
+                # \f too: layout pages are form-feed-delimited, so a form
+                # feed inside a shown string would split phantom pages
+                clean = (text.replace("\n", " ").replace("\r", " ")
+                         .replace("\f", " "))
                 lines.append(f"@{-y:g},{x:g}:{clean}")
         page_layouts.append("\n".join(lines))
     return "\f".join(page_layouts)

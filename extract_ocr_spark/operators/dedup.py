@@ -463,6 +463,10 @@ def connected_components(labels: DataFrame, edges: DataFrame,
             labels.join(neighbor_min, "id", "left")
             .select("id", F.least("comp", F.coalesce("ncomp", "comp"))
                     .alias("comp"))
+            # materialize: both sides of the pointer-jump join read this —
+            # unmaterialized, the O(edges) neighbor-min join would execute
+            # twice per iteration
+            .localCheckpoint(eager=True)
         )
         # pointer jump: comp ← label of comp (path halving)
         parent = stepped.select(F.col("id").alias("pid"),

@@ -286,12 +286,18 @@ def repetition_metrics_df(docs: DataFrame) -> DataFrame:
     )
     words = F.split(
         F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
-    grams = docs.select(
-        "doc_id",
-        F.explode(F.transform(
-            F.sequence(F.lit(0), F.size(words) - 2),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2)),
-        )).alias("gram"))
+    # size >= 2 guard BEFORE sequence(): with one word sequence(0, -1)
+    # descends and slice(words, 0, 2) throws; sub-2-word docs simply have
+    # no 2-grams and fall out via the left join (frac coalesced to 0)
+    grams = (
+        docs.withColumn("_w", words).filter(F.size("_w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(F.transform(
+                F.sequence(F.lit(0), F.size("_w") - 2),
+                lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i + 1, 2)),
+            )).alias("gram"))
+    )
     gram_stats = (
         grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
         .groupBy("doc_id").agg(

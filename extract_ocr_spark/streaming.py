@@ -212,6 +212,24 @@ def stream_sessionize(spark: SparkSession, input_dir: str) -> DataFrame:
     )
 
 
+def make_epoch_committer(run):
+    """foreachBatch callback: commit one streaming epoch through
+    ``ExtractionRun.commit_one`` with the epoch id as the batch id —
+    skipping epochs that already carry a commit marker (a restarted
+    stream replays the last epoch when the sink committed but the offset
+    checkpoint didn't; re-committing it under the new run_id would
+    double its lineage events). The marker listing is a driver-side
+    metadata read, O(batches), once per epoch."""
+
+    def commit(batch_df, epoch_id: int) -> None:
+        b = int(epoch_id)
+        if any(k.split(":", 1)[0] == str(b) for k in run._committed_keys()):
+            return
+        run.commit_one(batch_df, b)
+
+    return commit
+
+
 def stream_extract_with_lineage(spark: SparkSession, input_dir: str,
                                 out_dir: str, checkpoint_dir: str, *,
                                 mode: str = "reference",
@@ -222,12 +240,15 @@ def stream_extract_with_lineage(spark: SparkSession, input_dir: str,
     keyed by the streaming epoch id as the batch id.
 
     Crash semantics compose: the file-source offsets in the checkpoint
-    give at-least-once micro-batch delivery; a replayed epoch re-commits
-    under the same batch_id with the same run_id (appends are filtered by
-    run_id at read-back, and ``extracted()`` dedups by doc_id), while an
-    epoch whose process died mid-commit has no marker and is invisible —
-    exactly the batch pipeline's guarantees, now for a continuously
-    arriving corpus. Returns (StreamingQuery, ExtractionRun)."""
+    give at-least-once micro-batch delivery. An epoch whose process died
+    mid-commit has no marker and is invisible — resume re-runs it. An
+    epoch that fully committed but whose offset was not yet checkpointed
+    is replayed by a restarted stream under a NEW run_id; the committer
+    detects the existing marker for that batch id and skips, so committed
+    lineage keeps exactly one event per doc (no duplicate markers from
+    two runs of the same epoch). Exactly the batch pipeline's guarantees,
+    now for a continuously arriving corpus. Returns
+    (StreamingQuery, ExtractionRun)."""
     from .pipeline import ExtractionRun
 
     run = ExtractionRun(spark, out_dir, mode=mode)
@@ -236,9 +257,7 @@ def stream_extract_with_lineage(spark: SparkSession, input_dir: str,
         .option("maxFilesPerTrigger", "8")
         .parquet(input_dir)
     )
-
-    def commit(batch_df, epoch_id: int) -> None:
-        run.commit_one(batch_df, int(epoch_id))
+    commit = make_epoch_committer(run)
 
     writer = (
         docs.writeStream.foreachBatch(commit)

@@ -158,3 +158,17 @@ def test_roundtrip_property_random_lines():
         assert got == expected, (lines, got)
 
     check()
+
+
+def test_formfeed_in_string_does_not_split_pages():
+    # a \f (octal \014) inside a shown string must not create phantom pages
+    content = b"BT 72 700 Td (before\\014after) Tj ET"
+    got = extract_pdf_text(_as_text(_build_pdf([content])))
+    assert got == "before after\n"
+
+
+def test_tj_array_with_bracket_strings():
+    # decoded strings whose VALUE is '[' or ']' are text, not array markers
+    content = b"BT 72 700 Td [ (\\133) (x) (\\135) ] TJ ET"  # '[', 'x', ']'
+    got = extract_pdf_text(_as_text(_build_pdf([content])))
+    assert got == "[x]\n"

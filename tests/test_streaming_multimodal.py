@@ -196,3 +196,29 @@ def test_stream_extract_with_lineage_commits(spark, tmp_path):
     # metrics across both runs cover every doc exactly once
     metrics = spark.read.parquet(f"{out_dir}/metrics")
     assert metrics.agg(F.sum("docs")).first()[0] == 40
+
+
+def test_epoch_committer_skips_replayed_committed_epoch(spark, tmp_path):
+    """A restarted stream replays the last epoch under a NEW run_id when
+    the sink committed but the offset checkpoint didn't — the committer
+    must detect the existing marker and no-op, keeping exactly one
+    lineage event per doc."""
+    from extract_ocr_spark.pipeline import ExtractionRun
+    from extract_ocr_spark.streaming import make_epoch_committer
+
+    docs = synthetic_documents_df(spark, 8, seed=42, partitions=1)
+    out = str(tmp_path / "replay")
+
+    run1 = ExtractionRun(spark, out, run_id="epoch-r1")
+    make_epoch_committer(run1)(docs, 0)
+    # crash-before-checkpoint: a fresh process replays epoch 0
+    run2 = ExtractionRun(spark, out, run_id="epoch-r2")
+    make_epoch_committer(run2)(docs, 0)
+
+    assert run2._committed_keys() == ["0:epoch-r1"]  # no second marker
+    lin = run2.lineage().filter(F.col("event_kind") == "processed")
+    assert lin.count() == 8
+    assert run2.extracted().count() == 8
+    # and a genuinely new epoch still commits under run2
+    make_epoch_committer(run2)(docs.limit(0), 1)
+    assert sorted(run2._committed_keys()) == ["0:epoch-r1", "1:epoch-r2"]

@@ -16,3 +16,22 @@ def test_top_terms_variants_agree(spark):
     demo = [tuple(r) for r in top_terms_per_source_grouped_map(spark, SF).collect()]
     assert native == demo
     assert len(native) > 0
+
+
+def test_repetition_metrics_handles_sub_2_word_docs(spark, tmp_path):
+    """Docs with <2 words (or empty text) must not crash the 2-gram
+    branch (sequence(0,-1) + slice(_,0,2) used to throw) and report
+    top_2gram_frac = 0 like the DuckDB oracle's len(words)>=2 guard."""
+    from extract_ocr_spark.operators.textanalysis import repetition_metrics
+
+    d = tmp_path / "documents.parquet"
+    spark.createDataFrame(
+        [(1, "hello", "en", "s", 5), (2, "", "en", "s", 0),
+         (3, "two words", "en", "s", 9)],
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d))
+    got = {r["doc_id"]: r for r in
+           repetition_metrics(spark, str(tmp_path)).collect()}
+    assert got[1]["top_2gram_frac"] == 0.0
+    assert got[2]["top_2gram_frac"] == 0.0 and got[2]["n_lines"] == 0
+    assert got[3]["top_2gram_frac"] == 1.0  # exactly one 2-gram

@@ -108,7 +108,13 @@ def simhash_bands(value: int, blocks: int = 5, bits: int = 64) -> list[str]:
     ``blocks - 2`` (= 3) leave ≥2 blocks untouched and so share the exact
     key of that pair — recall is exact by pigeonhole, while two-block
     (~26-bit) keys keep bucket collisions near-linear at web scale where
-    single-block 13-bit keys (8k buckets) would fan out O(n²/8k) pairs."""
+    single-block 13-bit keys (8k buckets) would fan out O(n²/8k) pairs.
+
+    NOT join-compatible with ``operators.dedup._simhash_band_keys``: that
+    native path uses 60-bit simhashes, 12-bit blocks and decimal-encoded
+    keys (this kernel: 64-bit, ~13-bit blocks, hex). Joining keys across
+    the two would silently match nothing — each scheme is self-contained
+    (kernel keys join kernel keys, native keys join native keys)."""
     base, extra = divmod(bits, blocks)
     vals, off = [], 0
     for i in range(blocks):

@@ -218,17 +218,25 @@ def _content_runs(content: bytes) -> list[tuple[float, float, str]]:
             stack.append(float(tok))
         else:
             op = tok.decode("latin-1")
-            if op == "Td" and len(stack) >= 2:
-                tx += float(stack[-2]); ty += float(stack[-1])
-            elif op == "TD" and len(stack) >= 2:
-                tx += float(stack[-2]); ty += float(stack[-1])
-                leading = -float(stack[-1]) or leading
-            elif op == "Tm" and len(stack) >= 6:
-                tx, ty = float(stack[-2]), float(stack[-1])
+            # Operand-type guards: a name or string where a number is
+            # expected (malformed producer output) must skip that single
+            # operator, not raise — failure containment is per page, never
+            # the whole document.
+            def _nums(n: int) -> bool:
+                return len(stack) >= n and all(
+                    isinstance(v, float) for v in stack[-n:])
+
+            if op == "Td" and _nums(2):
+                tx += stack[-2]; ty += stack[-1]
+            elif op == "TD" and _nums(2):
+                tx += stack[-2]; ty += stack[-1]
+                leading = -stack[-1] or leading
+            elif op == "Tm" and len(stack) >= 6 and _nums(2):
+                tx, ty = stack[-2], stack[-1]
             elif op == "T*":
                 ty -= leading
-            elif op == "TL" and stack:
-                leading = float(stack[-1]) or leading
+            elif op == "TL" and _nums(1):
+                leading = stack[-1] or leading
             elif op == "Tj" and stack and isinstance(stack[-1], str):
                 show(stack[-1])
             elif op == "TJ":
@@ -255,9 +263,13 @@ def _pdf_bytes_to_layout(data: bytes) -> str:
     positioned lines so top-of-page sorts first)."""
     import zlib
 
+    # Last occurrence wins: incrementally-updated PDFs append the newest
+    # version of an object at the end of the file, so keeping the final
+    # `N G obj` body approximates xref resolution for appended revisions
+    # (the reference's pypdf path resolves via xref to the newest version).
     objs: dict[int, bytes] = {}
     for m in _OBJ_RE.finditer(data):
-        objs.setdefault(int(m.group(1)), m.group(3))
+        objs[int(m.group(1))] = m.group(3)
 
     def stream_of(body: bytes) -> bytes | None:
         sm = re.search(rb"stream\r?\n", body)
@@ -332,7 +344,11 @@ def _pdf_bytes_to_layout(data: bytes) -> str:
                 streams.append(s)
         lines: list[str] = []
         for s in streams:
-            for y, x, text in _content_runs(s):
+            try:
+                runs = _content_runs(s)
+            except Exception:
+                continue  # one malformed stream degrades only this page
+            for y, x, text in runs:
                 # \f too: layout pages are form-feed-delimited, so a form
                 # feed inside a shown string would split phantom pages
                 clean = (text.replace("\n", " ").replace("\r", " ")

@@ -314,7 +314,11 @@ def _simhash_band_keys() -> "F.Column":
     within Hamming distance ≤ 3 leaves ≥ 2 of the 5 blocks untouched and
     therefore shares the exact key of that block pair (pigeonhole — recall
     is exact, not probabilistic). Blocks use mask extraction
-    (``shiftrightunsigned`` + ``bitwiseAND``), never signed ``%``."""
+    (``shiftrightunsigned`` + ``bitwiseAND``), never signed ``%``.
+
+    NOT join-compatible with ``kernels.dedupkit.simhash_bands`` (64-bit
+    hashes, ~13-bit blocks, hex-encoded keys vs 60-bit/12-bit/decimal
+    here) — keys from one scheme silently match nothing in the other."""
     mask = (1 << _BLOCK_WIDTH) - 1
 
     def block(i: int):

@@ -212,20 +212,74 @@ def stream_sessionize(spark: SparkSession, input_dir: str) -> DataFrame:
     )
 
 
-def make_epoch_committer(run):
+def _stream_identity(run, checkpoint_dir: str) -> str:
+    """Read-or-create the stream identity recorded inside the checkpoint
+    directory. Epoch ids restart at 0 with a fresh checkpoint, so "batch
+    id N already has a marker" is only evidence of a *replay* when the
+    marker came from a stream using the SAME checkpoint — the identity
+    file makes that distinction durable (Hadoop FS API: works on
+    file://, HDFS, S3A like the markers themselves)."""
+    import os
+    import uuid
+
+    fs, jpath = run._hadoop_fs(os.path.join(checkpoint_dir,
+                                            "_stream_identity"))
+    if fs.exists(jpath):
+        stream = fs.open(jpath)
+        try:
+            return stream.readUTF()
+        finally:
+            stream.close()
+    ident = uuid.uuid4().hex[:12]
+    out = fs.create(jpath, True)
+    out.writeUTF(ident)
+    out.close()
+    return ident
+
+
+def make_epoch_committer(run, checkpoint_dir: str):
     """foreachBatch callback: commit one streaming epoch through
-    ``ExtractionRun.commit_one`` with the epoch id as the batch id —
-    skipping epochs that already carry a commit marker (a restarted
-    stream replays the last epoch when the sink committed but the offset
-    checkpoint didn't; re-committing it under the new run_id would
-    double its lineage events). The marker listing is a driver-side
-    metadata read, O(batches), once per epoch."""
+    ``ExtractionRun.commit_one`` with the epoch id as the batch id.
+
+    Replay safety is tied to the checkpoint's stream identity, not the
+    bare batch id: a restarted stream replays the last epoch when the
+    sink committed but the offset checkpoint didn't — that replay carries
+    the SAME ``_stream_identity``, sees this stream's ``_STREAM_<ident>``
+    marker in the batch directory, and no-ops. A *fresh* checkpoint over
+    a reused output directory also starts at epoch 0, but with a NEW
+    identity: there the committer anti-joins the batch's doc_ids against
+    committed lineage and commits only the uncovered remainder, so
+    genuinely new data is never silently dropped and already-committed
+    docs are never double-counted. Marker checks are driver-side
+    metadata reads, O(1) listings per epoch."""
+    import os
+
+    ident = _stream_identity(run, checkpoint_dir)
 
     def commit(batch_df, epoch_id: int) -> None:
         b = int(epoch_id)
-        if any(k.split(":", 1)[0] == str(b) for k in run._committed_keys()):
-            return
-        run.commit_one(batch_df, b)
+        batch_dir = os.path.join(run.extracted_path, f"batch_id={b}")
+        fs, jdir = run._hadoop_fs(batch_dir)
+        jmark = run.spark._jvm.org.apache.hadoop.fs.Path(
+            os.path.join(batch_dir, f"_STREAM_{ident}"))
+        if fs.exists(jmark):
+            return  # this stream already durably committed this epoch
+        foreign_commit = fs.exists(jdir) and any(
+            f.getPath().getName().startswith("_COMMITTED_")
+            for f in fs.listStatus(jdir))
+        if foreign_commit:
+            # Epoch-id collision with another stream's (or a crashed
+            # attempt's) committed batch: guard per-doc, like the batch
+            # path's pending()/lineage anti-join.
+            attempted = run.attempted_doc_ids()
+            if attempted is not None:
+                batch_df = batch_df.join(attempted.distinct(), "doc_id",
+                                         "left_anti")
+            if not batch_df.isEmpty():
+                run.commit_one(batch_df, b)
+        else:
+            run.commit_one(batch_df, b)
+        fs.create(jmark, True).close()
 
     return commit
 
@@ -257,7 +311,7 @@ def stream_extract_with_lineage(spark: SparkSession, input_dir: str,
         .option("maxFilesPerTrigger", "8")
         .parquet(input_dir)
     )
-    commit = make_epoch_committer(run)
+    commit = make_epoch_committer(run, checkpoint_dir)
 
     writer = (
         docs.writeStream.foreachBatch(commit)

@@ -172,3 +172,30 @@ def test_tj_array_with_bracket_strings():
     content = b"BT 72 700 Td [ (\\133) (x) (\\135) ] TJ ET"  # '[', 'x', ']'
     got = extract_pdf_text(_as_text(_build_pdf([content])))
     assert got == "[x]\n"
+
+
+def test_incremental_update_newest_object_wins():
+    """Incrementally-updated PDFs append the newer version of an object at
+    the end of the file; the recovery scan must extract the NEW content
+    (last `N G obj` occurrence wins), approximating xref resolution."""
+    base = _build_pdf([b"BT 72 700 Td (stale content) Tj ET"])
+    # append an updated content-stream object (same object number, 4)
+    new = b"BT 72 700 Td (fresh content) Tj ET"
+    update = (b"4 0 obj\n<< /Length " + str(len(new)).encode()
+              + b" >>\nstream\n" + new + b"\nendstream\nendobj\n"
+              + b"%%EOF\n")
+    got = extract_pdf_text(_as_text(base + update))
+    assert got == "fresh content\n"
+
+
+def test_malformed_operand_contained_per_page():
+    """A name/string operand where Td/TL expect numbers (malformed
+    producer) must degrade only the affected operator, never turn the
+    whole document into PARSE_FAIL."""
+    bad = (b"BT (oops) 5 Td (never positioned) Tj "
+           b"/Name TL 72 700 Td (good line) Tj ET")
+    ok = b"BT 72 700 Td (second page fine) Tj ET"
+    got = extract_pdf_text(_as_text(_build_pdf([bad, ok])))
+    assert "second page fine" in got
+    assert "good line" in got
+    assert PARSE_FAIL_SENTINEL not in got

@@ -208,17 +208,55 @@ def test_epoch_committer_skips_replayed_committed_epoch(spark, tmp_path):
 
     docs = synthetic_documents_df(spark, 8, seed=42, partitions=1)
     out = str(tmp_path / "replay")
+    ckpt = str(tmp_path / "ckpt")  # SAME checkpoint across the restart
 
     run1 = ExtractionRun(spark, out, run_id="epoch-r1")
-    make_epoch_committer(run1)(docs, 0)
+    make_epoch_committer(run1, ckpt)(docs, 0)
     # crash-before-checkpoint: a fresh process replays epoch 0
     run2 = ExtractionRun(spark, out, run_id="epoch-r2")
-    make_epoch_committer(run2)(docs, 0)
+    make_epoch_committer(run2, ckpt)(docs, 0)
 
     assert run2._committed_keys() == ["0:epoch-r1"]  # no second marker
     lin = run2.lineage().filter(F.col("event_kind") == "processed")
     assert lin.count() == 8
     assert run2.extracted().count() == 8
     # and a genuinely new epoch still commits under run2
-    make_epoch_committer(run2)(docs.limit(0), 1)
+    make_epoch_committer(run2, ckpt)(docs.limit(0), 1)
     assert sorted(run2._committed_keys()) == ["0:epoch-r1", "1:epoch-r2"]
+
+
+def test_epoch_committer_fresh_checkpoint_commits_new_data(spark, tmp_path):
+    """Epoch ids restart at 0 with a FRESH checkpoint: reusing an output
+    directory after losing the checkpoint must not silently drop the new
+    stream's epoch 0. The committer keys replay detection on the stream
+    identity in the checkpoint, and for foreign markers guards per-doc
+    via a lineage anti-join — old docs stay single-counted, new docs
+    commit."""
+    from extract_ocr_spark.pipeline import ExtractionRun
+    from extract_ocr_spark.streaming import make_epoch_committer
+
+    all_docs = synthetic_documents_df(spark, 12, seed=42, partitions=1)
+    first = all_docs.filter(F.col("doc_id") < F.lit("doc-0000000008"))
+    out = str(tmp_path / "reused")
+
+    run1 = ExtractionRun(spark, out, run_id="old-run")
+    make_epoch_committer(run1, str(tmp_path / "ckpt1"))(first, 0)
+    assert run1.extracted().count() == 8
+
+    # checkpoint lost → new stream, fresh checkpoint, epoch ids restart;
+    # epoch 0 carries 8 already-committed docs + 4 genuinely new ones
+    run2 = ExtractionRun(spark, out, run_id="new-run")
+    make_epoch_committer(run2, str(tmp_path / "ckpt2"))(all_docs, 0)
+
+    lin = run2.lineage().filter(F.col("event_kind") == "processed")
+    assert lin.count() == 12  # every doc exactly once
+    assert lin.select("doc_id").distinct().count() == 12
+    assert run2.extracted().count() == 12
+    assert sorted(run2._committed_keys()) == ["0:new-run", "0:old-run"]
+
+    # replay of the same epoch under the SAME new checkpoint no-ops
+    run3 = ExtractionRun(spark, out, run_id="replay-run")
+    make_epoch_committer(run3, str(tmp_path / "ckpt2"))(all_docs, 0)
+    assert run3.lineage().filter(
+        F.col("event_kind") == "processed").count() == 12
+    assert "0:replay-run" not in run3._committed_keys()

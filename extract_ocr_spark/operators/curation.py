@@ -135,7 +135,13 @@ def contamination_check(spark, sf_dir):
 
     docs = _with_shingles(_docs(spark, sf_dir)).select(
         "doc_id", F.explode("shingles").alias("shingle"))
-    eval_set = docs.filter(F.col("doc_id") < 5).select(
+    # Eval set: docs 0-4 plus docs 100-104 — the latter stay IN the
+    # corpus, modeling benchmark text that leaked into training data
+    # verbatim, so the check provably fires (≥5 self-overlap rows at
+    # every sf; an all-disjoint eval set would make the oracle a
+    # toothless 0-vs-0 comparison).
+    is_eval = (F.col("doc_id") < 5) | F.col("doc_id").between(100, 104)
+    eval_set = docs.filter(is_eval).select(
         F.col("doc_id").alias("eval_id"), "shingle").distinct()
     corpus = _drop_hot_shingles(docs.filter(F.col("doc_id") >= 5))
     return (
@@ -169,10 +175,12 @@ WITH w AS (
     SELECT shingle FROM sh WHERE doc_id >= 5
     GROUP BY shingle HAVING count(*) > {CAP})
 )
-SELECT c.doc_id, e.doc_id AS eval_id, count(*) AS shared_shingles
-FROM corpus c JOIN sh e ON c.shingle = e.shingle
-WHERE e.doc_id < 5
-GROUP BY c.doc_id, e.doc_id
+SELECT c.doc_id, e.eval_id, count(*) AS shared_shingles
+FROM corpus c JOIN (
+  SELECT DISTINCT doc_id AS eval_id, shingle FROM sh
+  WHERE doc_id < 5 OR doc_id BETWEEN 100 AND 104) e
+  ON c.shingle = e.shingle
+GROUP BY c.doc_id, e.eval_id
 HAVING count(*) >= 5
 ORDER BY c.doc_id, eval_id
 """.replace("{CAP}", str(_contamination_df_cap()))

@@ -119,10 +119,17 @@ FROM (
 # -- P8/J1: resume anti-join (reference done/failed skip, crawl.py:938-939) ---
 
 def anti_join_resume(spark, sf_dir):
+    """Resume semantics: orders placed before 1996 stand in for the
+    "already processed" set; pending customers are those with no
+    processed order. (The date gate exists so the pending set is
+    NON-empty at every sf — a 0-vs-0 oracle row would also pass with a
+    broken join key, proving nothing.)"""
     customer = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    done = (_t(spark, sf_dir, "orders")
+            .filter(F.col("o_orderdate") < F.lit("1996-01-01"))
+            .select(F.col("o_custkey").alias("c_custkey")))
     return (
-        customer.join(orders, "c_custkey", "left_anti")
+        customer.join(done, "c_custkey", "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     )
@@ -130,7 +137,8 @@ def anti_join_resume(spark, sf_dir):
 
 ANTI_JOIN_RESUME_SQL = """
 SELECT c_custkey, c_name FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate < DATE '1996-01-01')
 ORDER BY c_custkey
 """
 

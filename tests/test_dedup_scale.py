@@ -150,9 +150,12 @@ def test_contamination_check_drops_boilerplate_fanout(spark, tmp_path):
 
     rare = "alpha beta gamma delta epsilon zeta eta theta"
     rows = [(1, f"{BOILER} {rare}", "en", "s", 80)]
+    # corpus ids start at 3000: ids 100-104 are part of the operator's
+    # default eval window (leaked-benchmark seeding) and must not collide
+    # with this test's synthetic corpus
     rows += [
         (i, f"{BOILER} unique{i} token{i} word{i} item{i}", "en", "s", 40)
-        for i in range(5, 1005)
+        for i in range(3000, 4000)
     ]
     rows += [(2000, rare + " tail", "en", "s", 40)]
     sf_dir = _write_documents(spark, tmp_path, rows)

@@ -92,6 +92,34 @@ def build_absolute_url_list(hrefs, seed_url: str) -> list[str]:
 _MD_LINK_RE = re.compile(r"(!?\[[^\]]*\])\(([^)]+)\)")
 
 
+def _resolve_md_target(target: str, page_url: str) -> str | None:
+    """Shared resolution for markdown link targets: strip angle brackets,
+    pass mailto through (None), resolve relative against the page URL,
+    normalize. One definition so the broadcast rewriter and the
+    corpus-scale explode-join rewriter can never disagree on which
+    corpus URL a link points at."""
+    from urllib.parse import urljoin
+
+    target = target.strip()
+    if target.startswith("<") and target.endswith(">"):
+        target = target[1:-1].strip()
+    if target.startswith("mailto:"):
+        return None
+    return normalize_url(urljoin(page_url or "", target))
+
+
+def markdown_link_targets(markdown: str, page_url: str) -> list[str]:
+    """Distinct resolved+normalized targets of every ``[label](target)`` /
+    ``![alt](target)`` link on a page (mailto excluded) — the explode
+    side of the corpus-scale rewrite join."""
+    seen: list[str] = []
+    for m in _MD_LINK_RE.finditer(markdown or ""):
+        resolved = _resolve_md_target(m.group(2), page_url)
+        if resolved is not None and resolved not in seen:
+            seen.append(resolved)
+    return seen
+
+
 def rewrite_markdown_links(markdown: str, page_url: str,
                            url_to_relpath: dict[str, str]) -> str:
     """Rewrite arbitrary ``[label](target)`` / ``![alt](target)`` links
@@ -100,17 +128,15 @@ def rewrite_markdown_links(markdown: str, page_url: str,
     targets pass through unchanged. Reference parity:
     scripts/export_endnote25_windows.py:347-385 (regex :348, angle-bracket
     strip, mailto guard, fragment re-attach)."""
-    from urllib.parse import urljoin
-
     def repl(match: re.Match) -> str:
         label = match.group(1)
         target = match.group(2).strip()
         if target.startswith("<") and target.endswith(">"):
             target = target[1:-1].strip()
-        if target.startswith("mailto:"):
+        resolved = _resolve_md_target(target, page_url)
+        if resolved is None:  # mailto
             return match.group(0)
         fragment = urlparse(target).fragment
-        resolved = normalize_url(urljoin(page_url or "", target))
         local = url_to_relpath.get(resolved)
         if not local:
             return match.group(0)

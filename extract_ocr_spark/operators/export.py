@@ -119,11 +119,58 @@ def rewrite_links_df(pages: DataFrame, url_map: DataFrame) -> DataFrame:
     return pages.withColumn("md_out", rw("md", "page_url"))
 
 
-def markdown_link_rewrite(spark, sf_dir):
-    """Multi-link documents: a relative link with a fragment, an
-    angle-bracket-wrapped relative link, a pure-fragment self link, a
-    mailto, and an external absolute link — exercising every branch of the
-    reference rewriter (resolve, fragment re-attach, preserve)."""
+def rewrite_links_join_df(pages: DataFrame, url_map: DataFrame) -> DataFrame:
+    """Corpus-scale variant of ``rewrite_links_df``: NO driver-side map.
+
+    Phase 1: explode each page's resolved link targets (Arrow-batched
+    UDF over the same ``_resolve_md_target`` kernel the broadcast path
+    uses). Phase 2: equi-join targets against ``url_map(url, path)`` —
+    an ordinary shuffle join that scales to a corpus-sized map; Catalyst
+    broadcasts it when it is small. Phase 3: fold matches into a per-page
+    mini-map (links-per-page entries, bounded) and run the identical
+    rewrite kernel. Output column set matches ``rewrite_links_df``.
+
+    At 10^12 docs this is the shape that survives: the only shuffles are
+    keyed on link-target URL and doc_id, the per-page state is O(links on
+    that page), and nothing is ever collected to the driver (the
+    reference's full-map barrier, scripts/export_endnote25_windows.py:
+    484-498, is what this removes)."""
+    from ..kernels.urlkit import markdown_link_targets
+
+    @pandas_udf("array<string>")
+    def targets(md: pd.Series, purl: pd.Series) -> pd.Series:
+        return pd.Series(
+            [markdown_link_targets(a, b) for a, b in zip(md, purl)])
+
+    exploded = pages.select(
+        "doc_id", F.explode(targets("md", "page_url")).alias("url"))
+    per_doc = (
+        exploded.join(url_map, "url")
+        .groupBy("doc_id")
+        .agg(F.map_from_entries(
+            F.collect_set(F.struct("url", "path"))).alias("_link_map"))
+    )
+
+    @pandas_udf("string")
+    def rw(md: pd.Series, purl: pd.Series, lm: pd.Series) -> pd.Series:
+        return pd.Series([
+            rewrite_markdown_links(
+                a, b, m if isinstance(m, dict) else dict(m or []))
+            for a, b, m in zip(md, purl, lm)])
+
+    return (
+        pages.join(per_doc, "doc_id", "left")
+        .withColumn("md_out", rw("md", "page_url", "_link_map"))
+        .drop("_link_map")
+    )
+
+
+def _link_fixture(spark, sf_dir):
+    """Shared pages/url_map fixture for both rewrite variants: a relative
+    link with a fragment, an angle-bracket-wrapped relative link, a
+    pure-fragment self link, a mailto, and an external absolute link —
+    exercising every branch of the reference rewriter (resolve, fragment
+    re-attach, preserve)."""
     docs = _docs(spark, sf_dir)
     did = F.col("doc_id").cast("string")
     md = F.concat(
@@ -140,7 +187,21 @@ def markdown_link_rewrite(spark, sf_dir):
                  F.lit(".html")).alias("url"),
         F.concat(F.lit("pages/doc-"), did, F.lit(".md")).alias("path"),
     )
+    return pages, url_map
+
+
+def markdown_link_rewrite(spark, sf_dir):
+    """Broadcast-map rewrite (export-set-sized maps)."""
+    pages, url_map = _link_fixture(spark, sf_dir)
     out = rewrite_links_df(pages, url_map)
+    return out.select("doc_id", "md_out").orderBy("doc_id")
+
+
+def markdown_link_rewrite_join(spark, sf_dir):
+    """Explode-join rewrite (corpus-sized maps) — same fixture, same
+    oracle as ``markdown_link_rewrite``: the two variants must agree."""
+    pages, url_map = _link_fixture(spark, sf_dir)
+    out = rewrite_links_join_df(pages, url_map)
     return out.select("doc_id", "md_out").orderBy("doc_id")
 
 
@@ -238,6 +299,7 @@ FROM events
 QUERIES = {
     "consolidated_index": consolidated_index,
     "markdown_link_rewrite": markdown_link_rewrite,
+    "markdown_link_rewrite_join": markdown_link_rewrite_join,
     "url_scope_filter": url_scope_filter,
     "export_counts_events": export_counts_events,
 }
@@ -245,6 +307,7 @@ QUERIES = {
 ORACLES = {
     "consolidated_index": CONSOLIDATED_INDEX_SQL,
     "markdown_link_rewrite": MARKDOWN_LINK_REWRITE_SQL,
+    "markdown_link_rewrite_join": MARKDOWN_LINK_REWRITE_SQL,
     "url_scope_filter": URL_SCOPE_FILTER_SQL,
     "export_counts_events": EXPORT_COUNTS_EVENTS_SQL,
 }

@@ -276,3 +276,47 @@ def test_host_allowed_scoping():
     assert not host_allowed("https://other.com/x", ("example.gov",))
     assert host_allowed("https://other.com/x", (), follow_offsite=True)
     assert not host_allowed("not-a-url", ("example.gov",))
+
+
+def test_rewrite_links_join_parity_and_plan(spark):
+    """Corpus-scale explode-join rewriter must agree byte-for-byte with
+    the broadcast-map rewriter, and its plan must contain the url
+    equi-join with NO driver-side map barrier (the join variant never
+    calls collect; the broadcast variant's dict build is the thing it
+    replaces at 100x corpus scale)."""
+    from extract_ocr_spark.operators.export import (
+        rewrite_links_df,
+        rewrite_links_join_df,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            (1, "https://ex.org/a/p1.html",
+             "go [n](p2.html#x), [abs](https://ex.org/b/p3.html), "
+             "[self](#top), [m](mailto:x@y.z), [out](https://other.io/q)"),
+            (2, "https://ex.org/b/p3.html", "back [h](../a/p1.html) ![i](p2.html)"),
+            (3, "https://ex.org/c/none.html", "no links here"),
+            (4, "https://ex.org/d/empty.html", ""),
+        ],
+        "doc_id long, page_url string, md string",
+    )
+    url_map = spark.createDataFrame(
+        [
+            ("https://ex.org/a/p1.html", "a/p1.md"),
+            ("https://ex.org/a/p2.html", "a/p2.md"),
+            ("https://ex.org/b/p3.html", "b/p3.md"),
+        ],
+        "url string, path string",
+    )
+
+    want = {r["doc_id"]: r["md_out"]
+            for r in rewrite_links_df(pages, url_map).collect()}
+    out = rewrite_links_join_df(pages, url_map)
+    got = {r["doc_id"]: r["md_out"] for r in out.collect()}
+    assert got == want
+    assert got[1] == ("go [n](a/p2.md#x), [abs](b/p3.md), [self](a/p1.md#top), "
+                      "[m](mailto:x@y.z), [out](https://other.io/q)")
+    assert got[3] == "no links here"
+
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" in plan and "url" in plan, plan

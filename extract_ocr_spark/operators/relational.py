@@ -206,6 +206,65 @@ LIMIT 1
 """
 
 
+# -- E15 (full): ZIP single-HTML member pick over a synthetic listing ----------
+# Reference docs/pyUSPTO/fetch_latest_docs.py:63-74: .html members only,
+# prefer names containing "index", then shortest name. The kernel-side
+# byte-level pick lives in kernels/zipkit.pick_single_html; this query is
+# the same ordering as a relational operator over (archive, member, size)
+# listings — one window pick per archive, no driver involvement.
+
+def zip_member_pick(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    member = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("site/page-"), did, F.lit(".html")))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("assets/style-"), did, F.lit(".css")))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit("deep/nested/article-"), did, F.lit(".html")))
+        .when(F.col("doc_id") % 8 == 3,
+              F.concat(F.lit("idx/index-"), did, F.lit(".html")))
+        .otherwise(F.concat(F.lit("img/pic-"), did, F.lit(".png")))
+    )
+    listing = docs.select(
+        (F.col("doc_id") % 50).alias("archive_id"),
+        member.alias("member"),
+        F.col("n_chars").cast("long").alias("member_size"),
+    ).filter(F.lower("member").endswith(".html"))
+    w = Window.partitionBy("archive_id").orderBy(
+        F.when(F.lower("member").contains("index"), 0).otherwise(1),
+        F.length("member"), F.col("member"))
+    return (
+        listing.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("archive_id", "member", "member_size")
+        .orderBy("archive_id")
+    )
+
+
+ZIP_MEMBER_PICK_SQL = """
+WITH listing AS (
+  SELECT doc_id % 50 AS archive_id,
+         CASE WHEN doc_id % 4 = 0 THEN 'site/page-' || doc_id || '.html'
+              WHEN doc_id % 4 = 1 THEN 'assets/style-' || doc_id || '.css'
+              WHEN doc_id % 4 = 2 THEN 'deep/nested/article-' || doc_id || '.html'
+              WHEN doc_id % 8 = 3 THEN 'idx/index-' || doc_id || '.html'
+              ELSE 'img/pic-' || doc_id || '.png' END AS member,
+         CAST(n_chars AS BIGINT) AS member_size
+  FROM documents
+), html AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY archive_id
+      ORDER BY (CASE WHEN lower(member) LIKE '%index%' THEN 0 ELSE 1 END),
+               length(member), member) AS rn
+  FROM listing WHERE lower(member) LIKE '%.html'
+)
+SELECT archive_id, member, member_size FROM html WHERE rn = 1
+ORDER BY archive_id
+"""
+
+
 # -- JSON path extraction + aggregate (reference E9/A6 shapes) -----------------
 
 def json_props_agg(spark, sf_dir):
@@ -394,6 +453,7 @@ QUERIES = {
     "gate_truncate": gate_truncate,
     "sha_dedupe": sha_dedupe,
     "top1_pick": top1_pick,
+    "zip_member_pick": zip_member_pick,
     "json_props_agg": json_props_agg,
     "join_enrich": join_enrich,
     "pricing_summary": pricing_summary,
@@ -410,6 +470,7 @@ ORACLES = {
     "gate_truncate": GATE_TRUNCATE_SQL,
     "sha_dedupe": SHA_DEDUPE_SQL,
     "top1_pick": TOP1_PICK_SQL,
+    "zip_member_pick": ZIP_MEMBER_PICK_SQL,
     "json_props_agg": JSON_PROPS_AGG_SQL,
     "join_enrich": JOIN_ENRICH_SQL,
     "pricing_summary": PRICING_SUMMARY_SQL,

@@ -320,3 +320,42 @@ def test_rewrite_links_join_parity_and_plan(spark):
 
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "Join" in plan and "url" in plan, plan
+
+
+def test_zipkit_member_pick_and_extract():
+    """E15 closed end-to-end: list members of an in-memory archive, apply
+    the reference's prefer-index/shortest pick, extract that member's
+    HTML through the markdown kernel (fetch_latest_docs.py:59-92)."""
+    import io
+    import zipfile
+
+    from extract_ocr_spark.kernels.zipkit import (
+        pick_single_html,
+        read_member,
+        zip_members,
+        zip_single_html_to_markdown,
+    )
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("docs/a-very-long-page-name.html",
+                    "<html><body><p>long page</p></body></html>")
+        zf.writestr("docs/index.html",
+                    "<html><body><h1>Title</h1><p>hello zip</p></body></html>")
+        zf.writestr("docs/short.html", "<html><body><p>short</p></body></html>")
+        zf.writestr("style.css", "body{}")
+        zf.writestr("img/logo.png", "\x89PNG")
+    data = buf.getvalue()
+
+    members = zip_members(data)
+    assert ("style.css", 6) in members
+    names = [n for n, _ in members]
+    # "index" beats shorter non-index names
+    assert pick_single_html(names) == "docs/index.html"
+    assert pick_single_html(["b/aa.html", "a/zzzz.html"]) == "b/aa.html"
+    assert pick_single_html(["style.css"]) is None
+
+    html = read_member(data, "docs/index.html").decode()
+    assert "hello zip" in html
+    md = zip_single_html_to_markdown(data)
+    assert "hello zip" in md and "Title" in md

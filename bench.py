@@ -127,7 +127,10 @@ def timed(fn, attempts: int = 3, extra_if_dirty: int = 2):
         wall = time.monotonic() - t0
         s1, k1 = _stat(), _proc_tree_ticks(me)
         total = max(1, sum(s1) - sum(s0))
-        busy = total - ((s1[3] + s1[4]) - (s0[3] + s0[4]))
+        # busy excludes idle+iowait AND steal (steal has its own column in
+        # the record; without the exclusion every stolen tick would be
+        # double-flagged as foreign-busy too)
+        busy = total - ((s1[3] + s1[4]) - (s0[3] + s0[4])) - (s1[7] - s0[7])
         foreign = max(0, busy - (k1 - k0)) / total
         runs.append([round(wall, 3), round(_steal_fraction(s0, s1), 4),
                      round(foreign, 4), int(idle_ok)])

@@ -252,16 +252,96 @@ def extract_df(docs: DataFrame, *, mode: str = "reference",
     return out.select("doc_id", "out_spans")
 
 
+class ParquetMarkerSink:
+    """Default commit sink: three parquet appends + a zero-byte
+    ``_COMMITTED_<run_id>`` marker as the atomic visibility flip (the
+    full rationale lives on ``ExtractionRun``'s marker section)."""
+
+    def __init__(self, run: "ExtractionRun"):
+        self.run = run
+
+    def write_extracted(self, df: DataFrame, b: int) -> None:
+        # Hive-style per-batch subdirectory: lineage/metrics derivation
+        # reads back ONLY this batch's files (O(batch), not
+        # O(total-written) — re-reading the whole output directory per
+        # micro-batch would be O(B²) over the run), and reads of the
+        # root still see batch_id via partition-column inference.
+        df.write.mode("append").parquet(self._batch_path(b))
+
+    def read_back(self, b: int) -> DataFrame:
+        return self.run.spark.read.parquet(self._batch_path(b))
+
+    def write_lineage(self, df: DataFrame) -> None:
+        df.write.mode("append").parquet(self.run.lineage_path)
+
+    def write_metrics(self, df: DataFrame) -> None:
+        df.write.mode("append").parquet(self.run.metrics_path)
+
+    def finalize(self, b: int) -> None:
+        # Durability point: everything for batch b is on disk — flip
+        # the batch visible with one zero-byte marker create.
+        self.run._commit_batch(b)
+
+    def _batch_path(self, b: int) -> str:
+        return os.path.join(self.run.extracted_path, f"batch_id={b}")
+
+
+class IcebergCommitSink:
+    """Iceberg variant of the SAME commit protocol (README "Iceberg
+    deployment"): the three appends become ``writeTo(<table>).append()``
+    snapshot commits on ``<prefix>.extracted/lineage/metrics``; no
+    marker file exists because each Iceberg append IS an atomic
+    visibility flip, and on 1.2+ the three fold into one multi-table
+    WAP stage-commit. Requires the iceberg-spark-runtime jar + a
+    configured catalog — absent in this sandbox, so the wiring is
+    exercised by tests/test_iceberg_harness.py (skips cleanly without
+    the jar) and the protocol-order contract by a fake-sink test."""
+
+    def __init__(self, run: "ExtractionRun", prefix: str):
+        self.run = run
+        self.prefix = prefix
+
+    def _append(self, df: DataFrame, table: str) -> None:
+        try:
+            df.writeTo(table).append()
+        except Exception:  # first batch: table does not exist yet
+            df.writeTo(table).using("iceberg").create()
+
+    def write_extracted(self, df: DataFrame, b: int) -> None:
+        self._append(df.withColumn("batch_id", F.lit(b).cast("long")),
+                     f"{self.prefix}.extracted")
+
+    def read_back(self, b: int) -> DataFrame:
+        return (self.run.spark.read.table(f"{self.prefix}.extracted")
+                .filter(F.col("batch_id") == b))
+
+    def write_lineage(self, df: DataFrame) -> None:
+        self._append(df, f"{self.prefix}.lineage")
+
+    def write_metrics(self, df: DataFrame) -> None:
+        self._append(df, f"{self.prefix}.metrics")
+
+    def finalize(self, b: int) -> None:
+        """No marker: the metrics append's snapshot commit was the
+        durability point. (Deployment note: wrap the three appends in a
+        WAP stage-commit for strict all-or-nothing across tables.)"""
+
+
 class ExtractionRun:
     """Checkpointed extraction over an output directory.
 
     Layout: ``<out_dir>/extracted`` (doc_id, out_spans, stats columns),
     ``<out_dir>/lineage`` (FIXTURES.md §3), ``<out_dir>/metrics`` (§4).
+
+    ``sink`` is the commit-protocol seam: ``ParquetMarkerSink`` (default,
+    this sandbox) or ``IcebergCommitSink`` (real deployment) — both
+    receive the identical write_extracted → read_back → write_lineage →
+    write_metrics → finalize sequence from ``commit_one``.
     """
 
     def __init__(self, spark: SparkSession, out_dir: str,
                  run_id: str | None = None, mode: str = "reference",
-                 waf_integration: bool = True):
+                 waf_integration: bool = True, sink=None):
         self.spark = spark
         self.out_dir = out_dir
         self.run_id = run_id or uuid.uuid4().hex[:12]
@@ -271,6 +351,7 @@ class ExtractionRun:
         self.extracted_path = os.path.join(out_dir, "extracted")
         self.lineage_path = os.path.join(out_dir, "lineage")
         self.metrics_path = os.path.join(out_dir, "metrics")
+        self.sink = sink if sink is not None else ParquetMarkerSink(self)
 
     # -- atomic batch commit markers --------------------------------------
     # The parquet fallback writes output → lineage → metrics as three
@@ -401,23 +482,17 @@ class ExtractionRun:
         extracted = extract_df(chunk, mode=self.mode, with_stats=True,
                                waf_integration=self.waf_integration)
         extracted = extracted.withColumn("run_id", F.lit(self.run_id))
-        # Hive-style per-batch subdirectory: lineage/metrics derivation
-        # reads back ONLY this batch's files (O(batch), not
-        # O(total-written) — re-reading the whole output directory per
-        # micro-batch would be O(B²) over the run), and reads of the
-        # root still see batch_id via partition-column inference.
-        batch_path = os.path.join(self.extracted_path, f"batch_id={b}")
-        extracted.write.mode("append").parquet(batch_path)
+        self.sink.write_extracted(extracted, b)
         if _crash_before_lineage:
             raise RuntimeError("simulated kill: after output write, "
                                "before lineage append")
 
         # Lineage + metrics from the *written* output, reading only
-        # the new batch directory and pruned small columns (never
-        # out_spans). The run_id filter guards against rows appended
-        # to the same batch dir by an earlier killed run.
+        # the new batch and pruned small columns (never out_spans). The
+        # run_id filter guards against rows appended to the same batch
+        # by an earlier killed run.
         committed = (
-            self.spark.read.parquet(batch_path)
+            self.sink.read_back(b)
             .filter(F.col("run_id") == self.run_id)
             .select("doc_id", "partition_id", "spans_in", "spans_out",
                     "bytes_in", "wall_ms", "error")
@@ -434,7 +509,7 @@ class ExtractionRun:
             F.lit(b).cast("long").alias("snapshot_id"),
             F.lit(self.run_id).alias("run_id"),
         )
-        lineage.write.mode("append").parquet(self.lineage_path)
+        self.sink.write_lineage(lineage)
         if _crash_before_marker:
             raise RuntimeError("simulated kill: after lineage append, "
                                "before commit marker")
@@ -451,10 +526,8 @@ class ExtractionRun:
             "bytes_in", "wall_ms",
             F.current_timestamp().alias("at"),
         )
-        metrics.write.mode("append").parquet(self.metrics_path)
-        # Durability point: everything for batch b is on disk — flip
-        # the batch visible with one zero-byte marker create.
-        self._commit_batch(b)
+        self.sink.write_metrics(metrics)
+        self.sink.finalize(b)
 
     def extracted(self) -> DataFrame:
         """Committed successful output. Rows from a run that died between

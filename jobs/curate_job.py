@@ -31,22 +31,13 @@ import argparse
 import json
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True)
-    ap.add_argument("--output", required=True)
-    ap.add_argument("--eval-ids", default="0,1,2,3,4",
-                    help="doc_ids forming the decontamination eval set")
-    ap.add_argument("--min-shared-shingles", type=int, default=5)
-    ap.add_argument("--max-dup-line-frac", type=float, default=0.30)
-    ap.add_argument("--max-top-2gram-frac", type=float, default=0.20)
-    ap.add_argument("--mixture-sampling", action="store_true",
-                    help="apply per-source stratified sampling rates")
-    ap.add_argument("--pack-budget", type=int, default=2048,
-                    help="tokens per packed training sequence")
-    args = ap.parse_args()
-
-    from pyspark.sql import SparkSession
+def run(spark, docs, output: str, *, eval_ids=(0, 1, 2, 3, 4),
+        min_shared_shingles: int = 5, max_dup_line_frac: float = 0.30,
+        max_top_2gram_frac: float = 0.20, mixture_sampling: bool = False,
+        pack_budget: int = 2048) -> dict:
+    """The composed curation pipeline as a callable (spark-submit `main`
+    wraps it; bench_curation.py times it in-process): documents in →
+    partitioned split corpus under ``<output>/corpus`` → stats dict."""
     from pyspark.sql import functions as F
 
     from extract_ocr_spark.operators.curation import (
@@ -62,12 +53,6 @@ def main() -> None:
     )
     from extract_ocr_spark.operators.textanalysis import repetition_metrics_df
 
-    spark = SparkSession.builder.appName("extract_ocr_spark-curate").getOrCreate()
-    docs = (
-        spark.read.table(args.input)
-        if "." in args.input and "/" not in args.input
-        else spark.read.parquet(args.input)
-    )
     n_in = docs.count()
 
     # 1-2: dedup then quality gates
@@ -78,8 +63,8 @@ def main() -> None:
     # 3: repetition gate (Gopher-style)
     rep = repetition_metrics_df(gated)
     repetitive = rep.filter(
-        (F.col("dup_line_frac") > args.max_dup_line_frac)
-        | (F.col("top_2gram_frac") > args.max_top_2gram_frac)
+        (F.col("dup_line_frac") > max_dup_line_frac)
+        | (F.col("top_2gram_frac") > max_top_2gram_frac)
     ).select("doc_id")
     unrepetitive = gated.join(repetitive, "doc_id", "left_anti")
 
@@ -88,7 +73,7 @@ def main() -> None:
     # shingles (df > cap) dropped from the corpus side before the join so
     # a footer shared by 10^6 docs cannot fan out; the tiny eval side is
     # broadcast.
-    eval_ids = [int(x) for x in args.eval_ids.split(",") if x != ""]
+    eval_ids = list(eval_ids)
     # The eval set is an external benchmark: its shingles come from the
     # RAW input (a benchmark doc must decontaminate the corpus even if it
     # would itself fail a corpus quality gate).
@@ -102,7 +87,7 @@ def main() -> None:
     contaminated = (
         corpus_sh.join(F.broadcast(eval_sh), "shingle")
         .groupBy("doc_id").agg(F.count("*").alias("shared"))
-        .filter(F.col("shared") >= args.min_shared_shingles)
+        .filter(F.col("shared") >= min_shared_shingles)
         .select("doc_id")
     )
     clean = unrepetitive.join(contaminated, "doc_id", "left_anti") \
@@ -110,7 +95,7 @@ def main() -> None:
 
     # 5: optional per-source mixture sampling
     sampled = stratified_sample_df(clean).drop("rate") \
-        if args.mixture_sampling else clean
+        if mixture_sampling else clean
 
     # 6-7: splits + reproducible shuffle key + train-split packing
     final = split_assign_df(sampled).withColumn(
@@ -118,7 +103,7 @@ def main() -> None:
         F.sha2(F.concat(F.lit("epoch-1:"), F.col("doc_id").cast("string")), 256),
     )
     packed = pack_sequences_df(
-        final.filter(F.col("split") == "train"), budget=args.pack_budget
+        final.filter(F.col("split") == "train"), budget=pack_budget
     ).select("doc_id", "shard", "seq_id")
     final = final.join(packed, "doc_id", "left")
 
@@ -126,7 +111,7 @@ def main() -> None:
     (final.repartition("split")
      .sortWithinPartitions("shuffle_key")
      .write.mode("overwrite").partitionBy("split")
-     .parquet(f"{args.output}/corpus"))
+     .parquet(f"{output}/corpus"))
 
     # Stats from the final frame, not a read-back: a fully-filtered corpus
     # writes no parquet files and a bare read would fail schema inference.
@@ -143,8 +128,43 @@ def main() -> None:
         "train_sequences": final.filter(F.col("split") == "train")
                                 .select("shard", "seq_id").distinct().count(),
     }
-    with open(f"{args.output}/stats.json", "w") as f:
+    with open(f"{output}/stats.json", "w") as f:
         json.dump(stats, f, indent=1)
+    return stats
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--eval-ids", default="0,1,2,3,4",
+                    help="doc_ids forming the decontamination eval set")
+    ap.add_argument("--min-shared-shingles", type=int, default=5)
+    ap.add_argument("--max-dup-line-frac", type=float, default=0.30)
+    ap.add_argument("--max-top-2gram-frac", type=float, default=0.20)
+    ap.add_argument("--mixture-sampling", action="store_true",
+                    help="apply per-source stratified sampling rates")
+    ap.add_argument("--pack-budget", type=int, default=2048,
+                    help="tokens per packed training sequence")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("extract_ocr_spark-curate").getOrCreate()
+    docs = (
+        spark.read.table(args.input)
+        if "." in args.input and "/" not in args.input
+        else spark.read.parquet(args.input)
+    )
+    stats = run(
+        spark, docs, args.output,
+        eval_ids=[int(x) for x in args.eval_ids.split(",") if x != ""],
+        min_shared_shingles=args.min_shared_shingles,
+        max_dup_line_frac=args.max_dup_line_frac,
+        max_top_2gram_frac=args.max_top_2gram_frac,
+        mixture_sampling=args.mixture_sampling,
+        pack_budget=args.pack_budget,
+    )
     print(json.dumps(stats))
     spark.stop()
 

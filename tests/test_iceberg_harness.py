@@ -1,0 +1,104 @@
+"""The commit-protocol seam (ParquetMarkerSink / IcebergCommitSink).
+
+The sandbox has no Iceberg runtime jar, so the real-catalog test skips
+cleanly here and runs on any deployment that launches pytest with
+``--packages org.apache.iceberg:iceberg-spark-runtime-...`` (README
+"Iceberg deployment"). What DOES run in-sandbox: the protocol-order
+contract — ``commit_one`` must drive any sink through exactly
+write_extracted → read_back → write_lineage → write_metrics → finalize,
+which is the property that makes the two sinks interchangeable."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from extract_ocr_spark.datagen import synthetic_documents_df
+from extract_ocr_spark.pipeline import (
+    ExtractionRun,
+    IcebergCommitSink,
+    ParquetMarkerSink,
+)
+
+
+class _RecordingSink(ParquetMarkerSink):
+    """Delegates to the real parquet sink, recording the call order."""
+
+    def __init__(self, run):
+        super().__init__(run)
+        self.calls: list[str] = []
+
+    def write_extracted(self, df, b):
+        self.calls.append("write_extracted")
+        super().write_extracted(df, b)
+
+    def read_back(self, b):
+        self.calls.append("read_back")
+        return super().read_back(b)
+
+    def write_lineage(self, df):
+        self.calls.append("write_lineage")
+        super().write_lineage(df)
+
+    def write_metrics(self, df):
+        self.calls.append("write_metrics")
+        super().write_metrics(df)
+
+    def finalize(self, b):
+        self.calls.append("finalize")
+        super().finalize(b)
+
+
+def test_commit_one_drives_sink_in_protocol_order(spark, tmp_path):
+    out = str(tmp_path / "seam")
+    run = ExtractionRun(spark, out, run_id="seam-run")
+    sink = _RecordingSink(run)
+    run.sink = sink
+
+    docs = synthetic_documents_df(spark, 6, seed=42, partitions=1)
+    run.commit_one(docs, 0)
+
+    assert sink.calls == ["write_extracted", "read_back", "write_lineage",
+                          "write_metrics", "finalize"]
+    # and the run is fully committed through the recorded sink
+    assert run._committed_keys() == ["0:seam-run"]
+    assert run.extracted().count() == 6
+    assert run.lineage().filter(
+        F.col("event_kind") == "processed").count() == 6
+
+
+def _iceberg_jar_present(spark) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def test_iceberg_sink_end_to_end(spark, tmp_path):
+    """Real writeTo(...).append() path — runs only where the Iceberg
+    runtime jar is on the classpath (skips in this sandbox: no jar, no
+    network). Protocol shape already covered above; this adds the
+    catalog wiring."""
+    if not _iceberg_jar_present(spark):
+        pytest.skip("iceberg-spark-runtime jar not on classpath")
+
+    spark.conf.set("spark.sql.catalog.lake",
+                   "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set("spark.sql.catalog.lake.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.lake.warehouse",
+                   str(tmp_path / "warehouse"))
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lake.db")
+
+    out = str(tmp_path / "iceberg")
+    run = ExtractionRun(spark, out, run_id="ice-run")
+    run.sink = IcebergCommitSink(run, "lake.db")
+    docs = synthetic_documents_df(spark, 6, seed=42, partitions=1)
+    run.commit_one(docs, 0)
+
+    assert spark.read.table("lake.db.extracted").count() == 6
+    assert spark.read.table("lake.db.lineage").filter(
+        F.col("event_kind") == "processed").count() == 6
+    assert spark.read.table("lake.db.metrics").count() >= 1

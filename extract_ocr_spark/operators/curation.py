@@ -29,12 +29,18 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- dedup materialization ------------------------------------------------------
 
+def norm_content_sha() -> "F.Column":
+    """Normalized-content hash shared by the dedup stage and the
+    curation job's flag frame (one definition so they cannot diverge)."""
+    return F.sha2(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), 256)
+
+
 def dedup_apply_df(docs: DataFrame) -> DataFrame:
     """Keep one canonical row (min doc_id) per normalized-content hash —
     all input columns preserved (the composable pipeline stage; the
     registry query below projects for its oracle)."""
-    sha = F.sha2(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), 256)
-    ranked = docs.withColumn("sha", sha)
+    ranked = docs.withColumn("sha", norm_content_sha())
     keep = ranked.groupBy("sha").agg(F.min("doc_id").alias("doc_id"))
     return ranked.join(keep, ["sha", "doc_id"], "left_semi").drop("sha")
 

@@ -37,11 +37,22 @@ def run(spark, docs, output: str, *, eval_ids=(0, 1, 2, 3, 4),
         pack_budget: int = 2048) -> dict:
     """The composed curation pipeline as a callable (spark-submit `main`
     wraps it; bench_curation.py times it in-process): documents in →
-    partitioned split corpus under ``<output>/corpus`` → stats dict."""
+    partitioned split corpus under ``<output>/corpus`` → stats dict.
+
+    Execution shape (the r4 rewrite): every gate becomes a boolean FLAG
+    column on one frame instead of a chain of filters — the previous
+    structure recomputed the full upstream DAG once per stats count
+    (seven full corpus passes; at 10^12 docs, seven reads of 100 TB).
+    Now: one pass builds the flag frame (dedup window + per-doc quality/
+    repetition verdicts + contamination join), it is persisted, and ALL
+    stage counts come from a single aggregate over it; the final filter,
+    packing, and write read the same cached frame."""
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
 
     from extract_ocr_spark.operators.curation import (
-        dedup_apply_df,
+        norm_content_sha,
         pack_sequences_df,
         quality_filter_df,
         split_assign_df,
@@ -53,45 +64,80 @@ def run(spark, docs, output: str, *, eval_ids=(0, 1, 2, 3, 4),
     )
     from extract_ocr_spark.operators.textanalysis import repetition_metrics_df
 
-    n_in = docs.count()
+    eval_ids = list(eval_ids)
+    in_cols = docs.columns
+    is_eval = F.col("doc_id").isin(eval_ids)
 
-    # 1-2: dedup then quality gates
-    deduped = dedup_apply_df(docs)
-    gated = quality_filter_df(deduped).filter("keep") \
-        .drop("ok_len", "ok_alpha", "ok_punct", "ok_words", "keep")
+    # 1: dedup flag — canonical = min doc_id per normalized-content hash
+    # (window over the hash: same single shuffle as the groupBy+semi-join
+    # formulation in dedup_apply_df, but keeps non-canonical rows so
+    # they can still be counted without a second pass)
+    w = Window.partitionBy(norm_content_sha())
+    flags = docs.withColumn(
+        "_canonical", F.col("doc_id") == F.min("doc_id").over(w))
 
-    # 3: repetition gate (Gopher-style)
-    rep = repetition_metrics_df(gated)
+    # 2: quality flags (pure per-doc projection)
+    flags = quality_filter_df(flags).withColumnRenamed("keep", "_quality") \
+        .drop("ok_len", "ok_alpha", "ok_punct", "ok_words")
+
+    # 3: repetition flag (Gopher-style), computed only over the docs that
+    # survived 1-2 — same input set as the old staged form, one
+    # explode+agg keyed on doc_id, joined back as a flag
+    rep = repetition_metrics_df(
+        flags.filter(F.col("_canonical") & F.col("_quality"))
+        .select("doc_id", "text"))
     repetitive = rep.filter(
         (F.col("dup_line_frac") > max_dup_line_frac)
         | (F.col("top_2gram_frac") > max_top_2gram_frac)
-    ).select("doc_id")
-    unrepetitive = gated.join(repetitive, "doc_id", "left_anti")
+    ).select("doc_id", F.lit(True).alias("_repetitive"))
+    flags = flags.join(repetitive, "doc_id", "left") \
+        .fillna({"_repetitive": False})
 
-    # 4: decontamination — drop docs sharing >= K distinct shingles with
+    # 4: decontamination flag — docs sharing >= K distinct shingles with
     # the eval set. Inverted index (never a cross join); hot boilerplate
     # shingles (df > cap) dropped from the corpus side before the join so
     # a footer shared by 10^6 docs cannot fan out; the tiny eval side is
-    # broadcast.
-    eval_ids = list(eval_ids)
-    # The eval set is an external benchmark: its shingles come from the
-    # RAW input (a benchmark doc must decontaminate the corpus even if it
-    # would itself fail a corpus quality gate).
+    # broadcast. Eval shingles come from the RAW input (a benchmark doc
+    # must decontaminate the corpus even if it would itself fail a
+    # corpus quality gate).
     eval_sh = (
-        _with_shingles(docs.filter(F.col("doc_id").isin(eval_ids)))
+        _with_shingles(docs.filter(is_eval))
         .select(F.explode("shingles").alias("shingle")).distinct()
     )
+    corpus_side = flags.filter(
+        F.col("_canonical") & F.col("_quality")
+        & ~F.col("_repetitive") & ~is_eval)
     corpus_sh = _drop_hot_shingles(
-        _with_shingles(unrepetitive.filter(~F.col("doc_id").isin(eval_ids)))
+        _with_shingles(corpus_side)
         .select("doc_id", F.explode("shingles").alias("shingle")))
     contaminated = (
         corpus_sh.join(F.broadcast(eval_sh), "shingle")
         .groupBy("doc_id").agg(F.count("*").alias("shared"))
         .filter(F.col("shared") >= min_shared_shingles)
-        .select("doc_id")
+        .select("doc_id", F.lit(True).alias("_contaminated"))
     )
-    clean = unrepetitive.join(contaminated, "doc_id", "left_anti") \
-                        .filter(~F.col("doc_id").isin(eval_ids))
+    flags = flags.join(contaminated, "doc_id", "left") \
+        .fillna({"_contaminated": False}) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+    # ONE aggregate over the cached flag frame for every stage count
+    def _n(cond):
+        return F.sum(cond.cast("long"))
+
+    canon = F.col("_canonical")
+    qual = canon & F.col("_quality")
+    c = flags.agg(
+        F.count("*").alias("docs_in"),
+        _n(canon).alias("after_dedup"),
+        _n(qual).alias("after_quality"),
+        _n(qual & F.col("_repetitive")).alias("repetitive_dropped"),
+        _n(F.col("_contaminated")).alias("contaminated_dropped"),
+    ).first()
+
+    clean = flags.filter(
+        canon & F.col("_quality") & ~F.col("_repetitive")
+        & ~F.col("_contaminated") & ~is_eval
+    ).select(*in_cols)
 
     # 5: optional per-source mixture sampling
     sampled = stratified_sample_df(clean).drop("rate") \
@@ -105,9 +151,10 @@ def run(spark, docs, output: str, *, eval_ids=(0, 1, 2, 3, 4),
     packed = pack_sequences_df(
         final.filter(F.col("split") == "train"), budget=pack_budget
     ).select("doc_id", "shard", "seq_id")
-    final = final.join(packed, "doc_id", "left")
+    final = final.join(packed, "doc_id", "left") \
+        .persist(StorageLevel.MEMORY_AND_DISK)
 
-    # 6: write — partition by split, sort within partitions by shuffle key
+    # write — partition by split, sort within partitions by shuffle key
     (final.repartition("split")
      .sortWithinPartitions("shuffle_key")
      .write.mode("overwrite").partitionBy("split")
@@ -118,16 +165,18 @@ def run(spark, docs, output: str, *, eval_ids=(0, 1, 2, 3, 4),
     by_split = {r["split"]: r["n"] for r in
                 final.groupBy("split").agg(F.count("*").alias("n")).collect()}
     stats = {
-        "docs_in": n_in,
-        "after_dedup": deduped.count(),
-        "after_quality": gated.count(),
-        "repetitive_dropped": repetitive.count(),
-        "contaminated_dropped": contaminated.count(),
+        "docs_in": c["docs_in"],
+        "after_dedup": c["after_dedup"],
+        "after_quality": c["after_quality"],
+        "repetitive_dropped": c["repetitive_dropped"],
+        "contaminated_dropped": c["contaminated_dropped"],
         "docs_out": sum(by_split.values()),
         "by_split": by_split,
         "train_sequences": final.filter(F.col("split") == "train")
                                 .select("shard", "seq_id").distinct().count(),
     }
+    final.unpersist()
+    flags.unpersist()
     with open(f"{output}/stats.json", "w") as f:
         json.dump(stats, f, indent=1)
     return stats

@@ -64,7 +64,11 @@ def _extract_page(page: str) -> str | None:
     out_lines: list[str] = []
     for row in rows:
         row.sort(key=itemgetter(1, 2))
-        out_lines.append(" ".join(cell[3].strip() for cell in row if cell[3].strip()))
+        joined = " ".join(cell[3].strip() for cell in row if cell[3].strip())
+        # a row whose every cell is whitespace-only (e.g. a real-PDF show
+        # of " ") contributes no output line, not a phantom blank line
+        if joined:
+            out_lines.append(joined)
     # Plain lines (page headers etc. without coordinates) come first, in
     # textual order — deterministic and documented.
     return "\n".join([*plain, *out_lines]).strip()

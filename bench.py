@@ -70,12 +70,13 @@ def _proc_tree_ticks(root: int) -> int:
         try:
             with open(path) as f:
                 data = f.read()
-        except OSError:
-            continue  # process exited mid-scan
-        rest = data.rsplit(")", 1)[1].split()
-        # after comm: state ppid ... utime(11) stime(12) cutime(13) cstime(14)
-        procs[int(path.split("/")[2])] = (
-            int(rest[1]), sum(int(rest[i]) for i in (11, 12, 13, 14)))
+            rest = data.rsplit(")", 1)[1].split()
+            # after comm: state ppid ... utime(11) stime(12) cutime(13)
+            # cstime(14)
+            procs[int(path.split("/")[2])] = (
+                int(rest[1]), sum(int(rest[i]) for i in (11, 12, 13, 14)))
+        except (OSError, IndexError, ValueError):
+            continue  # process exited mid-scan / truncated stat line
     children: dict[int, list[int]] = {}
     for pid, (ppid, _) in procs.items():
         children.setdefault(ppid, []).append(pid)

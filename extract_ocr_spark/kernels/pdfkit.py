@@ -207,6 +207,14 @@ def _content_runs(content: bytes) -> list[tuple[float, float, str]]:
         if s:
             runs.append((ty, tx, s))
 
+    def _nums(n: int) -> bool:
+        # Operand-type guard (hoisted out of the token loop — defining a
+        # closure per token was measurable on the hot path): a name or
+        # string where a number is expected skips that single operator,
+        # never raises.
+        return len(stack) >= n and all(
+            isinstance(v, float) for v in stack[-n:])
+
     for m in _CONTENT_TOKEN_RE.finditer(content):
         tok = m.group(0)
         c0 = tok[:1]
@@ -222,14 +230,6 @@ def _content_runs(content: bytes) -> list[tuple[float, float, str]]:
             stack.append(float(tok))
         else:
             op = tok.decode("latin-1")
-            # Operand-type guards: a name or string where a number is
-            # expected (malformed producer output) must skip that single
-            # operator, not raise — failure containment is per page, never
-            # the whole document.
-            def _nums(n: int) -> bool:
-                return len(stack) >= n and all(
-                    isinstance(v, float) for v in stack[-n:])
-
             if op == "Td" and _nums(2):
                 tx += stack[-2]; ty += stack[-1]
             elif op == "TD" and _nums(2):
@@ -267,13 +267,18 @@ def _pdf_bytes_to_layout(data: bytes) -> str:
     positioned lines so top-of-page sorts first)."""
     import zlib
 
-    # Last occurrence wins: incrementally-updated PDFs append the newest
-    # version of an object at the end of the file, so keeping the final
-    # `N G obj` body approximates xref resolution for appended revisions
-    # (the reference's pypdf path resolves via xref to the newest version).
+    # Incremental updates: a revision section appended AFTER the original
+    # body's `%%EOF` carries the newest version of an object, so matches
+    # beyond the first %%EOF override earlier ones (approximating xref
+    # resolution, which the reference's pypdf path does). Matches WITHIN
+    # the original body never override — a spurious `N G obj` inside an
+    # uncompressed embedded-file stream must not clobber a real object.
+    first_eof = data.find(b"%%EOF")
     objs: dict[int, bytes] = {}
     for m in _OBJ_RE.finditer(data):
-        objs[int(m.group(1))] = m.group(3)
+        num = int(m.group(1))
+        if num not in objs or (first_eof != -1 and m.start() > first_eof):
+            objs[num] = m.group(3)
 
     def stream_of(body: bytes) -> bytes | None:
         sm = re.search(rb"stream\r?\n", body)

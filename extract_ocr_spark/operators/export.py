@@ -107,7 +107,11 @@ def rewrite_links_df(pages: DataFrame, url_map: DataFrame) -> DataFrame:
             f"url→path map has {n} rows (> {MAX_BROADCAST_MAP_ROWS}); "
             "broadcast rewrite is for export-set-sized maps — restructure "
             "as an explode-targets equi-join at corpus scale.")
-    mapping = {r["url"]: r["path"] for r in url_map.collect()}
+    # Duplicate urls resolve to max(path) — deterministic, and mirrored in
+    # the join variant (a raw dict comprehension would silently keep
+    # whichever row collected last, diverging between the two paths).
+    mapping = {r["url"]: r["path"] for r in url_map.groupBy("url")
+               .agg(F.max("path").alias("path")).collect()}
     bc = pages.sparkSession.sparkContext.broadcast(mapping)
 
     @pandas_udf("string")
@@ -144,18 +148,29 @@ def rewrite_links_join_df(pages: DataFrame, url_map: DataFrame) -> DataFrame:
 
     exploded = pages.select(
         "doc_id", F.explode(targets("md", "page_url")).alias("url"))
+    # The per-doc payload is an ENTRY ARRAY, not a Spark map: a url mapped
+    # to two paths would hit map_from_entries' duplicate-key error, so
+    # duplicates ride through and resolve to max(path) inside the UDF —
+    # the same resolution the broadcast variant applies — keeping one
+    # exchange (collect_set on doc_id) instead of a second dedup shuffle.
     per_doc = (
         exploded.join(url_map, "url")
         .groupBy("doc_id")
-        .agg(F.map_from_entries(
-            F.collect_set(F.struct("url", "path"))).alias("_link_map"))
+        .agg(F.collect_set(F.struct("url", "path")).alias("_link_map"))
     )
+
+    def _to_map(entries) -> dict:
+        m: dict[str, str] = {}
+        for e in entries if entries is not None else []:
+            u, p = e["url"], e["path"]
+            if u not in m or p > m[u]:
+                m[u] = p
+        return m
 
     @pandas_udf("string")
     def rw(md: pd.Series, purl: pd.Series, lm: pd.Series) -> pd.Series:
         return pd.Series([
-            rewrite_markdown_links(
-                a, b, m if isinstance(m, dict) else dict(m or []))
+            rewrite_markdown_links(a, b, _to_map(m))
             for a, b, m in zip(md, purl, lm)])
 
     return (

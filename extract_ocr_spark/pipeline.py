@@ -282,6 +282,22 @@ class ParquetMarkerSink:
         # the batch visible with one zero-byte marker create.
         self.run._commit_batch(b)
 
+    # -- read side: committed rows only ---------------------------------
+    def read_committed_lineage(self) -> DataFrame | None:
+        try:
+            lineage = self.run.spark.read.parquet(self.run.lineage_path)
+        except Exception:
+            return None
+        keys = self.run._committed_keys()
+        return lineage.filter(ExtractionRun._commit_key(
+            F.col("snapshot_id"), F.col("run_id")).isin(keys))
+
+    def read_committed_extracted(self) -> DataFrame:
+        df = self.run.spark.read.parquet(self.run.extracted_path)
+        keys = self.run._committed_keys()
+        return df.filter(ExtractionRun._commit_key(
+            F.col("batch_id"), F.col("run_id")).isin(keys))
+
     def _batch_path(self, b: int) -> str:
         return os.path.join(self.run.extracted_path, f"batch_id={b}")
 
@@ -302,10 +318,18 @@ class IcebergCommitSink:
         self.prefix = prefix
 
     def _append(self, df: DataFrame, table: str) -> None:
+        from pyspark.errors import AnalysisException
+
         try:
             df.writeTo(table).append()
-        except Exception:  # first batch: table does not exist yet
-            df.writeTo(table).using("iceberg").create()
+        except AnalysisException as exc:
+            # Only table-not-exists falls through to create (first batch);
+            # any other analysis failure — schema mismatch, catalog auth —
+            # must surface as itself, not as a misleading "already exists".
+            try:
+                df.writeTo(table).using("iceberg").create()
+            except Exception:
+                raise exc
 
     def write_extracted(self, df: DataFrame, b: int) -> None:
         self._append(df.withColumn("batch_id", F.lit(b).cast("long")),
@@ -325,6 +349,18 @@ class IcebergCommitSink:
         """No marker: the metrics append's snapshot commit was the
         durability point. (Deployment note: wrap the three appends in a
         WAP stage-commit for strict all-or-nothing across tables.)"""
+
+    # -- read side: every Iceberg row IS committed (snapshot atomicity),
+    # so no marker filtering exists on this path — lineage()/extracted()/
+    # pending() work identically against catalog tables.
+    def read_committed_lineage(self) -> DataFrame | None:
+        try:
+            return self.run.spark.read.table(f"{self.prefix}.lineage")
+        except Exception:  # no lineage table yet: nothing committed
+            return None
+
+    def read_committed_extracted(self) -> DataFrame:
+        return self.run.spark.read.table(f"{self.prefix}.extracted")
 
 
 class ExtractionRun:
@@ -401,13 +437,7 @@ class ExtractionRun:
     def lineage(self) -> DataFrame | None:
         """Committed lineage events only (rows appended by a run that died
         before its batch marker are excluded)."""
-        try:
-            lineage = self.spark.read.parquet(self.lineage_path)
-        except Exception:
-            return None
-        keys = self._committed_keys()
-        return lineage.filter(
-            self._commit_key(F.col("snapshot_id"), F.col("run_id")).isin(keys))
+        return self.sink.read_committed_lineage()
 
     def attempted_doc_ids(self) -> DataFrame | None:
         """Docs with a durable outcome: processed OR errored (the
@@ -536,11 +566,8 @@ class ExtractionRun:
         remains for *legitimate* replays (``force=True`` recompute commits
         the same doc again under a new run_id); errored docs appear in
         lineage, not here."""
-        df = self.spark.read.parquet(self.extracted_path)
-        keys = self._committed_keys()
         return (
-            df.filter(self._commit_key(F.col("batch_id"),
-                                       F.col("run_id")).isin(keys))
+            self.sink.read_committed_extracted()
             .filter(F.col("error").isNull())
             .dropDuplicates(["doc_id"]).select("doc_id", "out_spans")
         )

@@ -246,15 +246,35 @@ def make_epoch_committer(run, checkpoint_dir: str):
     sink committed but the offset checkpoint didn't — that replay carries
     the SAME ``_stream_identity``, sees this stream's ``_STREAM_<ident>``
     marker in the batch directory, and no-ops. A *fresh* checkpoint over
-    a reused output directory also starts at epoch 0, but with a NEW
-    identity: there the committer anti-joins the batch's doc_ids against
-    committed lineage and commits only the uncovered remainder, so
-    genuinely new data is never silently dropped and already-committed
-    docs are never double-counted. Marker checks are driver-side
-    metadata reads, O(1) listings per epoch."""
+    a reused output directory restarts epoch ids at 0 AND may regroup
+    files into different epochs entirely, so one committed-but-unmarked
+    batch anywhere in the output (a foreign stream's history, or a crash
+    between commit and stream-marker) flips the committer into per-doc
+    mode for its whole lifetime: every epoch anti-joins against committed
+    lineage before committing — genuinely new data is never silently
+    dropped, already-committed docs are never double-counted, even when
+    an old doc lands in a NEW epoch id whose directory is pristine.
+    Marker checks are driver-side metadata reads (one O(batches) listing
+    at creation, O(1) per epoch)."""
     import os
 
     ident = _stream_identity(run, checkpoint_dir)
+
+    def _has_foreign_history() -> bool:
+        fs, root = run._hadoop_fs(run.extracted_path)
+        if not fs.exists(root):
+            return False
+        for st in fs.listStatus(root):
+            if not st.getPath().getName().startswith("batch_id="):
+                continue
+            names = {f.getPath().getName()
+                     for f in fs.listStatus(st.getPath())}
+            if any(n.startswith("_COMMITTED_") for n in names) \
+                    and f"_STREAM_{ident}" not in names:
+                return True
+        return False
+
+    guard_per_doc = _has_foreign_history()
 
     def commit(batch_df, epoch_id: int) -> None:
         b = int(epoch_id)
@@ -264,13 +284,12 @@ def make_epoch_committer(run, checkpoint_dir: str):
             os.path.join(batch_dir, f"_STREAM_{ident}"))
         if fs.exists(jmark):
             return  # this stream already durably committed this epoch
-        foreign_commit = fs.exists(jdir) and any(
+        # belt for the pathological two-live-streams-one-outdir case: a
+        # foreign marker that appeared in THIS batch dir after creation
+        foreign_commit = guard_per_doc or (fs.exists(jdir) and any(
             f.getPath().getName().startswith("_COMMITTED_")
-            for f in fs.listStatus(jdir))
+            for f in fs.listStatus(jdir)))
         if foreign_commit:
-            # Epoch-id collision with another stream's (or a crashed
-            # attempt's) committed batch: guard per-doc, like the batch
-            # path's pending()/lineage anti-join.
             attempted = run.attempted_doc_ids()
             if attempted is not None:
                 batch_df = batch_df.join(attempted.distinct(), "doc_id",

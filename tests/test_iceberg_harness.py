@@ -102,3 +102,9 @@ def test_iceberg_sink_end_to_end(spark, tmp_path):
     assert spark.read.table("lake.db.lineage").filter(
         F.col("event_kind") == "processed").count() == 6
     assert spark.read.table("lake.db.metrics").count() >= 1
+    # the read seam: committed readers and idempotent resume work
+    # against catalog tables exactly as against parquet+markers
+    assert run.extracted().count() == 6
+    assert run.lineage().filter(
+        F.col("event_kind") == "processed").count() == 6
+    assert run.pending(docs).count() == 0  # everything already committed

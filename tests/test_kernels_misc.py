@@ -305,6 +305,10 @@ def test_rewrite_links_join_parity_and_plan(spark):
             ("https://ex.org/a/p1.html", "a/p1.md"),
             ("https://ex.org/a/p2.html", "a/p2.md"),
             ("https://ex.org/b/p3.html", "b/p3.md"),
+            # duplicate url: both variants must deterministically resolve
+            # to max(path) instead of crashing (join side) or keeping an
+            # arbitrary collected row (broadcast side)
+            ("https://ex.org/b/p3.html", "b/p0.md"),
         ],
         "url string, path string",
     )
@@ -315,7 +319,7 @@ def test_rewrite_links_join_parity_and_plan(spark):
     got = {r["doc_id"]: r["md_out"] for r in out.collect()}
     assert got == want
     assert got[1] == ("go [n](a/p2.md#x), [abs](b/p3.md), [self](a/p1.md#top), "
-                      "[m](mailto:x@y.z), [out](https://other.io/q)")
+                      "[m](mailto:x@y.z), [out](https://other.io/q)")  # max: p3>p0
     assert got[3] == "no links here"
 
     plan = out._jdf.queryExecution().optimizedPlan().toString()

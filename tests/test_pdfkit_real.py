@@ -199,3 +199,17 @@ def test_malformed_operand_contained_per_page():
     assert "second page fine" in got
     assert "good line" in got
     assert PARSE_FAIL_SENTINEL not in got
+
+
+def test_spurious_obj_inside_original_body_does_not_clobber():
+    """A stray `4 0 obj` byte sequence WITHIN the original body (e.g. an
+    uncompressed embedded-file stream carrying another PDF) must not
+    override the real object 4 — only matches past the first %%EOF (a
+    genuine incremental-update section) get override rights."""
+    base = _build_pdf([b"BT 72 700 Td (real content) Tj ET"])
+    evil = (b"4 0 obj\n<< /Length 29 >>\nstream\n"
+            b"BT 72 700 Td (evil) Tj ET\nendstream\nendobj\n")
+    # inject at top level before the trailer (still before %%EOF)
+    doctored = base.replace(b"xref\n", evil + b"xref\n", 1)
+    got = extract_pdf_text(_as_text(doctored))
+    assert got == "real content\n"

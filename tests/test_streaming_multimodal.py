@@ -260,3 +260,28 @@ def test_epoch_committer_fresh_checkpoint_commits_new_data(spark, tmp_path):
     assert run3.lineage().filter(
         F.col("event_kind") == "processed").count() == 12
     assert "0:replay-run" not in run3._committed_keys()
+
+
+def test_epoch_committer_regrouped_epochs_no_double_commit(spark, tmp_path):
+    """A fresh checkpoint may regroup already-committed input into a NEW
+    epoch id whose batch dir is pristine — the committer must still guard
+    per-doc (foreign committed history anywhere in the output flips it
+    into anti-join mode for its lifetime), so old docs never get a second
+    lineage event even outside an epoch-id collision."""
+    from extract_ocr_spark.pipeline import ExtractionRun
+    from extract_ocr_spark.streaming import make_epoch_committer
+
+    docs = synthetic_documents_df(spark, 8, seed=42, partitions=1)
+    out = str(tmp_path / "regroup")
+
+    run1 = ExtractionRun(spark, out, run_id="old-run")
+    make_epoch_committer(run1, str(tmp_path / "ckpt1"))(docs, 0)
+
+    # new stream, fresh checkpoint: the SAME docs arrive as epoch 3
+    run2 = ExtractionRun(spark, out, run_id="new-run")
+    make_epoch_committer(run2, str(tmp_path / "ckpt2"))(docs, 3)
+
+    lin = run2.lineage().filter(F.col("event_kind") == "processed")
+    assert lin.count() == 8  # one event per doc, not two
+    assert run2.extracted().count() == 8
+    assert run2._committed_keys() == ["0:old-run"]  # empty epoch 3 skipped

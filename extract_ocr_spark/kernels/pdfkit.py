@@ -112,9 +112,11 @@ def extract_pdf_text(layout_text: str | None) -> str:
 # (x, y, text) runs are re-encoded into the synthetic layout lines
 # (`@<y>,<x>:<text>`, y negated because PDF y grows upward) so reading-order
 # reconstruction, failing-page skips, and page joining reuse the one tested
-# kernel above. Out of scope (documented): CMap/Type0 font decoding, LZW /
-# DCT filters, encrypted files, xref streams (objects are recovered by
-# scanning `N G obj ... endobj`, which also survives mild corruption).
+# kernel above. Object streams (/Type /ObjStm) are unpacked so PDF 1.5+
+# packed page trees resolve. Out of scope (documented): CMap/Type0 font
+# decoding, LZW / DCT filters, encrypted files, xref-stream *tables*
+# (objects are recovered by scanning `N G obj ... endobj` plus ObjStm
+# unpacking, which also survives mild corruption).
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.S)
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
@@ -309,6 +311,28 @@ def _pdf_bytes_to_layout(data: bytes) -> str:
             except Exception:
                 return None
         return raw
+
+    # Object streams (/Type /ObjStm, PDF 1.5+): modern producers pack
+    # non-stream objects — catalog, page tree, page dicts — inside one
+    # compressed stream; without unpacking, those pages are invisible to
+    # the `N G obj` scan. Layout: /N pairs of "objnum offset" ints, then
+    # the object bodies starting at /First. Unpacked objects never
+    # override direct ones (a direct `N G obj` is either the original or
+    # an incremental update, both of which outrank the packed copy).
+    for body in [b for b in objs.values()
+                 if re.search(rb"/Type\s*/ObjStm\b", b)]:
+        try:
+            s = stream_of(body)
+            n = int(_dict_value(body, b"N"))
+            first = int(_dict_value(body, b"First"))
+            header = s[:first].split()
+            pairs = [(int(header[2 * i]), int(header[2 * i + 1]))
+                     for i in range(n)]
+        except (TypeError, ValueError, IndexError):
+            continue  # malformed ObjStm degrades only its own objects
+        for i, (onum, off) in enumerate(pairs):
+            end = first + pairs[i + 1][1] if i + 1 < len(pairs) else len(s)
+            objs.setdefault(onum, s[first + off:end])
 
     # Page order: walk /Kids arrays of /Type /Pages nodes (document
     # order), falling back to file-appearance order of /Type /Page objects.

@@ -213,3 +213,36 @@ def test_spurious_obj_inside_original_body_does_not_clobber():
     doctored = base.replace(b"xref\n", evil + b"xref\n", 1)
     got = extract_pdf_text(_as_text(doctored))
     assert got == "real content\n"
+
+
+def test_objstm_packed_page_tree():
+    """PDF 1.5+ object streams: catalog/page-tree/page dicts packed inside
+    one FlateDecode /Type /ObjStm (how modern producers write PDFs) must
+    be unpacked so their pages are reachable — the bare `N G obj` scan
+    cannot see them."""
+    bodies = {
+        2: b"<< /Type /Catalog /Pages 3 0 R >>",
+        3: b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+        4: (b"<< /Type /Page /Parent 3 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 5 0 R >>"),
+    }
+    header = b""
+    payload = b""
+    for num, b in bodies.items():
+        header += f"{num} {len(payload)} ".encode()
+        payload += b + b" "
+    first = len(header)
+    objstm_data = zlib.compress(header + payload)
+    content = b"BT 72 700 Td (from an object stream) Tj ET"
+
+    out = bytearray(b"%PDF-1.5\n")
+    out += (b"1 0 obj\n<< /Type /ObjStm /Filter /FlateDecode /N "
+            + str(len(bodies)).encode() + b" /First " + str(first).encode()
+            + b" /Length " + str(len(objstm_data)).encode()
+            + b" >>\nstream\n" + objstm_data + b"\nendstream\nendobj\n")
+    out += (b"5 0 obj\n<< /Length " + str(len(content)).encode()
+            + b" >>\nstream\n" + content + b"\nendstream\nendobj\n")
+    out += b"trailer\n<< /Root 2 0 R >>\n%%EOF\n"
+
+    got = extract_pdf_text(_as_text(bytes(out)))
+    assert got == "from an object stream\n"

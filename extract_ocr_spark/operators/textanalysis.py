@@ -359,3 +359,85 @@ ORDER BY ls.doc_id
 
 QUERIES["repetition_metrics"] = repetition_metrics
 ORACLES["repetition_metrics"] = REPETITION_METRICS_SQL
+
+
+# -- LM quality scoring (CCNet-style, corpus-trained bigram LM) ---------------
+# CCNet (Wenzek et al. 2020) filters web text by LM perplexity; with no
+# external model available, the standard self-contained variant trains the
+# LM on the corpus itself: add-k-smoothed bigram model, score = average
+# negative log-likelihood of the doc's bigram occurrences. High scores =
+# improbable word sequences (gibberish, boilerplate soup) — the quality
+# signal used to rank/drop docs in a pre-training pipeline.
+#
+# Scale shape: two corpus-wide count aggregations (unigram, bigram — both
+# map-side-combined), the vocabulary size as one scalar, and per-doc
+# scoring via joins keyed on the bigram/unigram — inverted-index joins,
+# never a cross join; nothing is collected to the driver.
+
+LM_ADD_K = 0.5
+
+
+def lm_nll_scores(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    words_col = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", " ")),
+        " ")
+    tokens = docs.select("doc_id", words_col.alias("w")) \
+        .filter(F.size("w") >= 2)
+    bigrams = tokens.select(
+        "doc_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.size("w") - 2),
+            lambda i: F.struct(
+                F.element_at("w", i + 1).alias("w1"),
+                F.element_at("w", i + 2).alias("w2")),
+        )).alias("bg")
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+    c2 = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = bigrams.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = c1.agg(F.countDistinct("w1").alias("v"))
+
+    k = F.lit(LM_ADD_K)
+    scored = (
+        bigrams.join(c2, ["w1", "w2"]).join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("nll", -(F.log(F.col("c2") + k)
+                             - F.log(F.col("c1") + k * F.col("v"))))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.avg("nll"), 4).alias("avg_nll"),
+             F.count("*").alias("n_bigrams"))
+        .orderBy("doc_id")
+    )
+
+
+LM_NLL_SCORES_SQL = rf"""
+WITH w AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text),
+             '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+  FROM documents
+), bg AS (
+  SELECT doc_id, words[i] AS w1, words[i+1] AS w2
+  FROM w, unnest(range(1, len(words))) AS t(i)
+  WHERE len(words) >= 2
+), c2 AS (
+  SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, count(*) AS c1 FROM bg GROUP BY w1
+), v AS (
+  SELECT count(DISTINCT w1) AS v FROM c1
+)
+SELECT bg.doc_id,
+       round(avg(-(ln(c2.c2 + {LM_ADD_K}) - ln(c1.c1 + {LM_ADD_K} * v.v))), 4)
+         AS avg_nll,
+       count(*) AS n_bigrams
+FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+GROUP BY bg.doc_id
+ORDER BY bg.doc_id
+"""
+
+QUERIES["lm_nll_scores"] = lm_nll_scores
+ORACLES["lm_nll_scores"] = LM_NLL_SCORES_SQL

@@ -35,3 +35,23 @@ def test_repetition_metrics_handles_sub_2_word_docs(spark, tmp_path):
     assert got[1]["top_2gram_frac"] == 0.0
     assert got[2]["top_2gram_frac"] == 0.0 and got[2]["n_lines"] == 0
     assert got[3]["top_2gram_frac"] == 1.0  # exactly one 2-gram
+
+
+def test_lm_nll_scores_ranks_gibberish_above_common(spark, tmp_path):
+    """The corpus-trained bigram LM must assign HIGHER avg negative
+    log-likelihood (= less probable) to a doc of unique gibberish bigrams
+    than to a doc made of the corpus's most repeated phrase."""
+    from extract_ocr_spark.operators.textanalysis import lm_nll_scores
+
+    common = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, common, "en", "s", 40) for i in range(20)]
+    rows.append((100, "zxq vbnk wqpolr ajsnd fkelwm qoxuzy", "en", "s", 40))
+    d = tmp_path / "documents.parquet"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d))
+
+    got = {r["doc_id"]: r["avg_nll"]
+           for r in lm_nll_scores(spark, str(tmp_path)).collect()}
+    assert got[100] > got[0] + 1.0  # gibberish clearly less probable
+    assert all(got[i] == got[0] for i in range(1, 20))  # identical docs tie

@@ -42,3 +42,38 @@ def can_fetch(rules: list[tuple[str, str]], path: str) -> bool:
         if rule == "disallow" and path.startswith(prefix):
             return False
     return True
+
+
+# -- S7: sitemap discovery + parse ---------------------------------------------
+
+import re as _re
+
+_SITEMAP_LOC_RE = _re.compile(r"<loc>\s*(.*?)\s*</loc>", _re.S | _re.I)
+
+
+def sitemaps_from_robots(robots_text: str) -> list[str]:
+    """Sitemap URLs advertised by a robots.txt body: lines starting
+    (case-insensitively) with ``sitemap:``, value after the FIRST colon,
+    stripped and normalized (reference
+    scripts/ingest_data_uspto_gov.py:587-601)."""
+    from .urlkit import normalize_url
+
+    out: list[str] = []
+    for line in (robots_text or "").splitlines():
+        if line.lower().startswith("sitemap:"):
+            _, _, value = line.partition(":")
+            url = value.strip()
+            if url:
+                out.append(normalize_url(url))
+    return out
+
+
+def parse_sitemap_urls(xml_text: str) -> list[str]:
+    """Every ``<loc>`` entry's stripped text, normalized (reference
+    :604-610 uses BeautifulSoup; the <loc> grammar needs only a regex —
+    no XML library ships in this container)."""
+    from .urlkit import normalize_url
+
+    return [normalize_url(m.group(1))
+            for m in _SITEMAP_LOC_RE.finditer(xml_text or "")
+            if m.group(1).strip()]

@@ -69,3 +69,88 @@ SELECT doc_id, pos, link FROM (
 
 QUERIES = {"extract_links": extract_links_query}
 ORACLES = {"extract_links": EXTRACT_LINKS_SQL}
+
+
+# -- S7: sitemap discovery + parse (reference ingest_data_uspto_gov.py:587-610)
+
+_SITEMAP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("robots_sitemaps", T.ArrayType(T.StringType())),
+        T.StructField("sitemap_locs", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document, synthesize a robots.txt body (Sitemap: lines, mixed
+    case, fragments, an empty value) and a sitemap XML (whitespace-padded
+    and uppercase-host <loc> entries); run the actual kernel
+    (``robotskit.sitemaps_from_robots`` / ``parse_sitemap_urls``) in an
+    Arrow batch; explode to (doc_id, src, pos, url). The templates are
+    closed-form, so the expected normalized URLs are expressible in SQL."""
+    from ..kernels.robotskit import parse_sitemap_urls, sitemaps_from_robots
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id").cast("string")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".example"))
+    robots = F.concat(
+        F.lit("User-agent: *\nDisallow: /private\nSitemap: https://"),
+        host, F.lit("/s-"), did, F.lit(".xml\n"),
+        F.when(F.col("doc_id") % 3 == 0, F.concat(
+            F.lit("SITEMAP:   HTTPS://"), F.upper(host),
+            F.lit("/Extra-"), did, F.lit(".xml#frag\n"))).otherwise(F.lit("")),
+        F.lit("sitemap:\n"),  # empty value: dropped by the kernel
+    )
+    xml = F.concat(
+        F.lit("<urlset><url><loc> https://"), host, F.lit("/p/"), did,
+        F.lit(" </loc></url>"),
+        F.when(F.col("doc_id") % 2 == 0, F.concat(
+            F.lit("<url><loc>https://OTHER.example/q/"), did,
+            F.lit("#sec</loc></url>"))).otherwise(F.lit("")),
+        F.lit("</urlset>"),
+    )
+    pages = docs.select("doc_id", robots.alias("robots"), xml.alias("xml"))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "robots_sitemaps": [sitemaps_from_robots(r)
+                                    for r in pdf["robots"]],
+                "sitemap_locs": [parse_sitemap_urls(x) for x in pdf["xml"]],
+            })
+
+    out = pages.mapInPandas(fn, schema=_SITEMAP_SCHEMA)
+    robots_rows = out.select(
+        "doc_id", F.lit("robots").alias("src"),
+        F.posexplode("robots_sitemaps").alias("pos", "url"))
+    loc_rows = out.select(
+        "doc_id", F.lit("sitemap").alias("src"),
+        F.posexplode("sitemap_locs").alias("pos", "url"))
+    return robots_rows.unionByName(loc_rows).orderBy("doc_id", "src", "pos")
+
+
+SITEMAP_DISCOVERY_SQL = """
+WITH rows AS (
+  SELECT doc_id, 'robots' AS src, 0 AS pos,
+         'https://h' || (doc_id % 7) || '.example/s-' || doc_id || '.xml' AS url
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'robots', 1,
+         'https://h' || (doc_id % 7) || '.example/Extra-' || doc_id || '.xml'
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id, 'sitemap', 0,
+         'https://h' || (doc_id % 7) || '.example/p/' || doc_id
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'sitemap', 1, 'https://other.example/q/' || doc_id
+  FROM documents WHERE doc_id % 2 = 0
+)
+SELECT doc_id, src, pos, url FROM rows ORDER BY doc_id, src, pos
+"""
+
+QUERIES["sitemap_discovery"] = sitemap_discovery
+ORACLES["sitemap_discovery"] = SITEMAP_DISCOVERY_SQL

@@ -123,3 +123,32 @@ def test_stream_sessionize(spark, tmp_path):
             assert abs(row.sum_value - sv / 100.0) < 1e-9
     assert len(got) == expected_closed
     assert expected_closed > 0
+
+
+def test_sitemap_kernel_discovery_and_parse():
+    """S7 kernel parity (ingest_data_uspto_gov.py:587-610): sitemap lines
+    are case-insensitive, split on the FIRST colon, empty values dropped,
+    urls normalized; <loc> text is stripped and normalized."""
+    from extract_ocr_spark.kernels.robotskit import (
+        parse_sitemap_urls,
+        sitemaps_from_robots,
+    )
+
+    robots = ("User-agent: *\n"
+              "Sitemap: https://ex.com/a.xml\n"
+              "SITEMAP:   HTTPS://EX.com/B.xml#frag\n"
+              "sitemap:\n"              # empty value: dropped
+              "Disallow: /x\n"
+              "NotSitemap: https://ex.com/no.xml\n")
+    assert sitemaps_from_robots(robots) == [
+        "https://ex.com/a.xml", "https://ex.com/B.xml"]
+    assert sitemaps_from_robots("") == []
+
+    xml = ("<?xml version='1.0'?><urlset>"
+           "<url><loc>  https://EX.com/p1  </loc></url>"
+           "<url><LOC>https://ex.com/p2#sec</LOC></url>"
+           "<url><loc>   </loc></url>"          # blank: dropped
+           "</urlset>")
+    assert parse_sitemap_urls(xml) == [
+        "https://ex.com/p1", "https://ex.com/p2"]
+    assert parse_sitemap_urls(None) == []

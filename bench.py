@@ -89,11 +89,22 @@ def _proc_tree_ticks(root: int) -> int:
     return total
 
 
+# Total idle-wait budget across the WHOLE bench process: on a busy box,
+# 15 timed runs × 60 s per-run waits would add 15 minutes before a single
+# measurement — past this budget runs start immediately (flagged dirty in
+# their tuple) so the bench always terminates promptly.
+_IDLE_WAIT_BUDGET_S = 180.0
+_idle_wait_spent = 0.0
+
+
 def wait_for_idle(threshold: float = 0.15, timeout_s: float = 60.0) -> bool:
     """Gate timed runs on host idleness AND low hypervisor steal: this
     sandbox shares the box with external load spikes; timings must
     measure uncontended capability. Returns False when the wait timed
-    out (the run proceeds but is flagged dirty in the record)."""
+    out or the process-wide wait budget is exhausted (the run proceeds
+    but is flagged dirty in the record)."""
+    global _idle_wait_spent
+
     def busy_and_steal(interval: float = 0.5) -> tuple[float, float]:
         s0 = _stat()
         time.sleep(interval)
@@ -101,13 +112,17 @@ def wait_for_idle(threshold: float = 0.15, timeout_s: float = 60.0) -> bool:
         idle = (s1[3] + s1[4]) - (s0[3] + s0[4])
         return 1.0 - idle / max(1, sum(s1) - sum(s0)), _steal_fraction(s0, s1)
 
-    deadline = time.monotonic() + timeout_s
+    t0 = time.monotonic()
+    deadline = t0 + min(timeout_s, _IDLE_WAIT_BUDGET_S - _idle_wait_spent)
+    ok = False
     while time.monotonic() < deadline:
         b, s = busy_and_steal()
         if b < threshold and s < STEAL_CLEAN:
-            return True
+            ok = True
+            break
         time.sleep(2.0)
-    return False
+    _idle_wait_spent += time.monotonic() - t0
+    return ok
 
 
 def timed(fn, attempts: int = 3, extra_if_dirty: int = 2):

@@ -24,8 +24,10 @@ SUBSET = [
     "resize_media", "frame_sample", "apis_report_markdown", "resp_md_pick",
     "pack_sequences", "stratified_sample", "repetition_metrics",
     "dup_ngram_spans", "session_counts",
-    # r4 additions: re-seeded resume gate, join-variant rewrite, zip pick
+    # r4 additions: re-seeded resume gate, join-variant rewrite, zip pick,
+    # LM quality scoring, sitemap discovery
     "anti_join_resume", "markdown_link_rewrite_join", "zip_member_pick",
+    "lm_nll_scores", "sitemap_discovery",
 ]
 
 

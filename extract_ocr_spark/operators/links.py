@@ -154,3 +154,116 @@ SELECT doc_id, src, pos, url FROM rows ORDER BY doc_id, src, pos
 
 QUERIES["sitemap_discovery"] = sitemap_discovery
 ORACLES["sitemap_discovery"] = SITEMAP_DISCOVERY_SQL
+
+
+# -- E2: multi-attribute link extraction (ingest_data_uspto_gov.py:536-585) ----
+
+def extract_links_multi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document, a page exercising every attribute the reference
+    collects — meta-refresh url=, link[href], img[src], form[action],
+    object[data], script[src] — plus fragment/mailto skips; extracted by
+    the real kernel, exploded in document order."""
+    from ..kernels.htmlkit import extract_links_multi
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><meta http-equiv='refresh' content='3; url=/next-"),
+        did,
+        F.lit(".html'><link href='style-"), did, F.lit(".css'></head><body>"
+              "<img src='img/p-"), did,
+        F.lit(".png'><form action='/submit?id="), did,
+        F.lit("'></form><object data='media/o-"), did,
+        F.lit(".swf'></object><a href='#frag'>s</a>"
+              "<a href='mailto:x@y.z'>s</a><script src='js/app-"), did,
+        F.lit(".js'></script></body></html>"),
+    )
+    pages = docs.select("doc_id", html.alias("html"))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            links = [
+                extract_links_multi(
+                    h, page_url=f"https://m.example/dir/page{d}.html")
+                for d, h in zip(pdf["doc_id"], pdf["html"])
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "links": links})
+
+    out = pages.mapInPandas(fn, schema=_LINKS_SCHEMA)
+    return (
+        out.select("doc_id", F.posexplode("links").alias("pos", "link"))
+        .orderBy("doc_id", "pos")
+    )
+
+
+EXTRACT_LINKS_MULTI_SQL = """
+WITH rows AS (
+  SELECT doc_id, 0 AS pos,
+         'https://m.example/next-' || doc_id || '.html' AS link
+  FROM documents
+  UNION ALL SELECT doc_id, 1,
+         'https://m.example/dir/style-' || doc_id || '.css' FROM documents
+  UNION ALL SELECT doc_id, 2,
+         'https://m.example/dir/img/p-' || doc_id || '.png' FROM documents
+  UNION ALL SELECT doc_id, 3,
+         'https://m.example/submit?id=' || doc_id FROM documents
+  UNION ALL SELECT doc_id, 4,
+         'https://m.example/dir/media/o-' || doc_id || '.swf' FROM documents
+  UNION ALL SELECT doc_id, 5,
+         'https://m.example/dir/js/app-' || doc_id || '.js' FROM documents
+)
+SELECT doc_id, pos, link FROM rows ORDER BY doc_id, pos
+"""
+
+QUERIES["extract_links_multi"] = extract_links_multi_query
+ORACLES["extract_links_multi"] = EXTRACT_LINKS_MULTI_SQL
+
+
+# -- E5: title extraction (h1 → title → Untitled) ------------------------------
+
+def extract_titles_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three template variants per doc_id % 3: h1 present (wins, with
+    whitespace collapse), title-only fallback, neither → 'Untitled' —
+    the kernel's full fallback chain, one row per doc."""
+    from ..kernels.htmlkit import extract_title
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id").cast("string")
+    html = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(
+            F.lit("<html><head><title>T "), did,
+            F.lit("</title></head><body><h1>  H\t"), did,
+            F.lit("  </h1><p>body</p></body></html>")))
+        .when(F.col("doc_id") % 3 == 1, F.concat(
+            F.lit("<html><head><title> T  "), did,
+            F.lit(" </title></head><body><p>no h1</p></body></html>")))
+        .otherwise(F.lit(
+            "<html><head><title>  </title></head><body><p>x</p></body></html>"))
+    )
+    pages = docs.select("doc_id", html.alias("html"))
+
+    _TITLE_SCHEMA = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("title", T.StringType()),
+    ])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "title": [extract_title(h) for h in pdf["html"]],
+            })
+
+    return pages.mapInPandas(fn, schema=_TITLE_SCHEMA).orderBy("doc_id")
+
+
+EXTRACT_TITLES_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'H ' || doc_id
+            WHEN doc_id % 3 = 1 THEN 'T ' || doc_id
+            ELSE 'Untitled' END AS title
+FROM documents ORDER BY doc_id
+"""
+
+QUERIES["extract_titles"] = extract_titles_query
+ORACLES["extract_titles"] = EXTRACT_TITLES_SQL

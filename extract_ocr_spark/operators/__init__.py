@@ -43,10 +43,14 @@ def all_queries():
     # entries in dict order, so the queries it skipped last round rotate
     # to the front (names stay stable; only insertion order moves).
     front = (
+        # the 12 the r3 driver's window skipped
         "contamination_check", "dedup_apply", "extract_links",
         "frame_sample", "media_features", "pack_sequences", "pii_scrub",
         "quality_filter_apply", "resize_media", "shuffle_order",
         "split_assign", "stratified_sample",
+        # the queries new in r4 — never driver-checked yet
+        "markdown_link_rewrite_join", "zip_member_pick", "lm_nll_scores",
+        "sitemap_discovery", "extract_links_multi", "extract_titles",
     )
     order = [n for n in front if n in queries] + [
         n for n in queries if n not in front]

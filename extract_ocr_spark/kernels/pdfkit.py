@@ -113,10 +113,12 @@ def extract_pdf_text(layout_text: str | None) -> str:
 # (`@<y>,<x>:<text>`, y negated because PDF y grows upward) so reading-order
 # reconstruction, failing-page skips, and page joining reuse the one tested
 # kernel above. Object streams (/Type /ObjStm) are unpacked so PDF 1.5+
-# packed page trees resolve. Out of scope (documented): CMap/Type0 font
-# decoding, LZW / DCT filters, encrypted files, xref-stream *tables*
-# (objects are recovered by scanning `N G obj ... endobj` plus ObjStm
-# unpacking, which also survives mild corruption).
+# packed page trees resolve; stream filters Flate / ASCIIHex / ASCII85
+# (and decode-order chains of them) are applied. Out of scope
+# (documented): CMap/Type0 font decoding, LZW / DCT filters, encrypted
+# files, xref-stream *tables* (objects are recovered by scanning
+# `N G obj ... endobj` plus ObjStm unpacking, which also survives mild
+# corruption).
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.S)
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
@@ -267,6 +269,8 @@ def _pdf_bytes_to_layout(data: bytes) -> str:
     """Real PDF bytes → the synthetic layout encoding consumed by
     ``extract_pdf_text`` (pages joined with \\f, runs as `@<-y>,<x>:`
     positioned lines so top-of-page sorts first)."""
+    import base64
+    import binascii
     import zlib
 
     # Incremental updates: a revision section appended AFTER the original
@@ -305,9 +309,26 @@ def _pdf_bytes_to_layout(data: bytes) -> str:
             if em is None:
                 return None
             raw = body[start:start + em.start()]
-        if b"/FlateDecode" in body[:sm.start()]:
+        # /Filter may be a single name or an array of filters listed in
+        # DECODE order (data was encoded in reverse): apply each in turn.
+        # Supported: FlateDecode, ASCIIHexDecode, ASCII85Decode — the
+        # text-stream filters pypdf handles in practice; LZW/DCT/crypt
+        # stay documented out of scope (None ⇒ stream skipped).
+        m = re.search(rb"/Filter\s*(\[[^\]]*\]|/\w+)", body[:sm.start()])
+        for name in re.findall(rb"/(\w+)", m.group(1)) if m else []:
             try:
-                return zlib.decompress(raw)
+                if name == b"FlateDecode":
+                    raw = zlib.decompress(raw)
+                elif name == b"ASCIIHexDecode":
+                    hx = re.sub(rb"[^0-9A-Fa-f]", b"",
+                                raw.split(b">", 1)[0])
+                    raw = binascii.unhexlify(
+                        hx + b"0" if len(hx) % 2 else hx)
+                elif name == b"ASCII85Decode":
+                    raw = base64.a85decode(
+                        re.sub(rb"\s", b"", raw.partition(b"~>")[0]))
+                else:
+                    return None  # unsupported filter (LZW, DCT, ...)
             except Exception:
                 return None
         return raw

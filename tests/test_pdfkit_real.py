@@ -246,3 +246,47 @@ def test_objstm_packed_page_tree():
 
     got = extract_pdf_text(_as_text(bytes(out)))
     assert got == "from an object stream\n"
+
+
+def test_asciihex_ascii85_and_filter_chain():
+    """ASCIIHexDecode, ASCII85Decode, and a decode-order filter chain
+    ([/ASCII85Decode /FlateDecode] = flate-compressed then a85-armored)
+    all extract; an unsupported filter skips the stream, not the doc."""
+    import base64
+
+    hexed = (b"BT 72 700 Td (hex page) Tj ET".hex().upper().encode()
+             + b">")
+    pdf_hex = _build_pdf_raw_filter(hexed, b"/ASCIIHexDecode")
+    assert extract_pdf_text(_as_text(pdf_hex)) == "hex page\n"
+
+    a85 = base64.a85encode(b"BT 72 700 Td (a85 page) Tj ET") + b"~>"
+    pdf_a85 = _build_pdf_raw_filter(a85, b"/ASCII85Decode")
+    assert extract_pdf_text(_as_text(pdf_a85)) == "a85 page\n"
+
+    chained = base64.a85encode(
+        zlib.compress(b"BT 72 700 Td (chained page) Tj ET")) + b"~>"
+    pdf_chain = _build_pdf_raw_filter(
+        chained, b"[/ASCII85Decode /FlateDecode]")
+    assert extract_pdf_text(_as_text(pdf_chain)) == "chained page\n"
+
+    pdf_bad = _build_pdf_raw_filter(b"\xff\xd8\xff", b"/DCTDecode")
+    assert extract_pdf_text(_as_text(pdf_bad)) in (
+        NO_TEXT_SENTINEL, PARSE_FAIL_SENTINEL)
+
+
+def _build_pdf_raw_filter(data: bytes, filt: bytes) -> bytes:
+    """One-page PDF whose content stream carries pre-encoded ``data``
+    with an explicit /Filter entry."""
+    objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R >>"),
+        (4, b"<< /Filter " + filt + b" /Length " + str(len(data)).encode()
+            + b" >>\nstream\n" + data + b"\nendstream"),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for num, body in objs:
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    out += b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    return bytes(out)

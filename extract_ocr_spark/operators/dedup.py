@@ -218,19 +218,19 @@ def _minhash_bands_df(sh: DataFrame) -> DataFrame:
     return sh.mapInPandas(sig, schema=_SIG_SCHEMA)
 
 
-def minhash_lsh_pairs(spark, sf_dir):
+def minhash_lsh_pairs_df(docs: DataFrame) -> DataFrame:
     """Near-dup pairs (Jaccard ≥ 0.8) found via MinHash(128)+LSH(32 bands)
     candidate generation, exactly verified with array_intersect. With 32
     bands × 4 rows, P(miss | J=0.8) ≈ 4e-8, so the output equals the exact
-    oracle in practice while shuffling only O(n·bands) rows."""
+    oracle in practice while shuffling only O(n·bands) rows. Composable
+    df-level stage (the registry query below binds it to the sf tables)."""
     # Shingling runs once (persisted for the duration of candidate
     # generation); the band self-join reads the slim persisted band table
     # from both sides so the MinHash UDF executes exactly once; the few
     # candidate pairs — with shingles re-attached — are checkpointed
     # eagerly, after which every cached input is released: nothing heavy
     # leaks past this function and nothing heavy computes twice.
-    sh = _with_shingles(_docs(spark, sf_dir)) \
-        .select("doc_id", "shingles").persist()
+    sh = _with_shingles(docs).select("doc_id", "shingles").persist()
     banded = _minhash_bands_df(sh).select(
         "doc_id", F.explode("bands").alias("band")).persist()
     try:
@@ -263,6 +263,10 @@ def minhash_lsh_pairs(spark, sf_dir):
         .select("a_id", "b_id", "jaccard")
         .orderBy("a_id", "b_id")
     )
+
+
+def minhash_lsh_pairs(spark, sf_dir):
+    return minhash_lsh_pairs_df(_docs(spark, sf_dir))
 
 
 MINHASH_LSH_PAIRS_SQL = _SHINGLE_CTE + f"""
@@ -505,16 +509,20 @@ def neardup_clusters(spark, sf_dir):
     ``connected_components``) — converges in O(log diameter) driver-loop
     steps and raises rather than ever returning non-converged labels.
     The DuckDB oracle is the same fixpoint as a recursive CTE."""
-    pairs = minhash_lsh_pairs(spark, sf_dir).select("a_id", "b_id")
+    return neardup_clusters_df(_docs(spark, sf_dir))
+
+
+def neardup_clusters_df(docs: DataFrame) -> DataFrame:
+    """df-level variant of ``neardup_clusters`` (see its docstring): the
+    composable stage `curate_job --fuzzy-dedup` applies."""
+    pairs = minhash_lsh_pairs_df(docs).select("a_id", "b_id")
     # symmetric edge list
     edges = pairs.union(
         pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
     ).withColumnRenamed("a_id", "src").withColumnRenamed("b_id", "dst") \
      .localCheckpoint(eager=True)
-    labels = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .select(F.col("doc_id").alias("id"), F.col("doc_id").alias("comp"))
-    )
+    labels = docs.select(
+        F.col("doc_id").alias("id"), F.col("doc_id").alias("comp"))
     return (
         connected_components(labels, edges)
         .select(F.col("id").alias("doc_id"), F.col("comp").alias("cluster"))

@@ -10,6 +10,8 @@ splits, composing the curation operators end-to-end:
 Stages (each one shuffle or less; see operators/curation.py scale notes):
 
 1. exact dedup (normalized-content hash, canonical min-doc_id row)
+   [+ optional --fuzzy-dedup: MinHash near-dup clustering over the
+   survivors, keep one doc per cluster]
 2. quality filter (length / alpha / punct / word-length gates)
 3. repetition gate (Gopher-style: duplicate-line fraction and top-2-gram
    fraction over thresholds -> dropped)
@@ -34,7 +36,7 @@ import json
 def run(spark, docs, output: str, *, eval_ids=(0, 1, 2, 3, 4),
         min_shared_shingles: int = 5, max_dup_line_frac: float = 0.30,
         max_top_2gram_frac: float = 0.20, mixture_sampling: bool = False,
-        pack_budget: int = 2048) -> dict:
+        fuzzy_dedup: bool = False, pack_budget: int = 2048) -> dict:
     """The composed curation pipeline as a callable (spark-submit `main`
     wraps it; bench_curation.py times it in-process): documents in →
     partitioned split corpus under ``<output>/corpus`` → stats dict.
@@ -80,11 +82,32 @@ def run(spark, docs, output: str, *, eval_ids=(0, 1, 2, 3, 4),
     flags = quality_filter_df(flags).withColumnRenamed("keep", "_quality") \
         .drop("ok_len", "ok_alpha", "ok_punct", "ok_words")
 
+    # 1b (optional): fuzzy dedup — MinHash near-dup clusters over the
+    # exact-dedup + quality survivors; every non-canonical cluster member
+    # (doc_id != min doc_id of its component) is flagged. The standard
+    # pipeline order: exact dedup first (cheap hash) shrinks the input
+    # the LSH pass shingles.
+    if fuzzy_dedup:
+        from extract_ocr_spark.operators.dedup import neardup_clusters_df
+
+        fd_losers = (
+            neardup_clusters_df(
+                flags.filter(F.col("_canonical") & F.col("_quality"))
+                .select("doc_id", "text"))
+            .filter(F.col("doc_id") != F.col("cluster"))
+            .select("doc_id", F.lit(True).alias("_fuzzy_dup"))
+        )
+        flags = flags.join(fd_losers, "doc_id", "left") \
+            .fillna({"_fuzzy_dup": False})
+    else:
+        flags = flags.withColumn("_fuzzy_dup", F.lit(False))
+
     # 3: repetition flag (Gopher-style), computed only over the docs that
     # survived 1-2 — same input set as the old staged form, one
     # explode+agg keyed on doc_id, joined back as a flag
     rep = repetition_metrics_df(
-        flags.filter(F.col("_canonical") & F.col("_quality"))
+        flags.filter(F.col("_canonical") & F.col("_quality")
+                     & ~F.col("_fuzzy_dup"))
         .select("doc_id", "text"))
     repetitive = rep.filter(
         (F.col("dup_line_frac") > max_dup_line_frac)
@@ -105,7 +128,7 @@ def run(spark, docs, output: str, *, eval_ids=(0, 1, 2, 3, 4),
         .select(F.explode("shingles").alias("shingle")).distinct()
     )
     corpus_side = flags.filter(
-        F.col("_canonical") & F.col("_quality")
+        F.col("_canonical") & F.col("_quality") & ~F.col("_fuzzy_dup")
         & ~F.col("_repetitive") & ~is_eval)
     corpus_sh = _drop_hot_shingles(
         _with_shingles(corpus_side)
@@ -130,13 +153,15 @@ def run(spark, docs, output: str, *, eval_ids=(0, 1, 2, 3, 4),
         F.count("*").alias("docs_in"),
         _n(canon).alias("after_dedup"),
         _n(qual).alias("after_quality"),
-        _n(qual & F.col("_repetitive")).alias("repetitive_dropped"),
+        _n(qual & F.col("_fuzzy_dup")).alias("fuzzy_dropped"),
+        _n(qual & ~F.col("_fuzzy_dup")
+           & F.col("_repetitive")).alias("repetitive_dropped"),
         _n(F.col("_contaminated")).alias("contaminated_dropped"),
     ).first()
 
     clean = flags.filter(
-        canon & F.col("_quality") & ~F.col("_repetitive")
-        & ~F.col("_contaminated") & ~is_eval
+        canon & F.col("_quality") & ~F.col("_fuzzy_dup")
+        & ~F.col("_repetitive") & ~F.col("_contaminated") & ~is_eval
     ).select(*in_cols)
 
     # 5: optional per-source mixture sampling
@@ -168,6 +193,7 @@ def run(spark, docs, output: str, *, eval_ids=(0, 1, 2, 3, 4),
         "docs_in": c["docs_in"],
         "after_dedup": c["after_dedup"],
         "after_quality": c["after_quality"],
+        "fuzzy_dropped": c["fuzzy_dropped"],
         "repetitive_dropped": c["repetitive_dropped"],
         "contaminated_dropped": c["contaminated_dropped"],
         "docs_out": sum(by_split.values()),
@@ -193,6 +219,9 @@ def main() -> None:
     ap.add_argument("--max-top-2gram-frac", type=float, default=0.20)
     ap.add_argument("--mixture-sampling", action="store_true",
                     help="apply per-source stratified sampling rates")
+    ap.add_argument("--fuzzy-dedup", action="store_true",
+                    help="MinHash near-dup clustering after exact dedup; "
+                         "keep one doc per cluster")
     ap.add_argument("--pack-budget", type=int, default=2048,
                     help="tokens per packed training sequence")
     args = ap.parse_args()
@@ -212,6 +241,7 @@ def main() -> None:
         max_dup_line_frac=args.max_dup_line_frac,
         max_top_2gram_frac=args.max_top_2gram_frac,
         mixture_sampling=args.mixture_sampling,
+        fuzzy_dedup=args.fuzzy_dedup,
         pack_budget=args.pack_budget,
     )
     print(json.dumps(stats))

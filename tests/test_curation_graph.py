@@ -145,3 +145,35 @@ def test_repetition_metrics_flags_repetitive_docs(spark, tmp_path):
     assert got[2]["dup_line_frac"] == 0.0
     assert got[3]["top_2gram_frac"] == 1.0       # all 2-grams 'spam spam'
     assert got[2]["top_2gram_frac"] < 0.5
+
+
+def test_curate_run_fuzzy_dedup_drops_near_dups(spark, tmp_path):
+    """--fuzzy-dedup composes MinHash clustering into the job: a pair of
+    near-identical (but not byte-identical) docs collapses to its min
+    doc_id; unique docs survive; stats record the fuzzy drop."""
+    from jobs.curate_job import run
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight")
+    rows = [(i, f"distinct document number {i} with its own unique "
+                f"content words alpha{i} beta{i} gamma{i} delta{i} "
+                f"epsilon{i} zeta{i} eta{i} theta{i}", "en", "s", 120)
+            for i in range(10, 30)]
+    rows += [(50, base + " end", "en", "s", 120),
+             (51, base + " fin", "en", "s", 120)]  # near-dup of 50
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+    stats = run(spark, docs, str(tmp_path / "fz"), eval_ids=[],
+                fuzzy_dedup=True)
+    assert stats["fuzzy_dropped"] == 1
+    kept = {r["doc_id"] for r in spark.read.parquet(
+        str(tmp_path / "fz" / "corpus")).select("doc_id").collect()}
+    assert 50 in kept and 51 not in kept
+
+    # without the flag both survive (exact dedup does not catch them)
+    stats2 = run(spark, docs, str(tmp_path / "nz"), eval_ids=[])
+    assert stats2["fuzzy_dropped"] == 0
+    kept2 = {r["doc_id"] for r in spark.read.parquet(
+        str(tmp_path / "nz" / "corpus")).select("doc_id").collect()}
+    assert {50, 51} <= kept2

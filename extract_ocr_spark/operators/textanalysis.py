@@ -377,8 +377,7 @@ ORACLES["repetition_metrics"] = REPETITION_METRICS_SQL
 LM_ADD_K = 0.5
 
 
-def lm_nll_scores(spark, sf_dir):
-    docs = _docs(spark, sf_dir)
+def lm_nll_scores_df(docs: DataFrame) -> DataFrame:
     words_col = F.split(
         F.trim(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", " ")),
         " ")
@@ -411,6 +410,10 @@ def lm_nll_scores(spark, sf_dir):
              F.count("*").alias("n_bigrams"))
         .orderBy("doc_id")
     )
+
+
+def lm_nll_scores(spark, sf_dir):
+    return lm_nll_scores_df(_docs(spark, sf_dir))
 
 
 LM_NLL_SCORES_SQL = rf"""

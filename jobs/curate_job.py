@@ -13,6 +13,7 @@ Stages (each one shuffle or less; see operators/curation.py scale notes):
    [+ optional --fuzzy-dedup: MinHash near-dup clustering over the
    survivors, keep one doc per cluster]
 2. quality filter (length / alpha / punct / word-length gates)
+   [+ optional --max-lm-nll: CCNet-style corpus-bigram-LM gate]
 3. repetition gate (Gopher-style: duplicate-line fraction and top-2-gram
    fraction over thresholds -> dropped)
 4. benchmark decontamination (inverted shingle index vs the eval set,
@@ -36,7 +37,8 @@ import json
 def run(spark, docs, output: str, *, eval_ids=(0, 1, 2, 3, 4),
         min_shared_shingles: int = 5, max_dup_line_frac: float = 0.30,
         max_top_2gram_frac: float = 0.20, mixture_sampling: bool = False,
-        fuzzy_dedup: bool = False, pack_budget: int = 2048) -> dict:
+        fuzzy_dedup: bool = False, max_lm_nll: float | None = None,
+        pack_budget: int = 2048) -> dict:
     """The composed curation pipeline as a callable (spark-submit `main`
     wraps it; bench_curation.py times it in-process): documents in →
     partitioned split corpus under ``<output>/corpus`` → stats dict.
@@ -102,12 +104,32 @@ def run(spark, docs, output: str, *, eval_ids=(0, 1, 2, 3, 4),
     else:
         flags = flags.withColumn("_fuzzy_dup", F.lit(False))
 
+    # 2b (optional): LM quality gate (CCNet-style) — a corpus-trained
+    # bigram LM scores each doc by average negative log-likelihood; docs
+    # above --max-lm-nll (improbable word soup) are flagged. The LM is
+    # trained on the exact-dedup + quality survivors so junk the earlier
+    # gates already caught cannot distort the counts.
+    if max_lm_nll is not None:
+        from extract_ocr_spark.operators.textanalysis import lm_nll_scores_df
+
+        lm_bad = (
+            lm_nll_scores_df(
+                flags.filter(F.col("_canonical") & F.col("_quality")
+                             & ~F.col("_fuzzy_dup")).select("doc_id", "text"))
+            .filter(F.col("avg_nll") > max_lm_nll)
+            .select("doc_id", F.lit(True).alias("_lm_bad"))
+        )
+        flags = flags.join(lm_bad, "doc_id", "left") \
+            .fillna({"_lm_bad": False})
+    else:
+        flags = flags.withColumn("_lm_bad", F.lit(False))
+
     # 3: repetition flag (Gopher-style), computed only over the docs that
     # survived 1-2 — same input set as the old staged form, one
     # explode+agg keyed on doc_id, joined back as a flag
     rep = repetition_metrics_df(
         flags.filter(F.col("_canonical") & F.col("_quality")
-                     & ~F.col("_fuzzy_dup"))
+                     & ~F.col("_fuzzy_dup") & ~F.col("_lm_bad"))
         .select("doc_id", "text"))
     repetitive = rep.filter(
         (F.col("dup_line_frac") > max_dup_line_frac)
@@ -129,7 +151,7 @@ def run(spark, docs, output: str, *, eval_ids=(0, 1, 2, 3, 4),
     )
     corpus_side = flags.filter(
         F.col("_canonical") & F.col("_quality") & ~F.col("_fuzzy_dup")
-        & ~F.col("_repetitive") & ~is_eval)
+        & ~F.col("_lm_bad") & ~F.col("_repetitive") & ~is_eval)
     corpus_sh = _drop_hot_shingles(
         _with_shingles(corpus_side)
         .select("doc_id", F.explode("shingles").alias("shingle")))
@@ -155,12 +177,14 @@ def run(spark, docs, output: str, *, eval_ids=(0, 1, 2, 3, 4),
         _n(qual).alias("after_quality"),
         _n(qual & F.col("_fuzzy_dup")).alias("fuzzy_dropped"),
         _n(qual & ~F.col("_fuzzy_dup")
+           & F.col("_lm_bad")).alias("lm_dropped"),
+        _n(qual & ~F.col("_fuzzy_dup") & ~F.col("_lm_bad")
            & F.col("_repetitive")).alias("repetitive_dropped"),
         _n(F.col("_contaminated")).alias("contaminated_dropped"),
     ).first()
 
     clean = flags.filter(
-        canon & F.col("_quality") & ~F.col("_fuzzy_dup")
+        canon & F.col("_quality") & ~F.col("_fuzzy_dup") & ~F.col("_lm_bad")
         & ~F.col("_repetitive") & ~F.col("_contaminated") & ~is_eval
     ).select(*in_cols)
 
@@ -194,6 +218,7 @@ def run(spark, docs, output: str, *, eval_ids=(0, 1, 2, 3, 4),
         "after_dedup": c["after_dedup"],
         "after_quality": c["after_quality"],
         "fuzzy_dropped": c["fuzzy_dropped"],
+        "lm_dropped": c["lm_dropped"],
         "repetitive_dropped": c["repetitive_dropped"],
         "contaminated_dropped": c["contaminated_dropped"],
         "docs_out": sum(by_split.values()),
@@ -222,6 +247,9 @@ def main() -> None:
     ap.add_argument("--fuzzy-dedup", action="store_true",
                     help="MinHash near-dup clustering after exact dedup; "
                          "keep one doc per cluster")
+    ap.add_argument("--max-lm-nll", type=float, default=None,
+                    help="drop docs whose corpus-bigram-LM avg negative "
+                         "log-likelihood exceeds this (CCNet-style gate)")
     ap.add_argument("--pack-budget", type=int, default=2048,
                     help="tokens per packed training sequence")
     args = ap.parse_args()
@@ -242,6 +270,7 @@ def main() -> None:
         max_top_2gram_frac=args.max_top_2gram_frac,
         mixture_sampling=args.mixture_sampling,
         fuzzy_dedup=args.fuzzy_dedup,
+        max_lm_nll=args.max_lm_nll,
         pack_budget=args.pack_budget,
     )
     print(json.dumps(stats))

@@ -177,3 +177,30 @@ def test_curate_run_fuzzy_dedup_drops_near_dups(spark, tmp_path):
     kept2 = {r["doc_id"] for r in spark.read.parquet(
         str(tmp_path / "nz" / "corpus")).select("doc_id").collect()}
     assert {50, 51} <= kept2
+
+
+def test_curate_run_lm_gate_drops_gibberish(spark, tmp_path):
+    """--max-lm-nll composes the corpus-bigram-LM quality gate: the one
+    gibberish doc (improbable word sequences) is dropped, common-phrase
+    docs survive, and the stats record the LM drop."""
+    from jobs.curate_job import run
+
+    common = ("the quick brown fox jumps over the lazy dog and then "
+              "runs far away into the deep green forest tonight again")
+    rows = [(i, common + f" marker{i}", "en", "s", 130) for i in range(20)]
+    rows.append((99, "zxq vbnk wqpolr ajsnd fkelwm qoxuzy breqm "
+                     "vlwpot nskrje qmxbvo walpzu dkfnrw plomqe "
+                     "xcvbnd qwerty asdfgh zxcvbn poiuyt", "en", "s", 120))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+    probe = run(spark, docs, str(tmp_path / "probe"), eval_ids=[])
+    assert probe["lm_dropped"] == 0  # gate off by default
+
+    # measured: common docs score ~0.77, the gibberish doc ~2.37
+    stats = run(spark, docs, str(tmp_path / "lm"), eval_ids=[],
+                max_lm_nll=1.5)
+    assert stats["lm_dropped"] == 1
+    kept = {r["doc_id"] for r in spark.read.parquet(
+        str(tmp_path / "lm" / "corpus")).select("doc_id").collect()}
+    assert 99 not in kept and 0 in kept

@@ -281,10 +281,13 @@ def _pdf_bytes_to_layout(data: bytes) -> str:
     # uncompressed embedded-file stream must not clobber a real object.
     first_eof = data.find(b"%%EOF")
     objs: dict[int, bytes] = {}
+    objstms: list[tuple[int, bytes]] = []  # (match start, body), file order
     for m in _OBJ_RE.finditer(data):
         num = int(m.group(1))
         if num not in objs or (first_eof != -1 and m.start() > first_eof):
             objs[num] = m.group(3)
+        if re.search(rb"/Type\s*/ObjStm\b", m.group(3)):
+            objstms.append((m.start(), m.group(3)))
 
     def stream_of(body: bytes) -> bytes | None:
         sm = re.search(rb"stream\r?\n", body)
@@ -337,11 +340,13 @@ def _pdf_bytes_to_layout(data: bytes) -> str:
     # non-stream objects — catalog, page tree, page dicts — inside one
     # compressed stream; without unpacking, those pages are invisible to
     # the `N G obj` scan. Layout: /N pairs of "objnum offset" ints, then
-    # the object bodies starting at /First. Unpacked objects never
-    # override direct ones (a direct `N G obj` is either the original or
-    # an incremental update, both of which outrank the packed copy).
-    for body in [b for b in objs.values()
-                 if re.search(rb"/Type\s*/ObjStm\b", b)]:
+    # the object bodies starting at /First. Packed objects follow the
+    # SAME override rule as direct ones: an ObjStm that lives in an
+    # incremental-update section (past the first %%EOF) carries newer
+    # versions and overrides; an original-body ObjStm never clobbers an
+    # already-seen object (Acrobat save/annotate/sign appends repack the
+    # page tree in a new ObjStm — xref semantics pick the newest).
+    for start, body in objstms:
         try:
             s = stream_of(body)
             n = int(_dict_value(body, b"N"))
@@ -351,9 +356,11 @@ def _pdf_bytes_to_layout(data: bytes) -> str:
                      for i in range(n)]
         except (TypeError, ValueError, IndexError):
             continue  # malformed ObjStm degrades only its own objects
+        update_section = first_eof != -1 and start > first_eof
         for i, (onum, off) in enumerate(pairs):
             end = first + pairs[i + 1][1] if i + 1 < len(pairs) else len(s)
-            objs.setdefault(onum, s[first + off:end])
+            if update_section or onum not in objs:
+                objs[onum] = s[first + off:end]
 
     # Page order: walk /Kids arrays of /Type /Pages nodes (document
     # order), falling back to file-appearance order of /Type /Page objects.

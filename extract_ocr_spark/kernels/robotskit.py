@@ -59,7 +59,10 @@ def sitemaps_from_robots(robots_text: str) -> list[str]:
     from .urlkit import normalize_url
 
     out: list[str] = []
-    for line in (robots_text or "").splitlines():
+    for raw in (robots_text or "").splitlines():
+        # strip first, like parse_robots above — indented directive lines
+        # are common in the wild and allowed by RFC 9309's line grammar
+        line = raw.strip()
         if line.lower().startswith("sitemap:"):
             _, _, value = line.partition(":")
             url = value.strip()

@@ -393,23 +393,37 @@ def lm_nll_scores_df(docs: DataFrame) -> DataFrame:
         )).alias("bg")
     ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
 
-    c2 = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
-    c1 = bigrams.groupBy("w1").agg(F.count("*").alias("c1"))
-    vocab = c1.agg(F.countDistinct("w1").alias("v"))
+    # Pre-aggregate to per-doc bigram COUNTS first: the corpus-level c2
+    # is a rollup of occ (one shuffle stage shorter than re-counting raw
+    # occurrences), c1 rolls up from c2, and the scoring joins carry
+    # O(distinct (doc, w1, w2)) rows instead of every occurrence. occ is
+    # persisted for the duration (three consumers) and released before
+    # returning — the slim per-doc result is checkpointed eagerly, the
+    # same contained lifecycle as minhash_lsh_pairs.
+    occ = bigrams.groupBy("doc_id", "w1", "w2") \
+        .agg(F.count("*").alias("n")).persist()
+    try:
+        c2 = occ.groupBy("w1", "w2").agg(F.sum("n").alias("c2"))
+        c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+        vocab = c1.agg(F.count("*").alias("v"))
 
-    k = F.lit(LM_ADD_K)
-    scored = (
-        bigrams.join(c2, ["w1", "w2"]).join(c1, "w1")
-        .crossJoin(F.broadcast(vocab))
-        .withColumn("nll", -(F.log(F.col("c2") + k)
-                             - F.log(F.col("c1") + k * F.col("v"))))
-    )
-    return (
-        scored.groupBy("doc_id")
-        .agg(F.round(F.avg("nll"), 4).alias("avg_nll"),
-             F.count("*").alias("n_bigrams"))
-        .orderBy("doc_id")
-    )
+        k = F.lit(LM_ADD_K)
+        scored = (
+            occ.join(c2, ["w1", "w2"]).join(c1, "w1")
+            .crossJoin(F.broadcast(vocab))
+            .withColumn("nll", -(F.log(F.col("c2") + k)
+                                 - F.log(F.col("c1") + k * F.col("v"))))
+        )
+        result = (
+            scored.groupBy("doc_id")
+            .agg(F.round(F.sum(F.col("n") * F.col("nll")) / F.sum("n"), 4)
+                 .alias("avg_nll"),
+                 F.sum("n").alias("n_bigrams"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        occ.unpersist()
+    return result.orderBy("doc_id")
 
 
 def lm_nll_scores(spark, sf_dir):

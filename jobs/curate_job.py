@@ -80,9 +80,15 @@ def run(spark, docs, output: str, *, eval_ids=(0, 1, 2, 3, 4),
     flags = docs.withColumn(
         "_canonical", F.col("doc_id") == F.min("doc_id").over(w))
 
-    # 2: quality flags (pure per-doc projection)
+    # 2: quality flags (pure per-doc projection). Persist HERE: every
+    # later stage (fuzzy/LM gates, repetition, contamination corpus side)
+    # filters this frame — without the cache each would re-run the dedup
+    # window + quality projection from scratch (at 10^12 docs, one full
+    # corpus re-read per stage).
     flags = quality_filter_df(flags).withColumnRenamed("keep", "_quality") \
-        .drop("ok_len", "ok_alpha", "ok_punct", "ok_words")
+        .drop("ok_len", "ok_alpha", "ok_punct", "ok_words") \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    base_flags = flags
 
     # 1b (optional): fuzzy dedup — MinHash near-dup clusters over the
     # exact-dedup + quality survivors; every non-canonical cluster member
@@ -213,6 +219,7 @@ def run(spark, docs, output: str, *, eval_ids=(0, 1, 2, 3, 4),
     # writes no parquet files and a bare read would fail schema inference.
     by_split = {r["split"]: r["n"] for r in
                 final.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    base_flags.unpersist()
     stats = {
         "docs_in": c["docs_in"],
         "after_dedup": c["after_dedup"],

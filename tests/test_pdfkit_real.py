@@ -290,3 +290,44 @@ def _build_pdf_raw_filter(data: bytes, filt: bytes) -> bytes:
         out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
     out += b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
     return bytes(out)
+
+
+def test_objstm_incremental_update_overrides_packed_objects():
+    """An appended incremental update whose new ObjStm repacks the page
+    (Acrobat save/annotate shape) must win over the original packed
+    version — the post-%%EOF override rule applies to packed objects
+    exactly as to direct ones."""
+    def objstm(num, bodies):
+        header = b""
+        payload = b""
+        for onum, b in bodies.items():
+            header += f"{onum} {len(payload)} ".encode()
+            payload += b + b" "
+        data = zlib.compress(header + payload)
+        return (f"{num} 0 obj\n".encode()
+                + b"<< /Type /ObjStm /Filter /FlateDecode /N "
+                + str(len(bodies)).encode() + b" /First "
+                + str(len(header)).encode() + b" /Length "
+                + str(len(data)).encode() + b" >>\nstream\n" + data
+                + b"\nendstream\nendobj\n")
+
+    def content_obj(num, text):
+        c = b"BT 72 700 Td (" + text + b") Tj ET"
+        return (f"{num} 0 obj\n".encode() + b"<< /Length "
+                + str(len(c)).encode() + b" >>\nstream\n" + c
+                + b"\nendstream\nendobj\n")
+
+    page = (b"<< /Type /Page /Parent 3 0 R /MediaBox [0 0 612 792] "
+            b"/Contents %d 0 R >>")
+    original = (b"%PDF-1.5\n"
+                + objstm(1, {2: b"<< /Type /Catalog /Pages 3 0 R >>",
+                             3: b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+                             4: page % 5})
+                + content_obj(5, b"old")
+                + b"trailer\n<< /Root 2 0 R >>\n%%EOF\n")
+    update = (objstm(6, {4: page % 7})  # repacked page -> new contents
+              + content_obj(7, b"new")
+              + b"trailer\n<< /Root 2 0 R >>\n%%EOF\n")
+
+    assert extract_pdf_text(_as_text(original)) == "old\n"
+    assert extract_pdf_text(_as_text(original + update)) == "new\n"

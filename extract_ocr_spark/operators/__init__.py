@@ -43,14 +43,17 @@ def all_queries():
     # entries in dict order, so the queries it skipped last round rotate
     # to the front (names stay stable; only insertion order moves).
     front = (
-        # the 12 the r3 driver's window skipped
-        "contamination_check", "dedup_apply", "extract_links",
-        "frame_sample", "media_features", "pack_sequences", "pii_scrub",
-        "quality_filter_apply", "resize_media", "shuffle_order",
-        "split_assign", "stratified_sample",
-        # the queries new in r4 — never driver-checked yet
-        "markdown_link_rewrite_join", "zip_member_pick", "lm_nll_scores",
-        "sitemap_discovery", "extract_links_multi", "extract_titles",
+        # the 18 the r4 driver's ~50-query window skipped (they sat at
+        # positions 50-67); r4's front group rotates to the back — its
+        # names were all driver-green in CORRECTNESS_r04
+        "doc_fingerprints", "top_terms_per_source", "repetition_metrics",
+        "citations_ris", "citations_bibtex", "citations_csl",
+        "api_endpoint_report", "apis_report_markdown", "resp_md_pick",
+        "filename_sanitize", "url_keys", "path_key_report", "ext_guess",
+        "consolidated_index", "markdown_link_rewrite", "url_scope_filter",
+        "export_counts_events", "robots_gate",
+        # queries new in r5 — never driver-checked yet
+        "bfs_frontier",
     )
     order = [n for n in front if n in queries] + [
         n for n in queries if n not in front]

@@ -38,7 +38,7 @@ def run(spark, docs, output: str, *, eval_ids=(0, 1, 2, 3, 4),
         min_shared_shingles: int = 5, max_dup_line_frac: float = 0.30,
         max_top_2gram_frac: float = 0.20, mixture_sampling: bool = False,
         fuzzy_dedup: bool = False, max_lm_nll: float | None = None,
-        pack_budget: int = 2048) -> dict:
+        pack_budget: int = 2048, write_partitions: int | None = None) -> dict:
     """The composed curation pipeline as a callable (spark-submit `main`
     wraps it; bench_curation.py times it in-process): documents in →
     partitioned split corpus under ``<output>/corpus`` → stats dict.
@@ -209,9 +209,25 @@ def run(spark, docs, output: str, *, eval_ids=(0, 1, 2, 3, 4),
     final = final.join(packed, "doc_id", "left") \
         .persist(StorageLevel.MEMORY_AND_DISK)
 
-    # write — partition by split, sort within partitions by shuffle key
-    (final.repartition("split")
-     .sortWithinPartitions("shuffle_key")
+    # write — partition by split, globally ordered by shuffle key WITHIN
+    # each split across many files. repartitionByRange on (split,
+    # shuffle_key) keeps rows of one split range-contiguous (so
+    # partitionBy("split") still writes one file per task per split) while
+    # spreading each split over ~n_write tasks. The previous
+    # `repartition("split")` hashed a 3-value column: each split landed in
+    # exactly ONE partition, so a single task sorted and wrote the entire
+    # train split (~90% of the corpus — at 10^12 docs, one executor
+    # funneling ~90 TB). Range partitioning restores full write
+    # parallelism and upgrades the per-file sort to a per-split total
+    # order (file k's keys all precede file k+1's).
+    # NB the sort leads with "split": the partitioned writer REQUIRES an
+    # ordering on the partition column and, if the child ordering doesn't
+    # satisfy it, inserts its own (unstable) sort by split alone — which
+    # would destroy the shuffle_key order. Leading with split satisfies
+    # the writer's requirement, so no extra sort is added.
+    n_write = write_partitions or max(spark.sparkContext.defaultParallelism, 8)
+    (final.repartitionByRange(n_write, "split", "shuffle_key")
+     .sortWithinPartitions("split", "shuffle_key")
      .write.mode("overwrite").partitionBy("split")
      .parquet(f"{output}/corpus"))
 
@@ -259,6 +275,9 @@ def main() -> None:
                          "log-likelihood exceeds this (CCNet-style gate)")
     ap.add_argument("--pack-budget", type=int, default=2048,
                     help="tokens per packed training sequence")
+    ap.add_argument("--write-partitions", type=int, default=None,
+                    help="range partitions for the final write (default: "
+                         "cluster default parallelism)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -279,6 +298,7 @@ def main() -> None:
         fuzzy_dedup=args.fuzzy_dedup,
         max_lm_nll=args.max_lm_nll,
         pack_budget=args.pack_budget,
+        write_partitions=args.write_partitions,
     )
     print(json.dumps(stats))
     spark.stop()

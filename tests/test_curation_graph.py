@@ -179,6 +179,41 @@ def test_curate_run_fuzzy_dedup_drops_near_dups(spark, tmp_path):
     assert {50, 51} <= kept2
 
 
+def test_curate_write_spreads_splits_over_range_partitions(spark, tmp_path):
+    """The final write must NOT funnel each split through one task (the
+    old `repartition("split")` hashed a 3-value column → the whole train
+    split sorted+written by a single task at any scale). With
+    repartitionByRange(N, split, shuffle_key): (1) a split's rows span
+    multiple output files, (2) file key ranges within a split are
+    disjoint and ordered — a per-split TOTAL order across files."""
+    import glob
+    import os
+
+    from jobs.curate_job import run
+
+    rows = [(i, f"document number {i} with plenty of its own unique "
+                f"content words alpha{i} beta{i} gamma{i} delta{i} "
+                f"epsilon{i} zeta{i} eta{i} theta{i} iota{i}", "en", "s", 120)
+            for i in range(300)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+    run(spark, docs, str(tmp_path / "o"), eval_ids=[], write_partitions=8)
+
+    train_files = sorted(glob.glob(
+        str(tmp_path / "o" / "corpus" / "split=train" / "part-*.parquet")))
+    assert len(train_files) > 1, "train split collapsed to one writer task"
+    ranges = []
+    for f in train_files:
+        keys = [r["shuffle_key"] for r in
+                spark.read.parquet(f"file://{os.path.abspath(f)}")
+                .select("shuffle_key").collect()]
+        assert keys == sorted(keys)          # sorted within each file
+        ranges.append((keys[0], keys[-1]))
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo                      # disjoint, ordered file ranges
+
+
 def test_curate_run_lm_gate_drops_gibberish(spark, tmp_path):
     """--max-lm-nll composes the corpus-bigram-LM quality gate: the one
     gibberish doc (improbable word sequences) is dropped, common-phrase

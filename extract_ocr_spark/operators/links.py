@@ -267,3 +267,49 @@ FROM documents ORDER BY doc_id
 
 QUERIES["extract_titles"] = extract_titles_query
 ORACLES["extract_titles"] = EXTRACT_TITLES_SQL
+
+
+def bfs_frontier_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/O2 driver-visible check: distributed BFS over a deterministic
+    synthetic link graph (dst = (2·id+1) mod n and (3·id+7) mod n over the
+    documents table), seeds {0, 17}, depth cutoff 3. Exercises the real
+    iterative frontier loop — per-level join ⋈ edges, distinct, anti-join
+    against the visited set, depth cap (frontier.py:64; reference crawl
+    loop crawl.py:920-1137) — against a recursive-CTE oracle computing
+    first-seen (= minimum) depth per reachable doc.
+    """
+    from ..frontier import bfs_frontier
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    n = docs.count()
+    src = F.col("doc_id").cast("string").alias("src")
+    edges = docs.select(
+        src, ((F.col("doc_id") * 2 + 1) % n).cast("string").alias("dst")
+    ).unionByName(docs.select(
+        src, ((F.col("doc_id") * 3 + 7) % n).cast("string").alias("dst")))
+    out = bfs_frontier(spark, edges, ["0", "17"],
+                       max_depth=3, max_pages=1_000_000_000)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      F.col("depth").cast("int").alias("depth"))
+
+
+BFS_FRONTIER_SQL = """
+WITH RECURSIVE n AS (SELECT count(*) AS c FROM documents),
+edges AS (
+    SELECT doc_id AS src, (doc_id * 2 + 1) % c AS dst FROM documents, n
+    UNION ALL
+    SELECT doc_id AS src, (doc_id * 3 + 7) % c AS dst FROM documents, n
+),
+bfs(doc_id, depth) AS (
+    SELECT * FROM (VALUES (CAST(0 AS BIGINT), 0), (CAST(17 AS BIGINT), 0))
+    UNION
+    SELECT e.dst, b.depth + 1
+    FROM bfs b JOIN edges e ON e.src = b.doc_id
+    WHERE b.depth < 3
+)
+SELECT doc_id, CAST(min(depth) AS INT) AS depth
+FROM bfs GROUP BY doc_id ORDER BY depth, doc_id
+"""
+
+QUERIES["bfs_frontier"] = bfs_frontier_query
+ORACLES["bfs_frontier"] = BFS_FRONTIER_SQL

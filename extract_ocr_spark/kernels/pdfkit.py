@@ -114,11 +114,14 @@ def extract_pdf_text(layout_text: str | None) -> str:
 # reconstruction, failing-page skips, and page joining reuse the one tested
 # kernel above. Object streams (/Type /ObjStm) are unpacked so PDF 1.5+
 # packed page trees resolve; stream filters Flate / ASCIIHex / ASCII85
-# (and decode-order chains of them) are applied. Out of scope
+# (and decode-order chains of them) are applied. Object offsets are
+# resolved the way pypdf does — `startxref` → classic xref table or xref
+# stream (incl. PNG-predicted /W columns) → trailer `/Prev` (+ hybrid
+# `/XRefStm`) chain, newest revision first — falling back to scanning
+# `N G obj ... endobj` (plus ObjStm unpacking) when the xref machinery is
+# damaged or absent, which also survives mild corruption. Out of scope
 # (documented): CMap/Type0 font decoding, LZW / DCT filters, encrypted
-# files, xref-stream *tables* (objects are recovered by scanning
-# `N G obj ... endobj` plus ObjStm unpacking, which also survives mild
-# corruption).
+# files.
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.S)
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
@@ -265,21 +268,324 @@ def _content_runs(content: bytes) -> list[tuple[float, float, str]]:
     return runs
 
 
-def _pdf_bytes_to_layout(data: bytes) -> str:
-    """Real PDF bytes → the synthetic layout encoding consumed by
-    ``extract_pdf_text`` (pages joined with \\f, runs as `@<-y>,<x>:`
-    positioned lines so top-of-page sorts first)."""
+def _stream_of(body: bytes, objs: dict[int, bytes]) -> bytes | None:
+    """Decoded stream payload of an object body (None = no stream or an
+    unsupported/undecodable filter — the stream is skipped, not fatal)."""
     import base64
     import binascii
     import zlib
 
-    # Incremental updates: a revision section appended AFTER the original
-    # body's `%%EOF` carries the newest version of an object, so matches
-    # beyond the first %%EOF override earlier ones (approximating xref
-    # resolution, which the reference's pypdf path does). Matches WITHIN
-    # the original body never override — a spurious `N G obj` inside an
-    # uncompressed embedded-file stream must not clobber a real object.
+    sm = re.search(rb"stream\r?\n", body)
+    if sm is None:
+        return None
+    start = sm.end()
+    # Honor /Length when present — the endstream-scan fallback can eat
+    # a trailing 0x0D of binary data (it is indistinguishable from the
+    # optional \r of the EOL before `endstream`).
+    raw = None
+    ln = _dict_value(body, b"Length")
+    if ln is not None:
+        ref = _REF_RE.fullmatch(ln.strip())
+        if ref is not None:  # indirect length object
+            ln = objs.get(int(ref.group(1)), b"").strip()
+        try:
+            raw = body[start:start + int(ln)]
+        except ValueError:
+            raw = None
+    if raw is None:
+        em = re.search(rb"\r?\nendstream", body[start:])
+        if em is None:
+            return None
+        raw = body[start:start + em.start()]
+    # /Filter may be a single name or an array of filters listed in
+    # DECODE order (data was encoded in reverse): apply each in turn.
+    # Supported: FlateDecode, ASCIIHexDecode, ASCII85Decode — the
+    # text-stream filters pypdf handles in practice; LZW/DCT/crypt
+    # stay documented out of scope (None ⇒ stream skipped).
+    m = re.search(rb"/Filter\s*(\[[^\]]*\]|/\w+)", body[:sm.start()])
+    for name in re.findall(rb"/(\w+)", m.group(1)) if m else []:
+        try:
+            if name == b"FlateDecode":
+                raw = zlib.decompress(raw)
+            elif name == b"ASCIIHexDecode":
+                hx = re.sub(rb"[^0-9A-Fa-f]", b"",
+                            raw.split(b">", 1)[0])
+                raw = binascii.unhexlify(
+                    hx + b"0" if len(hx) % 2 else hx)
+            elif name == b"ASCII85Decode":
+                a85 = re.sub(rb"\s", b"", raw.partition(b"~>")[0])
+                # optional Adobe '<~' opening frame (a85decode raises
+                # on '<'; without the strip the page text is lost)
+                if a85.startswith(b"<~"):
+                    a85 = a85[2:]
+                raw = base64.a85decode(a85)
+            else:
+                return None  # unsupported filter (LZW, DCT, ...)
+        except Exception:
+            return None
+    return raw
+
+
+def _unpack_objstm(body: bytes, objs: dict[int, bytes]
+                   ) -> list[tuple[int, bytes]] | None:
+    """/Type /ObjStm payload → [(objnum, body)] in packed order. Layout:
+    /N pairs of "objnum offset" ints, then object bodies at /First."""
+    try:
+        s = _stream_of(body, objs)
+        n = int(_dict_value(body, b"N"))
+        first = int(_dict_value(body, b"First"))
+        header = s[:first].split()
+        pairs = [(int(header[2 * i]), int(header[2 * i + 1]))
+                 for i in range(n)]
+    except (TypeError, ValueError, IndexError):
+        return None  # malformed ObjStm degrades only its own objects
+    out: list[tuple[int, bytes]] = []
+    for i, (onum, off) in enumerate(pairs):
+        end = first + pairs[i + 1][1] if i + 1 < len(pairs) else len(s)
+        out.append((onum, s[first + off:end]))
+    return out
+
+
+# ---- xref resolution (the pypdf-parity path) ----------------------------------
+
+_OBJ_AT_RE = re.compile(rb"\s*(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.S)
+_XREF_ENTRY_RE = re.compile(rb"\s*(\d{10})\s+(\d{5})\s+([nf])")
+
+# entry shapes in the object map:  ("d", offset) = direct `N G obj` at a
+# byte offset;  ("s", stm, idx) = packed at index idx of ObjStm #stm;
+# ("f",) = free (blocks older revisions from resurrecting the number).
+_FREE = ("f",)
+
+
+def _balanced_dict(data: bytes, start: int) -> bytes | None:
+    """The `<< ... >>` dict starting at/after ``start`` (nesting-aware)."""
+    open_at = data.find(b"<<", start)
+    if open_at == -1:
+        return None
+    depth, i = 0, open_at
+    while i < len(data) - 1:
+        pair = data[i:i + 2]
+        if pair == b"<<":
+            depth += 1
+            i += 2
+        elif pair == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return data[open_at:i]
+        else:
+            i += 1
+    return None
+
+
+def _unpredict_png(raw: bytes, columns: int) -> bytes:
+    """Reverse PNG row filters (predictors 10-15) for xref-stream data:
+    one filter-type byte per row, bytes-per-pixel = 1 (xref /W columns
+    are byte fields)."""
+    rowlen = columns
+    out = bytearray()
+    prev = bytearray(rowlen)
+    i = 0
+    while i + 1 + rowlen <= len(raw) + rowlen and i < len(raw):
+        ft = raw[i]
+        row = bytearray(raw[i + 1:i + 1 + rowlen])
+        if len(row) < rowlen:
+            break  # truncated final row: drop it
+        i += 1 + rowlen
+        if ft == 1:  # Sub
+            for j in range(1, rowlen):
+                row[j] = (row[j] + row[j - 1]) & 0xFF
+        elif ft == 2:  # Up
+            for j in range(rowlen):
+                row[j] = (row[j] + prev[j]) & 0xFF
+        elif ft == 3:  # Average
+            for j in range(rowlen):
+                left = row[j - 1] if j else 0
+                row[j] = (row[j] + ((left + prev[j]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for j in range(rowlen):
+                a = row[j - 1] if j else 0
+                b = prev[j]
+                c = prev[j - 1] if j else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[j] = (row[j] + pred) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _parse_classic_xref(data: bytes, off: int,
+                        entries: dict[int, tuple]) -> list[int]:
+    """Classic `xref` table section at byte ``off``: subsection headers
+    `start count` followed by 20-byte `offset gen n|f` entries, then the
+    trailer dict. Returns the next offsets to walk (/XRefStm before /Prev
+    — hybrid files put newer ObjStm entries in the stream)."""
+    m = re.compile(rb"\s*xref\b").match(data, off)
+    pos = m.end()
+    sub_re = re.compile(rb"\s*(\d+)\s+(\d+)\s*")
+    while True:
+        sm = sub_re.match(data, pos)
+        if sm is None:
+            break
+        start_num, count = int(sm.group(1)), int(sm.group(2))
+        pos = sm.end()
+        for k in range(count):
+            em = _XREF_ENTRY_RE.match(data, pos)
+            if em is None:
+                raise ValueError("short xref subsection")
+            num = start_num + k
+            if num not in entries:
+                entries[num] = (_FREE if em.group(3) == b"f"
+                                else ("d", int(em.group(1))))
+            pos = em.end()
+        # skip trailing spaces/EOLs of the 20-byte records
+        while pos < len(data) and data[pos] in b" \r\n":
+            pos += 1
+    tm = re.compile(rb"\s*trailer\b").match(data, pos)
+    if tm is None:
+        raise ValueError("xref table without trailer")
+    tdict = _balanced_dict(data, tm.end())
+    if tdict is None:
+        raise ValueError("unparseable trailer dict")
+    nxt: list[int] = []
+    for key in (b"XRefStm", b"Prev"):
+        v = _dict_value(tdict, key)
+        if v is not None and v.split():
+            try:
+                nxt.append(int(v.split()[0]))
+            except ValueError:
+                pass
+    return nxt
+
+
+def _parse_xref_stream(data: bytes, off: int,
+                       entries: dict[int, tuple]) -> list[int]:
+    """Xref *stream* (/Type /XRef) at byte ``off``: /W-column binary
+    entries (optionally Flate + PNG-predicted), /Index subsections.
+    Returns [/Prev] if present."""
+    m = _OBJ_AT_RE.match(data, off)
+    if m is None:
+        raise ValueError("no object at xref-stream offset")
+    body = m.group(3)
+    if not re.search(rb"/Type\s*/XRef\b", body):
+        raise ValueError("object at startxref is not an XRef stream")
+    raw = _stream_of(body, {})
+    if raw is None:
+        raise ValueError("undecodable xref stream")
+    parms = _dict_value(body, b"DecodeParms")
+    if parms:
+        pred = _dict_value(parms, b"Predictor")
+        if pred and int(pred.split()[0]) >= 10:
+            cols_tok = _dict_value(parms, b"Columns")
+            raw = _unpredict_png(
+                raw, int(cols_tok.split()[0]) if cols_tok else 1)
+        elif pred and int(pred.split()[0]) > 1:
+            raise ValueError("unsupported xref predictor")
+    w_tok = _dict_value(body, b"W") or b""
+    widths = [int(x) for x in _NUM_RE.findall(w_tok)]
+    if len(widths) != 3:
+        raise ValueError("bad /W")
+    w1, w2, w3 = widths
+    rec = w1 + w2 + w3
+    idx_tok = _dict_value(body, b"Index")
+    if idx_tok is not None:
+        nums = [int(x) for x in _NUM_RE.findall(idx_tok)]
+        index = list(zip(nums[0::2], nums[1::2]))
+    else:
+        size_tok = _dict_value(body, b"Size") or b"0"
+        index = [(0, int(size_tok.split()[0]))]
+    pos = 0
+    for start_num, count in index:
+        for k in range(count):
+            if pos + rec > len(raw):
+                raise ValueError("short xref stream")
+            f1 = int.from_bytes(raw[pos:pos + w1], "big") if w1 else 1
+            f2 = int.from_bytes(raw[pos + w1:pos + w1 + w2], "big")
+            f3 = int.from_bytes(raw[pos + w1 + w2:pos + rec], "big")
+            pos += rec
+            num = start_num + k
+            if num not in entries:
+                if f1 == 1:
+                    entries[num] = ("d", f2)
+                elif f1 == 2:
+                    entries[num] = ("s", f2, f3)
+                else:
+                    entries[num] = _FREE
+    v = _dict_value(body, b"Prev")
+    if v is not None and v.split():
+        return [int(v.split()[0])]
+    return []
+
+
+def _xref_objects(data: bytes) -> dict[int, bytes] | None:
+    """Resolve objects via the xref machinery (the way the reference's
+    pypdf path does — crawl.py:98-124): last `startxref` → table/stream →
+    /Prev chain, newest revision first, already-seen object numbers never
+    overridden (so stale pre-update bodies and freed-then-reused numbers
+    resolve per xref, not per scan order). None = xref absent/damaged →
+    caller falls back to the scan."""
+    tail = data[-2048:]
+    last = None
+    for last in re.finditer(rb"startxref\s+(\d+)", tail):
+        pass
+    if last is None:
+        return None
+    entries: dict[int, tuple] = {}
+    queue = [int(last.group(1))]
+    seen: set[int] = set()
+    while queue:
+        off = queue.pop(0)
+        if off in seen or not (0 <= off < len(data)):
+            continue
+        seen.add(off)
+        if re.compile(rb"\s*xref\b").match(data, off):
+            queue.extend(_parse_classic_xref(data, off, entries))
+        else:
+            queue.extend(_parse_xref_stream(data, off, entries))
+    objs: dict[int, bytes] = {}
+    for num, ent in entries.items():
+        if ent[0] == "d":
+            m = _OBJ_AT_RE.match(data, ent[1])
+            if m is not None and int(m.group(1)) == num:
+                objs[num] = m.group(3)
+    by_stm: dict[int, list[tuple[int, int]]] = {}
+    for num, ent in entries.items():
+        if ent[0] == "s":
+            by_stm.setdefault(ent[1], []).append((num, ent[2]))
+    for stm, wanted in by_stm.items():
+        if stm not in objs:
+            continue
+        packed = _unpack_objstm(objs[stm], objs)
+        if packed is None:
+            continue
+        for num, idx in wanted:
+            if idx < len(packed) and packed[idx][0] == num:
+                objs[num] = packed[idx][1]
+    return objs or None
+
+
+def _scan_objects(data: bytes) -> dict[int, bytes]:
+    """Object recovery by scanning `N G obj ... endobj` — the fallback
+    when the xref machinery is absent or damaged.
+
+    Incremental updates: a revision section appended AFTER the original
+    body's `%%EOF` carries the newest version of an object, so matches
+    beyond the boundary %%EOF override earlier ones (approximating xref
+    resolution). Matches WITHIN the original body never override — a
+    spurious `N G obj` inside an uncompressed embedded-file stream must
+    not clobber a real object. Linearized (web-optimized) files place a
+    %%EOF near the START (the first-page xref section); using it as the
+    boundary would grant override rights to nearly the whole main body,
+    so for /Linearized files the boundary is the NEXT %%EOF."""
     first_eof = data.find(b"%%EOF")
+    if first_eof != -1 and re.search(rb"/Linearized\b", data[:4096]):
+        nxt = data.find(b"%%EOF", first_eof + 5)
+        if nxt != -1:
+            first_eof = nxt
     objs: dict[int, bytes] = {}
     objstms: list[tuple[int, bytes]] = []  # (match start, body), file order
     for m in _OBJ_RE.finditer(data):
@@ -289,78 +595,43 @@ def _pdf_bytes_to_layout(data: bytes) -> str:
         if re.search(rb"/Type\s*/ObjStm\b", m.group(3)):
             objstms.append((m.start(), m.group(3)))
 
-    def stream_of(body: bytes) -> bytes | None:
-        sm = re.search(rb"stream\r?\n", body)
-        if sm is None:
-            return None
-        start = sm.end()
-        # Honor /Length when present — the endstream-scan fallback can eat
-        # a trailing 0x0D of binary data (it is indistinguishable from the
-        # optional \r of the EOL before `endstream`).
-        raw = None
-        ln = _dict_value(body, b"Length")
-        if ln is not None:
-            ref = _REF_RE.fullmatch(ln.strip())
-            if ref is not None:  # indirect length object
-                ln = objs.get(int(ref.group(1)), b"").strip()
-            try:
-                raw = body[start:start + int(ln)]
-            except ValueError:
-                raw = None
-        if raw is None:
-            em = re.search(rb"\r?\nendstream", body[start:])
-            if em is None:
-                return None
-            raw = body[start:start + em.start()]
-        # /Filter may be a single name or an array of filters listed in
-        # DECODE order (data was encoded in reverse): apply each in turn.
-        # Supported: FlateDecode, ASCIIHexDecode, ASCII85Decode — the
-        # text-stream filters pypdf handles in practice; LZW/DCT/crypt
-        # stay documented out of scope (None ⇒ stream skipped).
-        m = re.search(rb"/Filter\s*(\[[^\]]*\]|/\w+)", body[:sm.start()])
-        for name in re.findall(rb"/(\w+)", m.group(1)) if m else []:
-            try:
-                if name == b"FlateDecode":
-                    raw = zlib.decompress(raw)
-                elif name == b"ASCIIHexDecode":
-                    hx = re.sub(rb"[^0-9A-Fa-f]", b"",
-                                raw.split(b">", 1)[0])
-                    raw = binascii.unhexlify(
-                        hx + b"0" if len(hx) % 2 else hx)
-                elif name == b"ASCII85Decode":
-                    raw = base64.a85decode(
-                        re.sub(rb"\s", b"", raw.partition(b"~>")[0]))
-                else:
-                    return None  # unsupported filter (LZW, DCT, ...)
-            except Exception:
-                return None
-        return raw
-
     # Object streams (/Type /ObjStm, PDF 1.5+): modern producers pack
     # non-stream objects — catalog, page tree, page dicts — inside one
     # compressed stream; without unpacking, those pages are invisible to
-    # the `N G obj` scan. Layout: /N pairs of "objnum offset" ints, then
-    # the object bodies starting at /First. Packed objects follow the
-    # SAME override rule as direct ones: an ObjStm that lives in an
-    # incremental-update section (past the first %%EOF) carries newer
-    # versions and overrides; an original-body ObjStm never clobbers an
-    # already-seen object (Acrobat save/annotate/sign appends repack the
-    # page tree in a new ObjStm — xref semantics pick the newest).
+    # the `N G obj` scan. Packed objects follow the SAME override rule as
+    # direct ones: an ObjStm in an incremental-update section carries
+    # newer versions and overrides; an original-body ObjStm never
+    # clobbers an already-seen object (Acrobat save/annotate/sign appends
+    # repack the page tree in a new ObjStm — xref semantics pick the
+    # newest).
     for start, body in objstms:
-        try:
-            s = stream_of(body)
-            n = int(_dict_value(body, b"N"))
-            first = int(_dict_value(body, b"First"))
-            header = s[:first].split()
-            pairs = [(int(header[2 * i]), int(header[2 * i + 1]))
-                     for i in range(n)]
-        except (TypeError, ValueError, IndexError):
-            continue  # malformed ObjStm degrades only its own objects
+        packed = _unpack_objstm(body, objs)
+        if packed is None:
+            continue
         update_section = first_eof != -1 and start > first_eof
-        for i, (onum, off) in enumerate(pairs):
-            end = first + pairs[i + 1][1] if i + 1 < len(pairs) else len(s)
+        for onum, obody in packed:
             if update_section or onum not in objs:
-                objs[onum] = s[first + off:end]
+                objs[onum] = obody
+    return objs
+
+
+def _pdf_bytes_to_layout(data: bytes) -> str:
+    """Real PDF bytes → the synthetic layout encoding consumed by
+    ``extract_pdf_text`` (pages joined with \\f, runs as `@<-y>,<x>:`
+    positioned lines so top-of-page sorts first)."""
+    objs: dict[int, bytes] | None
+    try:
+        objs = _xref_objects(data)
+    except Exception:
+        objs = None
+    # The xref path must actually reach a page tree to be trusted —
+    # otherwise (damaged offsets, truncated tables) fall back to the scan.
+    if not objs or not any(
+            re.search(rb"/Type\s*/(Page|Pages)\b", b) for b in objs.values()):
+        objs = _scan_objects(data)
+
+    def stream_of(body: bytes) -> bytes | None:
+        return _stream_of(body, objs)
 
     # Page order: walk /Kids arrays of /Type /Pages nodes (document
     # order), falling back to file-appearance order of /Type /Page objects.

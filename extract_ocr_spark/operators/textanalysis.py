@@ -440,20 +440,29 @@ WITH w AS (
   SELECT doc_id, words[i] AS w1, words[i+1] AS w2
   FROM w, unnest(range(1, len(words))) AS t(i)
   WHERE len(words) >= 2
+), occ AS (
+  -- per-doc bigram counts FIRST, mirroring the Spark plan exactly: the
+  -- weighted mean then sums the identical multiset of (n * nll) terms on
+  -- both sides, instead of DuckDB averaging per-occurrence rows while
+  -- Spark averages per-(doc,w1,w2) groups — mathematically equal but a
+  -- different number of float additions, which could flip the 4th
+  -- rounded decimal at a .00005 boundary on adversarial corpora
+  SELECT doc_id, w1, w2, count(*) AS n FROM bg GROUP BY doc_id, w1, w2
 ), c2 AS (
-  SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2
+  SELECT w1, w2, CAST(sum(n) AS BIGINT) AS c2 FROM occ GROUP BY w1, w2
 ), c1 AS (
-  SELECT w1, count(*) AS c1 FROM bg GROUP BY w1
+  SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1
 ), v AS (
-  SELECT count(DISTINCT w1) AS v FROM c1
+  SELECT count(*) AS v FROM c1
 )
-SELECT bg.doc_id,
-       round(avg(-(ln(c2.c2 + {LM_ADD_K}) - ln(c1.c1 + {LM_ADD_K} * v.v))), 4)
-         AS avg_nll,
-       count(*) AS n_bigrams
-FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
-GROUP BY bg.doc_id
-ORDER BY bg.doc_id
+SELECT occ.doc_id,
+       round(sum(occ.n * -(ln(c2.c2 + {LM_ADD_K})
+                           - ln(c1.c1 + {LM_ADD_K} * v.v)))
+             / CAST(sum(occ.n) AS DOUBLE), 4) AS avg_nll,
+       CAST(sum(occ.n) AS BIGINT) AS n_bigrams
+FROM occ JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+GROUP BY occ.doc_id
+ORDER BY occ.doc_id
 """
 
 QUERIES["lm_nll_scores"] = lm_nll_scores

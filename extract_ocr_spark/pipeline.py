@@ -301,6 +301,49 @@ class ParquetMarkerSink:
     def _batch_path(self, b: int) -> str:
         return os.path.join(self.run.extracted_path, f"batch_id={b}")
 
+    # -- streaming epoch coordination (marker files; streaming.py routes
+    # every marker existence/creation and the foreign-history scan
+    # through these so a non-marker sink can supply its own semantics) --
+    def _epoch_marker(self, b: int, ident: str):
+        return self.run._hadoop_fs(
+            os.path.join(self._batch_path(b), f"_STREAM_{ident}"))
+
+    def stream_epoch_precommitted(self, b: int, ident: str) -> bool:
+        """True iff the stream with this identity already durably
+        committed epoch ``b`` (its own replay marker exists)."""
+        fs, jmark = self._epoch_marker(b, ident)
+        return fs.exists(jmark)
+
+    def stream_mark_epoch(self, b: int, ident: str) -> None:
+        fs, jmark = self._epoch_marker(b, ident)
+        fs.create(jmark, True).close()
+
+    def stream_epoch_foreign_commit(self, b: int) -> bool:
+        """A committed batch under this epoch id that this stream did not
+        mark (two-live-streams-one-outdir pathological case)."""
+        fs, jdir = self.run._hadoop_fs(self._batch_path(b))
+        return fs.exists(jdir) and any(
+            f.getPath().getName().startswith("_COMMITTED_")
+            for f in fs.listStatus(jdir))
+
+    def stream_has_foreign_history(self, ident: str) -> bool:
+        """Any committed batch anywhere in the output lacking this
+        stream's marker — evidence the output predates this checkpoint
+        (fresh-checkpoint reuse / foreign stream / crash between commit
+        and marker), which flips the committer into per-doc mode."""
+        fs, root = self.run._hadoop_fs(self.run.extracted_path)
+        if not fs.exists(root):
+            return False
+        for st in fs.listStatus(root):
+            if not st.getPath().getName().startswith("batch_id="):
+                continue
+            names = {f.getPath().getName()
+                     for f in fs.listStatus(st.getPath())}
+            if any(n.startswith("_COMMITTED_") for n in names) \
+                    and f"_STREAM_{ident}" not in names:
+                return True
+        return False
+
 
 class IcebergCommitSink:
     """Iceberg variant of the SAME commit protocol (README "Iceberg
@@ -336,8 +379,7 @@ class IcebergCommitSink:
                      f"{self.prefix}.extracted")
 
     def read_back(self, b: int) -> DataFrame:
-        return (self.run.spark.read.table(f"{self.prefix}.extracted")
-                .filter(F.col("batch_id") == b))
+        return self._read_table("extracted").filter(F.col("batch_id") == b)
 
     def write_lineage(self, df: DataFrame) -> None:
         self._append(df, f"{self.prefix}.lineage")
@@ -346,21 +388,73 @@ class IcebergCommitSink:
         self._append(df, f"{self.prefix}.metrics")
 
     def finalize(self, b: int) -> None:
-        """No marker: the metrics append's snapshot commit was the
-        durability point. (Deployment note: wrap the three appends in a
-        WAP stage-commit for strict all-or-nothing across tables.)"""
+        """No marker file: the metrics append (the LAST append of the
+        protocol) is the commit point — see the read side below."""
 
-    # -- read side: every Iceberg row IS committed (snapshot atomicity),
-    # so no marker filtering exists on this path — lineage()/extracted()/
-    # pending() work identically against catalog tables.
-    def read_committed_lineage(self) -> DataFrame | None:
+    # -- read side. Each Iceberg append is individually atomic, but the
+    # three appends together are not a transaction: a crash between them
+    # would leave orphan extracted rows or lineage-without-metrics
+    # visible if readers trusted the tables raw. So the read side applies
+    # the same rule the parquet marker encodes: a (snapshot_id, run_id)
+    # batch is committed iff its METRICS rows exist (metrics is the final
+    # append, so its snapshot commit plays the marker's role). Orphans
+    # from a mid-protocol crash are invisible and their docs simply
+    # re-run on resume — identical semantics to ParquetMarkerSink. The
+    # confirmed-pairs table is O(batches) rows, a broadcast semi-join.
+    # (Iceberg 1.2+ WAP stage-commit can fold the three appends into one
+    # atomic multi-table commit, making these semi-joins redundant —
+    # README "Iceberg deployment".)
+    def _read_table(self, name: str) -> DataFrame:
+        return self.run.spark.read.table(f"{self.prefix}.{name}")
+
+    def _confirmed_pairs(self) -> DataFrame | None:
         try:
-            return self.run.spark.read.table(f"{self.prefix}.lineage")
-        except Exception:  # no lineage table yet: nothing committed
+            m = self._read_table("metrics")
+        except Exception:  # no metrics table yet: nothing committed
             return None
+        return m.select(F.col("snapshot_id").alias("_c_batch"),
+                        F.col("run_id").alias("_c_run")).distinct()
+
+    def read_committed_lineage(self) -> DataFrame | None:
+        pairs = self._confirmed_pairs()
+        if pairs is None:
+            return None
+        try:
+            lineage = self._read_table("lineage")
+        except Exception:
+            return None
+        return lineage.join(
+            F.broadcast(pairs),
+            (lineage["snapshot_id"] == pairs["_c_batch"])
+            & (lineage["run_id"] == pairs["_c_run"]), "left_semi")
 
     def read_committed_extracted(self) -> DataFrame:
-        return self.run.spark.read.table(f"{self.prefix}.extracted")
+        ext = self._read_table("extracted")
+        pairs = self._confirmed_pairs()
+        if pairs is None:
+            return ext.filter(F.lit(False))
+        return ext.join(
+            F.broadcast(pairs),
+            (ext["batch_id"] == pairs["_c_batch"])
+            & (ext["run_id"] == pairs["_c_run"]), "left_semi")
+
+    # -- streaming epoch coordination: catalog tables have no marker
+    # files, and Iceberg appends are not idempotent on replay — so the
+    # committer runs in per-doc mode permanently (every epoch anti-joins
+    # committed lineage before committing; replayed epochs shrink to
+    # empty and are skipped). Correct under replay, fresh-checkpoint
+    # reuse, and two-streams-one-table alike.
+    def stream_epoch_precommitted(self, b: int, ident: str) -> bool:
+        return False
+
+    def stream_mark_epoch(self, b: int, ident: str) -> None:
+        pass
+
+    def stream_epoch_foreign_commit(self, b: int) -> bool:
+        return True
+
+    def stream_has_foreign_history(self, ident: str) -> bool:
+        return True
 
 
 class ExtractionRun:
@@ -552,6 +646,7 @@ class ExtractionRun:
             F.sum("wall_ms").alias("wall_ms"),
         ).select(
             F.lit(self.run_id).alias("run_id"),
+            F.lit(b).cast("long").alias("snapshot_id"),
             "partition_id", "docs", "spans_in", "spans_out",
             "bytes_in", "wall_ms",
             F.current_timestamp().alias("at"),

@@ -254,42 +254,23 @@ def make_epoch_committer(run, checkpoint_dir: str):
     lineage before committing — genuinely new data is never silently
     dropped, already-committed docs are never double-counted, even when
     an old doc lands in a NEW epoch id whose directory is pristine.
-    Marker checks are driver-side metadata reads (one O(batches) listing
-    at creation, O(1) per epoch)."""
-    import os
-
+    Marker existence/creation and the foreign-history scan all route
+    through the run's commit sink (``stream_*`` seam methods), so the
+    committer works unchanged on ``IcebergCommitSink`` — which has no
+    marker files and answers the seam with "always per-doc mode"
+    (replayed epochs anti-join to empty instead of double-appending).
+    On the parquet sink the checks are driver-side metadata reads (one
+    O(batches) listing at creation, O(1) per epoch)."""
     ident = _stream_identity(run, checkpoint_dir)
-
-    def _has_foreign_history() -> bool:
-        fs, root = run._hadoop_fs(run.extracted_path)
-        if not fs.exists(root):
-            return False
-        for st in fs.listStatus(root):
-            if not st.getPath().getName().startswith("batch_id="):
-                continue
-            names = {f.getPath().getName()
-                     for f in fs.listStatus(st.getPath())}
-            if any(n.startswith("_COMMITTED_") for n in names) \
-                    and f"_STREAM_{ident}" not in names:
-                return True
-        return False
-
-    guard_per_doc = _has_foreign_history()
+    guard_per_doc = run.sink.stream_has_foreign_history(ident)
 
     def commit(batch_df, epoch_id: int) -> None:
         b = int(epoch_id)
-        batch_dir = os.path.join(run.extracted_path, f"batch_id={b}")
-        fs, jdir = run._hadoop_fs(batch_dir)
-        jmark = run.spark._jvm.org.apache.hadoop.fs.Path(
-            os.path.join(batch_dir, f"_STREAM_{ident}"))
-        if fs.exists(jmark):
+        if run.sink.stream_epoch_precommitted(b, ident):
             return  # this stream already durably committed this epoch
         # belt for the pathological two-live-streams-one-outdir case: a
         # foreign marker that appeared in THIS batch dir after creation
-        foreign_commit = guard_per_doc or (fs.exists(jdir) and any(
-            f.getPath().getName().startswith("_COMMITTED_")
-            for f in fs.listStatus(jdir)))
-        if foreign_commit:
+        if guard_per_doc or run.sink.stream_epoch_foreign_commit(b):
             attempted = run.attempted_doc_ids()
             if attempted is not None:
                 batch_df = batch_df.join(attempted.distinct(), "doc_id",
@@ -298,7 +279,7 @@ def make_epoch_committer(run, checkpoint_dir: str):
                 run.commit_one(batch_df, b)
         else:
             run.commit_one(batch_df, b)
-        fs.create(jmark, True).close()
+        run.sink.stream_mark_epoch(b, ident)
 
     return commit
 

@@ -78,48 +78,52 @@ def exact_jaccard(shingles_a: list[str], shingles_b: list[str]) -> float:
     return len(sa & sb) / union if union else 0.0
 
 
-def simhash64(tokens: list[str]) -> int:
-    """64-bit SimHash over a token multiset (blake2b token hashes).
+def simhash60(tokens: list[str]) -> int:
+    """60-bit SimHash over a token multiset — the ONE simhash scheme in
+    the repo, bit-identical to the native Spark path
+    (``operators.dedup._simhash_sig``): md5 first-15-hex token hashes
+    (60 bits fits a signed int64 on the JVM side), per-bit majority vote
+    with ties → 0, empty input → 0.
 
     Bit expansion is numpy-vectorized over the whole token batch (the
-    per-token 64-element Python loop was the hot spot).
+    per-token Python bit loop was the hot spot).
     """
     if not tokens:
         return 0
     hs = np.array(
-        [int.from_bytes(hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "big")
+        [int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
          for t in tokens],
         dtype=np.uint64,
     )
-    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+    bits = ((hs[:, None] >> np.arange(60, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
     acc = (bits * 2 - 1).sum(axis=0)
     return int(np.bitwise_or.reduce(
-        (np.uint64(1) << np.arange(64, dtype=np.uint64))[acc > 0], initial=np.uint64(0)))
+        (np.uint64(1) << np.arange(60, dtype=np.uint64))[acc > 0], initial=np.uint64(0)))
 
 
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
-def simhash_bands(value: int, blocks: int = 5, bits: int = 64) -> list[str]:
-    """Manku multi-block bucket keys for a 64-bit simhash: split into
-    ``blocks`` near-equal blocks and emit one key per block *pair*
+def simhash_bands(value: int, blocks: int = 5, bits: int = 60) -> list[str]:
+    """Manku multi-block bucket keys for a 60-bit simhash: split into
+    ``blocks`` equal 12-bit blocks and emit one key per block *pair*
     (C(5,2)=10 keys). Any two simhashes within Hamming distance
     ``blocks - 2`` (= 3) leave ≥2 blocks untouched and so share the exact
     key of that pair — recall is exact by pigeonhole, while two-block
-    (~26-bit) keys keep bucket collisions near-linear at web scale where
-    single-block 13-bit keys (8k buckets) would fan out O(n²/8k) pairs.
+    (24-bit) keys keep bucket collisions near-linear at web scale where
+    single-block 12-bit keys (4k buckets) would fan out O(n²/4k) pairs.
 
-    NOT join-compatible with ``operators.dedup._simhash_band_keys``: that
-    native path uses 60-bit simhashes, 12-bit blocks and decimal-encoded
-    keys (this kernel: 64-bit, ~13-bit blocks, hex). Joining keys across
-    the two would silently match nothing — each scheme is self-contained
-    (kernel keys join kernel keys, native keys join native keys)."""
+    Key encoding is IDENTICAL to ``operators.dedup._simhash_band_keys``
+    (``"<i>-<j>:<block_i>,<block_j>"``, decimal, low-order block first):
+    kernel-computed keys join native-computed keys directly — there is
+    exactly one band-key scheme in the repo (r4 shipped two incompatible
+    ones, documented-only; r5 unified them)."""
     base, extra = divmod(bits, blocks)
     vals, off = [], 0
     for i in range(blocks):
         width = base + (1 if i < extra else 0)
         vals.append((value >> off) & ((1 << width) - 1))
         off += width
-    return [f"{i}-{j}:{vals[i]:x},{vals[j]:x}"
+    return [f"{i}-{j}:{vals[i]},{vals[j]}"
             for i in range(blocks) for j in range(i + 1, blocks)]

@@ -320,9 +320,10 @@ def _simhash_band_keys() -> "F.Column":
     is exact, not probabilistic). Blocks use mask extraction
     (``shiftrightunsigned`` + ``bitwiseAND``), never signed ``%``.
 
-    NOT join-compatible with ``kernels.dedupkit.simhash_bands`` (64-bit
-    hashes, ~13-bit blocks, hex-encoded keys vs 60-bit/12-bit/decimal
-    here) — keys from one scheme silently match nothing in the other."""
+    Join-compatible with ``kernels.dedupkit.simhash_bands``: both emit
+    ``"<i>-<j>:<block_i>,<block_j>"`` decimal keys over the same
+    60-bit/12-bit-block layout (the one band-key scheme in the repo —
+    asserted by the cross-implementation equality test)."""
     mask = (1 << _BLOCK_WIDTH) - 1
 
     def block(i: int):

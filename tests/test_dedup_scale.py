@@ -246,3 +246,37 @@ def test_minhash_band_candidates_near_linear_1e6(spark):
     assert cands >= planted, (cands, planted)   # full recall of dups
     assert cands < 2 * n, cands                 # near-linear, not O(n^2)
     assert wall < 60, wall
+
+
+def test_simhash_kernel_and_native_keys_identical(spark):
+    """One band-key scheme in the repo: the Python kernel
+    (dedupkit.simhash60 / simhash_bands) and the native Spark path
+    (_simhash_sig / _simhash_band_keys) must produce bit-identical
+    fingerprints AND byte-identical band keys, so keys computed by either
+    implementation join directly against the other's."""
+    from pyspark.sql import functions as F
+
+    from extract_ocr_spark.kernels.dedupkit import simhash60, simhash_bands
+    from extract_ocr_spark.operators.dedup import (
+        _simhash_band_keys,
+        _simhash_sig,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "pack my box with five dozen liquor jugs right now",
+        "spark and duckdb agree on every single fingerprint bit",
+        "",  # empty doc -> simhash 0 on both sides
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    native = {
+        r["doc_id"]: (r["simhash"], list(r["keys"]))
+        for r in _simhash_sig(docs)
+        .withColumn("keys", _simhash_band_keys()).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = [w for w in t.lower().split() if w]
+        h = simhash60(toks)
+        assert h == native[i][0], f"fingerprint mismatch doc {i}"
+        assert simhash_bands(h) == native[i][1], f"band keys mismatch doc {i}"

@@ -13,7 +13,7 @@ from extract_ocr_spark.kernels.dedupkit import (
     hamming64,
     lsh_bands,
     minhash_signature,
-    simhash64,
+    simhash60,
     simhash_bands,
 )
 from extract_ocr_spark.kernels.extract import doc_size_bytes, extract_doc
@@ -207,10 +207,10 @@ def test_simhash_near_and_far():
     t1 = "the quick brown fox jumps over the lazy dog extra words here".split()
     t2 = "the quick brown fox jumps over the lazy cat extra words here".split()
     t3 = "absolutely nothing in common with anything above at all".split()
-    h1, h2, h3 = simhash64(t1), simhash64(t2), simhash64(t3)
+    h1, h2, h3 = simhash60(t1), simhash60(t2), simhash60(t3)
     assert hamming64(h1, h2) < hamming64(h1, h3)
     assert len(simhash_bands(h1)) == 10  # C(5,2) Manku two-block keys
-    assert simhash64(t1) == h1
+    assert simhash60(t1) == h1
 
 
 def test_simhash_bands_pigeonhole_recall():
@@ -219,8 +219,8 @@ def test_simhash_bands_pigeonhole_recall():
 
     rng = random.Random(7)
     for _ in range(200):
-        v = rng.getrandbits(64)
-        flips = rng.sample(range(64), rng.randint(0, 3))
+        v = rng.getrandbits(60)
+        flips = rng.sample(range(60), rng.randint(0, 3))
         w = v
         for b in flips:
             w ^= 1 << b
@@ -363,3 +363,37 @@ def test_zipkit_member_pick_and_extract():
     assert "hello zip" in html
     md = zip_single_html_to_markdown(data)
     assert "hello zip" in md and "Title" in md
+
+
+def test_rewrite_variants_corpus_scale_parity(spark):
+    """Generated-corpus parity between the broadcast-map and explode-join
+    rewriters (the fixture parity test above covers edge semantics; this
+    covers volume): 30k pages x 10 links against a 300k-row map must
+    agree on every page byte-for-byte."""
+    import os
+    import sys
+
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from bench_rewrite import gen_rewrite_corpus
+
+    from extract_ocr_spark.operators.export import (
+        rewrite_links_df,
+        rewrite_links_join_df,
+    )
+
+    pages, url_map = gen_rewrite_corpus(spark, 30_000, 10)
+    a = rewrite_links_df(pages, url_map).select("doc_id", "md_out")
+    b = rewrite_links_join_df(pages, url_map).select(
+        "doc_id", F.col("md_out").alias("md_join"))
+    joined = a.join(b, "doc_id", "full")
+    mismatches = joined.filter(
+        F.col("md_out").isNull() | F.col("md_join").isNull()
+        | (F.col("md_out") != F.col("md_join"))).count()
+    assert mismatches == 0
+    assert a.count() == 30_000
+    # and the rewrite actually happened (links resolved to relative .md)
+    sample = a.orderBy("doc_id").first()["md_out"]
+    assert "pages/" in sample and ".md" in sample, sample

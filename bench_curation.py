@@ -4,12 +4,25 @@ composed dedup → quality → repetition gate → decontamination → split →
 pack pipeline — end-to-end at the bench scale factor, writing the real
 partitioned output each attempt (the write is part of the pipeline).
 
+Three configurations are timed so the expensive optional stages carry
+wall numbers, not just correctness tests:
+  default    — exact dedup + quality + repetition + decontamination
+  fuzzy      — + --fuzzy-dedup (MinHash LSH + connected components,
+               the costliest stage in the job)
+  fuzzy_lm   — + --max-lm-nll (corpus bigram LM gate) on top of fuzzy
+
 Prints ONE JSON line mirroring bench.py's format; timing discipline is
-shared with bench.py (min-of-3, per-run [wall, steal, foreign_busy,
+shared with bench.py (min-of-N, per-run [wall, steal, foreign_busy,
 idle_ok] tuples, clean = steal < 0.5% AND foreign busy < 2%).
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS (default 32).
+     SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_CURATION_STAGES (comma list, default
+         "default,fuzzy,fuzzy_lm"),
+     SPARK_GRAFT_CURATION_DOCS (default 0 = use SF_DIR documents;
+         set e.g. 1200000 for the endurance corpus — generated natively,
+         cached under .bench_data/, default stages then just "default",
+         and the JVM peak RSS is recorded like bench_endurance.py).
 """
 
 from __future__ import annotations
@@ -23,10 +36,26 @@ import tempfile
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from bench import BUSY_CLEAN, timed  # noqa: E402
+from bench_endurance import _jvm_peak_rss_kib  # noqa: E402
 from bench_scaling import STEAL_CLEAN  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_DOCS = int(os.environ.get("SPARK_GRAFT_CURATION_DOCS", "0"))
+STAGES = [s for s in os.environ.get(
+    "SPARK_GRAFT_CURATION_STAGES",
+    "default" if N_DOCS else "default,fuzzy,fuzzy_lm").split(",") if s]
+
+# measured on the sf0.1 corpus: typical docs score ~4-6 avg_nll under the
+# self-trained bigram LM; 8.0 exercises the full gate cost while dropping
+# only genuine outliers
+LM_NLL_GATE = 8.0
+
+_KW = {
+    "default": {},
+    "fuzzy": {"fuzzy_dedup": True},
+    "fuzzy_lm": {"fuzzy_dedup": True, "max_lm_nll": LM_NLL_GATE},
+}
 
 
 def main() -> None:
@@ -36,40 +65,68 @@ def main() -> None:
     spark = get_spark(f"local[{CPUS}]", app_name="bench-curation",
                       shuffle_partitions=max(8, CPUS))
     spark.sparkContext.setLogLevel("ERROR")
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    if N_DOCS:
+        from extract_ocr_spark.datagen import synthetic_flat_documents_df
+
+        corpus_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".bench_data",
+            f"flatdocs_{N_DOCS}")
+        if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
+            synthetic_flat_documents_df(spark, N_DOCS, partitions=256) \
+                .write.mode("overwrite").parquet(corpus_dir)
+        docs = spark.read.parquet(corpus_dir)
+    else:
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     n_docs = docs.count()
 
     workdir = tempfile.mkdtemp(prefix="bench_curation_")
-    stats: dict = {}
+    queries: dict[str, float] = {}
+    all_runs: dict[str, list] = {}
+    all_stats: dict[str, dict] = {}
 
-    def one_pass() -> None:
+    def one_pass(kw: dict, stats: dict) -> None:
         out = os.path.join(workdir, "out")
         shutil.rmtree(out, ignore_errors=True)
-        stats.update(run(spark, docs, out))
+        stats.update(run(spark, docs, out, **kw))
 
-    one_pass()  # untimed warm-up (JIT, Python worker pool)
-    best, runs = timed(one_pass)
+    warm = STAGES[0]
+    one_pass(_KW[warm], {})  # untimed warm-up (JIT, Python worker pool)
+    attempts = 2 if N_DOCS else 3
+    for stage in STAGES:
+        stats: dict = {}
+        best, runs = timed(lambda: one_pass(_KW[stage], stats),
+                           attempts=attempts, extra_if_dirty=1)
+        queries[f"curate_{stage}"] = round(best, 3)
+        all_runs[f"curate_{stage}"] = runs
+        all_stats[stage] = stats
     shutil.rmtree(workdir, ignore_errors=True)
 
-    sf = 0.1
-    if "sf0.01" in SF_DIR:
+    sf: object = 0.1
+    if N_DOCS:
+        sf = "endurance"
+    elif "sf0.01" in SF_DIR:
         sf = 0.01
     elif "sf0.001" in SF_DIR:
         sf = 0.001
-    print(json.dumps({
+    headline = queries[f"curate_{STAGES[0]}"]
+    out: dict = {
         "metric": "curation_pipeline_wall_sec",
-        "value": round(best, 3),
+        "value": headline,
         "unit": "sec",
-        "queries": {"curate_job": round(best, 3)},
+        "queries": queries,
         "sf": sf,
         "docs_in": n_docs,
-        "docs_per_sec": round(n_docs / best, 1),
-        "stats": stats,
-        "runs_sec_steal": {"curate_job": runs},
+        "docs_per_sec": round(n_docs / headline, 1),
+        "stats": all_stats,
+        "runs_sec_steal": all_runs,
         "steal_clean_threshold": STEAL_CLEAN,
         "busy_clean_threshold": BUSY_CLEAN,
         "cpus": CPUS,
-    }))
+    }
+    if N_DOCS:
+        out["jvm_peak_rss_gib"] = round(
+            _jvm_peak_rss_kib(os.getpid()) / 2**20, 2)
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -211,3 +211,40 @@ def spans_from_flat_documents(flat: DataFrame) -> DataFrame:
     )
     return flat.select(
         F.col("doc_id").cast("string").alias("doc_id"), spans.alias("spans"))
+
+
+def synthetic_flat_documents_df(spark: SparkSession, n_docs: int,
+                                partitions: int | None = None,
+                                min_words: int = 60,
+                                word_spread: int = 60) -> DataFrame:
+    """Deterministic flat documents(doc_id, text, lang, source, n_chars)
+    corpus generated with NATIVE expressions only — no Python in the
+    path, so corpus construction itself scales like any other codegen
+    projection (used by the curation endurance bench at 1.2M docs).
+
+    Each doc is ``min_words + (id % word_spread)`` words drawn from the
+    fixed vocabulary by xxhash64 — content-unique per doc (exact dedup
+    has real work) with heavy shared n-grams (repetition/contamination
+    stages have real work)."""
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+    vocab = F.array(*[F.lit(w) for w in _WORDS])
+    nw = len(_WORDS)
+    text = F.concat_ws(" ", F.transform(
+        F.sequence(F.lit(0), F.lit(min_words)
+                   + (F.col("id") % word_spread).cast("int")),
+        lambda i: F.element_at(
+            vocab,
+            (F.pmod(F.xxhash64(F.col("id"), i), F.lit(nw)) + 1).cast("int")),
+    ))
+    sources = F.array(F.lit("web"), F.lit("wiki"), F.lit("books"))
+    return (
+        spark.range(0, n_docs, 1, parts)
+        .select(
+            F.col("id").alias("doc_id"),
+            text.alias("text"),
+            F.lit("en").alias("lang"),
+            F.element_at(sources,
+                         (F.col("id") % 3 + 1).cast("int")).alias("source"),
+        )
+        .withColumn("n_chars", F.length("text"))
+    )

@@ -28,6 +28,8 @@ SUBSET = [
     # LM quality scoring, sitemap discovery
     "anti_join_resume", "markdown_link_rewrite_join", "zip_member_pick",
     "lm_nll_scores", "sitemap_discovery",
+    # r5 addition: iterative BFS frontier vs recursive-CTE oracle
+    "bfs_frontier",
 ]
 
 

@@ -42,9 +42,10 @@ from bench_scaling import STEAL_CLEAN  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_DOCS = int(os.environ.get("SPARK_GRAFT_CURATION_DOCS", "0"))
-STAGES = [s for s in os.environ.get(
+STAGES = [s.strip() for s in os.environ.get(
     "SPARK_GRAFT_CURATION_STAGES",
-    "default" if N_DOCS else "default,fuzzy,fuzzy_lm").split(",") if s]
+    "default" if N_DOCS else "default,fuzzy,fuzzy_lm").split(",")
+    if s.strip()]
 
 # measured on the sf0.1 corpus: typical docs score ~4-6 avg_nll under the
 # self-trained bigram LM; 8.0 exercises the full gate cost while dropping
@@ -56,6 +57,11 @@ _KW = {
     "fuzzy": {"fuzzy_dedup": True},
     "fuzzy_lm": {"fuzzy_dedup": True, "max_lm_nll": LM_NLL_GATE},
 }
+
+_UNKNOWN = sorted(set(STAGES) - set(_KW))
+if _UNKNOWN:
+    sys.exit(f"unknown curation stage(s) {_UNKNOWN}; "
+             f"valid names: {sorted(_KW)}")
 
 
 def main() -> None:
@@ -89,8 +95,13 @@ def main() -> None:
         shutil.rmtree(out, ignore_errors=True)
         stats.update(run(spark, docs, out, **kw))
 
-    warm = STAGES[0]
-    one_pass(_KW[warm], {})  # untimed warm-up (JIT, Python worker pool)
+    # untimed warm-up with the UNION of all requested stage configs, so
+    # every stage-specific code path (MinHash/CC, LM gate) is JIT-warm
+    # before its first timed attempt — not just the first stage's paths
+    warm_kw: dict = {}
+    for s in STAGES:
+        warm_kw.update(_KW[s])
+    one_pass(warm_kw, {})
     attempts = 2 if N_DOCS else 3
     for stage in STAGES:
         stats: dict = {}

@@ -98,6 +98,10 @@ def main() -> None:
     # past the broadcast guard: 3M-row map — broadcast refuses, join runs
     pages_big, map_big = gen_rewrite_corpus(spark, N_PAGES,
                                             LINKS_PER_PAGE, map_mult=30)
+    # persist + materialize BOTH inputs so the timed runs measure the
+    # rewrite, not corpus generation (the 1M-map runs read persisted pages)
+    pages_big = pages_big.persist()
+    pages_big.count()
     map_big = map_big.persist()
     n_map_big = map_big.count()
     guard_refused = False

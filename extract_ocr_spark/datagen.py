@@ -222,7 +222,8 @@ def synthetic_flat_documents_df(spark: SparkSession, n_docs: int,
     path, so corpus construction itself scales like any other codegen
     projection (used by the curation endurance bench at 1.2M docs).
 
-    Each doc is ``min_words + (id % word_spread)`` words drawn from the
+    Each doc is ``min_words + 1 + (id % word_spread)`` words (the
+    generating ``F.sequence`` is inclusive on both ends) drawn from the
     fixed vocabulary by xxhash64 — content-unique per doc (exact dedup
     has real work) with heavy shared n-grams (repetition/contamination
     stages have real work)."""

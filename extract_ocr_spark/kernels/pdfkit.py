@@ -619,16 +619,32 @@ def _pdf_bytes_to_layout(data: bytes) -> str:
     """Real PDF bytes → the synthetic layout encoding consumed by
     ``extract_pdf_text`` (pages joined with \\f, runs as `@<-y>,<x>:`
     positioned lines so top-of-page sorts first)."""
-    objs: dict[int, bytes] | None
+    xref_objs: dict[int, bytes] | None
     try:
-        objs = _xref_objects(data)
+        xref_objs = _xref_objects(data)
     except Exception:
-        objs = None
+        xref_objs = None
     # The xref path must actually reach a page tree to be trusted —
     # otherwise (damaged offsets, truncated tables) fall back to the scan.
-    if not objs or not any(
-            re.search(rb"/Type\s*/(Page|Pages)\b", b) for b in objs.values()):
-        objs = _scan_objects(data)
+    if xref_objs and any(
+            re.search(rb"/Type\s*/(Page|Pages)\b", b)
+            for b in xref_objs.values()):
+        layout = _layout_from_objs(xref_objs)
+        if layout.replace("\f", ""):
+            return layout
+        # A parseable xref can still carry stale offsets for the content
+        # streams themselves (bytes inserted without regenerating those
+        # entries): the page tree resolves but every page comes back
+        # textless. The `N G obj` scan survives that kind of mild
+        # corruption, so prefer its result whenever it recovers any text.
+        scan_layout = _layout_from_objs(_scan_objects(data))
+        return scan_layout if scan_layout.replace("\f", "") else layout
+    return _layout_from_objs(_scan_objects(data))
+
+
+def _layout_from_objs(objs: dict[int, bytes]) -> str:
+    """Page-tree walk + content-stream extraction over a resolved object
+    map (from either the xref path or the recovery scan)."""
 
     def stream_of(body: bytes) -> bytes | None:
         return _stream_of(body, objs)

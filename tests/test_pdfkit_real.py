@@ -221,6 +221,27 @@ def test_incremental_update_without_xref_uses_scan_fallback():
     assert got == "fresh content\n"
 
 
+def test_stale_content_stream_offset_falls_back_to_scan():
+    """A parseable xref whose page tree resolves but whose CONTENT-STREAM
+    entry is stale (bytes inserted before the stream object without
+    regenerating its xref entry): trusting the xref alone would emit a
+    textless page, while the `N G obj` recovery scan still finds the
+    stream. The xref path must yield to the scan when its extraction
+    comes back empty."""
+    base = _build_pdf([b"BT 72 700 Td (recovered by scan) Tj ET"])
+    marker = b"4 0 obj\n"
+    junk = b"% incremental-edit padding not described by the xref\n" * 3
+    at = base.index(marker)
+    # shift only the xref table location; object 4's entry goes stale
+    data = base[:at] + junk + base[at:]
+    data = re.sub(rb"(?<=startxref\n)\d+",
+                  lambda m: str(int(m.group(0)) + len(junk)).encode(), data)
+    from extract_ocr_spark.kernels.pdfkit import _xref_objects
+    xref_objs = _xref_objects(data)
+    assert xref_objs is not None and 4 not in xref_objs  # gate precondition
+    assert extract_pdf_text(_as_text(data)) == "recovered by scan\n"
+
+
 def test_xref_beats_scan_order_on_reused_object_number():
     """The verdict-r4 stale-object case: a decoy `4 0 obj` appears EARLIER
     in the file than the real object 4 (freed-and-reused number; the real

@@ -36,7 +36,12 @@ from bench_scaling import STEAL_CLEAN, _stat, _steal_fraction, wait_for_idle
 
 N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "60000"))
 EXECUTORS = (1, 4)
-CORES_PER_EXECUTOR = 8
+# 8 = the headline shape (4N lands on all 32 cores, but the box's memory
+# bus saturates past ~16 cores — see BENCH_SCALING.md calibration);
+# 4 = the linear-region shape (4N = 16 cores stays inside the region
+# where even the Spark-free kernel scales ~linearly), isolating
+# executor-topology cost from the machine ceiling.
+CORES_PER_EXECUTOR = int(os.environ.get("SPARK_GRAFT_CLUSTER_CORES", "8"))
 EXECUTOR_MEM_MB = 4096
 ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2"))
 
@@ -137,22 +142,26 @@ def main() -> None:
 
     tp = {n: results[n]["docs_per_sec"] for n in EXECUTORS}
     eff = round((tp[4] / tp[1]) / 4.0, 3)
+    c = CORES_PER_EXECUTOR
     summary = {
         "metric": "executor_scaling_efficiency_N_to_4N",
         "value": eff,
         "unit": "ratio",
         "protocol": (
-            "local-cluster[1,8,4g] vs local-cluster[4,8,4g] — separate "
-            "executor JVMs, efficiency = (T_4x8/T_1x8)/4, steal-gated"),
+            f"local-cluster[1,{c},4g] vs local-cluster[4,{c},4g] — "
+            f"separate executor JVMs, efficiency = (T_4x{c}/T_1x{c})/4, "
+            "steal-gated"),
         "docs": results[1]["docs"],
+        "cores_per_executor": c,
         "levels": {str(n): results[n] for n in EXECUTORS},
-        "efficiency_1x8_to_4x8": eff,
+        f"efficiency_1x{c}_to_4x{c}": eff,
         "criterion": "north_rule: >= 0.8 from N to 4N executors",
     }
     print(json.dumps(summary))
 
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "BENCH_CLUSTER.json")
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "BENCH_CLUSTER.json" if c == 8 else f"BENCH_CLUSTER_{c}c.json")
     with open(out_path, "w") as f:
         json.dump(summary, f, indent=2)
 

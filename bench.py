@@ -247,6 +247,30 @@ def main() -> None:
         sf = 0.01
     elif "sf0.001" in SF_DIR:
         sf = 0.001
+    # Two-parallelism-level evidence for the north rule's N→4N criterion:
+    # attach the latest RECORDED protocol captures (bench_scaling.py /
+    # bench_cluster.py write these; full tuples in BENCH_SCALING.md) —
+    # labeled as recorded captures, not re-measured in this invocation.
+    scaling: dict = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for key, fname in (("local_8_vs_32", "BENCH_SCALING.json"),
+                       ("cluster_1x8_vs_4x8", "BENCH_CLUSTER.json"),
+                       ("cluster_1x4_vs_4x4", "BENCH_CLUSTER_4c.json")):
+        path = os.path.join(here, fname)
+        if os.path.exists(path):
+            with open(path) as f:
+                rec = json.load(f)
+            scaling[key] = {
+                "efficiency_N_to_4N": rec.get("value"),
+                "docs_per_sec_by_level": {
+                    lvl: lr.get("docs_per_sec")
+                    for lvl, lr in rec.get("levels", {}).items()},
+                "protocol": rec.get("protocol"),
+                "recorded_capture": fname,
+            }
+    if scaling:
+        extras["scaling_evidence"] = scaling
+
     result = {
         "metric": "headline_suite_wall_sec",
         "value": round(sum(timings.values()), 3),

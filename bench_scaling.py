@@ -227,6 +227,9 @@ def main() -> None:
         "pass": eff_8_32 >= 0.8,
     }
     print(json.dumps(summary))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_SCALING.json"), "w") as f:
+        json.dump(summary, f, indent=2)
 
     rows = "\n".join(
         f"| local[{n}] | {results[n]['best_sec']} | {tp[n]} | "

@@ -44,5 +44,14 @@ def get_spark(master: str | None = None, *, app_name: str = "extract_ocr_spark",
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Stall tolerance: on an oversubscribed VM (or a busy cluster
+        # node) the driver can be starved long enough that executors
+        # accumulate 60 consecutive heartbeat failures and self-exit,
+        # killing the whole SparkContext mid-job. A longer heartbeat
+        # interval and network timeout widen the survival window from
+        # ~10 min to ~20 min of intermittent starvation at no cost on a
+        # healthy box.
+        .config("spark.executor.heartbeatInterval", "20s")
+        .config("spark.network.timeout", "600s")
     )
     return builder.getOrCreate()

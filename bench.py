@@ -258,8 +258,12 @@ def main() -> None:
                        ("cluster_1x4_vs_4x4", "BENCH_CLUSTER_4c.json")):
         path = os.path.join(here, fname)
         if os.path.exists(path):
-            with open(path) as f:
-                rec = json.load(f)
+            try:
+                with open(path) as f:
+                    rec = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                continue  # truncated/interrupted capture file — skip, don't
+                # lose this run's measurements at the final print
             scaling[key] = {
                 "efficiency_N_to_4N": rec.get("value"),
                 "docs_per_sec_by_level": {

@@ -1,5 +1,12 @@
 #!/usr/bin/env python
-"""Multi-executor scaling evidence: local-cluster[N,8,4g], N ∈ {1, 4}.
+"""Multi-executor scaling evidence: local-cluster[N,C,4g], N ∈ {1, 4}.
+
+C (cores per executor) defaults to 8 and is set with
+SPARK_GRAFT_CLUSTER_CORES: C=8 is the headline shape (4N lands on all
+32 cores, exposed to the box's memory-bus ceiling past ~16 cores);
+C=4 keeps 4N = 16 cores inside the machine's linear region, isolating
+executor-topology cost. Output: BENCH_CLUSTER.json for C=8,
+BENCH_CLUSTER_{C}c.json otherwise.
 
 `bench_scaling.py` evidences the north_rule's N→4N criterion with
 local[8]→local[32] — threads inside ONE JVM, where executor-side effects
@@ -16,9 +23,11 @@ Protocol (same discipline as bench_scaling.py):
 - one subprocess per topology (fresh JVMs), untimed warm-up first;
 - every timed run records its own hypervisor-steal fraction; a run only
   counts when steal < 0.5%; best clean run per level wins;
-- efficiency = (docs_per_sec[4×8] / docs_per_sec[1×8]) / 4.
+- efficiency = (docs_per_sec[4×C] / docs_per_sec[1×C]) / 4.
 
-Usage: python bench_cluster.py              # writes BENCH_CLUSTER.json
+Usage: python bench_cluster.py              # C=8, writes BENCH_CLUSTER.json
+       SPARK_GRAFT_CLUSTER_CORES=4 python bench_cluster.py
+                                            # C=4, writes BENCH_CLUSTER_4c.json
        python bench_cluster.py --worker N   # internal: one topology
 """
 
@@ -64,6 +73,10 @@ def worker(n_executors: int) -> None:
         .config("spark.sql.shuffle.partitions", str(max(8, cores)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "4g")
+        # same stall tolerance as session.get_spark — separate executor
+        # JVMs are exactly where heartbeat-failure self-exit bites
+        .config("spark.executor.heartbeatInterval", "20s")
+        .config("spark.network.timeout", "600s")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

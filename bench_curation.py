@@ -59,9 +59,9 @@ _KW = {
 }
 
 _UNKNOWN = sorted(set(STAGES) - set(_KW))
-if _UNKNOWN:
-    sys.exit(f"unknown curation stage(s) {_UNKNOWN}; "
-             f"valid names: {sorted(_KW)}")
+if _UNKNOWN or not STAGES:
+    sys.exit(f"SPARK_GRAFT_CURATION_STAGES must name at least one of "
+             f"{sorted(_KW)}" + (f"; unknown: {_UNKNOWN}" if _UNKNOWN else ""))
 
 
 def main() -> None:

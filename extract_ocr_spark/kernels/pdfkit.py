@@ -629,22 +629,36 @@ def _pdf_bytes_to_layout(data: bytes) -> str:
     if xref_objs and any(
             re.search(rb"/Type\s*/(Page|Pages)\b", b)
             for b in xref_objs.values()):
-        layout = _layout_from_objs(xref_objs)
-        if layout.replace("\f", ""):
+        layout, unresolved = _layout_from_objs(xref_objs)
+        if not unresolved:
+            # Structurally complete: every page's /Contents reference
+            # resolved to a stream. A textless result here is genuine
+            # (image-only/scanned pages) — do NOT run the recovery scan,
+            # which could both double the parse cost and attribute
+            # embedded-attachment bytes to the document as phantom text.
             return layout
-        # A parseable xref can still carry stale offsets for the content
-        # streams themselves (bytes inserted without regenerating those
-        # entries): the page tree resolves but every page comes back
-        # textless. The `N G obj` scan survives that kind of mild
-        # corruption, so prefer its result whenever it recovers any text.
-        scan_layout = _layout_from_objs(_scan_objects(data))
-        return scan_layout if scan_layout.replace("\f", "") else layout
-    return _layout_from_objs(_scan_objects(data))
+        # A parseable xref can still carry stale offsets for content
+        # streams (bytes inserted by an edit without regenerating those
+        # entries): the affected pages' /Contents refs don't resolve and
+        # their text is silently lost — possibly only on SOME pages. The
+        # `N G obj` scan survives that kind of mild corruption, so run it
+        # and keep whichever extraction recovers more text.
+        scan_layout, _ = _layout_from_objs(_scan_objects(data))
+        if _layout_text_len(scan_layout) > _layout_text_len(layout):
+            return scan_layout
+        return layout
+    return _layout_from_objs(_scan_objects(data))[0]
 
 
-def _layout_from_objs(objs: dict[int, bytes]) -> str:
+def _layout_text_len(layout: str) -> int:
+    return len(layout.replace("\f", "").replace("\n", ""))
+
+
+def _layout_from_objs(objs: dict[int, bytes]) -> tuple[str, int]:
     """Page-tree walk + content-stream extraction over a resolved object
-    map (from either the xref path or the recovery scan)."""
+    map (from either the xref path or the recovery scan). Returns the
+    layout plus the count of page /Contents references that did NOT
+    resolve to a readable stream — the caller's staleness signal."""
 
     def stream_of(body: bytes) -> bytes | None:
         return _stream_of(body, objs)
@@ -676,16 +690,18 @@ def _layout_from_objs(objs: dict[int, bytes]) -> str:
                     if re.search(rb"/Type\s*/Page\b", b)]
 
     page_layouts: list[str] = []
+    unresolved = 0
     for pid in page_ids:
         body = objs[pid]
         contents = _dict_value(body, b"Contents") or b""
         streams: list[bytes] = []
         for r in _REF_RE.finditer(contents):
             ref = int(r.group(1))
-            if ref in objs:
-                s = stream_of(objs[ref])
-                if s is not None:
-                    streams.append(s)
+            s = stream_of(objs[ref]) if ref in objs else None
+            if s is not None:
+                streams.append(s)
+            else:
+                unresolved += 1
         if not streams:  # inline content stream on the page object itself
             s = stream_of(body)
             if s is not None:
@@ -703,4 +719,4 @@ def _layout_from_objs(objs: dict[int, bytes]) -> str:
                          .replace("\f", " "))
                 lines.append(f"@{-y:g},{x:g}:{clean}")
         page_layouts.append("\n".join(lines))
-    return "\f".join(page_layouts)
+    return "\f".join(page_layouts), unresolved

@@ -242,6 +242,44 @@ def test_stale_content_stream_offset_falls_back_to_scan():
     assert extract_pdf_text(_as_text(data)) == "recovered by scan\n"
 
 
+def test_partially_stale_content_offsets_recover_all_pages():
+    """Incremental-edit shape: bytes inserted before ONE page's content
+    stream of a two-page file. The xref still resolves the page tree and
+    the other page's text, so an all-or-nothing emptiness gate would keep
+    the partial result; the unresolved-/Contents signal must trigger the
+    scan, which recovers both pages."""
+    base = _build_pdf([b"BT 72 700 Td (page one text) Tj ET",
+                       b"BT 72 700 Td (page two text) Tj ET"])
+    # two pages: objs 3,4 = pages; 5,6 = content streams. Go stale on 6.
+    marker = b"6 0 obj\n"
+    junk = b"% unrecorded edit padding\n" * 3
+    at = base.index(marker)
+    data = base[:at] + junk + base[at:]
+    data = re.sub(rb"(?<=startxref\n)\d+",
+                  lambda m: str(int(m.group(0)) + len(junk)).encode(), data)
+    from extract_ocr_spark.kernels.pdfkit import _xref_objects
+    xref_objs = _xref_objects(data)
+    assert xref_objs is not None and 6 not in xref_objs and 5 in xref_objs
+    assert extract_pdf_text(_as_text(data)) == "page one text\n\npage two text\n"
+
+
+def test_textless_complete_xref_does_not_run_recovery_scan(monkeypatch):
+    """A structurally complete xref whose pages legitimately have no text
+    runs (image-only shape) must return empty WITHOUT invoking the
+    recovery scan — the scan could attribute embedded PDF-like bytes to
+    the document as phantom text, and doubles parse cost at corpus
+    scale."""
+    import extract_ocr_spark.kernels.pdfkit as pk
+    # drawing operators only — a valid, resolvable, textless content stream
+    pdf = _build_pdf([b"0 0 612 792 re f"])
+
+    def boom(data):
+        raise AssertionError("recovery scan must not run")
+
+    monkeypatch.setattr(pk, "_scan_objects", boom)
+    assert extract_pdf_text(_as_text(pdf)) == NO_TEXT_SENTINEL
+
+
 def test_xref_beats_scan_order_on_reused_object_number():
     """The verdict-r4 stale-object case: a decoy `4 0 obj` appears EARLIER
     in the file than the real object 4 (freed-and-reused number; the real

@@ -615,10 +615,33 @@ def _scan_objects(data: bytes) -> dict[int, bytes]:
     return objs
 
 
+_ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+\d+\s+\d+\s+R|/Encrypt\s*<<")
+
+
+def _is_encrypted(data: bytes) -> bool:
+    """True when a trailer (classic keyword or xref-stream dict) carries
+    /Encrypt. Searched only inside trailer windows so content text that
+    merely mentions /Encrypt cannot false-positive."""
+    for m in re.finditer(rb"trailer", data):
+        if _ENCRYPT_REF_RE.search(data, m.end(), m.end() + 512):
+            return True
+    for m in re.finditer(rb"/Type\s*/XRef\b", data):
+        if _ENCRYPT_REF_RE.search(data, max(0, m.start() - 512),
+                                  m.start() + 512):
+            return True
+    return False
+
+
 def _pdf_bytes_to_layout(data: bytes) -> str:
     """Real PDF bytes → the synthetic layout encoding consumed by
     ``extract_pdf_text`` (pages joined with \\f, runs as `@<-y>,<x>:`
     positioned lines so top-of-page sorts first)."""
+    if _is_encrypted(data):
+        # No decryption support (the reference's pypdf path equally
+        # refuses without a password): string/stream bytes are RC4/AES
+        # ciphertext, so "extraction" would emit garbage — fail loudly
+        # into the parse-fail sentinel instead.
+        raise ValueError("encrypted PDF (/Encrypt in trailer)")
     xref_objs: dict[int, bytes] | None
     try:
         xref_objs = _xref_objects(data)

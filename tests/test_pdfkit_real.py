@@ -280,6 +280,20 @@ def test_textless_complete_xref_does_not_run_recovery_scan(monkeypatch):
     assert extract_pdf_text(_as_text(pdf)) == NO_TEXT_SENTINEL
 
 
+def test_encrypted_pdf_yields_parse_fail_sentinel():
+    """/Encrypt in the trailer means string/stream bytes are ciphertext;
+    with no decryption support the reader must refuse loudly (parse-fail
+    sentinel) rather than emit garbage — the reference's pypdf path
+    equally refuses without a password. A document whose CONTENT merely
+    mentions /Encrypt must still extract."""
+    base = _build_pdf([b"BT 72 700 Td (secret) Tj ET"])
+    enc = base.replace(b"trailer\n<< /Size",
+                       b"trailer\n<< /Encrypt 9 0 R /Size")
+    assert extract_pdf_text(_as_text(enc)) == PARSE_FAIL_SENTINEL
+    mentions = _build_pdf([b"BT 72 700 Td (uses /Encrypt 9 0 R inside) Tj ET"])
+    assert "uses /Encrypt 9 0 R inside" in extract_pdf_text(_as_text(mentions))
+
+
 def test_xref_beats_scan_order_on_reused_object_number():
     """The verdict-r4 stale-object case: a decoy `4 0 obj` appears EARLIER
     in the file than the real object 4 (freed-and-reused number; the real

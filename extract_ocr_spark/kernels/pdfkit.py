@@ -619,15 +619,24 @@ _ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+\d+\s+\d+\s+R|/Encrypt\s*<<")
 
 
 def _is_encrypted(data: bytes) -> bool:
-    """True when a trailer (classic keyword or xref-stream dict) carries
-    /Encrypt. Searched only inside trailer windows so content text that
-    merely mentions /Encrypt cannot false-positive."""
-    for m in re.finditer(rb"trailer", data):
-        if _ENCRYPT_REF_RE.search(data, m.end(), m.end() + 512):
+    """True when a trailer carries /Encrypt. Anchored to REAL trailer
+    sections — a classic ``trailer <<`` that directly follows an
+    xref-table entry, or a ``/Type /XRef`` stream dict inside an object
+    header — so content text that merely mentions these tokens cannot
+    false-positive."""
+    for m in re.finditer(rb"trailer\s*<<", data):
+        before = data[max(0, m.start() - 64):m.start()]
+        # a classic trailer keyword sits right after the last 20-byte
+        # xref table entry; a content-string mention does not
+        if not re.search(rb"\d{10} \d{5} [nf]\s*$", before):
+            continue
+        if _ENCRYPT_REF_RE.search(data, m.end(), m.end() + 2048):
             return True
     for m in re.finditer(rb"/Type\s*/XRef\b", data):
-        if _ENCRYPT_REF_RE.search(data, max(0, m.start() - 512),
-                                  m.start() + 512):
+        w0 = max(0, m.start() - 2048)
+        if (re.search(rb"\d+\s+\d+\s+obj\b", data[w0:m.start()])
+                and data.find(b"stream", m.end(), m.end() + 2048) != -1
+                and _ENCRYPT_REF_RE.search(data, w0, m.end() + 2048)):
             return True
     return False
 
@@ -652,36 +661,56 @@ def _pdf_bytes_to_layout(data: bytes) -> str:
     if xref_objs and any(
             re.search(rb"/Type\s*/(Page|Pages)\b", b)
             for b in xref_objs.values()):
-        layout, unresolved = _layout_from_objs(xref_objs)
-        if not unresolved:
-            # Structurally complete: every page's /Contents reference
-            # resolved to a stream. A textless result here is genuine
-            # (image-only/scanned pages) — do NOT run the recovery scan,
-            # which could both double the parse cost and attribute
-            # embedded-attachment bytes to the document as phantom text.
-            return layout
-        # A parseable xref can still carry stale offsets for content
-        # streams (bytes inserted by an edit without regenerating those
-        # entries): the affected pages' /Contents refs don't resolve and
-        # their text is silently lost — possibly only on SOME pages. The
-        # `N G obj` scan survives that kind of mild corruption, so run it
-        # and keep whichever extraction recovers more text.
-        scan_layout, _ = _layout_from_objs(_scan_objects(data))
-        if _layout_text_len(scan_layout) > _layout_text_len(layout):
-            return scan_layout
-        return layout
-    return _layout_from_objs(_scan_objects(data))[0]
+        xref_pages, tree_missing = _pages_from_objs(xref_objs)
+        if not tree_missing and not any(u for _, _, u in xref_pages):
+            # Structurally complete: every page-tree kid and every page's
+            # /Contents reference resolved. A textless result here is
+            # genuine (image-only/scanned pages) — do NOT run the
+            # recovery scan, which could both double the parse cost and
+            # attribute embedded-attachment bytes as phantom text.
+            return "\f".join(lay for _, lay, _ in xref_pages)
+        # A parseable xref can still carry stale offsets (bytes inserted
+        # by an edit without regenerating entries): affected objects are
+        # missing from the xref map — possibly only SOME pages. The
+        # `N G obj` scan survives that kind of mild corruption. Merge
+        # PER PAGE so intact pages keep the xref's (freed-object-safe)
+        # text and only the stale ones adopt the scan's recovery.
+        scan_pages, _ = _pages_from_objs(_scan_objects(data))
+        if tree_missing and len(scan_pages) > len(xref_pages):
+            # the page tree itself lost members: the scan's walk carries
+            # the full page order — prefer xref's version per page where
+            # it resolved cleanly
+            xref_by_id = {n: (lay, u) for n, lay, u in xref_pages}
+            out = []
+            for n, lay, _ in scan_pages:
+                alt = xref_by_id.get(n)
+                if alt and alt[1] == 0 and len(alt[0]) >= len(lay):
+                    lay = alt[0]
+                out.append(lay)
+            return "\f".join(out)
+        scan_by_id = {n: lay for n, lay, _ in scan_pages}
+        out = []
+        for n, lay, u in xref_pages:
+            alt = scan_by_id.get(n)
+            if u and alt is not None and len(alt) > len(lay):
+                lay = alt  # stale /Contents: adopt the scan's recovery
+            out.append(lay)
+        return "\f".join(out)
+    pages, _ = _pages_from_objs(_scan_objects(data))
+    return "\f".join(lay for _, lay, _ in pages)
 
 
-def _layout_text_len(layout: str) -> int:
-    return len(layout.replace("\f", "").replace("\n", ""))
-
-
-def _layout_from_objs(objs: dict[int, bytes]) -> tuple[str, int]:
+def _pages_from_objs(
+        objs: dict[int, bytes]) -> tuple[list[tuple[int, str, int]], int]:
     """Page-tree walk + content-stream extraction over a resolved object
-    map (from either the xref path or the recovery scan). Returns the
-    layout plus the count of page /Contents references that did NOT
-    resolve to a readable stream — the caller's staleness signal."""
+    map (from either the xref path or the recovery scan). Returns
+    ``([(page_obj_num, page_layout, unresolved_refs)], missing_kids)``
+    where ``unresolved_refs`` counts /Contents references to objects
+    ABSENT from the map and ``missing_kids`` counts page-tree /Kids
+    references to absent objects — the caller's staleness signals.
+    Objects that are present but carry no readable stream (unsupported
+    filter, image-only page) do NOT count: that is a decode limitation,
+    not a stale offset."""
 
     def stream_of(body: bytes) -> bytes | None:
         return _stream_of(body, objs)
@@ -689,9 +718,14 @@ def _layout_from_objs(objs: dict[int, bytes]) -> tuple[str, int]:
     # Page order: walk /Kids arrays of /Type /Pages nodes (document
     # order), falling back to file-appearance order of /Type /Page objects.
     page_ids: list[int] = []
+    missing_kids = 0
 
     def walk(num: int, depth: int = 0) -> None:
-        if depth > 64 or num not in objs:
+        nonlocal missing_kids
+        if depth > 64:
+            return
+        if num not in objs:
+            missing_kids += 1
             return
         body = objs[num]
         if re.search(rb"/Type\s*/Pages\b", body):
@@ -712,19 +746,28 @@ def _layout_from_objs(objs: dict[int, bytes]) -> tuple[str, int]:
         page_ids = [n for n, b in objs.items()
                     if re.search(rb"/Type\s*/Page\b", b)]
 
-    page_layouts: list[str] = []
-    unresolved = 0
+    pages: list[tuple[int, str, int]] = []
     for pid in page_ids:
         body = objs[pid]
         contents = _dict_value(body, b"Contents") or b""
         streams: list[bytes] = []
-        for r in _REF_RE.finditer(contents):
-            ref = int(r.group(1))
-            s = stream_of(objs[ref]) if ref in objs else None
+        unresolved = 0
+
+        def add_ref(ref: int, depth: int = 0) -> None:
+            nonlocal unresolved
+            if ref not in objs:
+                unresolved += 1  # stale offset: object absent from map
+                return
+            s = stream_of(objs[ref])
             if s is not None:
                 streams.append(s)
-            else:
-                unresolved += 1
+            elif depth == 0 and b"stream" not in objs[ref]:
+                # legal indirection: /Contents → array OBJECT of refs
+                for rr in _REF_RE.finditer(objs[ref]):
+                    add_ref(int(rr.group(1)), 1)
+
+        for r in _REF_RE.finditer(contents):
+            add_ref(int(r.group(1)))
         if not streams:  # inline content stream on the page object itself
             s = stream_of(body)
             if s is not None:
@@ -741,5 +784,5 @@ def _layout_from_objs(objs: dict[int, bytes]) -> tuple[str, int]:
                 clean = (text.replace("\n", " ").replace("\r", " ")
                          .replace("\f", " "))
                 lines.append(f"@{-y:g},{x:g}:{clean}")
-        page_layouts.append("\n".join(lines))
-    return "\f".join(page_layouts), unresolved
+        pages.append((pid, "\n".join(lines), unresolved))
+    return pages, missing_kids

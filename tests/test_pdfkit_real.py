@@ -280,6 +280,75 @@ def test_textless_complete_xref_does_not_run_recovery_scan(monkeypatch):
     assert extract_pdf_text(_as_text(pdf)) == NO_TEXT_SENTINEL
 
 
+def test_stale_page_object_offset_recovers_via_scan():
+    """Staleness in the PAGE TREE itself: junk inserted before the page
+    object (not the content stream) drops the page from the xref map —
+    /Pages resolves but its kid is missing, no /Contents ref is ever
+    seen, so a contents-only signal would read 'complete'. The
+    missing-kids signal must trigger the scan, which recovers the page."""
+    base = _build_pdf([b"BT 72 700 Td (page body recovered) Tj ET"])
+    marker = b"3 0 obj\n"  # the /Type /Page object
+    junk = b"% unrecorded edit padding\n" * 3
+    at = base.index(marker)
+    data = base[:at] + junk + base[at:]
+    data = re.sub(rb"(?<=startxref\n)\d+",
+                  lambda m: str(int(m.group(0)) + len(junk)).encode(), data)
+    from extract_ocr_spark.kernels.pdfkit import _xref_objects
+    xref_objs = _xref_objects(data)
+    assert xref_objs is not None and 3 not in xref_objs and 2 in xref_objs
+    assert extract_pdf_text(_as_text(data)) == "page body recovered\n"
+
+
+def test_contents_array_indirection_resolves():
+    """/Contents may point at an ARRAY OBJECT of stream refs (legal per
+    spec). The ref resolves but has no stream keyword; the reader must
+    follow the indirection, not count it stale."""
+    base = _build_pdf([b"BT 72 700 Td (via array indirection) Tj ET"])
+    # retarget page 3's /Contents from 4 0 R to a new array object 5 0 R
+    data = base.replace(b"/Contents 4 0 R", b"/Contents 5 0 R")
+    arr = b"5 0 obj\n[ 4 0 R ]\nendobj\n"
+    at = data.index(b"xref\n")
+    data = data[:at] + arr + data[at:]
+    data = re.sub(rb"(?<=startxref\n)\d+",
+                  lambda m: str(int(m.group(0)) + len(arr)).encode(), data)
+    # object 5 is absent from the xref table — resolved by the scan path
+    assert extract_pdf_text(_as_text(data)) == "via array indirection\n"
+
+
+def test_unsupported_filter_does_not_trigger_recovery_scan(monkeypatch):
+    """A content stream whose object RESOLVES but whose filter we cannot
+    decode (LZW) is a decode limitation, not a stale offset: the
+    recovery scan must not run (it could adopt phantom text), and the
+    result is the no-text sentinel."""
+    import extract_ocr_spark.kernels.pdfkit as pk
+    content = b"\x80\x0b\x60\x50"  # junk bytes posing as LZW
+    pdf = _build_pdf([content])
+    pdf = pdf.replace(b"<< /Length " + str(len(content)).encode(),
+                      b"<< /Filter /LZWDecode /Length "
+                      + str(len(content)).encode())
+    # the /Filter insertion shifts the xref offsets of the content obj?
+    # no: the content object is LAST, so only the xref table moves
+    shift = len(b"/Filter /LZWDecode ")
+    pdf = re.sub(rb"(?<=startxref\n)\d+",
+                 lambda m: str(int(m.group(0)) + shift).encode(), pdf)
+
+    def boom(data):
+        raise AssertionError("recovery scan must not run")
+
+    monkeypatch.setattr(pk, "_scan_objects", boom)
+    assert extract_pdf_text(_as_text(pdf)) == NO_TEXT_SENTINEL
+
+
+def test_trailer_mention_in_content_is_not_encryption():
+    """Content text discussing PDF internals — including the words
+    'trailer' and '/Encrypt N 0 R' adjacent — must not be refused as
+    encrypted: detection anchors on a real xref-table-adjacent trailer."""
+    pdf = _build_pdf(
+        [b"BT 72 700 Td (the trailer has /Encrypt 9 0 R sometimes) Tj ET"])
+    got = extract_pdf_text(_as_text(pdf))
+    assert "the trailer has /Encrypt 9 0 R sometimes" in got
+
+
 def test_encrypted_pdf_yields_parse_fail_sentinel():
     """/Encrypt in the trailer means string/stream bytes are ciphertext;
     with no decryption support the reader must refuse loudly (parse-fail

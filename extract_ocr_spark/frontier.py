@@ -95,4 +95,7 @@ def bfs_frontier(spark: SparkSession, edges: DataFrame, seeds: list[str],
         n_visited += n_new
         visited = visited.unionByName(nxt)
         frontier = nxt
+    # Every leg of `visited` is an eagerly-checkpointed level (or the tiny
+    # seed frame), so the cached edge table is no longer referenced.
+    edges.unpersist()
     return visited.orderBy("depth", "doc_id")

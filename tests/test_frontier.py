@@ -1,6 +1,9 @@
 """BFS frontier loop (EP1 analog) vs a pure-Python BFS oracle."""
 
+import random
 from collections import deque
+
+import pytest
 
 from extract_ocr_spark.frontier import bfs_frontier, extract_edges
 
@@ -71,3 +74,48 @@ def test_bfs_depth_and_page_caps(spark):
     assert len(capped) == 4
     oracle = _python_bfs(["d0"], 4, 4)
     assert {r["doc_id"]: r["depth"] for r in capped} == oracle
+
+
+# --- randomized-graph parity: seeded digraphs with self-loops, shared
+# targets, multiple seeds, and tight page caps, driven through the edges
+# interface directly (extract_edges has its own test above) ---
+
+
+def _random_graph(seed, n=25, p=0.12):
+    rng = random.Random(seed)
+    nodes = [f"n{i:02d}" for i in range(n)]
+    g = {u: sorted({v for v in nodes if rng.random() < p}) for u in nodes}
+    return g  # self-loops allowed; lexicographic == numeric order by name
+
+
+def _python_bfs_over(graph, seeds, max_depth, max_pages):
+    visited = {s: 0 for s in seeds}
+    frontier = list(seeds)
+    for depth in range(1, max_depth + 1):
+        if len(visited) >= max_pages:
+            break
+        nxt = sorted({
+            dst for src in frontier for dst in graph.get(src, [])
+            if dst not in visited
+        })[: max(0, max_pages - len(visited))]
+        if not nxt:
+            break
+        for d in nxt:
+            visited[d] = depth
+        frontier = nxt
+    return visited
+
+
+@pytest.mark.parametrize("seed,seeds,max_pages", [
+    (11, ["n00", "n13"], 10_000),   # multi-seed, uncapped
+    (23, ["n05"], 7),               # tight page cap mid-level
+    (37, ["n21", "n02"], 12),       # cap lands exactly on a level edge
+])
+def test_bfs_random_graph_parity(spark, seed, seeds, max_pages):
+    graph = _random_graph(seed)
+    rows = [(u, v) for u, outs in graph.items() for v in outs]
+    edges = spark.createDataFrame(rows or [("x", "y")], "src string, dst string")
+    got = {r["doc_id"]: r["depth"]
+           for r in bfs_frontier(spark, edges, seeds,
+                                 max_depth=3, max_pages=max_pages).collect()}
+    assert got == _python_bfs_over(graph, seeds, 3, max_pages)

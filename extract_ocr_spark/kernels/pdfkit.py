@@ -113,15 +113,15 @@ def extract_pdf_text(layout_text: str | None) -> str:
 # (`@<y>,<x>:<text>`, y negated because PDF y grows upward) so reading-order
 # reconstruction, failing-page skips, and page joining reuse the one tested
 # kernel above. Object streams (/Type /ObjStm) are unpacked so PDF 1.5+
-# packed page trees resolve; stream filters Flate / ASCIIHex / ASCII85
-# (and decode-order chains of them) are applied. Object offsets are
+# packed page trees resolve; stream filters Flate / LZW / RunLength /
+# ASCIIHex / ASCII85 (and decode-order chains of them) are applied. Object offsets are
 # resolved the way pypdf does — `startxref` → classic xref table or xref
 # stream (incl. PNG-predicted /W columns) → trailer `/Prev` (+ hybrid
 # `/XRefStm`) chain, newest revision first — falling back to scanning
 # `N G obj ... endobj` (plus ObjStm unpacking) when the xref machinery is
 # damaged or absent, which also survives mild corruption. Out of scope
-# (documented): CMap/Type0 font decoding, LZW / DCT filters, encrypted
-# files.
+# (documented): CMap/Type0 font decoding, image filters (DCT/JPX/CCITT),
+# predictors on content streams, encrypted files.
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.S)
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
@@ -299,14 +299,20 @@ def _stream_of(body: bytes, objs: dict[int, bytes]) -> bytes | None:
         raw = body[start:start + em.start()]
     # /Filter may be a single name or an array of filters listed in
     # DECODE order (data was encoded in reverse): apply each in turn.
-    # Supported: FlateDecode, ASCIIHexDecode, ASCII85Decode — the
-    # text-stream filters pypdf handles in practice; LZW/DCT/crypt
-    # stay documented out of scope (None ⇒ stream skipped).
+    # Supported: FlateDecode, LZWDecode, RunLengthDecode, ASCIIHexDecode,
+    # ASCII85Decode — the text-stream filters pypdf handles in practice;
+    # image filters (DCT/JPX/CCITT) and crypt stay documented out of
+    # scope (None ⇒ stream skipped).
     m = re.search(rb"/Filter\s*(\[[^\]]*\]|/\w+)", body[:sm.start()])
     for name in re.findall(rb"/(\w+)", m.group(1)) if m else []:
         try:
             if name == b"FlateDecode":
                 raw = zlib.decompress(raw)
+            elif name == b"LZWDecode":
+                em = re.search(rb"/EarlyChange\s+(\d)", body[:sm.start()])
+                raw = _lzw_decode(raw, early=int(em.group(1)) if em else 1)
+            elif name == b"RunLengthDecode":
+                raw = _rle_decode(raw)
             elif name == b"ASCIIHexDecode":
                 hx = re.sub(rb"[^0-9A-Fa-f]", b"",
                             raw.split(b">", 1)[0])
@@ -320,10 +326,73 @@ def _stream_of(body: bytes, objs: dict[int, bytes]) -> bytes | None:
                     a85 = a85[2:]
                 raw = base64.a85decode(a85)
             else:
-                return None  # unsupported filter (LZW, DCT, ...)
+                return None  # unsupported filter (DCT, JPX, CCITT, ...)
         except Exception:
             return None
     return raw
+
+
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """PDF LZWDecode (ISO 32000-1 §7.4.4): MSB-first variable-width codes,
+    9→12 bits, 256 = clear-table, 257 = EOD, /EarlyChange 1 by default
+    (code width grows one code earlier than the table strictly requires).
+    Raises on codes beyond the table (corrupt data) so the filter chain
+    skips the stream instead of emitting garbage; a missing EOD at
+    end-of-data is tolerated (some producers omit it)."""
+    table = [bytes([i]) for i in range(256)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    width, buf, nbits = 9, 0, 0
+    for byte in data:
+        buf = (buf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (buf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                del table[258:]
+                width, prev = 9, None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                if code >= 256:
+                    raise ValueError("LZW: literal expected after clear")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # KwKwK
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("LZW: code beyond table")
+            out += entry
+            prev = entry
+            if len(table) + early >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _rle_decode(data: bytes) -> bytes:
+    """PDF RunLengthDecode (ISO 32000-1 §7.4.5): length byte 0-127 copies
+    the next length+1 bytes, 129-255 repeats the next byte 257-length
+    times, 128 = EOD."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i]
+        if n == 128:
+            break
+        if n < 128:
+            out += data[i + 1:i + 2 + n]
+            i += 2 + n
+        else:
+            if i + 1 >= len(data):
+                raise ValueError("RunLength: truncated run")
+            out += data[i + 1:i + 2] * (257 - n)
+            i += 2
+    return bytes(out)
 
 
 def _unpack_objstm(body: bytes, objs: dict[int, bytes]

@@ -317,18 +317,18 @@ def test_contents_array_indirection_resolves():
 
 def test_unsupported_filter_does_not_trigger_recovery_scan(monkeypatch):
     """A content stream whose object RESOLVES but whose filter we cannot
-    decode (LZW) is a decode limitation, not a stale offset: the
-    recovery scan must not run (it could adopt phantom text), and the
-    result is the no-text sentinel."""
+    decode (DCT — an image codec) is a decode limitation, not a stale
+    offset: the recovery scan must not run (it could adopt phantom
+    text), and the result is the no-text sentinel."""
     import extract_ocr_spark.kernels.pdfkit as pk
-    content = b"\x80\x0b\x60\x50"  # junk bytes posing as LZW
+    content = b"\xff\xd8\xff\xe0"  # JPEG magic posing as a content stream
     pdf = _build_pdf([content])
     pdf = pdf.replace(b"<< /Length " + str(len(content)).encode(),
-                      b"<< /Filter /LZWDecode /Length "
+                      b"<< /Filter /DCTDecode /Length "
                       + str(len(content)).encode())
     # the /Filter insertion shifts the xref offsets of the content obj?
     # no: the content object is LAST, so only the xref table moves
-    shift = len(b"/Filter /LZWDecode ")
+    shift = len(b"/Filter /DCTDecode ")
     pdf = re.sub(rb"(?<=startxref\n)\d+",
                  lambda m: str(int(m.group(0)) + shift).encode(), pdf)
 
@@ -636,3 +636,128 @@ def test_ascii85_adobe_opening_frame():
     a85 = b"<~" + base64.a85encode(b"BT 72 700 Td (framed a85) Tj ET") + b"~>"
     pdf = _build_pdf_raw_filter(a85, b"/ASCII85Decode")
     assert extract_pdf_text(_as_text(pdf)) == "framed a85\n"
+
+
+# --- LZWDecode / RunLengthDecode (ISO 32000-1 §7.4.4 / §7.4.5) ---
+
+def _lzw_encode(data: bytes) -> bytes:
+    """From-scratch PDF LZW encoder (EarlyChange=1) used only to build
+    fixtures; its width schedule mirrors the decoder's exactly."""
+    table = {bytes([i]): i for i in range(256)}
+    nxt = 258
+    codes = [256]
+    w = b""
+    for byte in data:
+        wb = w + bytes([byte])
+        if wb in table:
+            w = wb
+        else:
+            codes.append(table[w])
+            table[wb] = nxt
+            nxt += 1
+            w = bytes([byte])
+    if w:
+        codes.append(table[w])
+    codes.append(257)
+    out = bytearray()
+    buf = nbits = 0
+    width, tsize, prev_emitted = 9, 258, False
+    for code in codes:
+        buf = (buf << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((buf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+        if code == 256:
+            width, tsize, prev_emitted = 9, 258, False
+        elif code != 257:
+            if prev_emitted:
+                tsize += 1
+            prev_emitted = True
+            if tsize + 1 >= (1 << width) and width < 12:
+                width += 1
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_spec_vector():
+    """The ISO 32000-1 §7.4.4.2 worked example decodes exactly."""
+    from extract_ocr_spark.kernels.pdfkit import _lzw_decode
+    enc = bytes([0x80, 0x0B, 0x60, 0x50, 0x22, 0x0C, 0x0C, 0x85, 0x01])
+    assert _lzw_decode(enc) == b"-" * 5 + b"A" + b"-" * 3 + b"B"
+
+
+def test_lzw_roundtrip_crosses_width_transitions():
+    """A payload large enough to grow the code width 9→10→11 bits
+    round-trips byte-exactly (also pins the EarlyChange=1 schedule —
+    an off-by-one in the width bump corrupts everything after entry
+    510)."""
+    from extract_ocr_spark.kernels.pdfkit import _lzw_decode
+    payload = bytes((i * 7 + i // 3) % 256 for i in range(4000))
+    assert _lzw_decode(_lzw_encode(payload)) == payload
+
+
+def test_lzw_corrupt_code_raises():
+    from extract_ocr_spark.kernels.pdfkit import _lzw_decode
+    import pytest
+    # clear(256) then code 300 with an empty table: beyond-table ⇒ corrupt
+    bits = (256 << 9) | 300  # two 9-bit codes, MSB-first
+    data = bytes([(bits >> 10) & 0xFF, (bits >> 2) & 0xFF,
+                  (bits & 0x3) << 6])
+    with pytest.raises(ValueError):
+        _lzw_decode(data)
+
+
+def test_runlength_decode_vectors():
+    from extract_ocr_spark.kernels.pdfkit import _rle_decode
+    assert _rle_decode(bytes([2]) + b"abc" + bytes([254]) + b"x"
+                       + bytes([128])) == b"abc" + b"x" * 3
+    assert _rle_decode(bytes([128])) == b""  # immediate EOD
+
+
+def _rle_encode_literal(data: bytes) -> bytes:
+    """Literal-runs-only RunLength encoding (always valid, never shorter)."""
+    out = bytearray()
+    for i in range(0, len(data), 128):
+        chunk = data[i:i + 128]
+        out.append(len(chunk) - 1)
+        out += chunk
+    out.append(128)
+    return bytes(out)
+
+
+def _with_filter(pdf: bytes, encoded: bytes, filt: bytes) -> bytes:
+    """Swap the (last-object) content stream's dict to declare ``filt``;
+    only the xref table itself moves, so just startxref shifts."""
+    patched = pdf.replace(b"<< /Length " + str(len(encoded)).encode(),
+                          b"<< /Filter " + filt + b" /Length "
+                          + str(len(encoded)).encode())
+    shift = len(b"/Filter " + filt + b" ")
+    return re.sub(rb"(?<=startxref\n)\d+",
+                  lambda m: str(int(m.group(0)) + shift).encode(), patched)
+
+
+def test_lzw_content_stream_extracts():
+    content = b"BT 72 700 Td (lzw page text) Tj ET"
+    enc = _lzw_encode(content)
+    pdf = _with_filter(_build_pdf([enc]), enc, b"/LZWDecode")
+    assert extract_pdf_text(_as_text(pdf)) == "lzw page text\n"
+
+
+def test_runlength_content_stream_extracts():
+    content = b"BT 72 700 Td (rle page text) Tj ET"
+    enc = _rle_encode_literal(content)
+    pdf = _with_filter(_build_pdf([enc]), enc, b"/RunLengthDecode")
+    assert extract_pdf_text(_as_text(pdf)) == "rle page text\n"
+
+
+def test_filter_chain_hex_then_lzw():
+    """/Filter [/ASCIIHexDecode /LZWDecode] — filters apply in decode
+    order, so the stored bytes are hex(lzw(content))."""
+    import binascii
+    content = b"BT 72 700 Td (chained filters) Tj ET"
+    enc = binascii.hexlify(_lzw_encode(content)) + b">"
+    pdf = _with_filter(_build_pdf([enc]), enc,
+                       b"[/ASCIIHexDecode /LZWDecode]")
+    assert extract_pdf_text(_as_text(pdf)) == "chained filters\n"

@@ -309,8 +309,12 @@ def _stream_of(body: bytes, objs: dict[int, bytes]) -> bytes | None:
             if name == b"FlateDecode":
                 raw = zlib.decompress(raw)
             elif name == b"LZWDecode":
-                em = re.search(rb"/EarlyChange\s+(\d)", body[:sm.start()])
-                raw = _lzw_decode(raw, early=int(em.group(1)) if em else 1)
+                # /EarlyChange lives in /DecodeParms (default 1); an
+                # indirect parms dict is rare enough to fall back on.
+                parms = _dict_value(body[:sm.start()], b"DecodeParms")
+                ec = _dict_value(parms, b"EarlyChange") if parms else None
+                raw = _lzw_decode(
+                    raw, early=int(ec.split()[0]) if ec else 1)
             elif name == b"RunLengthDecode":
                 raw = _rle_decode(raw)
             elif name == b"ASCIIHexDecode":
@@ -349,6 +353,7 @@ def _lzw_decode(data: bytes, early: int = 1) -> bytes:
         while nbits >= width:
             code = (buf >> (nbits - width)) & ((1 << width) - 1)
             nbits -= width
+            buf &= (1 << nbits) - 1  # keep the accumulator small (O(n))
             if code == 256:
                 del table[258:]
                 width, prev = 9, None
@@ -385,6 +390,8 @@ def _rle_decode(data: bytes) -> bytes:
         if n == 128:
             break
         if n < 128:
+            if i + 1 + n >= len(data):
+                raise ValueError("RunLength: truncated literal run")
             out += data[i + 1:i + 2 + n]
             i += 2 + n
         else:

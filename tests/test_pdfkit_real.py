@@ -653,8 +653,13 @@ def _lzw_encode(data: bytes) -> bytes:
             w = wb
         else:
             codes.append(table[w])
-            table[wb] = nxt
-            nxt += 1
+            if nxt < 4096:
+                table[wb] = nxt
+                nxt += 1
+            else:  # dictionary full: emit clear, start over
+                codes.append(256)
+                table = {bytes([i]): i for i in range(256)}
+                nxt = 258
             w = bytes([byte])
     if w:
         codes.append(table[w])
@@ -668,6 +673,7 @@ def _lzw_encode(data: bytes) -> bytes:
         while nbits >= 8:
             out.append((buf >> (nbits - 8)) & 0xFF)
             nbits -= 8
+            buf &= (1 << nbits) - 1
         if code == 256:
             width, tsize, prev_emitted = 9, 258, False
         elif code != 257:
@@ -709,11 +715,25 @@ def test_lzw_corrupt_code_raises():
         _lzw_decode(data)
 
 
+def test_lzw_roundtrip_past_full_dictionary():
+    """A low-entropy payload that fills the 4096-entry dictionary forces
+    the fixture encoder to emit a mid-stream clear code; the decoder
+    must resynchronize and round-trip byte-exactly. Also serves as the
+    linear-time check: this decodes in milliseconds, not minutes (the
+    unmasked-accumulator bug made decode quadratic in stream length)."""
+    from extract_ocr_spark.kernels.pdfkit import _lzw_decode
+    payload = bytes((i // 7) % 17 for i in range(120_000))
+    assert _lzw_decode(_lzw_encode(payload)) == payload
+
+
 def test_runlength_decode_vectors():
+    import pytest
     from extract_ocr_spark.kernels.pdfkit import _rle_decode
     assert _rle_decode(bytes([2]) + b"abc" + bytes([254]) + b"x"
                        + bytes([128])) == b"abc" + b"x" * 3
     assert _rle_decode(bytes([128])) == b""  # immediate EOD
+    with pytest.raises(ValueError):  # header claims 11 bytes, 2 present
+        _rle_decode(bytes([10]) + b"ab")
 
 
 def _rle_encode_literal(data: bytes) -> bytes:

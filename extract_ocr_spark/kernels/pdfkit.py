@@ -135,10 +135,161 @@ def _dict_value(body: bytes, key: bytes) -> bytes | None:
     return m.group(1).strip() if m else None
 
 
-def _decode_pdf_string(tok: bytes) -> str:
+def _dict_value_deep(body: bytes, key: bytes) -> bytes | None:
+    """Like _dict_value, but when the value is a dictionary returns the
+    FULLY BALANCED `<< ... >>` token (the generic helper's non-greedy
+    match stops at the first `>>`, truncating nested dicts such as
+    `/Resources << /Font << ... >> >>`)."""
+    m = re.search(rb"/" + key + rb"\s*", body)
+    if m is None:
+        return None
+    i = m.end()
+    if body[i:i + 2] != b"<<":
+        return _dict_value(body, key)
+    depth, j = 0, i
+    while j < len(body) - 1:
+        pair = body[j:j + 2]
+        if pair == b"<<":
+            depth += 1
+            j += 2
+        elif pair == b">>":
+            depth -= 1
+            j += 2
+            if depth == 0:
+                return body[i:j]
+        else:
+            j += 1
+    return None
+
+
+# -- /ToUnicode CMaps (ISO 32000-1 §9.10.3): code → unicode for fonts
+# whose shown bytes are glyph/CID codes rather than text (Type0/CID and
+# custom-encoded simple fonts). Without this, such strings decode as raw
+# byte soup — the most common real-world failure of naive extractors.
+
+def _parse_tounicode(data: bytes) -> tuple[int, dict[int, str]]:
+    """CMap stream → (code byte-width, {code: unicode}). Width comes from
+    codespacerange (2-byte for CID fonts, 1-byte for simple fonts);
+    bfchar and bfrange sections (incl. the array form) fill the map."""
+
+    def u16(h: bytes) -> str:
+        if len(h) % 2:
+            h += b"0"
+        raw = bytes.fromhex(h.decode("ascii"))
+        if len(raw) == 1:  # 1-byte dst: direct char code
+            return chr(raw[0])
+        return raw.decode("utf-16-be", errors="replace")
+
+    nbytes = 1
+    m = re.search(rb"begincodespacerange(.*?)endcodespacerange", data, re.S)
+    if m:
+        h = re.search(rb"<([0-9A-Fa-f]+)>", m.group(1))
+        if h:
+            nbytes = max(1, min(4, len(h.group(1)) // 2))
+    cmap: dict[int, str] = {}
+    for sec in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        for src, dst in re.findall(
+                rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", sec.group(1)):
+            cmap[int(src, 16)] = u16(dst)
+    for sec in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        for lo, hi, dst in re.findall(
+                rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+                rb"(\[[^\]]*\]|<[0-9A-Fa-f]+>)", sec.group(1)):
+            lo_i, hi_i = int(lo, 16), int(hi, 16)
+            if not 0 <= hi_i - lo_i <= 0xFFFF:
+                continue  # hostile/corrupt range: bounded memory
+            if dst.startswith(b"["):
+                for off, d in enumerate(
+                        re.findall(rb"<([0-9A-Fa-f]+)>",
+                                   dst)[:hi_i - lo_i + 1]):
+                    cmap[lo_i + off] = u16(d)
+            else:
+                base = u16(dst[1:-1])
+                for off in range(hi_i - lo_i + 1):
+                    # the increment applies to the LAST UTF-16 code unit
+                    cmap[lo_i + off] = (
+                        base[:-1] + chr(ord(base[-1]) + off) if base
+                        else "")
+    return nbytes, cmap
+
+
+def _font_cmaps(page_body: bytes, objs: dict[int, bytes]
+                ) -> dict[str, tuple[int, dict[int, str]]]:
+    """Resolve the page's /Resources /Font dict (following /Parent
+    inheritance and indirect refs) → {font name: parsed /ToUnicode}.
+    Fonts without a ToUnicode stream are simply absent — their strings
+    keep the default latin-1/UTF-16 decoding."""
+    body, res = page_body, None
+    for _ in range(8):  # /Resources may be inherited from /Pages nodes
+        res = _dict_value_deep(body, b"Resources")
+        if res is not None:
+            break
+        par = _dict_value(body, b"Parent")
+        ref = _REF_RE.fullmatch(par.strip()) if par else None
+        if ref is None or int(ref.group(1)) not in objs:
+            return {}
+        body = objs[int(ref.group(1))]
+    if res is None:
+        return {}
+    ref = _REF_RE.fullmatch(res) if not res.startswith(b"<<") else None
+    if ref is not None:
+        res = objs.get(int(ref.group(1)), b"")
+    fonts_tok = _dict_value_deep(res, b"Font") or b""
+    ref = (_REF_RE.fullmatch(fonts_tok)
+           if not fonts_tok.startswith(b"<<") else None)
+    if ref is not None:
+        fonts_tok = objs.get(int(ref.group(1)), b"")
+    out: dict[str, tuple[int, dict[int, str]]] = {}
+    for fm in re.finditer(rb"/([^\s/\[\]()<>]+)\s+(\d+)\s+\d+\s+R",
+                          fonts_tok):
+        font_body = objs.get(int(fm.group(2)))
+        if font_body is None:
+            continue
+        tu = _dict_value(font_body, b"ToUnicode")
+        tref = _REF_RE.fullmatch(tu.strip()) if tu else None
+        if tref is None or int(tref.group(1)) not in objs:
+            continue
+        stream = _stream_of(objs[int(tref.group(1))], objs)
+        if stream is None:
+            continue
+        try:
+            out[fm.group(1).decode("latin-1")] = _parse_tounicode(stream)
+        except (ValueError, IndexError):
+            continue  # malformed CMap degrades only this font
+    return out
+
+
+def _apply_cmap(raw: bytes, nbytes: int, cmap: dict[int, str]) -> str:
+    """Shown-string bytes → unicode through a ToUnicode map. Unmapped
+    codes fall back to the code point itself (pypdf-compatible
+    leniency); a trailing partial code is dropped."""
+    out = []
+    for i in range(0, len(raw) - len(raw) % nbytes, nbytes):
+        code = int.from_bytes(raw[i:i + nbytes], "big")
+        out.append(cmap.get(
+            code, chr(code) if code < 0xD800 else "�"))
+    return "".join(out)
+
+
+class _Str(str):
+    """A decoded PDF string operand that still remembers its raw bytes —
+    a /ToUnicode CMap (when the active font has one) maps CODES, so the
+    show operators must be able to re-decode from bytes, not text."""
+
+    __slots__ = ("raw",)
+    raw: bytes
+
+    def __new__(cls, text: str, raw: bytes) -> "_Str":
+        s = super().__new__(cls, text)
+        s.raw = raw
+        return s
+
+
+def _decode_pdf_string(tok: bytes) -> _Str:
     """Literal `(...)` (escapes, octal, nested parens already balanced by
     the tokenizer) or hex `<...>` string → text. UTF-16BE BOM honored;
-    otherwise latin-1 (≈ PDFDocEncoding for the printable range)."""
+    otherwise latin-1 (≈ PDFDocEncoding for the printable range). The
+    raw bytes ride along on the result for CMap-aware re-decoding."""
     if tok.startswith(b"<"):
         hx = re.sub(rb"[^0-9A-Fa-f]", b"", tok[1:-1])
         if len(hx) % 2:
@@ -175,8 +326,8 @@ def _decode_pdf_string(tok: bytes) -> str:
                 i += 1
         raw = bytes(out)
     if raw.startswith(b"\xfe\xff"):
-        return raw[2:].decode("utf-16-be", errors="replace")
-    return raw.decode("latin-1")
+        return _Str(raw[2:].decode("utf-16-be", errors="replace"), raw)
+    return _Str(raw.decode("latin-1"), raw)
 
 
 # Sentinel markers for TJ array delimiters: decoded literal strings whose
@@ -201,16 +352,28 @@ _CONTENT_TOKEN_RE = re.compile(
     rb"|[A-Za-z'\"*]+")
 
 
-def _content_runs(content: bytes) -> list[tuple[float, float, str]]:
+def _content_runs(
+    content: bytes,
+    fonts: dict[str, tuple[int, dict[int, str]]] | None = None,
+) -> list[tuple[float, float, str]]:
     """Scan one content stream for text runs → [(y, x, text)] in paint
     order. Tracks the text line matrix translation only (no scaling/font
-    metrics — enough for reading-order text extraction)."""
+    metrics — enough for reading-order text extraction). ``fonts`` maps
+    font resource names to parsed /ToUnicode CMaps; Tf selects the
+    active one and shown strings re-decode through it."""
     runs: list[tuple[float, float, str]] = []
     tx = ty = 0.0
     leading = 12.0
+    cur_cmap: tuple[int, dict[int, str]] | None = None
     stack: list[object] = []  # operand stack: floats and decoded strings
 
+    def mapped(s: str) -> str:
+        if cur_cmap is not None and isinstance(s, _Str):
+            return _apply_cmap(s.raw, cur_cmap[0], cur_cmap[1])
+        return s
+
     def show(s: str) -> None:
+        s = mapped(s)
         if s:
             runs.append((ty, tx, s))
 
@@ -252,16 +415,24 @@ def _content_runs(content: bytes) -> list[tuple[float, float, str]]:
                 show(stack[-1])
             elif op == "TJ":
                 # concatenate the string items since the matching '['
+                # (each mapped individually — joining first would lose
+                # the raw bytes the CMap needs)
                 parts = []
                 for item in reversed(stack):
                     if item is _LBRACK:
                         break
                     if isinstance(item, str):
-                        parts.append(item)
+                        parts.append(mapped(item))
                 show("".join(reversed(parts)))
             elif op in ("'", '"') and stack and isinstance(stack[-1], str):
                 ty -= leading
                 show(stack[-1])
+            elif op == "Tf" and len(stack) >= 2 \
+                    and isinstance(stack[-2], str) \
+                    and not isinstance(stack[-2], _Str) \
+                    and stack[-2].startswith("/"):
+                # font selection persists across BT/ET (graphics state)
+                cur_cmap = (fonts or {}).get(stack[-2][1:])
             elif op == "BT":
                 tx = ty = 0.0
             stack.clear()
@@ -848,10 +1019,14 @@ def _pages_from_objs(
             s = stream_of(body)
             if s is not None:
                 streams.append(s)
+        try:
+            fonts = _font_cmaps(body, objs)
+        except Exception:
+            fonts = {}  # malformed resources never cost the page text
         lines: list[str] = []
         for s in streams:
             try:
-                runs = _content_runs(s)
+                runs = _content_runs(s, fonts)
             except Exception:
                 continue  # one malformed stream degrades only this page
             for y, x, text in runs:

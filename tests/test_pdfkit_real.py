@@ -42,7 +42,13 @@ def _build_pdf(pages: list[bytes], *, flate: bool = False,
             content_nums[i],
             b"<< " + filt + b"/Length " + str(len(data)).encode()
             + b" >>\nstream\n" + data + b"\nendstream"))
+    return _assemble(objs)
 
+
+def _assemble(objs: list[tuple[int, bytes]]) -> bytes:
+    """Object list → full PDF file with a correct xref table + trailer.
+    Objects must be numbered 1..n consecutively (the xref subsection is
+    written as one 0..n block in list order)."""
     out = bytearray(b"%PDF-1.4\n")
     offsets = {}
     for num, body in objs:
@@ -781,3 +787,98 @@ def test_filter_chain_hex_then_lzw():
     pdf = _with_filter(_build_pdf([enc]), enc,
                        b"[/ASCIIHexDecode /LZWDecode]")
     assert extract_pdf_text(_as_text(pdf)) == "chained filters\n"
+
+
+# --- /ToUnicode CMaps (ISO 32000-1 §9.10.3): CID/Type0 and custom-encoded
+# fonts whose shown bytes are codes, not text ---
+
+_CMAP_2BYTE = (b"/CIDInit /ProcSet findresource begin\n"
+               b"begincmap\n"
+               b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+               b"3 beginbfchar\n"
+               b"<0001> <0048>\n<0002> <0069>\n<0003> <0021>\n"  # H i !
+               b"endbfchar\n"
+               b"1 beginbfrange\n<0010> <0012> <0041>\nendbfrange\n"  # A-C
+               b"endcmap\nend")
+
+
+def _build_pdf_with_fonts(content: bytes, cmap: bytes, *,
+                          res_on_pages: bool = False) -> bytes:
+    """One page, /F1 = Type0 font with the given /ToUnicode stream,
+    /F2 = a plain font without one. ``res_on_pages`` moves /Resources
+    to the parent /Pages node (inheritance path)."""
+    res = b" /Resources << /Font << /F1 5 0 R /F2 7 0 R >> >>"
+    objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1"
+            + (res if res_on_pages else b"") + b" >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+            b" /Contents 4 0 R" + (b"" if res_on_pages else res) + b" >>"),
+        (4, b"<< /Length " + str(len(content)).encode()
+            + b" >>\nstream\n" + content + b"\nendstream"),
+        (5, b"<< /Type /Font /Subtype /Type0 /BaseFont /Fake"
+            b" /ToUnicode 6 0 R >>"),
+        (6, b"<< /Length " + str(len(cmap)).encode()
+            + b" >>\nstream\n" + cmap + b"\nendstream"),
+        (7, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+    ]
+    return _assemble(objs)
+
+
+def test_tounicode_bfchar_and_bfrange():
+    content = (b"BT /F1 12 Tf 72 700 Td <000100020003> Tj ET\n"
+               b"BT /F1 12 Tf 72 686 Td <001000110012> Tj ET")
+    pdf = _build_pdf_with_fonts(content, _CMAP_2BYTE)
+    assert extract_pdf_text(_as_text(pdf)) == "Hi!\nABC\n"
+
+
+def test_tounicode_font_switch_and_tj_array():
+    """Tf switches mid-page: /F1 strings go through the CMap (incl. each
+    TJ array item individually), /F2 strings keep latin-1."""
+    content = (b"BT /F1 12 Tf 72 700 Td [<0001> -20 <00020003>] TJ ET\n"
+               b"BT /F2 12 Tf 72 686 Td (plain latin) Tj ET")
+    pdf = _build_pdf_with_fonts(content, _CMAP_2BYTE)
+    assert extract_pdf_text(_as_text(pdf)) == "Hi!\nplain latin\n"
+
+
+def test_tounicode_resources_inherited_from_pages_node():
+    content = b"BT /F1 12 Tf 72 700 Td <000100020003> Tj ET"
+    pdf = _build_pdf_with_fonts(content, _CMAP_2BYTE, res_on_pages=True)
+    assert extract_pdf_text(_as_text(pdf)) == "Hi!\n"
+
+
+def test_parse_tounicode_units():
+    from extract_ocr_spark.kernels.pdfkit import (_apply_cmap,
+                                                  _parse_tounicode)
+    nbytes, cmap = _parse_tounicode(_CMAP_2BYTE)
+    assert nbytes == 2
+    assert cmap[1] == "H" and cmap[0x12] == "C"
+    assert _apply_cmap(b"\x00\x01\x00\x02", 2, cmap) == "Hi"
+    # unmapped code falls back to the code point; trailing partial dropped
+    assert _apply_cmap(b"\x00\x41\x00", 2, cmap) == "A"
+
+    # 1-byte simple-font map with a multi-char (ligature) destination
+    # and the array form of bfrange
+    simple = (b"1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+              b"1 beginbfchar\n<61> <006600660069>\nendbfchar\n"  # a -> ffi
+              b"1 beginbfrange\n<62> <63> [<0058> <0059>]\nendbfrange\n")
+    nb, cm = _parse_tounicode(simple)
+    assert nb == 1
+    assert _apply_cmap(b"abc", 1, cm) == "ffiXY"
+
+    # hostile range size is ignored, bounded memory
+    nb2, cm2 = _parse_tounicode(
+        b"1 beginbfrange\n<0000> <FFFFFF> <0041>\nendbfrange\n")
+    assert cm2 == {}
+
+
+def test_dict_value_deep_nested():
+    from extract_ocr_spark.kernels.pdfkit import (_dict_value,
+                                                  _dict_value_deep)
+    body = b"<< /Resources << /Font << /F1 5 0 R >> /XObject << >> >> >>"
+    deep = _dict_value_deep(body, b"Resources")
+    assert deep == b"<< /Font << /F1 5 0 R >> /XObject << >> >>"
+    # the generic helper truncates at the first '>>' (why deep exists)
+    assert _dict_value(body, b"Resources") != deep
+    # non-dict values fall through identically
+    assert _dict_value_deep(b"<< /Parent 2 0 R >>", b"Parent") == b"2 0 R"

@@ -146,20 +146,7 @@ def _dict_value_deep(body: bytes, key: bytes) -> bytes | None:
     i = m.end()
     if body[i:i + 2] != b"<<":
         return _dict_value(body, key)
-    depth, j = 0, i
-    while j < len(body) - 1:
-        pair = body[j:j + 2]
-        if pair == b"<<":
-            depth += 1
-            j += 2
-        elif pair == b">>":
-            depth -= 1
-            j += 2
-            if depth == 0:
-                return body[i:j]
-        else:
-            j += 1
-    return None
+    return _balanced_dict(body, i)
 
 
 # -- /ToUnicode CMaps (ISO 32000-1 §9.10.3): code → unicode for fonts
@@ -205,20 +192,32 @@ def _parse_tounicode(data: bytes) -> tuple[int, dict[int, str]]:
                     cmap[lo_i + off] = u16(d)
             else:
                 base = u16(dst[1:-1])
+                last = ord(base[-1]) if base else 0
                 for off in range(hi_i - lo_i + 1):
-                    # the increment applies to the LAST UTF-16 code unit
-                    cmap[lo_i + off] = (
-                        base[:-1] + chr(ord(base[-1]) + off) if base
-                        else "")
+                    # the increment applies to the LAST UTF-16 code unit;
+                    # a step into the surrogate range (or past the
+                    # codepoint ceiling) maps to U+FFFD — lone surrogates
+                    # would blow up the first downstream UTF-8 encode
+                    cp = last + off
+                    if base and cp <= 0x10FFFF \
+                            and not 0xD800 <= cp <= 0xDFFF:
+                        cmap[lo_i + off] = base[:-1] + chr(cp)
+                    else:
+                        cmap[lo_i + off] = "�" if base else ""
     return nbytes, cmap
 
 
-def _font_cmaps(page_body: bytes, objs: dict[int, bytes]
+def _font_cmaps(page_body: bytes, objs: dict[int, bytes],
+                cache: dict[int, tuple[int, dict[int, str]] | None]
+                | None = None,
                 ) -> dict[str, tuple[int, dict[int, str]]]:
     """Resolve the page's /Resources /Font dict (following /Parent
-    inheritance and indirect refs) → {font name: parsed /ToUnicode}.
-    Fonts without a ToUnicode stream are simply absent — their strings
-    keep the default latin-1/UTF-16 decoding."""
+    inheritance, indirect refs, and inline font dicts) → {font name:
+    parsed /ToUnicode}. Fonts without a ToUnicode stream are simply
+    absent — their strings keep the default latin-1/UTF-16 decoding.
+    ``cache`` memoizes parsed CMaps by ToUnicode object number: fonts
+    are shared document-wide, so without it a 1000-page file would
+    decompress and re-parse the same CMap stream 1000 times."""
     body, res = page_body, None
     for _ in range(8):  # /Resources may be inherited from /Pages nodes
         res = _dict_value_deep(body, b"Resources")
@@ -240,23 +239,63 @@ def _font_cmaps(page_body: bytes, objs: dict[int, bytes]
     if ref is not None:
         fonts_tok = objs.get(int(ref.group(1)), b"")
     out: dict[str, tuple[int, dict[int, str]]] = {}
-    for fm in re.finditer(rb"/([^\s/\[\]()<>]+)\s+(\d+)\s+\d+\s+R",
-                          fonts_tok):
-        font_body = objs.get(int(fm.group(2)))
-        if font_body is None:
-            continue
+    for name, font_body in _iter_font_entries(fonts_tok, objs):
         tu = _dict_value(font_body, b"ToUnicode")
         tref = _REF_RE.fullmatch(tu.strip()) if tu else None
-        if tref is None or int(tref.group(1)) not in objs:
+        if tref is None:
             continue
-        stream = _stream_of(objs[int(tref.group(1))], objs)
-        if stream is None:
-            continue
-        try:
-            out[fm.group(1).decode("latin-1")] = _parse_tounicode(stream)
-        except (ValueError, IndexError):
-            continue  # malformed CMap degrades only this font
+        tnum = int(tref.group(1))
+        if cache is not None and tnum in cache:
+            parsed = cache[tnum]
+        else:
+            parsed = None
+            if tnum in objs:
+                stream = _stream_of(objs[tnum], objs)
+                if stream is not None:
+                    try:
+                        parsed = _parse_tounicode(stream)
+                    except (ValueError, IndexError):
+                        parsed = None  # malformed CMap: only this font
+            if cache is not None:
+                cache[tnum] = parsed
+        if parsed is not None:
+            out[name] = parsed
     return out
+
+
+def _iter_font_entries(fonts_tok: bytes, objs: dict[int, bytes]
+                       ) -> list[tuple[str, bytes]]:
+    """Entries of a /Font dict token: (name, font dict body) for both
+    indirect refs (`/F1 5 0 R`) and legal inline dicts
+    (`/F1 << ... >>`), skipping names nested inside inline values."""
+    entries: list[tuple[str, bytes]] = []
+    if not fonts_tok.startswith(b"<<"):
+        return entries
+    name_re = re.compile(rb"/([^\s/\[\]()<>]+)\s*")
+    ref_re = re.compile(rb"(\d+)\s+\d+\s+R")
+    i = 2
+    while i < len(fonts_tok) - 2:
+        m = name_re.match(fonts_tok, i)
+        if m is None:
+            i += 1
+            continue
+        name, j = m.group(1).decode("latin-1"), m.end()
+        if fonts_tok[j:j + 2] == b"<<":
+            val = _balanced_dict(fonts_tok, j)
+            if val is None:
+                break
+            entries.append((name, val))
+            i = j + len(val)
+        else:
+            rm = ref_re.match(fonts_tok, j)
+            if rm is not None:
+                body = objs.get(int(rm.group(1)))
+                if body is not None:
+                    entries.append((name, body))
+                i = rm.end()
+            else:
+                i = j
+    return entries
 
 
 def _apply_cmap(raw: bytes, nbytes: int, cmap: dict[int, str]) -> str:
@@ -994,6 +1033,7 @@ def _pages_from_objs(
                     if re.search(rb"/Type\s*/Page\b", b)]
 
     pages: list[tuple[int, str, int]] = []
+    cmap_cache: dict[int, tuple[int, dict[int, str]] | None] = {}
     for pid in page_ids:
         body = objs[pid]
         contents = _dict_value(body, b"Contents") or b""
@@ -1020,20 +1060,23 @@ def _pages_from_objs(
             if s is not None:
                 streams.append(s)
         try:
-            fonts = _font_cmaps(body, objs)
+            fonts = _font_cmaps(body, objs, cmap_cache)
         except Exception:
             fonts = {}  # malformed resources never cost the page text
         lines: list[str] = []
-        for s in streams:
-            try:
-                runs = _content_runs(s, fonts)
-            except Exception:
-                continue  # one malformed stream degrades only this page
-            for y, x, text in runs:
-                # \f too: layout pages are form-feed-delimited, so a form
-                # feed inside a shown string would split phantom pages
-                clean = (text.replace("\n", " ").replace("\r", " ")
-                         .replace("\f", " "))
-                lines.append(f"@{-y:g},{x:g}:{clean}")
+        # A /Contents array is ONE logical stream (ISO 32000-1 §7.8.2) —
+        # producers split it at arbitrary points, even mid-BT — so text
+        # state (Tf font selection, tx/ty, leading) must carry across
+        # the parts: join before one parse.
+        try:
+            runs = _content_runs(b"\n".join(streams), fonts)
+        except Exception:
+            runs = []  # a malformed stream degrades only this page
+        for y, x, text in runs:
+            # \f too: layout pages are form-feed-delimited, so a form
+            # feed inside a shown string would split phantom pages
+            clean = (text.replace("\n", " ").replace("\r", " ")
+                     .replace("\f", " "))
+            lines.append(f"@{-y:g},{x:g}:{clean}")
         pages.append((pid, "\n".join(lines), unresolved))
     return pages, missing_kids

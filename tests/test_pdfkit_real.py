@@ -882,3 +882,56 @@ def test_dict_value_deep_nested():
     assert _dict_value(body, b"Resources") != deep
     # non-dict values fall through identically
     assert _dict_value_deep(b"<< /Parent 2 0 R >>", b"Parent") == b"2 0 R"
+
+
+def test_tounicode_state_spans_contents_array():
+    """A /Contents ARRAY is one logical stream: a Tf (and Td) in part
+    one applies to strings shown in part two."""
+    part1 = b"BT /F1 12 Tf 72 700 Td "
+    part2 = b"<000100020003> Tj ET"
+    res = b" /Resources << /Font << /F1 6 0 R >> >>"
+    objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+            b" /Contents [4 0 R 5 0 R]" + res + b" >>"),
+        (4, b"<< /Length " + str(len(part1)).encode()
+            + b" >>\nstream\n" + part1 + b"\nendstream"),
+        (5, b"<< /Length " + str(len(part2)).encode()
+            + b" >>\nstream\n" + part2 + b"\nendstream"),
+        (6, b"<< /Type /Font /Subtype /Type0 /ToUnicode 7 0 R >>"),
+        (7, b"<< /Length " + str(len(_CMAP_2BYTE)).encode()
+            + b" >>\nstream\n" + _CMAP_2BYTE + b"\nendstream"),
+    ]
+    assert extract_pdf_text(_as_text(_assemble(objs))) == "Hi!\n"
+
+
+def test_tounicode_inline_font_dict():
+    """/Font entries may be direct (inline) dictionaries, not refs."""
+    content = b"BT /F1 12 Tf 72 700 Td <000100020003> Tj ET"
+    res = (b" /Resources << /Font << /F1 << /Type /Font /Subtype /Type0"
+           b" /ToUnicode 5 0 R >> >> >>")
+    objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+            b" /Contents 4 0 R" + res + b" >>"),
+        (4, b"<< /Length " + str(len(content)).encode()
+            + b" >>\nstream\n" + content + b"\nendstream"),
+        (5, b"<< /Length " + str(len(_CMAP_2BYTE)).encode()
+            + b" >>\nstream\n" + _CMAP_2BYTE + b"\nendstream"),
+    ]
+    assert extract_pdf_text(_as_text(_assemble(objs))) == "Hi!\n"
+
+
+def test_bfrange_into_surrogates_yields_replacement():
+    """A bfrange whose increment steps into the UTF-16 surrogate block
+    must emit U+FFFD, never a lone surrogate (the first downstream
+    UTF-8 encode — Spark/Arrow — would raise on one)."""
+    from extract_ocr_spark.kernels.pdfkit import _parse_tounicode
+    _, cmap = _parse_tounicode(
+        b"1 beginbfrange\n<0001> <0010> <D7F8>\nendbfrange\n")
+    assert cmap[0x0001] == "ퟸ"
+    assert cmap[0x000F] == "�"          # D7F8 + E = D806: surrogate
+    for v in cmap.values():
+        v.encode("utf-8")               # every value survives encoding

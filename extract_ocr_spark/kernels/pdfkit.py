@@ -237,7 +237,9 @@ def _font_cmaps(page_body: bytes, objs: dict[int, bytes],
     ref = (_REF_RE.fullmatch(fonts_tok)
            if not fonts_tok.startswith(b"<<") else None)
     if ref is not None:
-        fonts_tok = objs.get(int(ref.group(1)), b"")
+        # an object BODY (between `obj` and `endobj`) leads with the
+        # newline after the keyword — strip it or the dict guard fails
+        fonts_tok = objs.get(int(ref.group(1)), b"").strip()
     out: dict[str, tuple[int, dict[int, str]]] = {}
     for name, font_body in _iter_font_entries(fonts_tok, objs):
         tu = _dict_value(font_body, b"ToUnicode")
@@ -272,7 +274,6 @@ def _iter_font_entries(fonts_tok: bytes, objs: dict[int, bytes]
     if not fonts_tok.startswith(b"<<"):
         return entries
     name_re = re.compile(rb"/([^\s/\[\]()<>]+)\s*")
-    ref_re = re.compile(rb"(\d+)\s+\d+\s+R")
     i = 2
     while i < len(fonts_tok) - 2:
         m = name_re.match(fonts_tok, i)
@@ -287,7 +288,7 @@ def _iter_font_entries(fonts_tok: bytes, objs: dict[int, bytes]
             entries.append((name, val))
             i = j + len(val)
         else:
-            rm = ref_re.match(fonts_tok, j)
+            rm = _REF_RE.match(fonts_tok, j)
             if rm is not None:
                 body = objs.get(int(rm.group(1)))
                 if body is not None:

@@ -935,3 +935,23 @@ def test_bfrange_into_surrogates_yields_replacement():
     assert cmap[0x000F] == "�"          # D7F8 + E = D806: surrogate
     for v in cmap.values():
         v.encode("utf-8")               # every value survives encoding
+
+
+def test_tounicode_indirect_font_dict():
+    """/Font itself may be an indirect reference; the resolved object
+    BODY leads with whitespace and must still parse (regression: the
+    inline-dict guard rejected it and silently dropped every CMap)."""
+    content = b"BT /F1 12 Tf 72 700 Td <000100020003> Tj ET"
+    objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+            b" /Contents 4 0 R /Resources << /Font 7 0 R >> >>"),
+        (4, b"<< /Length " + str(len(content)).encode()
+            + b" >>\nstream\n" + content + b"\nendstream"),
+        (5, b"<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>"),
+        (6, b"<< /Length " + str(len(_CMAP_2BYTE)).encode()
+            + b" >>\nstream\n" + _CMAP_2BYTE + b"\nendstream"),
+        (7, b"<< /F1 5 0 R >>"),
+    ]
+    assert extract_pdf_text(_as_text(_assemble(objs))) == "Hi!\n"

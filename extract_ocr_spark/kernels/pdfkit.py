@@ -207,6 +207,92 @@ def _parse_tounicode(data: bytes) -> tuple[int, dict[int, str]]:
     return nbytes, cmap
 
 
+# Standard glyph names (Adobe Glyph List subset: ASCII punctuation +
+# digits + the common typographic extras); single-char names (A-Z, a-z)
+# and the algorithmic uniXXXX / uXXXX(XX) forms are handled in code.
+_GLYPH_NAMES = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "ellipsis": "…", "fi": "ﬁ", "fl": "ﬂ",
+    "germandbls": "ß", "eacute": "é", "egrave": "è", "agrave": "à",
+    "ccedilla": "ç", "adieresis": "ä", "odieresis": "ö",
+    "udieresis": "ü", "ntilde": "ñ", "degree": "°", "copyright": "©",
+    "registered": "®", "trademark": "™", "Euro": "€",
+    "sterling": "£", "yen": "¥", "cent": "¢", "section": "§",
+    "paragraph": "¶", "dagger": "†", "daggerdbl": "‡",
+    "nbspace": " ", "minus": "−", "multiply": "×",
+    "divide": "÷", "plusminus": "±",
+}
+
+
+def _glyph_to_unicode(name: str) -> str | None:
+    """Glyph name → unicode: single-char names are themselves, uniXXXX /
+    uXXXX(XX) are algorithmic (Adobe Glyph List rules), the rest via
+    the standard-name table; None = unknown (code stays unmapped)."""
+    if len(name) == 1:
+        return name
+    if name.startswith("uni") and len(name) >= 7 \
+            and (len(name) - 3) % 4 == 0:
+        try:  # uniXXXX[XXXX...]: sequence of UTF-16 code units
+            units = [int(name[i:i + 4], 16)
+                     for i in range(3, len(name) - 3, 4)]
+            raw = b"".join(u.to_bytes(2, "big") for u in units)
+            return raw.decode("utf-16-be", errors="replace")
+        except ValueError:
+            return None
+    if name.startswith("u") and 5 <= len(name) <= 7:
+        try:
+            cp = int(name[1:], 16)
+            if cp <= 0x10FFFF and not 0xD800 <= cp <= 0xDFFF:
+                return chr(cp)
+        except ValueError:
+            return None
+        return None
+    return _GLYPH_NAMES.get(name)
+
+
+def _differences_cmap(font_body: bytes, objs: dict[int, bytes]
+                      ) -> tuple[int, dict[int, str]] | None:
+    """A 1-byte code map from a simple font's /Encoding /Differences
+    array (codes interleaved with glyph names; each name assigns the
+    current code and increments it). Unknown glyph names leave their
+    code unmapped, falling back to the code point itself."""
+    enc = _dict_value_deep(font_body, b"Encoding")
+    if enc is None:
+        return None
+    ref = _REF_RE.fullmatch(enc) if not enc.startswith(b"<<") else None
+    if ref is not None:
+        enc = objs.get(int(ref.group(1)), b"").strip()
+    if not enc.startswith(b"<<"):
+        return None  # a base-encoding name alone: default decode is fine
+    diffs = _dict_value(enc, b"Differences")
+    if diffs is None:
+        return None
+    cmap: dict[int, str] = {}
+    code = 0
+    for m in re.finditer(rb"(\d+)|/([^\s/\[\]()<>]+)", diffs):
+        if m.group(1) is not None:
+            code = int(m.group(1))
+        else:
+            u = _glyph_to_unicode(m.group(2).decode("latin-1"))
+            if u is not None and 0 <= code <= 0xFF:
+                cmap[code] = u  # out-of-range codes skipped, never wrapped
+            code += 1
+    return (1, cmap) if cmap else None
+
+
 def _font_cmaps(page_body: bytes, objs: dict[int, bytes],
                 cache: dict[int, tuple[int, dict[int, str]] | None]
                 | None = None,
@@ -245,6 +331,11 @@ def _font_cmaps(page_body: bytes, objs: dict[int, bytes],
         tu = _dict_value(font_body, b"ToUnicode")
         tref = _REF_RE.fullmatch(tu.strip()) if tu else None
         if tref is None:
+            # no ToUnicode: a simple font may still remap codes via
+            # /Encoding /Differences (no stream decompress — uncached)
+            diff = _differences_cmap(font_body, objs)
+            if diff is not None:
+                out[name] = diff
             continue
         tnum = int(tref.group(1))
         if cache is not None and tnum in cache:

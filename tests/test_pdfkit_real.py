@@ -955,3 +955,38 @@ def test_tounicode_indirect_font_dict():
         (7, b"<< /F1 5 0 R >>"),
     ]
     assert extract_pdf_text(_as_text(_assemble(objs))) == "Hi!\n"
+
+
+def test_differences_encoding_remap():
+    """A simple font's /Encoding /Differences remaps codes to glyph
+    names: code 65 ('A') shows as '0', 66 as '1' (named glyphs), 67 via
+    the algorithmic uniXXXX form; unmapped codes keep their code point.
+    ToUnicode, when present, wins (not exercised here — see CMap tests)."""
+    content = b"BT /F1 12 Tf 72 700 Td (ABCD) Tj ET"
+    res = b" /Resources << /Font << /F1 5 0 R >> >>"
+    objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+            b" /Contents 4 0 R" + res + b" >>"),
+        (4, b"<< /Length " + str(len(content)).encode()
+            + b" >>\nstream\n" + content + b"\nendstream"),
+        (5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Custom"
+            b" /Encoding << /Type /Encoding /BaseEncoding /WinAnsiEncoding"
+            b" /Differences [ 65 /zero /one /uni20AC ] >> >>"),
+    ]
+    # 65->'0', 66->'1', 67->'€' (uni20AC), 68 unmapped -> 'D'
+    assert extract_pdf_text(_as_text(_assemble(objs))) == "01€D\n"
+
+
+def test_glyph_name_resolution_units():
+    from extract_ocr_spark.kernels.pdfkit import _glyph_to_unicode
+    assert _glyph_to_unicode("A") == "A"
+    assert _glyph_to_unicode("comma") == ","
+    assert _glyph_to_unicode("emdash") == "—"
+    assert _glyph_to_unicode("uni0041") == "A"
+    assert _glyph_to_unicode("uni00660066") == "ff"  # two code units
+    assert _glyph_to_unicode("u1F600") == "😀"
+    assert _glyph_to_unicode("uD800") is None        # surrogate refused
+    assert _glyph_to_unicode("notaglyph") is None
+    assert _glyph_to_unicode("unixyzw") is None      # bad hex

@@ -474,6 +474,15 @@ _LBRACK = _ArrayMark(True)
 _RBRACK = _ArrayMark(False)
 
 
+# Inline images (ISO 32000-1 §8.9.7): `BI <dict> ID <binary> EI`. The
+# binary payload is NOT PDF syntax — a stray '(' or 'Tj' inside it would
+# garble the tokenizer's view of everything after — so when BI appears
+# as an OPERATOR token (never inside a string: the tokenizer consumes
+# strings atomically) the scan jumps past ID..EI. EI is the first
+# whitespace-delimited occurrence after ID — pypdf's heuristic.
+_INLINE_ID_RE = re.compile(rb"\bID[ \t\r\n]")
+_INLINE_EI_RE = re.compile(rb"\sEI(?![0-9A-Za-z])")
+
 _CONTENT_TOKEN_RE = re.compile(
     rb"\((?:[^()\\]|\\.|\([^()]*\))*\)"   # literal string (1 nesting level)
     rb"|<[0-9A-Fa-f\s]*>"                  # hex string
@@ -516,8 +525,20 @@ def _content_runs(
         return len(stack) >= n and all(
             isinstance(v, float) for v in stack[-n:])
 
-    for m in _CONTENT_TOKEN_RE.finditer(content):
+    pos = 0
+    while True:
+        m = _CONTENT_TOKEN_RE.search(content, pos)
+        if m is None:
+            break
+        pos = m.end()
         tok = m.group(0)
+        if tok == b"BI":  # inline image: skip the binary payload
+            idm = _INLINE_ID_RE.search(content, pos)
+            eim = (_INLINE_EI_RE.search(content, idm.end())
+                   if idm else None)
+            pos = eim.end() if eim else len(content)
+            stack.clear()
+            continue
         c0 = tok[:1]
         if c0 in b"(<":
             stack.append(_decode_pdf_string(tok))

@@ -990,3 +990,17 @@ def test_glyph_name_resolution_units():
     assert _glyph_to_unicode("uD800") is None        # surrogate refused
     assert _glyph_to_unicode("notaglyph") is None
     assert _glyph_to_unicode("unixyzw") is None      # bad hex
+
+
+def test_inline_image_binary_does_not_garble_text():
+    """BI..ID <binary> EI payloads are not PDF syntax: binary bytes that
+    happen to contain '(' and 'Tj' must not emit phantom text or swallow
+    the real text after the image; 'BI' inside a shown string is text."""
+    binary = b"\x89\x00(fake) Tj \xff\x01BT 9 9 Td (ghost) Tj ET\x02"
+    content = (b"BT 72 700 Td (before image) Tj ET\n"
+               b"BI /W 2 /H 2 /BPC 8 /CS /RGB ID " + binary + b" EI\n"
+               b"BT 72 686 Td (after image) Tj ET\n"
+               b"BT 72 672 Td (BI is not an image here) Tj ET")
+    got = extract_pdf_text(_as_text(_build_pdf([content])))
+    assert got == ("before image\nafter image\n"
+                   "BI is not an image here\n")

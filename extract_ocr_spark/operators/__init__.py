@@ -53,7 +53,7 @@ def all_queries():
         "consolidated_index", "markdown_link_rewrite", "url_scope_filter",
         "export_counts_events", "robots_gate",
         # queries new in r5 — never driver-checked yet
-        "bfs_frontier",
+        "bfs_frontier", "chunk_documents", "bm25_search",
     )
     order = [n for n in front if n in queries] + [
         n for n in queries if n not in front]

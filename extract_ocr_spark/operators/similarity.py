@@ -300,3 +300,107 @@ ORACLES = {
     "embedding_neardup_lsh": EMBEDDING_NEARDUP_LSH_SQL,
     "ann_topk_ivf": ANN_TOPK_IVF_SQL,
 }
+
+
+# --- BM25 keyword retrieval (lexical twin of the ANN queries) ----------
+
+BM25_TERMS = ("spark", "join", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 25
+
+
+def bm25_search_df(docs: DataFrame, terms=BM25_TERMS, k1: float = BM25_K1,
+                   b: float = BM25_B, topk: int = BM25_TOPK) -> DataFrame:
+    """Okapi BM25 retrieval over the documents table for a literal query
+    (idf = ln(1 + (N-df+0.5)/(df+0.5)), the Lucene non-negative form).
+
+    Scale: the ``isin(terms)`` filter lands *before* the (doc_id, term)
+    aggregation, so the shuffle carries only matching postings — at
+    10^12 docs that is |postings(terms)| rows, not the corpus. Corpus
+    stats (N, avgdl) are a single-row aggregate and the per-term df
+    table has |terms| rows; both join in broadcast. Per-term score
+    contributions are summed in a FIXED written order (one conditional
+    sum per term, then ``c_t1 + c_t2 + ...``) so Spark and the oracle
+    add the identical float terms in the identical order — no
+    summation-order flakiness at the round() boundary (the lm_nll
+    lesson). Top-k orders by the *rounded* score with a doc_id
+    tie-break, deterministic on both sides."""
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    wl = docs.select(
+        "doc_id", F.size(words).alias("dl"), F.explode(words).alias("w"))
+    tf = (wl.where(F.col("w").isin(list(terms)))
+            .groupBy("doc_id", "dl", "w").agg(F.count("*").alias("tf")))
+    stats = docs.select(
+        F.count("*").cast("double").alias("n"),
+        F.avg(F.size(words)).alias("avgdl"))
+    dfreq = tf.groupBy("w").agg(F.count("*").cast("double").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(dfreq), "w").crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id", "w",
+            (F.log(F.lit(1.0)
+                   + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+             * (F.col("tf") * (k1 + 1.0))
+             / (F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+             ).alias("c")))
+    agg = contrib.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_terms_hit"),
+        *[F.sum(F.when(F.col("w") == t, F.col("c"))).alias(f"c_{t}")
+          for t in terms])
+    score = F.lit(0.0)
+    for t in terms:
+        score = score + F.coalesce(F.col(f"c_{t}"), F.lit(0.0))
+    return (agg.select(
+                "doc_id", "n_terms_hit", F.round(score, 6).alias("score"))
+            .orderBy(F.desc("score"), "doc_id").limit(topk))
+
+
+def bm25_search(spark, sf_dir):
+    return bm25_search_df(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _bm25_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    # identical fixed-order sum: 0.0 + c_t1 + c_t2 + ... (matches the
+    # Spark fold above term-for-term)
+    parts = " ".join(
+        f"+ coalesce(sum(c) FILTER (w = '{t}'), 0.0)" for t in BM25_TERMS)
+    k1p1 = BM25_K1 + 1.0
+    one_minus_b = 1.0 - BM25_B
+    return rf"""
+WITH w AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS dl,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents
+), tf AS (
+  SELECT doc_id, dl, w, count(*) AS tf FROM w
+  WHERE w IN ({terms}) GROUP BY doc_id, dl, w
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         avg(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS avgdl
+  FROM documents
+), dfreq AS (
+  SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY w
+), contrib AS (
+  SELECT t.doc_id, t.w,
+         ln(1.0 + (s.n - d.df + 0.5)/(d.df + 0.5)) *
+         (t.tf * {k1p1!r}) /
+         (t.tf + {BM25_K1!r}*({one_minus_b!r} + {BM25_B!r}*t.dl/s.avgdl)) AS c
+  FROM tf t JOIN dfreq d ON t.w = d.w CROSS JOIN stats s
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_terms_hit,
+       round(0.0 {parts}, 6) AS score
+FROM contrib GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT {BM25_TOPK}
+"""
+
+
+BM25_SEARCH_SQL = _bm25_sql()
+
+QUERIES["bm25_search"] = bm25_search
+ORACLES["bm25_search"] = BM25_SEARCH_SQL

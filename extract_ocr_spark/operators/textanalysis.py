@@ -467,3 +467,66 @@ ORDER BY occ.doc_id
 
 QUERIES["lm_nll_scores"] = lm_nll_scores
 ORACLES["lm_nll_scores"] = LM_NLL_SCORES_SQL
+
+
+# --- Token-window chunking (training-data prep) ------------------------
+
+CHUNK_WIN = 20
+CHUNK_STRIDE = 10
+
+
+def chunk_documents_df(docs: DataFrame, win: int = CHUNK_WIN,
+                       stride: int = CHUNK_STRIDE) -> DataFrame:
+    """Sliding token-window chunking: each document becomes overlapping
+    chunks of ``win`` whitespace tokens starting every ``stride`` tokens
+    (the standard long-document → context-window prep step that
+    ``pack_sequences`` assumes already happened).
+
+    Scale: one narrow projection + explode — no shuffle at all (the
+    ``orderBy`` is presentation-level determinism for the oracle
+    protocol). The token array is built once per row and sliced per
+    chunk inside whole-stage codegen; output size is
+    ceil(tokens/stride) rows per doc, linear in input."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.select(
+        "doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    return (
+        base.select(
+            "doc_id", "toks",
+            F.explode(F.sequence(
+                F.lit(0), F.col("n") - 1, F.lit(stride))).alias("st"))
+        .select(
+            "doc_id",
+            (F.col("st") / stride).cast("long").alias("chunk_id"),
+            F.slice("toks", F.col("st") + 1, F.lit(win)).alias("c"))
+        .select(
+            "doc_id", "chunk_id",
+            F.size("c").cast("long").alias("chunk_tokens"),
+            F.array_join("c", " ").alias("chunk_text"))
+        .orderBy("doc_id", "chunk_id"))
+
+
+def chunk_documents(spark, sf_dir):
+    return chunk_documents_df(_docs(spark, sf_dir))
+
+
+# DuckDB list slices are 1-based and end-inclusive: toks[st+1 : st+WIN]
+# is exactly WIN elements (clamped at the tail), mirroring
+# F.slice(toks, st+1, WIN).
+CHUNK_DOCUMENTS_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, toks,
+         unnest(range(0, len(toks), {CHUNK_STRIDE})) AS st
+  FROM t
+)
+SELECT doc_id, CAST(st // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(len(toks[st+1 : st+{CHUNK_WIN}]) AS BIGINT) AS chunk_tokens,
+       array_to_string(toks[st+1 : st+{CHUNK_WIN}], ' ') AS chunk_text
+FROM s ORDER BY doc_id, chunk_id
+"""
+
+QUERIES["chunk_documents"] = chunk_documents
+ORACLES["chunk_documents"] = CHUNK_DOCUMENTS_SQL

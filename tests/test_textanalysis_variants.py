@@ -55,3 +55,53 @@ def test_lm_nll_scores_ranks_gibberish_above_common(spark, tmp_path):
            for r in lm_nll_scores(spark, str(tmp_path)).collect()}
     assert got[100] > got[0] + 1.0  # gibberish clearly less probable
     assert all(got[i] == got[0] for i in range(1, 20))  # identical docs tie
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    """25 tokens at win=10/stride=5 → starts 0,5,10,15,20 with the last
+    two chunks clamped at the tail; text reconstructs from the tokens."""
+    from extract_ocr_spark.operators.textanalysis import chunk_documents_df
+
+    words = [f"w{i}" for i in range(25)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string")
+    got = chunk_documents_df(docs, win=10, stride=5).collect()
+    assert [(r["chunk_id"], r["chunk_tokens"]) for r in got] == [
+        (0, 10), (1, 10), (2, 10), (3, 10), (4, 5)]
+    assert got[0]["chunk_text"] == " ".join(words[:10])
+    assert got[3]["chunk_text"] == " ".join(words[15:25])
+    assert got[4]["chunk_text"] == " ".join(words[20:25])
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    from extract_ocr_spark.operators.textanalysis import chunk_documents_df
+
+    docs = spark.createDataFrame(
+        [(7, "just three words")], "doc_id long, text string")
+    got = chunk_documents_df(docs, win=10, stride=5).collect()
+    assert len(got) == 1
+    assert (got[0]["chunk_id"], got[0]["chunk_tokens"],
+            got[0]["chunk_text"]) == (0, 3, "just three words")
+
+
+def test_bm25_prefers_higher_tf_and_shorter_docs(spark):
+    """Okapi ordering sanity: more query-term hits beats fewer; at equal
+    tf the shorter document scores higher (length normalization)."""
+    from extract_ocr_spark.operators.similarity import bm25_search_df
+
+    filler = " ".join(["pad"] * 40)
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join window " + filler),     # all three terms
+            (2, "spark spark " + filler),           # tf=2, one term
+            (3, "spark " + filler),                 # tf=1, long
+            (4, "spark pad pad"),                   # tf=1, short
+            (5, filler),                            # no hit
+        ],
+        "doc_id long, text string")
+    got = bm25_search_df(docs).collect()
+    by_id = {r["doc_id"]: r for r in got}
+    assert 5 not in by_id  # zero-hit docs never surface
+    assert by_id[1]["n_terms_hit"] == 3
+    assert by_id[1]["score"] > by_id[2]["score"] > by_id[3]["score"]
+    assert by_id[4]["score"] > by_id[3]["score"]  # shorter doc wins at tf=1

@@ -623,21 +623,24 @@ def _stream_of(body: bytes, objs: dict[int, bytes]) -> bytes | None:
     # /Filter may be a single name or an array of filters listed in
     # DECODE order (data was encoded in reverse): apply each in turn.
     # Supported: FlateDecode, LZWDecode, RunLengthDecode, ASCIIHexDecode,
-    # ASCII85Decode — the text-stream filters pypdf handles in practice;
-    # image filters (DCT/JPX/CCITT) and crypt stay documented out of
-    # scope (None ⇒ stream skipped).
-    m = re.search(rb"/Filter\s*(\[[^\]]*\]|/\w+)", body[:sm.start()])
-    for name in re.findall(rb"/(\w+)", m.group(1)) if m else []:
+    # ASCII85Decode — the text-stream filters pypdf handles in practice —
+    # each with its /DecodeParms /Predictor (TIFF 2 and PNG 10-15)
+    # applied after the filter's decode; image filters (DCT/JPX/CCITT)
+    # and crypt stay documented out of scope (None ⇒ stream skipped).
+    head = body[:sm.start()]
+    m = re.search(rb"/Filter\s*(\[[^\]]*\]|/\w+)", head)
+    names = re.findall(rb"/(\w+)", m.group(1)) if m else []
+    parms_list = _decode_parms_list(head, len(names), objs)
+    for name, parms in zip(names, parms_list):
         try:
             if name == b"FlateDecode":
-                raw = zlib.decompress(raw)
+                raw = _apply_predictor(zlib.decompress(raw), parms)
             elif name == b"LZWDecode":
-                # /EarlyChange lives in /DecodeParms (default 1); an
-                # indirect parms dict is rare enough to fall back on.
-                parms = _dict_value(body[:sm.start()], b"DecodeParms")
+                # /EarlyChange defaults to 1; an indirect parms dict is
+                # rare enough to fall back on.
                 ec = _dict_value(parms, b"EarlyChange") if parms else None
-                raw = _lzw_decode(
-                    raw, early=int(ec.split()[0]) if ec else 1)
+                raw = _apply_predictor(_lzw_decode(
+                    raw, early=int(ec.split()[0]) if ec else 1), parms)
             elif name == b"RunLengthDecode":
                 raw = _rle_decode(raw)
             elif name == b"ASCIIHexDecode":
@@ -657,6 +660,101 @@ def _stream_of(body: bytes, objs: dict[int, bytes]) -> bytes | None:
         except Exception:
             return None
     return raw
+
+
+def _decode_parms_list(head: bytes, n: int,
+                       objs: dict[int, bytes]) -> list[bytes | None]:
+    """Per-filter /DecodeParms from a stream dict head: a single dict
+    applies to the (first) filter; the array form holds one element per
+    filter in decode order, ``null`` meaning none. Indirect refs resolve
+    through ``objs`` (dropping a ref would silently skip a predictor
+    and emit garbled bytes as page text)."""
+
+    def _resolve(tok: bytes) -> bytes | None:
+        ref = _REF_RE.fullmatch(tok.strip())
+        if ref is None:
+            return None
+        # object bodies keep their leading EOL — strip before the guard
+        b = objs.get(int(ref.group(1)), b"").strip()
+        return b if b.startswith(b"<<") else None
+
+    m = re.search(rb"/DecodeParms\s*", head)
+    if m is None:
+        return [None] * n
+    i = m.end()
+    if head[i:i + 2] == b"<<":
+        return [_balanced_dict(head, i)] + [None] * max(0, n - 1)
+    if head[i:i + 1] != b"[":
+        ref_m = re.compile(rb"\d+\s+\d+\s+R").match(head, i)
+        if ref_m is not None:
+            return [_resolve(ref_m.group(0))] + [None] * max(0, n - 1)
+        return [None] * n
+    out: list[bytes | None] = []
+    i += 1
+    while i < len(head) and len(out) < n:
+        while i < len(head) and head[i] in b" \t\r\n":
+            i += 1
+        if head[i:i + 1] == b"]":
+            break
+        if head[i:i + 2] == b"<<":
+            d = _balanced_dict(head, i)
+            if d is None:
+                break
+            out.append(d)
+            i += len(d)
+        else:
+            ref_m = re.compile(rb"\d+\s+\d+\s+R").match(head, i)
+            if ref_m is not None:
+                out.append(_resolve(ref_m.group(0)))
+                i = ref_m.end()
+                continue
+            # null / number / name — no parms for this filter
+            out.append(None)
+            nm = re.compile(rb"[^\s\]<]+").match(head, i)
+            i = nm.end() if nm else i + 1
+    return out + [None] * (n - len(out))
+
+
+def _apply_predictor(raw: bytes, parms: bytes | None) -> bytes:
+    """Reverse the /Predictor a Flate/LZW stream was encoded with
+    (ISO 32000-1 §7.4.4.4): 1 = none, 2 = TIFF horizontal differencing,
+    10-15 = PNG row filters. Raises on unsupported shapes (sub-byte TIFF
+    components) so the filter chain skips the stream instead of emitting
+    garbage."""
+    if not parms:
+        return raw
+
+    def _int(key: bytes, default: int) -> int:
+        tok = _dict_value(parms, key)
+        return int(tok.split()[0]) if tok else default
+
+    pred = _int(b"Predictor", 1)
+    if pred <= 1:
+        return raw
+    colors = _int(b"Colors", 1)
+    bpc = _int(b"BitsPerComponent", 8)
+    columns = _int(b"Columns", 1)
+    if pred == 2:
+        if bpc != 8:
+            raise ValueError("TIFF predictor with sub-byte components")
+        return _unpredict_tiff(raw, columns, colors)
+    if 10 <= pred <= 15:
+        bpp = max(1, (colors * bpc + 7) // 8)
+        rowlen = (columns * colors * bpc + 7) // 8
+        return _unpredict_png(raw, rowlen, bpp)
+    raise ValueError(f"unknown predictor {pred}")
+
+
+def _unpredict_tiff(raw: bytes, columns: int, colors: int) -> bytes:
+    """Reverse TIFF predictor 2 (8-bit components): each byte was stored
+    as the difference from the same component one pixel to the left,
+    per row of ``columns`` pixels."""
+    rowlen = columns * colors
+    out = bytearray(raw)
+    for r0 in range(0, len(out), rowlen):
+        for j in range(r0 + colors, min(r0 + rowlen, len(out))):
+            out[j] = (out[j] + out[j - colors]) & 0xFF
+    return bytes(out)
 
 
 def _lzw_decode(data: bytes, early: int = 1) -> bytes:
@@ -777,11 +875,11 @@ def _balanced_dict(data: bytes, start: int) -> bytes | None:
     return None
 
 
-def _unpredict_png(raw: bytes, columns: int) -> bytes:
-    """Reverse PNG row filters (predictors 10-15) for xref-stream data:
-    one filter-type byte per row, bytes-per-pixel = 1 (xref /W columns
-    are byte fields)."""
-    rowlen = columns
+def _unpredict_png(raw: bytes, rowlen: int, bpp: int = 1) -> bytes:
+    """Reverse PNG row filters (predictors 10-15): one filter-type byte
+    per row of ``rowlen`` bytes; the "left" reference is ``bpp`` bytes
+    back (bytes per pixel — 1 for xref /W byte fields, colors×bpc/8 for
+    multi-component streams)."""
     out = bytearray()
     prev = bytearray(rowlen)
     i = 0
@@ -792,20 +890,20 @@ def _unpredict_png(raw: bytes, columns: int) -> bytes:
             break  # truncated final row: drop it
         i += 1 + rowlen
         if ft == 1:  # Sub
-            for j in range(1, rowlen):
-                row[j] = (row[j] + row[j - 1]) & 0xFF
+            for j in range(bpp, rowlen):
+                row[j] = (row[j] + row[j - bpp]) & 0xFF
         elif ft == 2:  # Up
             for j in range(rowlen):
                 row[j] = (row[j] + prev[j]) & 0xFF
         elif ft == 3:  # Average
             for j in range(rowlen):
-                left = row[j - 1] if j else 0
+                left = row[j - bpp] if j >= bpp else 0
                 row[j] = (row[j] + ((left + prev[j]) >> 1)) & 0xFF
         elif ft == 4:  # Paeth
             for j in range(rowlen):
-                a = row[j - 1] if j else 0
+                a = row[j - bpp] if j >= bpp else 0
                 b = prev[j]
-                c = prev[j - 1] if j else 0
+                c = prev[j - bpp] if j >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
@@ -872,18 +970,11 @@ def _parse_xref_stream(data: bytes, off: int,
     body = m.group(3)
     if not re.search(rb"/Type\s*/XRef\b", body):
         raise ValueError("object at startxref is not an XRef stream")
+    # /DecodeParms predictors (PNG 10-15 on xref streams in practice)
+    # are applied inside _stream_of along with the filter chain.
     raw = _stream_of(body, {})
     if raw is None:
         raise ValueError("undecodable xref stream")
-    parms = _dict_value(body, b"DecodeParms")
-    if parms:
-        pred = _dict_value(parms, b"Predictor")
-        if pred and int(pred.split()[0]) >= 10:
-            cols_tok = _dict_value(parms, b"Columns")
-            raw = _unpredict_png(
-                raw, int(cols_tok.split()[0]) if cols_tok else 1)
-        elif pred and int(pred.split()[0]) > 1:
-            raise ValueError("unsupported xref predictor")
     w_tok = _dict_value(body, b"W") or b""
     widths = [int(x) for x in _NUM_RE.findall(w_tok)]
     if len(widths) != 3:

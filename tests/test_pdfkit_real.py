@@ -1004,3 +1004,142 @@ def test_inline_image_binary_does_not_garble_text():
     got = extract_pdf_text(_as_text(_build_pdf([content])))
     assert got == ("before image\nafter image\n"
                    "BI is not an image here\n")
+
+
+def _png_up_encode(data: bytes, columns: int) -> bytes:
+    """Forward PNG Up (filter type 2) prediction per row of `columns`
+    bytes; data must be a row multiple."""
+    assert len(data) % columns == 0
+    out = bytearray()
+    prev = b"\x00" * columns
+    for r0 in range(0, len(data), columns):
+        row = data[r0:r0 + columns]
+        out += b"\x02" + bytes((row[j] - prev[j]) & 0xFF
+                               for j in range(columns))
+        prev = row
+    return bytes(out)
+
+
+def _tiff2_encode(data: bytes, columns: int) -> bytes:
+    """Forward TIFF predictor 2 (colors=1 bpc=8): horizontal byte diffs
+    per row of `columns` bytes."""
+    out = bytearray()
+    for r0 in range(0, len(data), columns):
+        row = data[r0:r0 + columns]
+        out += bytes([row[0]]) + bytes((row[j] - row[j - 1]) & 0xFF
+                                       for j in range(1, len(row)))
+    return bytes(out)
+
+
+def _predictor_pdf(stream_dict: bytes, payload: bytes) -> bytes:
+    """catalog → pages → page → one content stream with a caller-built
+    stream dict (filters/parms) around `payload`."""
+    return _assemble([
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R >>"),
+        (4, b"<< " + stream_dict + b" /Length "
+            + str(len(payload)).encode() + b" >>\nstream\n" + payload
+            + b"\nendstream"),
+    ])
+
+
+def test_flate_png_predictor_on_content_stream():
+    """Predictors are legal on ANY LZW/Flate stream, not just xref
+    streams — a PNG-predicted Flate content stream must decode."""
+    import zlib as _z
+
+    content = b"BT 72 700 Td (png predicted body) Tj ET"
+    cols = 10
+    content += b" " * (-len(content) % cols)  # pad to a row multiple
+    payload = _z.compress(_png_up_encode(content, cols))
+    pdf = _predictor_pdf(
+        b"/Filter /FlateDecode "
+        b"/DecodeParms << /Predictor 12 /Columns 10 >>", payload)
+    assert extract_pdf_text(_as_text(pdf)) == "png predicted body\n"
+
+
+def test_tiff_predictor2_on_content_stream():
+    import zlib as _z
+
+    content = b"BT 72 700 Td (tiff predicted body) Tj ET"
+    cols = 8
+    content += b" " * (-len(content) % cols)
+    payload = _z.compress(_tiff2_encode(content, cols))
+    pdf = _predictor_pdf(
+        b"/Filter /FlateDecode "
+        b"/DecodeParms << /Predictor 2 /Columns 8 >>", payload)
+    assert extract_pdf_text(_as_text(pdf)) == "tiff predicted body\n"
+
+
+def test_decodeparms_array_aligns_with_filter_chain():
+    """/Filter [/ASCII85Decode /FlateDecode] with /DecodeParms
+    [null <<...>>]: the predictor belongs to the SECOND filter."""
+    import base64
+    import zlib as _z
+
+    content = b"BT 72 700 Td (chained parms body) Tj ET"
+    cols = 7
+    content += b" " * (-len(content) % cols)
+    payload = base64.a85encode(
+        _z.compress(_png_up_encode(content, cols))) + b"~>"
+    pdf = _predictor_pdf(
+        b"/Filter [/ASCII85Decode /FlateDecode] "
+        b"/DecodeParms [null << /Predictor 12 /Columns 7 >>]", payload)
+    assert extract_pdf_text(_as_text(pdf)) == "chained parms body\n"
+
+
+def test_png_predictor_multibyte_pixels():
+    """bpp = Colors×BPC/8 > 1: the Sub filter references bpp bytes back,
+    not the previous byte."""
+    from extract_ocr_spark.kernels.pdfkit import (_apply_predictor,
+                                                  _unpredict_png)
+
+    # 2 rows × 2 pixels × 3 components, Sub filter (type 1)
+    row1 = bytes([10, 20, 30, 15, 27, 41])
+    row2 = bytes([5, 6, 7, 8, 9, 10])
+
+    def sub_encode(row, bpp):
+        return bytes(
+            [b if j < bpp else (b - row[j - bpp]) & 0xFF
+             for j, b in enumerate(row)])
+
+    raw = b"\x01" + sub_encode(row1, 3) + b"\x01" + sub_encode(row2, 3)
+    assert _unpredict_png(raw, 6, 3) == row1 + row2
+    parms = b"<< /Predictor 11 /Colors 3 /BitsPerComponent 8 /Columns 2 >>"
+    assert _apply_predictor(raw, parms) == row1 + row2
+
+
+def test_unknown_predictor_skips_stream_not_garbage():
+    import zlib as _z
+
+    content = b"BT 72 700 Td (never seen) Tj ET"
+    payload = _z.compress(content)
+    pdf = _predictor_pdf(
+        b"/Filter /FlateDecode /DecodeParms << /Predictor 99 >>", payload)
+    got = extract_pdf_text(_as_text(pdf))
+    assert "never seen" not in got  # stream skipped, not misdecoded
+
+
+def test_indirect_decodeparms_resolves():
+    """/DecodeParms as an indirect reference must resolve through the
+    object map — dropping it would leave the stream predicted and emit
+    garbled bytes as page text."""
+    import zlib as _z
+
+    content = b"BT 72 700 Td (indirect parms body) Tj ET"
+    cols = 9
+    content += b" " * (-len(content) % cols)
+    payload = _z.compress(_png_up_encode(content, cols))
+    pdf = _assemble([
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R >>"),
+        (4, b"<< /Filter /FlateDecode /DecodeParms 5 0 R /Length "
+            + str(len(payload)).encode() + b" >>\nstream\n" + payload
+            + b"\nendstream"),
+        (5, b"<< /Predictor 12 /Columns 9 >>"),
+    ])
+    assert extract_pdf_text(_as_text(pdf)) == "indirect parms body\n"

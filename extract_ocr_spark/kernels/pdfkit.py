@@ -628,8 +628,14 @@ def _stream_of(body: bytes, objs: dict[int, bytes]) -> bytes | None:
     # applied after the filter's decode; image filters (DCT/JPX/CCITT)
     # and crypt stay documented out of scope (None ⇒ stream skipped).
     head = body[:sm.start()]
-    m = re.search(rb"/Filter\s*(\[[^\]]*\]|/\w+)", head)
-    names = re.findall(rb"/(\w+)", m.group(1)) if m else []
+    m = re.search(rb"/Filter\s*(\[[^\]]*\]|/\w+|\d+\s+\d+\s+R)", head)
+    ftok = m.group(1) if m else b""
+    fref = _REF_RE.fullmatch(ftok.strip())
+    if fref is not None:
+        # indirect /Filter — unresolved it would hand back the raw
+        # compressed bytes as "decoded" (silent text loss)
+        ftok = objs.get(int(fref.group(1)), b"").strip()
+    names = re.findall(rb"/(\w+)", ftok)
     parms_list = _decode_parms_list(head, len(names), objs)
     for name, parms in zip(names, parms_list):
         try:
@@ -683,11 +689,14 @@ def _decode_parms_list(head: bytes, n: int,
         return [None] * n
     i = m.end()
     if head[i:i + 2] == b"<<":
-        return [_balanced_dict(head, i)] + [None] * max(0, n - 1)
+        # a single dict with a /Filter array broadcasts to every filter
+        # (pypdf's behavior for this malformed-but-common producer
+        # shape) — only Flate/LZW consult the predictor anyway
+        return [_balanced_dict(head, i)] * n
     if head[i:i + 1] != b"[":
         ref_m = re.compile(rb"\d+\s+\d+\s+R").match(head, i)
         if ref_m is not None:
-            return [_resolve(ref_m.group(0))] + [None] * max(0, n - 1)
+            return [_resolve(ref_m.group(0))] * n
         return [None] * n
     out: list[bytes | None] = []
     i += 1

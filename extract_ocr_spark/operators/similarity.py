@@ -388,7 +388,7 @@ WITH w AS (
 ), contrib AS (
   SELECT t.doc_id, t.w,
          ln(1.0 + (s.n - d.df + 0.5)/(d.df + 0.5)) *
-         (t.tf * {k1p1!r}) /
+         (CAST(t.tf AS DOUBLE) * {k1p1!r}) /
          (t.tf + {BM25_K1!r}*({one_minus_b!r} + {BM25_B!r}*t.dl/s.avgdl)) AS c
   FROM tf t JOIN dfreq d ON t.w = d.w CROSS JOIN stats s
 )

@@ -1143,3 +1143,42 @@ def test_indirect_decodeparms_resolves():
         (5, b"<< /Predictor 12 /Columns 9 >>"),
     ])
     assert extract_pdf_text(_as_text(pdf)) == "indirect parms body\n"
+
+
+def test_single_decodeparms_dict_broadcasts_over_filter_array():
+    """A single /DecodeParms dict next to a /Filter ARRAY applies to
+    every filter (pypdf's reading of this malformed-but-common shape) —
+    assigning it only to the first filter silently loses the predictor
+    and with it the page text."""
+    import base64
+    import zlib as _z
+
+    content = b"BT 72 700 Td (broadcast parms body) Tj ET"
+    cols = 7
+    content += b" " * (-len(content) % cols)
+    payload = base64.a85encode(
+        _z.compress(_png_up_encode(content, cols))) + b"~>"
+    pdf = _predictor_pdf(
+        b"/Filter [/ASCII85Decode /FlateDecode] "
+        b"/DecodeParms << /Predictor 12 /Columns 7 >>", payload)
+    assert extract_pdf_text(_as_text(pdf)) == "broadcast parms body\n"
+
+
+def test_indirect_filter_resolves():
+    """/Filter stored as an indirect reference must resolve — otherwise
+    the raw compressed bytes come back as the 'decoded' stream and the
+    page silently extracts empty."""
+    import zlib as _z
+
+    content = b"BT 72 700 Td (indirect filter body) Tj ET"
+    payload = _z.compress(content)
+    pdf = _assemble([
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R >>"),
+        (4, b"<< /Filter 5 0 R /Length " + str(len(payload)).encode()
+            + b" >>\nstream\n" + payload + b"\nendstream"),
+        (5, b"/FlateDecode"),
+    ])
+    assert extract_pdf_text(_as_text(pdf)) == "indirect filter body\n"

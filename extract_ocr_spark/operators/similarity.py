@@ -315,46 +315,60 @@ def bm25_search_df(docs: DataFrame, terms=BM25_TERMS, k1: float = BM25_K1,
     """Okapi BM25 retrieval over the documents table for a literal query
     (idf = ln(1 + (N-df+0.5)/(df+0.5)), the Lucene non-negative form).
 
-    Scale: the ``isin(terms)`` filter lands *before* the (doc_id, term)
-    aggregation, so the shuffle carries only matching postings — at
-    10^12 docs that is |postings(terms)| rows, not the corpus. Corpus
-    stats (N, avgdl) are a single-row aggregate and the per-term df
-    table has |terms| rows; both join in broadcast. Per-term score
-    contributions are summed in a FIXED written order (one conditional
-    sum per term, then ``c_t1 + c_t2 + ...``) so Spark and the oracle
-    add the identical float terms in the identical order — no
-    summation-order flakiness at the round() boundary (the lm_nll
-    lesson). Top-k orders by the *rounded* score with a doc_id
-    tie-break, deterministic on both sides."""
+    Scale: SINGLE corpus pass — one explode feeding a per-doc
+    conditional aggregate (dl = exploded-token count, one tf counter
+    per query term). Map-side combine collapses each document to one
+    slim row before the only corpus-wide shuffle (the naive shape —
+    separate tf / df / stats branches — re-scans and re-explodes the
+    corpus three times; ``.explain`` showed exactly that before this
+    rewrite). Corpus stats (N, avgdl, per-term df) are ONE single-row
+    aggregate over the cached slim table, broadcast back; the contained
+    persist + eager-localCheckpoint lifecycle mirrors lm_nll_scores.
+    Per-term score contributions are summed in a FIXED written order
+    (``0.0 + c_t1 + c_t2 + ...``) so Spark and the oracle add the
+    identical float terms in the identical order — no summation-order
+    flakiness at the round() boundary (the lm_nll lesson). Top-k orders
+    by the *rounded* score with a doc_id tie-break, deterministic on
+    both sides."""
     words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    wl = docs.select(
-        "doc_id", F.size(words).alias("dl"), F.explode(words).alias("w"))
-    tf = (wl.where(F.col("w").isin(list(terms)))
-            .groupBy("doc_id", "dl", "w").agg(F.count("*").alias("tf")))
-    stats = docs.select(
-        F.count("*").cast("double").alias("n"),
-        F.avg(F.size(words)).alias("avgdl"))
-    dfreq = tf.groupBy("w").agg(F.count("*").cast("double").alias("df"))
-    contrib = (
-        tf.join(F.broadcast(dfreq), "w").crossJoin(F.broadcast(stats))
-        .select(
-            "doc_id", "w",
-            (F.log(F.lit(1.0)
-                   + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-             * (F.col("tf") * (k1 + 1.0))
-             / (F.col("tf")
-                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
-             ).alias("c")))
-    agg = contrib.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_terms_hit"),
-        *[F.sum(F.when(F.col("w") == t, F.col("c"))).alias(f"c_{t}")
-          for t in terms])
-    score = F.lit(0.0)
-    for t in terms:
-        score = score + F.coalesce(F.col(f"c_{t}"), F.lit(0.0))
-    return (agg.select(
-                "doc_id", "n_terms_hit", F.round(score, 6).alias("score"))
-            .orderBy(F.desc("score"), "doc_id").limit(topk))
+    wl = docs.select("doc_id", F.explode(words).alias("w"))
+    per_doc = wl.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        *[F.count(F.when(F.col("w") == t, 1)).alias(f"tf_{t}")
+          for t in terms]).persist()
+    try:
+        stats = per_doc.agg(
+            F.count("*").cast("double").alias("n"),
+            F.avg("dl").alias("avgdl"),
+            *[F.count(F.when(F.col(f"tf_{t}") > 0, 1)).cast("double")
+              .alias(f"df_{t}") for t in terms])
+
+        def _contrib(t: str):
+            tf = F.col(f"tf_{t}")
+            dfc = F.col(f"df_{t}")
+            idf = F.log(
+                F.lit(1.0) + (F.col("n") - dfc + 0.5) / (dfc + 0.5))
+            return F.when(
+                tf > 0,
+                idf * (tf * (k1 + 1.0))
+                / (tf + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+            ).otherwise(F.lit(0.0))
+
+        score = F.lit(0.0)
+        hits = F.lit(0).cast("long")
+        for t in terms:
+            score = score + _contrib(t)
+            hits = hits + (F.col(f"tf_{t}") > 0).cast("long")
+        result = (
+            per_doc.crossJoin(F.broadcast(stats))
+            .select("doc_id", hits.alias("n_terms_hit"),
+                    F.round(score, 6).alias("score"))
+            .where(F.col("n_terms_hit") > 0)
+            .orderBy(F.desc("score"), "doc_id").limit(topk)
+            .localCheckpoint(eager=True))
+    finally:
+        per_doc.unpersist()
+    return result
 
 
 def bm25_search(spark, sf_dir):

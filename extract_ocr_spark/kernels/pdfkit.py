@@ -119,9 +119,13 @@ def extract_pdf_text(layout_text: str | None) -> str:
 # stream (incl. PNG-predicted /W columns) → trailer `/Prev` (+ hybrid
 # `/XRefStm`) chain, newest revision first — falling back to scanning
 # `N G obj ... endobj` (plus ObjStm unpacking) when the xref machinery is
-# damaged or absent, which also survives mild corruption. Out of scope
-# (documented): CMap/Type0 font decoding, image filters (DCT/JPX/CCITT),
-# predictors on content streams, encrypted files.
+# damaged or absent, which also survives mild corruption. Encrypted
+# files (standard security handler: RC4 R2-R4, AES-128 /AESV2, AES-256
+# R5/R6) open with the empty user/owner password the way pypdf does;
+# /DecodeParms predictors apply to any Flate/LZW stream. Out of scope
+# (documented): image filters (DCT/JPX/CCITT), predefined non-Identity
+# CMaps, non-Standard security handlers, genuinely password-locked
+# files (parse-fail sentinel, never garbled output).
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.S)
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
@@ -1020,13 +1024,15 @@ def _parse_xref_stream(data: bytes, off: int,
     return []
 
 
-def _xref_objects(data: bytes) -> dict[int, bytes] | None:
+def _xref_objects(data: bytes, crypt=None) -> dict[int, bytes] | None:
     """Resolve objects via the xref machinery (the way the reference's
     pypdf path does — crawl.py:98-124): last `startxref` → table/stream →
     /Prev chain, newest revision first, already-seen object numbers never
     overridden (so stale pre-update bodies and freed-then-reused numbers
     resolve per xref, not per scan order). None = xref absent/damaged →
-    caller falls back to the scan."""
+    caller falls back to the scan. ``crypt`` decrypts direct objects'
+    stream payloads BEFORE ObjStm unpacking (packed objects emerge from
+    their decrypted container in plaintext)."""
     tail = data[-2048:]
     last = None
     for last in re.finditer(rb"startxref\s+(\d+)", tail):
@@ -1046,11 +1052,15 @@ def _xref_objects(data: bytes) -> dict[int, bytes] | None:
         else:
             queue.extend(_parse_xref_stream(data, off, entries))
     objs: dict[int, bytes] = {}
+    gens: dict[int, int] = {}
     for num, ent in entries.items():
         if ent[0] == "d":
             m = _OBJ_AT_RE.match(data, ent[1])
             if m is not None and int(m.group(1)) == num:
                 objs[num] = m.group(3)
+                gens[num] = int(m.group(2))
+    if crypt is not None:
+        objs = _decrypt_objs(objs, gens, crypt)
     by_stm: dict[int, list[tuple[int, int]]] = {}
     for num, ent in entries.items():
         if ent[0] == "s":
@@ -1067,7 +1077,7 @@ def _xref_objects(data: bytes) -> dict[int, bytes] | None:
     return objs or None
 
 
-def _scan_objects(data: bytes) -> dict[int, bytes]:
+def _scan_objects(data: bytes, crypt=None) -> dict[int, bytes]:
     """Object recovery by scanning `N G obj ... endobj` — the fallback
     when the xref machinery is absent or damaged.
 
@@ -1086,13 +1096,19 @@ def _scan_objects(data: bytes) -> dict[int, bytes]:
         if nxt != -1:
             first_eof = nxt
     objs: dict[int, bytes] = {}
+    gens: dict[int, int] = {}
     objstms: list[tuple[int, bytes]] = []  # (match start, body), file order
     for m in _OBJ_RE.finditer(data):
         num = int(m.group(1))
+        gen = int(m.group(2))
+        body = m.group(3)
+        if crypt is not None:
+            body = _decrypt_objs({num: body}, {num: gen}, crypt)[num]
         if num not in objs or (first_eof != -1 and m.start() > first_eof):
-            objs[num] = m.group(3)
-        if re.search(rb"/Type\s*/ObjStm\b", m.group(3)):
-            objstms.append((m.start(), m.group(3)))
+            objs[num] = body
+            gens[num] = gen
+        if re.search(rb"/Type\s*/ObjStm\b", body):
+            objstms.append((m.start(), body))
 
     # Object streams (/Type /ObjStm, PDF 1.5+): modern producers pack
     # non-stream objects — catalog, page tree, page dicts — inside one
@@ -1140,19 +1156,256 @@ def _is_encrypted(data: bytes) -> bool:
     return False
 
 
+def _string_token_at(body: bytes, i: int) -> bytes | None:
+    """The hex `<...>` or balanced literal `(...)` string token starting
+    at ``i`` (escape-aware), or None."""
+    if body[i:i + 1] == b"<":
+        j = body.find(b">", i)
+        return body[i:j + 1] if j != -1 else None
+    if body[i:i + 1] == b"(":
+        depth, j = 0, i
+        while j < len(body):
+            c = body[j]
+            if c == 0x5C:  # backslash escape
+                j += 2
+                continue
+            if c == 0x28:
+                depth += 1
+            elif c == 0x29:
+                depth -= 1
+                if depth == 0:
+                    return body[i:j + 1]
+            j += 1
+    return None
+
+
+def _string_value(body: bytes, key: bytes) -> bytes | None:
+    """Raw BYTES of the /key string entry. `_dict_value`'s generic token
+    regex truncates string values at '/', '>' or whitespace, so strings
+    get their own balanced parser."""
+    m = re.search(rb"/" + key + rb"(?![A-Za-z0-9])\s*", body)
+    if m is None:
+        return None
+    tok = _string_token_at(body, m.end())
+    return _decode_pdf_string(tok).raw if tok else None
+
+
+def _find_encrypt_context(data: bytes) -> tuple[bytes, bytes] | None:
+    """(encrypt dict bytes, first /ID string) from the trailer sections
+    — same real-trailer anchoring as `_is_encrypted`. The LAST match in
+    file order wins (newest revision)."""
+    found: tuple[bytes, bytes] | None = None
+    heads: list[bytes] = []
+    for m in re.finditer(rb"trailer\s*<<", data):
+        before = data[max(0, m.start() - 64):m.start()]
+        if re.search(rb"\d{10} \d{5} [nf]\s*$", before):
+            d = _balanced_dict(data, m.start())
+            if d:
+                heads.append(d)
+    for m in re.finditer(rb"/Type\s*/XRef\b", data):
+        w0 = max(0, m.start() - 2048)
+        om = None
+        for om in re.finditer(rb"\d+\s+\d+\s+obj\b", data[w0:m.start()]):
+            pass
+        if om is not None and data.find(b"stream", m.end(),
+                                        m.end() + 2048) != -1:
+            d = _balanced_dict(data, w0 + om.end())
+            if d:
+                heads.append(d)
+    for td in heads:
+        ev = _dict_value_deep(td, b"Encrypt")
+        if ev is None:
+            continue
+        ed = None
+        if ev.startswith(b"<<"):
+            ed = ev
+        else:
+            ref = _REF_RE.fullmatch(ev.strip())
+            if ref is not None:
+                om = None
+                for om in re.finditer(
+                        rb"(?<![0-9])" + ref.group(1)
+                        + rb"\s+\d+\s+obj\b(.*?)endobj", data, re.S):
+                    pass
+                if om is not None:
+                    ed = _balanced_dict(om.group(1), 0)
+        if ed is None:
+            continue
+        idv = _dict_value(td, b"ID")
+        id0 = b""
+        if idv is not None:
+            # first string element of the /ID array, hex or literal
+            sm2 = re.search(rb"[<(]", idv)
+            if sm2 is not None:
+                tok = _string_token_at(idv, sm2.start())
+                if tok is not None:
+                    id0 = _decode_pdf_string(tok).raw
+        found = (ed, id0)
+    return found
+
+
+def _build_decryptor(data: bytes):
+    """Standard-security-handler decryptor for a file whose trailer
+    carries /Encrypt, tried with the EMPTY user and owner passwords (the
+    ubiquitous "owner-locked, blank user password" shape pypdf opens
+    transparently — crawl.py:98-124 never passes a password either).
+    Returns ``crypt(num, gen, payload) -> bytes`` or None when the file
+    is genuinely password-locked or uses an unsupported handler."""
+    from .cryptokit import (aes_cbc_decrypt, authenticate_owner_password,
+                            authenticate_r6, authenticate_user_password,
+                            object_key, rc4)
+
+    ctx = _find_encrypt_context(data)
+    if ctx is None:
+        return None
+    ed, id0 = ctx
+    fm = re.search(rb"/Filter\s*/(\w+)", ed)
+    if fm is None or fm.group(1) != b"Standard":
+        return None
+
+    def _int_of(key: bytes, default: int | None = None) -> int | None:
+        tok = _dict_value(ed, key)
+        if tok is None:
+            return default
+        try:
+            return int(tok.split()[0])
+        except (ValueError, IndexError):
+            return default
+
+    v = _int_of(b"V", 0)
+    r = _int_of(b"R", 2)
+    p = _int_of(b"P", -1)
+    if p >= 2 ** 31:  # some producers write /P unsigned
+        p -= 2 ** 32
+    length_bits = _int_of(b"Length", 40)
+    o = _string_value(ed, b"O")
+    u = _string_value(ed, b"U")
+    if o is None or u is None:
+        return None
+    enc_meta = not re.search(rb"/EncryptMetadata\s*false", ed)
+
+    if v == 5 and r in (5, 6):
+        oe = _string_value(ed, b"OE")
+        ue = _string_value(ed, b"UE")
+        if oe is None or ue is None:
+            return None
+        key = authenticate_r6(b"", o, u, oe, ue, r)
+        if key is None:
+            return None
+
+        def crypt(num: int, gen: int, payload: bytes) -> bytes:
+            if len(payload) < 16:
+                return payload
+            return aes_cbc_decrypt(key, payload[:16], payload[16:])
+
+        return crypt
+
+    cfm = b"V2"  # RC4 with the file key — the V1/V2 behavior
+    if v == 4:
+        stmf = re.search(rb"/StmF\s*/(\w+)", ed)
+        stmf_name = stmf.group(1) if stmf else b"Identity"
+        if stmf_name == b"Identity":
+            return lambda num, gen, payload: payload
+        cf = _dict_value_deep(ed, b"CF")
+        cfd = _dict_value_deep(cf, stmf_name) if cf else None
+        cm = re.search(rb"/CFM\s*/(\w+)", cfd) if cfd else None
+        cfm = cm.group(1) if cm else b"V2"
+        if cfm not in (b"V2", b"AESV2"):
+            return None
+        cl = None
+        if cfd is not None:
+            clm = re.search(rb"/Length\s+(\d+)", cfd)
+            if clm is not None:
+                cl = int(clm.group(1))
+        if cl is not None:
+            # crypt-filter /Length is in BYTES per spec, but some
+            # producers write bits — normalize like pypdf does
+            length_bits = cl * 8 if cl <= 16 else cl
+    elif v not in (1, 2) or r not in (2, 3, 4):
+        return None
+
+    key = authenticate_user_password(b"", o, u, p, id0, r, length_bits,
+                                     enc_meta)
+    if key is None:
+        key = authenticate_owner_password(b"", o, u, p, id0, r,
+                                          length_bits, enc_meta)
+    if key is None:
+        return None
+
+    if cfm == b"AESV2":
+        def crypt(num: int, gen: int, payload: bytes) -> bytes:
+            ok = object_key(key, num, gen, aes=True)
+            if len(payload) < 16:
+                return payload
+            return aes_cbc_decrypt(ok, payload[:16], payload[16:])
+    else:
+        def crypt(num: int, gen: int, payload: bytes) -> bytes:
+            return rc4(object_key(key, num, gen), payload)
+
+    return crypt
+
+
+def _decrypt_objs(objs: dict[int, bytes], gens: dict[int, int],
+                  crypt) -> dict[int, bytes]:
+    """Decrypt every object's STREAM payload in place (strings outside
+    streams are not consumed by this reader). Runs on the resolved
+    object map BEFORE ObjStm unpacking, so packed objects come out of
+    their (decrypted) container already in plaintext — matching the
+    spec: ObjStm contents are never doubly encrypted. /Type /XRef
+    streams are skipped (never encrypted)."""
+    out: dict[int, bytes] = {}
+    for num, body in objs.items():
+        sm = re.search(rb"stream\r?\n", body)
+        if sm is None or re.search(rb"/Type\s*/XRef\b", body[:sm.start()]):
+            out[num] = body
+            continue
+        start = sm.end()
+        raw = None
+        ln = _dict_value(body[:sm.start()], b"Length")
+        if ln is not None:
+            ref = _REF_RE.fullmatch(ln.strip())
+            if ref is not None:
+                ln = objs.get(int(ref.group(1)), b"").strip()
+            try:
+                raw = body[start:start + int(ln)]
+            except ValueError:
+                raw = None
+        if raw is None:
+            em = re.search(rb"\r?\nendstream", body[start:])
+            if em is None:
+                out[num] = body
+                continue
+            raw = body[start:start + em.start()]
+        try:
+            dec = crypt(num, gens.get(num, 0), raw)
+        except Exception:
+            out[num] = body  # undecryptable stream: leave as-is (skipped)
+            continue
+        head = body[:sm.start()]
+        if len(dec) != len(raw):  # AES shrinks: keep /Length consistent
+            head = re.sub(
+                rb"/Length\s+\d+\s+\d+\s+R|/Length\s+\d+",
+                b"/Length " + str(len(dec)).encode(), head, count=1)
+        out[num] = head + b"stream\n" + dec + b"\nendstream"
+    return out
+
+
 def _pdf_bytes_to_layout(data: bytes) -> str:
     """Real PDF bytes → the synthetic layout encoding consumed by
     ``extract_pdf_text`` (pages joined with \\f, runs as `@<-y>,<x>:`
     positioned lines so top-of-page sorts first)."""
+    crypt = None
     if _is_encrypted(data):
-        # No decryption support (the reference's pypdf path equally
-        # refuses without a password): string/stream bytes are RC4/AES
-        # ciphertext, so "extraction" would emit garbage — fail loudly
-        # into the parse-fail sentinel instead.
-        raise ValueError("encrypted PDF (/Encrypt in trailer)")
+        # Standard security handler, tried with empty user/owner
+        # passwords (the reference's pypdf path opens those the same
+        # way). Genuinely locked or non-standard files still fail
+        # loudly into the parse-fail sentinel — never garbled output.
+        crypt = _build_decryptor(data)
+        if crypt is None:
+            raise ValueError("encrypted PDF (password or unsupported)")
     xref_objs: dict[int, bytes] | None
     try:
-        xref_objs = _xref_objects(data)
+        xref_objs = _xref_objects(data, crypt)
     except Exception:
         xref_objs = None
     # The xref path must actually reach a page tree to be trusted —
@@ -1174,7 +1427,7 @@ def _pdf_bytes_to_layout(data: bytes) -> str:
         # `N G obj` scan survives that kind of mild corruption. Merge
         # PER PAGE so intact pages keep the xref's (freed-object-safe)
         # text and only the stale ones adopt the scan's recovery.
-        scan_pages, _ = _pages_from_objs(_scan_objects(data))
+        scan_pages, _ = _pages_from_objs(_scan_objects(data, crypt))
         if tree_missing and len(scan_pages) > len(xref_pages):
             # the page tree itself lost members: the scan's walk carries
             # the full page order — prefer xref's version per page where
@@ -1195,7 +1448,7 @@ def _pdf_bytes_to_layout(data: bytes) -> str:
                 lay = alt  # stale /Contents: adopt the scan's recovery
             out.append(lay)
         return "\f".join(out)
-    pages, _ = _pages_from_objs(_scan_objects(data))
+    pages, _ = _pages_from_objs(_scan_objects(data, crypt))
     return "\f".join(lay for _, lay, _ in pages)
 
 

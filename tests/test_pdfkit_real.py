@@ -45,10 +45,12 @@ def _build_pdf(pages: list[bytes], *, flate: bool = False,
     return _assemble(objs)
 
 
-def _assemble(objs: list[tuple[int, bytes]]) -> bytes:
+def _assemble(objs: list[tuple[int, bytes]],
+              trailer_extra: bytes = b"") -> bytes:
     """Object list → full PDF file with a correct xref table + trailer.
     Objects must be numbered 1..n consecutively (the xref subsection is
-    written as one 0..n block in list order)."""
+    written as one 0..n block in list order). ``trailer_extra`` lands
+    inside the trailer dict (e.g. /Encrypt + /ID for encrypted files)."""
     out = bytearray(b"%PDF-1.4\n")
     offsets = {}
     for num, body in objs:
@@ -59,7 +61,8 @@ def _assemble(objs: list[tuple[int, bytes]]) -> bytes:
     for num, _ in objs:
         out += f"{offsets[num]:010d} 00000 n \n".encode()
     out += (b"trailer\n<< /Size " + str(len(objs) + 1).encode()
-            + b" /Root 1 0 R >>\nstartxref\n" + str(xref_at).encode()
+            + b" /Root 1 0 R " + trailer_extra
+            + b">>\nstartxref\n" + str(xref_at).encode()
             + b"\n%%EOF\n")
     return bytes(out)
 

@@ -87,6 +87,13 @@ def _gmul(a: int, b: int) -> int:
     return p
 
 
+# MixColumns coefficients precomputed as 256-entry tables at import —
+# the per-byte _gmul loop dominates pure-Python AES cost otherwise
+# (measured: ~10x on the R6 Algorithm-2.B derivation)
+_MUL = {c: bytes(_gmul(x, c) for x in range(256))
+        for c in (1, 2, 3, 9, 11, 13, 14)}
+
+
 def _expand_key(key: bytes) -> list[bytes]:
     """Key schedule → list of 16-byte round keys (11 for AES-128,
     15 for AES-256)."""
@@ -126,13 +133,13 @@ def _shift_rows(s: bytearray, inv: bool = False) -> None:
 
 def _mix_columns(s: bytearray, inv: bool = False) -> None:
     m = ((14, 11, 13, 9) if inv else (2, 3, 1, 1))
+    t0, t1, t2, t3 = (_MUL[m[0]], _MUL[m[1]], _MUL[m[2]], _MUL[m[3]])
     for c in range(4):
-        col = s[4 * c:4 * c + 4]
-        for r in range(4):
-            s[4 * c + r] = (_gmul(col[0], m[(0 - r) % 4])
-                            ^ _gmul(col[1], m[(1 - r) % 4])
-                            ^ _gmul(col[2], m[(2 - r) % 4])
-                            ^ _gmul(col[3], m[(3 - r) % 4]))
+        a0, a1, a2, a3 = s[4 * c:4 * c + 4]
+        s[4 * c] = t0[a0] ^ t1[a1] ^ t2[a2] ^ t3[a3]
+        s[4 * c + 1] = t3[a0] ^ t0[a1] ^ t1[a2] ^ t2[a3]
+        s[4 * c + 2] = t2[a0] ^ t3[a1] ^ t0[a2] ^ t1[a3]
+        s[4 * c + 3] = t1[a0] ^ t2[a1] ^ t3[a2] ^ t0[a3]
 
 
 def _encrypt_block(rks: list[bytes], block: bytes) -> bytes:

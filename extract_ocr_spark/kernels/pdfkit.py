@@ -1095,20 +1095,32 @@ def _scan_objects(data: bytes, crypt=None) -> dict[int, bytes]:
         nxt = data.find(b"%%EOF", first_eof + 5)
         if nxt != -1:
             first_eof = nxt
+    occurrences = [(m.start(), int(m.group(1)), int(m.group(2)),
+                    m.group(3)) for m in _OBJ_RE.finditer(data)]
     objs: dict[int, bytes] = {}
     gens: dict[int, int] = {}
-    objstms: list[tuple[int, bytes]] = []  # (match start, body), file order
-    for m in _OBJ_RE.finditer(data):
-        num = int(m.group(1))
-        gen = int(m.group(2))
-        body = m.group(3)
-        if crypt is not None:
-            body = _decrypt_objs({num: body}, {num: gen}, crypt)[num]
-        if num not in objs or (first_eof != -1 and m.start() > first_eof):
+    winner_at: dict[int, int] = {}
+    for start, num, gen, body in occurrences:
+        if num not in objs or (first_eof != -1 and start > first_eof):
             objs[num] = body
             gens[num] = gen
-        if re.search(rb"/Type\s*/ObjStm\b", body):
-            objstms.append((m.start(), body))
+            winner_at[num] = start
+    if crypt is not None:
+        # one full-map pass (indirect /Length refs resolve against it)
+        objs = _decrypt_objs(objs, gens, crypt)
+    objstms: list[tuple[int, bytes]] = []  # (match start, body), file order
+    for start, num, gen, body in occurrences:
+        if not re.search(rb"/Type\s*/ObjStm\b", body):
+            continue
+        if winner_at.get(num) == start:
+            body = objs[num]
+        elif crypt is not None:
+            # a superseded ObjStm occurrence still gets unpacked (its
+            # packed objects only land where not already seen), so its
+            # payload needs its own decryption pass
+            body = _decrypt_objs({num: body}, {num: gen}, crypt,
+                                 lookup=objs)[num]
+        objstms.append((start, body))
 
     # Object streams (/Type /ObjStm, PDF 1.5+): modern producers pack
     # non-stream objects — catalog, page tree, page dicts — inside one
@@ -1133,27 +1145,40 @@ def _scan_objects(data: bytes, crypt=None) -> dict[int, bytes]:
 _ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+\d+\s+\d+\s+R|/Encrypt\s*<<")
 
 
-def _is_encrypted(data: bytes) -> bool:
-    """True when a trailer carries /Encrypt. Anchored to REAL trailer
-    sections — a classic ``trailer <<`` that directly follows an
-    xref-table entry, or a ``/Type /XRef`` stream dict inside an object
-    header — so content text that merely mentions these tokens cannot
-    false-positive."""
+def _trailer_heads(data: bytes) -> list[bytes]:
+    """Balanced dict bytes of every REAL trailer section in file order —
+    a classic ``trailer <<`` that directly follows an xref-table entry,
+    or a ``/Type /XRef`` stream dict inside an object header. The
+    anchoring keeps content text that merely mentions these tokens from
+    false-positive-ing; ONE shared implementation serves both the
+    encryption gate and the decryptor's /Encrypt + /ID lookup."""
+    heads: list[bytes] = []
     for m in re.finditer(rb"trailer\s*<<", data):
         before = data[max(0, m.start() - 64):m.start()]
         # a classic trailer keyword sits right after the last 20-byte
         # xref table entry; a content-string mention does not
         if not re.search(rb"\d{10} \d{5} [nf]\s*$", before):
             continue
-        if _ENCRYPT_REF_RE.search(data, m.end(), m.end() + 2048):
-            return True
+        d = _balanced_dict(data, m.start())
+        if d:
+            heads.append(d)
     for m in re.finditer(rb"/Type\s*/XRef\b", data):
         w0 = max(0, m.start() - 2048)
-        if (re.search(rb"\d+\s+\d+\s+obj\b", data[w0:m.start()])
-                and data.find(b"stream", m.end(), m.end() + 2048) != -1
-                and _ENCRYPT_REF_RE.search(data, w0, m.end() + 2048)):
-            return True
-    return False
+        om = None
+        for om in re.finditer(rb"\d+\s+\d+\s+obj\b", data[w0:m.start()]):
+            pass
+        if om is None or data.find(b"stream", m.end(),
+                                   m.end() + 2048) == -1:
+            continue
+        d = _balanced_dict(data, w0 + om.end())
+        if d:
+            heads.append(d)
+    return heads
+
+
+def _is_encrypted(data: bytes) -> bool:
+    """True when a real trailer section carries /Encrypt."""
+    return any(_ENCRYPT_REF_RE.search(h) for h in _trailer_heads(data))
 
 
 def _string_token_at(body: bytes, i: int) -> bytes | None:
@@ -1179,46 +1204,64 @@ def _string_token_at(body: bytes, i: int) -> bytes | None:
     return None
 
 
-def _string_value(body: bytes, key: bytes) -> bytes | None:
+def _string_value(body: bytes, key: bytes,
+                  scrub: bytes | None = None) -> bytes | None:
     """Raw BYTES of the /key string entry. `_dict_value`'s generic token
     regex truncates string values at '/', '>' or whitespace, so strings
-    get their own balanced parser."""
-    m = re.search(rb"/" + key + rb"(?![A-Za-z0-9])\s*", body)
+    get their own balanced parser. With ``scrub`` (the same-length
+    string-scrubbed copy) the KEY is located on the scrubbed bytes —
+    immune to key-shaped bytes inside earlier binary strings — and the
+    value is read from the original at that offset."""
+    m = re.search(rb"/" + key + rb"(?![A-Za-z0-9])\s*",
+                  scrub if scrub is not None else body)
     if m is None:
         return None
     tok = _string_token_at(body, m.end())
     return _decode_pdf_string(tok).raw if tok else None
 
 
-def _find_encrypt_context(data: bytes) -> tuple[bytes, bytes] | None:
-    """(encrypt dict bytes, first /ID string) from the trailer sections
-    — same real-trailer anchoring as `_is_encrypted`. The LAST match in
-    file order wins (newest revision)."""
+def _scrub_strings(b: bytes) -> bytes:
+    """Same-length copy with every string token's INTERIOR replaced by
+    '0' bytes. /O /U /OE /UE hold effectively random binary: a raw regex
+    for /V, /R, /P, /ID ... can land INSIDE that ciphertext (dict key
+    order is arbitrary — Acrobat commonly writes /O /U first). All key
+    lookups run on the scrubbed copy; string VALUES are then read from
+    the original at the same offsets."""
+    out = bytearray(b)
+    i = 0
+    while i < len(b):
+        c = b[i]
+        if c == 0x3C and b[i + 1:i + 2] == b"<":  # '<<' dict open
+            i += 2
+            continue
+        if c in (0x28, 0x3C):  # '(' or '<'
+            tok = _string_token_at(b, i)
+            if tok:
+                for j in range(i + 1, i + len(tok) - 1):
+                    out[j] = 0x30
+                i += len(tok)
+                continue
+        i += 1
+    return bytes(out)
+
+
+def _find_encrypt_context(
+        data: bytes,
+        heads: list[bytes] | None = None) -> tuple[bytes, bytes] | None:
+    """(encrypt dict bytes, first /ID string) from the real trailer
+    sections (`_trailer_heads` — shared with `_is_encrypted`). The LAST
+    match in file order wins (newest revision)."""
     found: tuple[bytes, bytes] | None = None
-    heads: list[bytes] = []
-    for m in re.finditer(rb"trailer\s*<<", data):
-        before = data[max(0, m.start() - 64):m.start()]
-        if re.search(rb"\d{10} \d{5} [nf]\s*$", before):
-            d = _balanced_dict(data, m.start())
-            if d:
-                heads.append(d)
-    for m in re.finditer(rb"/Type\s*/XRef\b", data):
-        w0 = max(0, m.start() - 2048)
-        om = None
-        for om in re.finditer(rb"\d+\s+\d+\s+obj\b", data[w0:m.start()]):
-            pass
-        if om is not None and data.find(b"stream", m.end(),
-                                        m.end() + 2048) != -1:
-            d = _balanced_dict(data, w0 + om.end())
-            if d:
-                heads.append(d)
-    for td in heads:
-        ev = _dict_value_deep(td, b"Encrypt")
+    for td in (heads if heads is not None else _trailer_heads(data)):
+        tds = _scrub_strings(td)
+        ev = _dict_value_deep(tds, b"Encrypt")
         if ev is None:
             continue
         ed = None
         if ev.startswith(b"<<"):
-            ed = ev
+            # inline dict: re-read from the unscrubbed trailer bytes
+            m = re.search(rb"/Encrypt\s*<<", tds)
+            ed = _balanced_dict(td, m.start()) if m else None
         else:
             ref = _REF_RE.fullmatch(ev.strip())
             if ref is not None:
@@ -1231,20 +1274,22 @@ def _find_encrypt_context(data: bytes) -> tuple[bytes, bytes] | None:
                     ed = _balanced_dict(om.group(1), 0)
         if ed is None:
             continue
-        idv = _dict_value(td, b"ID")
         id0 = b""
-        if idv is not None:
-            # first string element of the /ID array, hex or literal
-            sm2 = re.search(rb"[<(]", idv)
+        idm = re.search(rb"/ID(?![A-Za-z0-9])\s*\[", tds)
+        if idm is not None:
+            # first string element of the /ID array, hex or literal —
+            # token located on the scrubbed copy, bytes read from the
+            # original at the same offset
+            sm2 = re.compile(rb"[<(]").search(tds, idm.end())
             if sm2 is not None:
-                tok = _string_token_at(idv, sm2.start())
+                tok = _string_token_at(td, sm2.start())
                 if tok is not None:
                     id0 = _decode_pdf_string(tok).raw
         found = (ed, id0)
     return found
 
 
-def _build_decryptor(data: bytes):
+def _build_decryptor(data: bytes, heads: list[bytes] | None = None):
     """Standard-security-handler decryptor for a file whose trailer
     carries /Encrypt, tried with the EMPTY user and owner passwords (the
     ubiquitous "owner-locked, blank user password" shape pypdf opens
@@ -1255,16 +1300,19 @@ def _build_decryptor(data: bytes):
                             authenticate_r6, authenticate_user_password,
                             object_key, rc4)
 
-    ctx = _find_encrypt_context(data)
+    ctx = _find_encrypt_context(data, heads)
     if ctx is None:
         return None
     ed, id0 = ctx
-    fm = re.search(rb"/Filter\s*/(\w+)", ed)
+    # key lookups run on a string-scrubbed copy: /O /U /OE /UE hold
+    # random binary that a raw regex for /V, /R, /P ... can land inside
+    eds = _scrub_strings(ed)
+    fm = re.search(rb"/Filter\s*/(\w+)", eds)
     if fm is None or fm.group(1) != b"Standard":
         return None
 
     def _int_of(key: bytes, default: int | None = None) -> int | None:
-        tok = _dict_value(ed, key)
+        tok = _dict_value(eds, key)
         if tok is None:
             return default
         try:
@@ -1278,15 +1326,35 @@ def _build_decryptor(data: bytes):
     if p >= 2 ** 31:  # some producers write /P unsigned
         p -= 2 ** 32
     length_bits = _int_of(b"Length", 40)
-    o = _string_value(ed, b"O")
-    u = _string_value(ed, b"U")
+    o = _string_value(ed, b"O", eds)
+    u = _string_value(ed, b"U", eds)
     if o is None or u is None:
         return None
-    enc_meta = not re.search(rb"/EncryptMetadata\s*false", ed)
+    enc_meta = not re.search(rb"/EncryptMetadata\s*false", eds)
+
+    # /StmF names the stream crypt filter for BOTH V4 and V5; absent
+    # means Identity (spec default) = streams not encrypted at all
+    stmf_name = b"Identity"
+    cfm = None
+    if v in (4, 5):
+        stmf = re.search(rb"/StmF\s*/(\w+)", eds)
+        if stmf is not None:
+            stmf_name = stmf.group(1)
+        if stmf_name == b"Identity":
+            return lambda num, gen, payload: payload
+        cf = _dict_value_deep(eds, b"CF")
+        cfd = _dict_value_deep(cf, stmf_name) if cf else None
+        cm = re.search(rb"/CFM\s*/(\w+)", cfd) if cfd else None
+        # a named filter with no /CFM defaults to /None = not encrypted
+        cfm = cm.group(1) if cm else b"None"
 
     if v == 5 and r in (5, 6):
-        oe = _string_value(ed, b"OE")
-        ue = _string_value(ed, b"UE")
+        if cfm == b"None":
+            return lambda num, gen, payload: payload
+        if cfm != b"AESV3":
+            return None
+        oe = _string_value(ed, b"OE", eds)
+        ue = _string_value(ed, b"UE", eds)
         if oe is None or ue is None:
             return None
         key = authenticate_r6(b"", o, u, oe, ue, r)
@@ -1300,28 +1368,26 @@ def _build_decryptor(data: bytes):
 
         return crypt
 
-    cfm = b"V2"  # RC4 with the file key — the V1/V2 behavior
     if v == 4:
-        stmf = re.search(rb"/StmF\s*/(\w+)", ed)
-        stmf_name = stmf.group(1) if stmf else b"Identity"
-        if stmf_name == b"Identity":
+        if cfm == b"None":
             return lambda num, gen, payload: payload
-        cf = _dict_value_deep(ed, b"CF")
-        cfd = _dict_value_deep(cf, stmf_name) if cf else None
-        cm = re.search(rb"/CFM\s*/(\w+)", cfd) if cfd else None
-        cfm = cm.group(1) if cm else b"V2"
         if cfm not in (b"V2", b"AESV2"):
             return None
-        cl = None
-        if cfd is not None:
-            clm = re.search(rb"/Length\s+(\d+)", cfd)
-            if clm is not None:
-                cl = int(clm.group(1))
-        if cl is not None:
-            # crypt-filter /Length is in BYTES per spec, but some
-            # producers write bits — normalize like pypdf does
-            length_bits = cl * 8 if cl <= 16 else cl
-    elif v not in (1, 2) or r not in (2, 3, 4):
+        if cfm == b"AESV2":
+            length_bits = 128  # AESV2 is fixed-width by definition
+        else:
+            cl = None
+            if cfd is not None:
+                clm = re.search(rb"/Length\s+(\d+)", cfd)
+                if clm is not None:
+                    cl = int(clm.group(1))
+            if cl is not None:
+                # crypt-filter /Length is in BYTES per spec, but some
+                # producers write bits — normalize like pypdf does
+                length_bits = cl * 8 if cl <= 16 else cl
+    elif v in (1, 2) and r in (2, 3, 4):
+        cfm = b"V2"  # RC4 with the file key — the V1/V2 behavior
+    else:
         return None
 
     key = authenticate_user_password(b"", o, u, p, id0, r, length_bits,
@@ -1346,13 +1412,17 @@ def _build_decryptor(data: bytes):
 
 
 def _decrypt_objs(objs: dict[int, bytes], gens: dict[int, int],
-                  crypt) -> dict[int, bytes]:
+                  crypt, lookup: dict[int, bytes] | None = None
+                  ) -> dict[int, bytes]:
     """Decrypt every object's STREAM payload in place (strings outside
     streams are not consumed by this reader). Runs on the resolved
     object map BEFORE ObjStm unpacking, so packed objects come out of
     their (decrypted) container already in plaintext — matching the
     spec: ObjStm contents are never doubly encrypted. /Type /XRef
-    streams are skipped (never encrypted)."""
+    streams are skipped (never encrypted). Indirect /Length refs
+    resolve against ``lookup`` (defaults to ``objs`` itself)."""
+    if lookup is None:
+        lookup = objs
     out: dict[int, bytes] = {}
     for num, body in objs.items():
         sm = re.search(rb"stream\r?\n", body)
@@ -1365,7 +1435,7 @@ def _decrypt_objs(objs: dict[int, bytes], gens: dict[int, int],
         if ln is not None:
             ref = _REF_RE.fullmatch(ln.strip())
             if ref is not None:
-                ln = objs.get(int(ref.group(1)), b"").strip()
+                ln = lookup.get(int(ref.group(1)), b"").strip()
             try:
                 raw = body[start:start + int(ln)]
             except ValueError:
@@ -1395,12 +1465,13 @@ def _pdf_bytes_to_layout(data: bytes) -> str:
     ``extract_pdf_text`` (pages joined with \\f, runs as `@<-y>,<x>:`
     positioned lines so top-of-page sorts first)."""
     crypt = None
-    if _is_encrypted(data):
+    heads = _trailer_heads(data)
+    if any(_ENCRYPT_REF_RE.search(h) for h in heads):
         # Standard security handler, tried with empty user/owner
         # passwords (the reference's pypdf path opens those the same
         # way). Genuinely locked or non-standard files still fail
         # loudly into the parse-fail sentinel — never garbled output.
-        crypt = _build_decryptor(data)
+        crypt = _build_decryptor(data, heads)
         if crypt is None:
             raise ValueError("encrypted PDF (password or unsupported)")
     xref_objs: dict[int, bytes] | None

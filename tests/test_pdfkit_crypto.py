@@ -242,3 +242,82 @@ def test_encrypted_objstm_via_xref_stream():
 
     got = extract_pdf_text(_as_text(bytes(out)))
     assert got == "encrypted objstm resolved\n"
+
+
+def test_v5_stmf_identity_streams_stay_plaintext():
+    """V5 files can also declare /StmF /Identity (strings-only
+    encryption): streams must pass through untouched, not be
+    AES-'decrypted' into garbage."""
+    ed = (b"<< /Filter /Standard /V 5 /R 6 /Length 256"
+          b" /CF << /StdCF << /CFM /AESV3 >> >> /StmF /Identity"
+          b" /O <" + b"00" * 48 + b"> /U <" + b"00" * 48 + b">"
+          b" /OE <" + b"00" * 32 + b"> /UE <" + b"00" * 32 + b">"
+          b" /P " + str(_P).encode() + b" >>")
+    got = extract_pdf_text(_as_text(
+        _encrypted_pdf(ed, lambda n, g, d: d, CONTENT)))
+    assert got == "blank user password text\n"
+
+
+def test_v4_missing_cfm_defaults_to_none_not_rc4():
+    """A named crypt filter whose dict omits /CFM defaults to /None
+    (spec) = data NOT encrypted — RC4-'decrypting' plaintext streams
+    would silently destroy every page."""
+    ed = (b"<< /Filter /Standard /V 4 /R 4 /Length 128"
+          b" /CF << /StdCF << /AuthEvent /DocOpen >> >> /StmF /StdCF"
+          b" /O <" + b"00" * 32 + b"> /U <" + b"00" * 32 + b">"
+          b" /P " + str(_P).encode() + b" >>")
+    got = extract_pdf_text(_as_text(
+        _encrypted_pdf(ed, lambda n, g, d: d, CONTENT)))
+    assert got == "blank user password text\n"
+
+
+def test_aesv2_without_length_still_derives_128():
+    """/AESV2 is fixed 128-bit by definition: a file with no /Length
+    anywhere must not fall back to a 40-bit key (which would fail /U
+    validation and falsely refuse a blank-password file)."""
+    o = ck.compute_o_value(b"owner", b"", 4, 128)
+    key = ck.compute_key_r2_r4(b"", o, _P, _ID0, 4, 128)
+    u = ck.compute_u_value(key, _ID0, 3)
+    ed = (b"<< /Filter /Standard /V 4 /R 4"
+          b" /CF << /StdCF << /CFM /AESV2 >> >> /StmF /StdCF"
+          b" /O " + _hex_str(o) + b" /U " + _hex_str(u)
+          + b" /P " + str(_P).encode() + b" >>")
+
+    def enc(num, gen, data):
+        ok = ck.object_key(key, num, gen, aes=True)
+        iv = bytes((i * 7 + 3) & 0xFF for i in range(16))
+        return iv + ck.aes_cbc_encrypt(ok, iv, data)
+
+    got = extract_pdf_text(_as_text(_encrypted_pdf(ed, enc, CONTENT)))
+    assert got == "blank user password text\n"
+
+
+def test_binary_o_u_strings_cannot_shadow_scalar_keys():
+    """/O and /U written as LITERAL strings whose random bytes contain
+    key-shaped sequences (' /V 9', ' /P ') placed BEFORE the real /V:
+    scalar parsing must skip string interiors or it reads V=9 and
+    falsely refuses a blank-password file."""
+    o = ck.compute_o_value(b"owner", b"", 3, 128)
+    key = ck.compute_key_r2_r4(b"", o, _P, _ID0, 3, 128)
+    u = ck.compute_u_value(key, _ID0, 3)
+
+    def lit(b: bytes) -> bytes:
+        out = bytearray(b"(")
+        for byte in b:
+            if byte in b"()\\\r":
+                out += b"\\" + bytes([byte])
+            else:
+                out.append(byte)
+        return bytes(out) + b")"
+
+    decoy = lit(b" /V 9 /P 1 /R 9 " + o)  # key-shaped bytes INSIDE
+    ed = (b"<< /Filter /Standard /Decoy " + decoy
+          + b" /V 2 /R 3 /Length 128"
+          b" /O " + lit(o) + b" /U " + lit(u[:32])
+          + b" /P " + str(_P).encode() + b" >>")
+
+    def enc(num, gen, data):
+        return ck.rc4(ck.object_key(key, num, gen), data)
+
+    got = extract_pdf_text(_as_text(_encrypted_pdf(ed, enc, CONTENT)))
+    assert got == "blank user password text\n"

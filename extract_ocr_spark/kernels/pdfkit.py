@@ -1095,22 +1095,25 @@ def _scan_objects(data: bytes, crypt=None) -> dict[int, bytes]:
         nxt = data.find(b"%%EOF", first_eof + 5)
         if nxt != -1:
             first_eof = nxt
+    # spans, not bodies: superseded revisions of large objects would
+    # otherwise all be materialized for the whole call
     occurrences = [(m.start(), int(m.group(1)), int(m.group(2)),
-                    m.group(3)) for m in _OBJ_RE.finditer(data)]
+                    m.span(3)) for m in _OBJ_RE.finditer(data)]
     objs: dict[int, bytes] = {}
     gens: dict[int, int] = {}
     winner_at: dict[int, int] = {}
-    for start, num, gen, body in occurrences:
+    for start, num, gen, span in occurrences:
         if num not in objs or (first_eof != -1 and start > first_eof):
-            objs[num] = body
+            objs[num] = data[span[0]:span[1]]
             gens[num] = gen
             winner_at[num] = start
     if crypt is not None:
         # one full-map pass (indirect /Length refs resolve against it)
         objs = _decrypt_objs(objs, gens, crypt)
     objstms: list[tuple[int, bytes]] = []  # (match start, body), file order
-    for start, num, gen, body in occurrences:
-        if not re.search(rb"/Type\s*/ObjStm\b", body):
+    for start, num, gen, span in occurrences:
+        if not re.compile(rb"/Type\s*/ObjStm\b").search(
+                data, span[0], span[1]):
             continue
         if winner_at.get(num) == start:
             body = objs[num]
@@ -1118,8 +1121,10 @@ def _scan_objects(data: bytes, crypt=None) -> dict[int, bytes]:
             # a superseded ObjStm occurrence still gets unpacked (its
             # packed objects only land where not already seen), so its
             # payload needs its own decryption pass
-            body = _decrypt_objs({num: body}, {num: gen}, crypt,
-                                 lookup=objs)[num]
+            body = _decrypt_objs({num: data[span[0]:span[1]]},
+                                 {num: gen}, crypt, lookup=objs)[num]
+        else:
+            body = data[span[0]:span[1]]
         objstms.append((start, body))
 
     # Object streams (/Type /ObjStm, PDF 1.5+): modern producers pack
@@ -1152,7 +1157,7 @@ def _trailer_heads(data: bytes) -> list[bytes]:
     anchoring keeps content text that merely mentions these tokens from
     false-positive-ing; ONE shared implementation serves both the
     encryption gate and the decryptor's /Encrypt + /ID lookup."""
-    heads: list[bytes] = []
+    found: list[tuple[int, bytes]] = []
     for m in re.finditer(rb"trailer\s*<<", data):
         before = data[max(0, m.start() - 64):m.start()]
         # a classic trailer keyword sits right after the last 20-byte
@@ -1160,8 +1165,10 @@ def _trailer_heads(data: bytes) -> list[bytes]:
         if not re.search(rb"\d{10} \d{5} [nf]\s*$", before):
             continue
         d = _balanced_dict(data, m.start())
-        if d:
-            heads.append(d)
+        # unbalanced dict (truncated download): keep a raw window so
+        # the encryption GATE still fires (the decryptor then fails to
+        # parse it and the file refuses loudly — never ciphertext-as-text)
+        found.append((m.start(), d or data[m.start():m.start() + 2048]))
     for m in re.finditer(rb"/Type\s*/XRef\b", data):
         w0 = max(0, m.start() - 2048)
         om = None
@@ -1171,14 +1178,20 @@ def _trailer_heads(data: bytes) -> list[bytes]:
                                    m.end() + 2048) == -1:
             continue
         d = _balanced_dict(data, w0 + om.end())
-        if d:
-            heads.append(d)
-    return heads
+        found.append((w0 + om.end(), d or data[w0 + om.end():
+                                               w0 + om.end() + 2048]))
+    # byte order = revision order: "last wins" must see the NEWEST
+    # trailer last even in hybrid classic/xref-stream files
+    return [d for _, d in sorted(found, key=lambda t: t[0])]
+
+
+def _heads_encrypted(heads: list[bytes]) -> bool:
+    return any(_ENCRYPT_REF_RE.search(h) for h in heads)
 
 
 def _is_encrypted(data: bytes) -> bool:
     """True when a real trailer section carries /Encrypt."""
-    return any(_ENCRYPT_REF_RE.search(h) for h in _trailer_heads(data))
+    return _heads_encrypted(_trailer_heads(data))
 
 
 def _string_token_at(body: bytes, i: int) -> bytes | None:
@@ -1278,9 +1291,14 @@ def _find_encrypt_context(
         idm = re.search(rb"/ID(?![A-Za-z0-9])\s*\[", tds)
         if idm is not None:
             # first string element of the /ID array, hex or literal —
-            # token located on the scrubbed copy, bytes read from the
-            # original at the same offset
-            sm2 = re.compile(rb"[<(]").search(tds, idm.end())
+            # token located on the scrubbed copy (strings are blanked,
+            # so ']' inside them cannot fake the array end), bytes read
+            # from the original at the same offset; the search is
+            # BOUNDED by the array close so an empty /ID [] cannot
+            # adopt bytes from a later token
+            arr_end = tds.find(b"]", idm.end())
+            sm2 = re.compile(rb"[<(]").search(
+                tds, idm.end(), arr_end if arr_end != -1 else idm.end())
             if sm2 is not None:
                 tok = _string_token_at(td, sm2.start())
                 if tok is not None:
@@ -1307,16 +1325,27 @@ def _build_decryptor(data: bytes, heads: list[bytes] | None = None):
     # key lookups run on a string-scrubbed copy: /O /U /OE /UE hold
     # random binary that a raw regex for /V, /R, /P ... can land inside
     eds = _scrub_strings(ed)
-    fm = re.search(rb"/Filter\s*/(\w+)", eds)
+    # ... and TOP-LEVEL scalars additionally blank the /CF subtree: its
+    # nested /CFM /V2 and per-filter /Length would otherwise shadow /V
+    # and /Length when a producer writes /CF first (alphabetical order)
+    eds_top = eds
+    cfm_pos = re.search(rb"/CF(?![A-Za-z0-9])\s*", eds)
+    cfv = _dict_value_deep(eds, b"CF")
+    if cfm_pos is not None and cfv is not None and cfv.startswith(b"<<"):
+        s0 = eds.find(cfv, cfm_pos.end())
+        if s0 != -1:
+            eds_top = eds[:s0] + b" " * len(cfv) + eds[s0 + len(cfv):]
+    fm = re.search(rb"/Filter(?![A-Za-z0-9])\s*/(\w+)", eds_top)
     if fm is None or fm.group(1) != b"Standard":
         return None
 
     def _int_of(key: bytes, default: int | None = None) -> int | None:
-        tok = _dict_value(eds, key)
-        if tok is None:
+        m = re.search(rb"/" + key + rb"(?![A-Za-z0-9])\s*([^/>\s][^/>]*)",
+                      eds_top)
+        if m is None:
             return default
         try:
-            return int(tok.split()[0])
+            return int(m.group(1).split()[0])
         except (ValueError, IndexError):
             return default
 
@@ -1330,21 +1359,22 @@ def _build_decryptor(data: bytes, heads: list[bytes] | None = None):
     u = _string_value(ed, b"U", eds)
     if o is None or u is None:
         return None
-    enc_meta = not re.search(rb"/EncryptMetadata\s*false", eds)
+    enc_meta = not re.search(
+        rb"/EncryptMetadata(?![A-Za-z0-9])\s*false", eds_top)
 
     # /StmF names the stream crypt filter for BOTH V4 and V5; absent
     # means Identity (spec default) = streams not encrypted at all
     stmf_name = b"Identity"
     cfm = None
     if v in (4, 5):
-        stmf = re.search(rb"/StmF\s*/(\w+)", eds)
+        stmf = re.search(rb"/StmF(?![A-Za-z0-9])\s*/(\w+)", eds_top)
         if stmf is not None:
             stmf_name = stmf.group(1)
         if stmf_name == b"Identity":
             return lambda num, gen, payload: payload
-        cf = _dict_value_deep(eds, b"CF")
-        cfd = _dict_value_deep(cf, stmf_name) if cf else None
-        cm = re.search(rb"/CFM\s*/(\w+)", cfd) if cfd else None
+        cfd = _dict_value_deep(cfv, stmf_name) if cfv else None
+        cm = re.search(
+            rb"/CFM(?![A-Za-z0-9])\s*/(\w+)", cfd) if cfd else None
         # a named filter with no /CFM defaults to /None = not encrypted
         cfm = cm.group(1) if cm else b"None"
 
@@ -1466,7 +1496,7 @@ def _pdf_bytes_to_layout(data: bytes) -> str:
     positioned lines so top-of-page sorts first)."""
     crypt = None
     heads = _trailer_heads(data)
-    if any(_ENCRYPT_REF_RE.search(h) for h in heads):
+    if _heads_encrypted(heads):
         # Standard security handler, tried with empty user/owner
         # passwords (the reference's pypdf path opens those the same
         # way). Genuinely locked or non-standard files still fail

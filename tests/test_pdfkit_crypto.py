@@ -321,3 +321,63 @@ def test_binary_o_u_strings_cannot_shadow_scalar_keys():
 
     got = extract_pdf_text(_as_text(_encrypted_pdf(ed, enc, CONTENT)))
     assert got == "blank user password text\n"
+
+
+def test_truncated_encrypted_trailer_still_refuses():
+    """A partial download cut before the trailer's '>>' must still trip
+    the encryption gate (raw-window fallback) and refuse loudly — not
+    proceed and emit ciphertext as text."""
+    ed, enc = _rc4_variant(r=3, v=2, bits=128,
+                           user_pw=b"locked", owner_pw=b"locked")
+    pdf = _encrypted_pdf(ed, enc, CONTENT)
+    cut = pdf[:pdf.rfind(b">>")]  # drop the trailer close + startxref
+    assert extract_pdf_text(_as_text(cut)) == PARSE_FAIL_SENTINEL
+
+
+def test_cf_dict_first_does_not_shadow_top_level_scalars():
+    """Producers emitting keys alphabetically put /CF (with its nested
+    /CFM /V2 and per-filter /Length 16) BEFORE /V and /Length: the
+    top-level scalar parse must not read the nested values."""
+    o = ck.compute_o_value(b"owner", b"", 4, 128)
+    key = ck.compute_key_r2_r4(b"", o, _P, _ID0, 4, 128)
+    u = ck.compute_u_value(key, _ID0, 3)
+    ed = (b"<< /CF << /StdCF << /CFM /V2 /Length 16 >> >>"
+          b" /Filter /Standard"
+          b" /Length 128"
+          b" /O " + _hex_str(o) + b" /P " + str(_P).encode()
+          + b" /R 4 /StmF /StdCF /U " + _hex_str(u) + b" /V 4 >>")
+
+    def enc(num, gen, data):
+        return ck.rc4(ck.object_key(key, num, gen), data)
+
+    got = extract_pdf_text(_as_text(_encrypted_pdf(ed, enc, CONTENT)))
+    assert got == "blank user password text\n"
+
+
+def test_empty_id_array_yields_empty_id0():
+    """/ID [] (or missing) must derive with id0=b'' — not adopt bytes
+    from whatever token follows the array."""
+    o = ck.compute_o_value(b"owner", b"", 3, 128)
+    key = ck.compute_key_r2_r4(b"", o, _P, b"", 3, 128)  # id0 = b""
+    u = ck.compute_u_value(key, b"", 3)
+    ed = (b"<< /Filter /Standard /V 2 /R 3 /Length 128"
+          b" /O " + _hex_str(o) + b" /U " + _hex_str(u)
+          + b" /P " + str(_P).encode() + b" >>")
+
+    def enc(num, gen, data):
+        return ck.rc4(ck.object_key(key, num, gen), data)
+
+    payload = enc(4, 0, zlib.compress(CONTENT))
+    objs = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R >>"),
+        (4, b"<< /Filter /FlateDecode /Length "
+            + str(len(payload)).encode() + b" >>\nstream\n" + payload
+            + b"\nendstream"),
+        (5, ed),
+    ]
+    pdf = _assemble(objs, trailer_extra=b"/ID [] /Encrypt 5 0 R "
+                    b"/Info (meta) ")
+    assert extract_pdf_text(_as_text(pdf)) == "blank user password text\n"

@@ -859,6 +859,7 @@ def _unpack_objstm(body: bytes, objs: dict[int, bytes]
 # ---- xref resolution (the pypdf-parity path) ----------------------------------
 
 _OBJ_AT_RE = re.compile(rb"\s*(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.S)
+_OBJSTM_TYPE_RE = re.compile(rb"/Type\s*/ObjStm\b")
 _XREF_ENTRY_RE = re.compile(rb"\s*(\d{10})\s+(\d{5})\s+([nf])")
 
 # entry shapes in the object map:  ("d", offset) = direct `N G obj` at a
@@ -1112,8 +1113,7 @@ def _scan_objects(data: bytes, crypt=None) -> dict[int, bytes]:
         objs = _decrypt_objs(objs, gens, crypt)
     objstms: list[tuple[int, bytes]] = []  # (match start, body), file order
     for start, num, gen, span in occurrences:
-        if not re.compile(rb"/Type\s*/ObjStm\b").search(
-                data, span[0], span[1]):
+        if not _OBJSTM_TYPE_RE.search(data, span[0], span[1]):
             continue
         if winner_at.get(num) == start:
             body = objs[num]
@@ -1186,12 +1186,10 @@ def _trailer_heads(data: bytes) -> list[bytes]:
 
 
 def _heads_encrypted(heads: list[bytes]) -> bool:
+    """The encryption gate: any real trailer section carries /Encrypt.
+    (`_pdf_bytes_to_layout` is the single caller — it also applies the
+    truncated-file backstop below.)"""
     return any(_ENCRYPT_REF_RE.search(h) for h in heads)
-
-
-def _is_encrypted(data: bytes) -> bool:
-    """True when a real trailer section carries /Encrypt."""
-    return _heads_encrypted(_trailer_heads(data))
 
 
 def _string_token_at(body: bytes, i: int) -> bytes | None:
@@ -1496,6 +1494,15 @@ def _pdf_bytes_to_layout(data: bytes) -> str:
     positioned lines so top-of-page sorts first)."""
     crypt = None
     heads = _trailer_heads(data)
+    if not _heads_encrypted(heads) and not data.rstrip().endswith(b"%%EOF") \
+            and _ENCRYPT_REF_RE.search(data[-4096:]):
+        # Truncated download (no final %%EOF) whose tail mentions
+        # /Encrypt: the anchored trailer parse may have lost the
+        # /Encrypt entry with the cut-off dict (classic OR xref-stream
+        # flavor) — refuse loudly rather than flow ciphertext into
+        # extraction. Complete files never take this branch, so the
+        # anchoring that protects content-text mentions still holds.
+        raise ValueError("encrypted PDF (truncated trailer)")
     if _heads_encrypted(heads):
         # Standard security handler, tried with empty user/owner
         # passwords (the reference's pypdf path opens those the same

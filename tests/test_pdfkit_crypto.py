@@ -381,3 +381,18 @@ def test_empty_id_array_yields_empty_id0():
     pdf = _assemble(objs, trailer_extra=b"/ID [] /Encrypt 5 0 R "
                     b"/Info (meta) ")
     assert extract_pdf_text(_as_text(pdf)) == "blank user password text\n"
+
+
+def test_truncated_xref_stream_trailer_still_refuses():
+    """xref-STREAM flavor of the truncation gate: the file is cut inside
+    the XRef dict after /Encrypt but before the `stream` keyword, so no
+    anchored head exists — the no-%%EOF backstop must refuse."""
+    ed, enc = _rc4_variant(r=3, v=2, bits=128,
+                           user_pw=b"locked", owner_pw=b"locked")
+    out = bytearray(b"%PDF-1.6\n")
+    payload = enc(5, 0, zlib.compress(CONTENT))
+    out += (b"5 0 obj\n<< /Length " + str(len(payload)).encode()
+            + b" >>\nstream\n" + payload + b"\nendstream\nendobj\n")
+    out += (b"6 0 obj\n<< /Type /XRef /Size 8 /W [1 3 1] /Root 2 0 R "
+            b"/Encrypt 7 0 R /ID [<" + _ID_HEX + b">")  # cut mid-dict
+    assert extract_pdf_text(_as_text(bytes(out))) == PARSE_FAIL_SENTINEL

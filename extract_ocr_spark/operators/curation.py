@@ -424,3 +424,75 @@ ORACLES = {
     "pack_sequences": PACK_SEQUENCES_SQL,
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
 }
+
+
+# --- Temperature mixture weights (alpha-sampling, XLM-R style) ---------
+
+MIX_ALPHA = 0.5  # weight ∝ share^alpha; 0.5 = sqrt (IEEE-exact both sides)
+
+
+def mixture_weights_df(docs: DataFrame) -> DataFrame:
+    """Per-source temperature resampling weights: share_s = tokens_s /
+    total, weight_s ∝ share_s^0.5 normalized — the multinomial
+    alpha-sampling used to upweight low-resource sources when mixing a
+    multi-source training corpus.
+
+    Scale: one map-side-combined groupBy over (source) — the shuffle
+    carries one slim row per source per partition — then two
+    single-row aggregates over the #sources-row table, broadcast back.
+    Float parity: alpha = 0.5 so share^alpha is sqrt() (IEEE-754
+    correctly rounded, bit-identical in any engine), and the
+    normalizer Σ sqrt folds in SOURCE-SORTED order on both sides
+    (F.aggregate over a sorted array here, list_reduce over
+    list(ORDER BY source) in the oracle) — a plain SUM() would add in
+    engine-dependent order and could flip the 6th rounded decimal."""
+    ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("docs"),
+        F.sum(ws).alias("tokens"))
+    tot = per.agg(F.sum("tokens").alias("total"))
+    sh = (per.crossJoin(F.broadcast(tot))
+          .withColumn("share", F.col("tokens") / F.col("total"))
+          .withColumn("sq", F.sqrt("share")))
+    den = sh.agg(F.aggregate(
+        F.array_sort(F.collect_list(F.struct("source", "sq"))),
+        F.lit(0.0), lambda a, x: a + x["sq"]).alias("denom"))
+    return (sh.crossJoin(F.broadcast(den))
+            .select("source", "docs", "tokens",
+                    F.round("share", 6).alias("share"),
+                    F.round(F.col("sq") / F.col("denom"), 6)
+                    .alias("weight"))
+            .orderBy("source"))
+
+
+def mixture_weights(spark, sf_dir):
+    return mixture_weights_df(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+MIXTURE_WEIGHTS_SQL = r"""
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS docs,
+         CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+              AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(sum(tokens) AS BIGINT) AS total FROM per
+), sh AS (
+  SELECT source, docs, tokens,
+         CAST(tokens AS DOUBLE) / total AS share,
+         sqrt(CAST(tokens AS DOUBLE) / total) AS sq
+  FROM per, tot
+), den AS (
+  -- fold in source-sorted order: the same float additions in the same
+  -- order as the Spark plan's sorted-array aggregate
+  SELECT list_reduce(list(sq ORDER BY source), (a, b) -> a + b) AS denom
+  FROM sh
+)
+SELECT source, docs, tokens, round(share, 6) AS share,
+       round(sq / denom, 6) AS weight
+FROM sh, den ORDER BY source
+"""
+
+QUERIES["mixture_weights"] = mixture_weights
+ORACLES["mixture_weights"] = MIXTURE_WEIGHTS_SQL

@@ -239,3 +239,20 @@ def test_curate_run_lm_gate_drops_gibberish(spark, tmp_path):
     kept = {r["doc_id"] for r in spark.read.parquet(
         str(tmp_path / "lm" / "corpus")).select("doc_id").collect()}
     assert 99 not in kept and 0 in kept
+
+
+def test_mixture_weights_upweights_low_resource_sources(spark):
+    """alpha=0.5 temperature: a source with 1% of tokens gets a weight
+    ABOVE its share (upweighted), a dominant source below; weights sum
+    to ~1."""
+    from extract_ocr_spark.operators.curation import mixture_weights_df
+
+    rows = [(i, "w " * 99, "big", 0) for i in range(99)]
+    rows.append((999, "w " * 99, "small", 0))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long")
+    got = {r["source"]: r for r in mixture_weights_df(docs).collect()}
+    assert got["small"]["share"] == 0.01 and got["big"]["share"] == 0.99
+    assert got["small"]["weight"] > got["small"]["share"]
+    assert got["big"]["weight"] < got["big"]["share"]
+    assert abs(got["small"]["weight"] + got["big"]["weight"] - 1.0) < 1e-6

@@ -476,7 +476,9 @@ CHUNK_STRIDE = 10
 
 
 def chunk_documents_df(docs: DataFrame, win: int = CHUNK_WIN,
-                       stride: int = CHUNK_STRIDE) -> DataFrame:
+                       stride: int = CHUNK_STRIDE,
+                       carry: tuple = (), ordered: bool = True
+                       ) -> DataFrame:
     """Sliding token-window chunking: each document becomes overlapping
     chunks of ``win`` whitespace tokens starting every ``stride`` tokens
     (the standard long-document → context-window prep step that
@@ -486,24 +488,29 @@ def chunk_documents_df(docs: DataFrame, win: int = CHUNK_WIN,
     ``orderBy`` is presentation-level determinism for the oracle
     protocol). The token array is built once per row and sliced per
     chunk inside whole-stage codegen; output size is
-    ceil(tokens/stride) rows per doc, linear in input."""
+    ceil(tokens/stride) rows per doc, linear in input. ``carry`` names
+    extra columns to pass through unchanged (the curation job carries
+    source/lang metadata onto each chunk)."""
+    carry = list(carry)
     toks = F.split(F.trim(F.col("text")), r"\s+")
     base = docs.select(
-        "doc_id", toks.alias("toks"), F.size(toks).alias("n"))
-    return (
+        "doc_id", *carry, toks.alias("toks"), F.size(toks).alias("n"))
+    out = (
         base.select(
-            "doc_id", "toks",
+            "doc_id", *carry, "toks",
             F.explode(F.sequence(
                 F.lit(0), F.col("n") - 1, F.lit(stride))).alias("st"))
         .select(
-            "doc_id",
+            "doc_id", *carry,
             (F.col("st") / stride).cast("long").alias("chunk_id"),
             F.slice("toks", F.col("st") + 1, F.lit(win)).alias("c"))
         .select(
-            "doc_id", "chunk_id",
+            "doc_id", *carry, "chunk_id",
             F.size("c").cast("long").alias("chunk_tokens"),
-            F.array_join("c", " ").alias("chunk_text"))
-        .orderBy("doc_id", "chunk_id"))
+            F.array_join("c", " ").alias("chunk_text")))
+    # presentation sort for the oracle protocol; pipeline callers skip
+    # it (the downstream write repartitions anyway)
+    return out.orderBy("doc_id", "chunk_id") if ordered else out
 
 
 def chunk_documents(spark, sf_dir):

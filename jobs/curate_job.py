@@ -38,6 +38,7 @@ def run(spark, docs, output: str, *, eval_ids=(0, 1, 2, 3, 4),
         min_shared_shingles: int = 5, max_dup_line_frac: float = 0.30,
         max_top_2gram_frac: float = 0.20, mixture_sampling: bool = False,
         fuzzy_dedup: bool = False, max_lm_nll: float | None = None,
+        chunk_tokens: int | None = None, chunk_stride: int | None = None,
         pack_budget: int = 2048, write_partitions: int | None = None) -> dict:
     """The composed curation pipeline as a callable (spark-submit `main`
     wraps it; bench_curation.py times it in-process): documents in →
@@ -66,7 +67,10 @@ def run(spark, docs, output: str, *, eval_ids=(0, 1, 2, 3, 4),
         _drop_hot_shingles,
         _with_shingles,
     )
-    from extract_ocr_spark.operators.textanalysis import repetition_metrics_df
+    from extract_ocr_spark.operators.textanalysis import (
+        chunk_documents_df,
+        repetition_metrics_df,
+    )
 
     eval_ids = list(eval_ids)
     in_cols = docs.columns
@@ -198,6 +202,24 @@ def run(spark, docs, output: str, *, eval_ids=(0, 1, 2, 3, 4),
     sampled = stratified_sample_df(clean).drop("rate") \
         if mixture_sampling else clean
 
+    # 5b (optional): token-window chunking — long documents become
+    # overlapping win/stride chunks BEFORE split assignment, so the
+    # splits, shuffle keys, and packing all operate on training-shaped
+    # rows; the chunk index composes into the doc_id (doc#chunk). No
+    # presentation sort (ordered=False): the write repartitions anyway.
+    if chunk_tokens is not None:
+        carry = tuple(c for c in in_cols
+                      if c not in ("doc_id", "text", "n_chars"))
+        ch = chunk_documents_df(
+            sampled, win=chunk_tokens,
+            stride=chunk_stride or chunk_tokens, carry=carry,
+            ordered=False)
+        sampled = ch.select(
+            F.concat_ws("#", F.col("doc_id").cast("string"),
+                        F.col("chunk_id").cast("string")).alias("doc_id"),
+            F.col("chunk_text").alias("text"), *carry,
+            F.length("chunk_text").cast("long").alias("n_chars"))
+
     # 6-7: splits + reproducible shuffle key + train-split packing
     final = split_assign_df(sampled).withColumn(
         "shuffle_key",
@@ -244,6 +266,7 @@ def run(spark, docs, output: str, *, eval_ids=(0, 1, 2, 3, 4),
         "lm_dropped": c["lm_dropped"],
         "repetitive_dropped": c["repetitive_dropped"],
         "contaminated_dropped": c["contaminated_dropped"],
+        "chunk_tokens": chunk_tokens,
         "docs_out": sum(by_split.values()),
         "by_split": by_split,
         "train_sequences": final.filter(F.col("split") == "train")
@@ -273,6 +296,12 @@ def main() -> None:
     ap.add_argument("--max-lm-nll", type=float, default=None,
                     help="drop docs whose corpus-bigram-LM avg negative "
                          "log-likelihood exceeds this (CCNet-style gate)")
+    ap.add_argument("--chunk-tokens", type=int, default=None,
+                    help="token-window chunk size: long docs become "
+                         "overlapping chunks before splits/packing")
+    ap.add_argument("--chunk-stride", type=int, default=None,
+                    help="chunk stride (default: chunk-tokens, i.e. "
+                         "non-overlapping)")
     ap.add_argument("--pack-budget", type=int, default=2048,
                     help="tokens per packed training sequence")
     ap.add_argument("--write-partitions", type=int, default=None,
@@ -297,6 +326,8 @@ def main() -> None:
         mixture_sampling=args.mixture_sampling,
         fuzzy_dedup=args.fuzzy_dedup,
         max_lm_nll=args.max_lm_nll,
+        chunk_tokens=args.chunk_tokens,
+        chunk_stride=args.chunk_stride,
         pack_budget=args.pack_budget,
         write_partitions=args.write_partitions,
     )

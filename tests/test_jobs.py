@@ -92,3 +92,41 @@ def test_extract_job_end_to_end_with_audit_and_resume(spark, tmp_path):
     assert report2["processed"] == 30 and report2["duplicate_lineage"] == 0
     lineage = spark.read.parquet(f"{out}/lineage")
     assert lineage.count() == 30  # still exactly one event per doc
+
+
+def test_curate_job_chunking_stage(spark, tmp_path):
+    """--chunk-tokens: long documents come out as overlapping win/stride
+    chunks (doc#chunk ids), every chunk within the token budget, source
+    metadata carried, packing applied to the chunked rows."""
+    # letter-only tokens: digit-suffixed words fail the alpha-ratio
+    # quality gate and silently empty the corpus (the MIN_CHARS lesson)
+    import itertools
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    toks = ["w" + a + b for a, b in itertools.product(letters, letters)]
+    long_text = " ".join(toks[:50])
+    rows = [(i, long_text + " tail" + letters[i % 26], "en", "web", 300)
+            for i in range(10, 16)]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long")
+    inp = str(tmp_path / "docs")
+    docs.coalesce(1).write.parquet(inp)
+    out = str(tmp_path / "out")
+
+    stats = _run_job("curate_job.py", "--input", inp, "--output", out,
+                     "--eval-ids", "", "--chunk-tokens", "16",
+                     "--chunk-stride", "8")
+    # 51 tokens at stride 8 -> ceil(51/8) = 7 chunks per doc
+    assert stats["chunk_tokens"] == 16
+    assert stats["docs_out"] == 7 * len(rows)
+
+    corpus = spark.read.parquet(f"{out}/corpus")
+    got = corpus.select("doc_id", "text", "source").collect()
+    assert all("#" in r["doc_id"] for r in got)
+    assert all(len(r["text"].split()) <= 16 for r in got)
+    assert all(r["source"] == "web" for r in got)
+    # overlapping stride: chunk 1 of a doc starts at token 8
+    by_id = {r["doc_id"]: r["text"] for r in got}
+    assert by_id["10#1"].split()[0] == toks[8]
+    train = corpus.filter(F.col("split") == "train")
+    assert train.filter(F.col("seq_id").isNull()).count() == 0

@@ -54,7 +54,7 @@ def all_queries():
         "export_counts_events", "robots_gate",
         # queries new in r5 — never driver-checked yet
         "bfs_frontier", "chunk_documents", "bm25_search",
-        "mixture_weights",
+        "mixture_weights", "semdedup", "quality_classifier",
     )
     order = [n for n in front if n in queries] + [
         n for n in queries if n not in front]

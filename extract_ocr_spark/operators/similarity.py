@@ -222,32 +222,34 @@ def _pair_cosine(a, b):
     return dot / (na * nb)
 
 
+def _cell_expr(emb_col):
+    """Nearest-centroid cell id (argmax dot over the 16 seeded literal
+    centroids), as one linear native expression: 16 dot products into an
+    array, argmax via array_position(max). (A chained when/otherwise would
+    nest the running best twice per step → exponential plan size.)"""
+    cents = _centroids()
+    dots = F.array(*[
+        F.aggregate(
+            F.zip_with(emb_col,
+                       F.array(*[F.lit(float(v)) for v in cents[i]]),
+                       lambda x, y: x * y),
+            F.lit(0.0), lambda acc, v: acc + v)
+        for i in range(_N_CELLS)
+    ])
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
 def ann_topk_ivf(spark, sf_dir):
     """IVF-style ANN: coarse-quantize vectors to the nearest of 16 seeded
     random centroids (a stand-in for trained k-means — deterministic, no
     training dependency), probe the query's 2 nearest cells, exact-rank
     within them. The cell id becomes a partition column at scale."""
     cents = _centroids()
-
-    def cell_expr(emb_col):
-        # Linear expression: 16 dot products into one array, argmax via
-        # array_position(max). (A chained when/otherwise would nest the
-        # running best twice per step → exponential plan size.)
-        dots = F.array(*[
-            F.aggregate(
-                F.zip_with(emb_col,
-                           F.array(*[F.lit(float(v)) for v in cents[i]]),
-                           lambda x, y: x * y),
-                F.lit(0.0), lambda acc, v: acc + v)
-            for i in range(_N_CELLS)
-        ])
-        return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
-
     qvec = _query_vector(spark, sf_dir)
     qsims = cents @ np.asarray(qvec)
     probe_cells = [int(i) for i in np.argsort(-qsims)[:_IVF_PROBES]]
 
-    emb = _emb(spark, sf_dir).withColumn("cell", cell_expr(F.col("emb")))
+    emb = _emb(spark, sf_dir).withColumn("cell", _cell_expr(F.col("emb")))
     c = _cosine_to_lit(F.col("emb"), qvec)
     return (
         emb.filter(F.col("cell").isin(probe_cells))
@@ -287,11 +289,91 @@ LIMIT {TOP_K}
 ANN_TOPK_IVF_SQL = _ivf_sql()
 
 
+# --- SemDeDup: semantic dedup via cluster-then-pairwise-cosine ----------
+
+SEMDEDUP_TAU = 0.35
+
+
+def semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): coarse-cluster the
+    embeddings (the 16 seeded literal centroids stand in for trained
+    k-means, same as ``ann_topk_ivf``), then compare pairs ONLY within a
+    cluster; a vector is a semantic duplicate when a lower-id cluster-mate
+    has cosine ≥ tau (keep-lowest-id greedy — deterministic, no RNG).
+    Returns the removed vectors with their kept representative.
+
+    Scale path: this is the published algorithm's shape — the cluster
+    count grows with the corpus (~sqrt(n)), bounding per-cluster pair
+    blocks, and the join is a cell-equi join (shuffle keyed on cell),
+    never the O(n²) all-pairs space. The cell id doubles as a partition
+    column for the embeddings table at 100 TB.
+
+    Reference analog: the content-sha dedupe of raw pages
+    (/root/reference/src/extract_ocr/crawl.py:712) lifted from exact
+    bytes to embedding space."""
+    return semdedup_df(_emb(spark, sf_dir))
+
+
+def semdedup_df(emb: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFrame:
+    """SemDeDup over any (vec_id, emb: array<double>) frame — see
+    ``semdedup`` for semantics and the scale argument."""
+    assigned = emb.withColumn(
+        "cell", _cell_expr(F.col("emb"))).select("vec_id", "emb", "cell")
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    c = _pair_cosine(F.col("a.emb"), F.col("b.emb"))
+    pairs = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("b.vec_id").alias("vec_id"),
+                F.col("b.cell").alias("cell"),
+                F.col("a.vec_id").alias("partner"),
+                c.alias("cosine"))
+        .filter(F.col("cosine") >= tau)
+    )
+    return (
+        pairs.groupBy("vec_id")
+        .agg(F.max("cell").alias("cell"),
+             F.min("partner").alias("dup_of"),
+             F.round(F.min_by("cosine", "partner"), 6).alias("cosine"))
+        .orderBy("vec_id")
+    )
+
+
+def _semdedup_sql() -> str:
+    cents = _centroids()
+    values = ",\n       ".join(
+        f"({i}, {_vec_sql(cents[i])})" for i in range(_N_CELLS))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+cents(cell, c) AS (VALUES
+       {values}),
+assigned AS (
+  SELECT e.vec_id, e.emb,
+         (SELECT cell FROM cents
+          ORDER BY list_dot_product(e.emb, c) DESC, cell LIMIT 1) AS cell
+  FROM e),
+pairs AS (
+  SELECT b.vec_id, b.cell, a.vec_id AS partner,
+         list_cosine_similarity(a.emb, b.emb) AS cosine
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.emb, b.emb) >= {SEMDEDUP_TAU})
+SELECT vec_id, max(cell) AS cell, min(partner) AS dup_of,
+       round(arg_min(cosine, partner), 6) AS cosine
+FROM pairs GROUP BY vec_id ORDER BY vec_id
+"""
+
+
+SEMDEDUP_SQL = _semdedup_sql()
+
+
 QUERIES = {
     "ann_topk": ann_topk,
     "ann_topk_lsh": ann_topk_lsh,
     "embedding_neardup_lsh": embedding_neardup_lsh,
     "ann_topk_ivf": ann_topk_ivf,
+    "semdedup": semdedup,
 }
 
 ORACLES = {
@@ -299,6 +381,7 @@ ORACLES = {
     "ann_topk_lsh": ANN_TOPK_LSH_SQL,
     "embedding_neardup_lsh": EMBEDDING_NEARDUP_LSH_SQL,
     "ann_topk_ivf": ANN_TOPK_IVF_SQL,
+    "semdedup": SEMDEDUP_SQL,
 }
 
 

@@ -537,3 +537,77 @@ FROM s ORDER BY doc_id, chunk_id
 
 QUERIES["chunk_documents"] = chunk_documents
 ORACLES["chunk_documents"] = CHUNK_DOCUMENTS_SQL
+
+
+# --- Hashed linear quality classifier (fastText-style) ------------------
+
+QC_BUCKETS = 4096
+QC_THRESHOLD = 0.0
+
+
+def quality_classifier_df(docs: DataFrame, threshold: float = QC_THRESHOLD
+                          ) -> DataFrame:
+    """fastText-style hashed bag-of-words linear classifier: lowercase
+    whitespace tokens hash into ``QC_BUCKETS`` buckets; each bucket
+    carries a deterministic integer weight (a stand-in for trained
+    weights — the same seeded-literal trick as the LSH hyperplanes); the
+    document score is the mean bucket weight over its tokens, scaled to
+    [-1, 1].
+
+    Numerics: the per-doc sum is an exact BIGINT accumulation, so the
+    only float operation is one final division — hash-exact against the
+    oracle by construction, no summation-order dependence (the trap
+    lm_nll_scores had to engineer around).
+
+    Scale: one explode + one groupBy(doc_id) — identical shuffle shape
+    to token_counts; everything stays in whole-stage codegen, no UDF.
+
+    Reference analog: lifts the reference's boolean content gates
+    (/root/reference/src/extract_ocr/content.py — WAF/HTML heuristics)
+    to a scored classifier, the shape a curation pipeline trains."""
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    bucket = (F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
+              .cast("long") % QC_BUCKETS)
+    w = (bucket % 1001 - 500).cast("long")
+    return (
+        tok.select("doc_id", w.alias("w"))
+        .groupBy("doc_id")
+        .agg(F.sum("w").alias("sw"), F.count("*").alias("n_tok"))
+        .select(
+            "doc_id", "n_tok",
+            F.round(F.col("sw").cast("double")
+                    / (F.lit(500.0) * F.col("n_tok")), 6).alias("score"))
+        .withColumn("keep", F.col("score") >= F.lit(threshold))
+        .orderBy("doc_id")
+    )
+
+
+def quality_classifier(spark, sf_dir):
+    return quality_classifier_df(_docs(spark, sf_dir))
+
+
+QUALITY_CLASSIFIER_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+  FROM documents
+), w AS (
+  SELECT doc_id,
+         ((('0x' || substring(md5(tok), 1, 15))::BIGINT % {QC_BUCKETS})
+          % 1001 - 500) AS w
+  FROM tok WHERE tok != ''
+), agg AS (
+  SELECT doc_id, sum(w) AS sw, count(*) AS n_tok FROM w GROUP BY doc_id
+)
+SELECT doc_id, n_tok,
+       round(CAST(sw AS DOUBLE) / (500.0 * n_tok), 6) AS score,
+       round(CAST(sw AS DOUBLE) / (500.0 * n_tok), 6) >= {QC_THRESHOLD}
+         AS keep
+FROM agg ORDER BY doc_id
+"""
+
+QUERIES["quality_classifier"] = quality_classifier
+ORACLES["quality_classifier"] = QUALITY_CLASSIFIER_SQL

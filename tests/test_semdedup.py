@@ -1,0 +1,73 @@
+"""SemDeDup (cluster-then-pairwise-cosine dedup) vs a from-scratch numpy
+oracle: same centroid assignment, same keep-lowest-id greedy rule."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from extract_ocr_spark.operators.similarity import (
+    _DIM,
+    _centroids,
+    semdedup_df,
+)
+
+
+def _python_oracle(vecs: dict[int, np.ndarray], tau: float):
+    cents = _centroids()
+    cells = {i: int(np.argmax(cents @ v)) for i, v in vecs.items()}
+    removed = {}
+    ids = sorted(vecs)
+    for j, b in enumerate(ids):
+        for a in ids[:j]:
+            if cells[a] != cells[b]:
+                continue
+            va, vb = vecs[a], vecs[b]
+            cos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+            if cos >= tau and b not in removed:
+                removed[b] = (cells[b], a, round(cos, 6))
+    return removed
+
+
+def test_semdedup_matches_python_oracle(spark):
+    rng = np.random.RandomState(42)
+    vecs = {i: rng.randn(_DIM) for i in range(30)}
+    # plant near-duplicates: 100/101 of 0, 102 of 7 (tiny perturbations
+    # keep them in the same cell with cosine ~1)
+    vecs[100] = vecs[0] + 0.01 * rng.randn(_DIM)
+    vecs[101] = vecs[0] + 0.01 * rng.randn(_DIM)
+    vecs[102] = vecs[7] + 0.01 * rng.randn(_DIM)
+
+    expected = _python_oracle(vecs, tau=0.9)
+    planted = {100, 101, 102}
+    assert planted <= set(expected), "planted dupes must be detectable"
+
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in sorted(vecs.items())],
+        "vec_id long, emb array<double>")
+    got = {r["vec_id"]: (r["cell"], r["dup_of"], r["cosine"])
+           for r in semdedup_df(emb, tau=0.9).collect()}
+
+    assert set(got) == set(expected)
+    for vid, (cell, dup_of, cos) in expected.items():
+        gcell, gdup, gcos = got[vid]
+        assert (gcell, gdup) == (cell, dup_of)
+        assert abs(gcos - cos) < 1e-9
+
+
+def test_semdedup_is_cluster_scoped(spark):
+    """A near-identical pair split across cells is NOT flagged — the
+    published algorithm only compares within a cluster (that is the
+    whole scale trick). Pin that semantic explicitly."""
+    cents = _centroids()
+    # midway between two centroids, nudged to opposite sides
+    mid = cents[0] + cents[1]
+    a = mid + 0.05 * cents[0]
+    b = mid + 0.05 * cents[1]
+    assert int(np.argmax(cents @ a)) != int(np.argmax(cents @ b))
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert cos > 0.99
+
+    emb = spark.createDataFrame(
+        [(1, [float(x) for x in a]), (2, [float(x) for x in b])],
+        "vec_id long, emb array<double>")
+    assert semdedup_df(emb, tau=0.9).count() == 0

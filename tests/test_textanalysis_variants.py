@@ -105,3 +105,48 @@ def test_bm25_prefers_higher_tf_and_shorter_docs(spark):
     assert by_id[1]["n_terms_hit"] == 3
     assert by_id[1]["score"] > by_id[2]["score"] > by_id[3]["score"]
     assert by_id[4]["score"] > by_id[3]["score"]  # shorter doc wins at tf=1
+
+
+def test_quality_classifier_matches_python_oracle(spark):
+    """Score = mean hashed-bucket weight over tokens, computed exactly
+    (BIGINT sum, one final division) — verified against a from-scratch
+    python re-derivation including case folding and token filtering."""
+    import hashlib
+
+    from extract_ocr_spark.operators.textanalysis import (
+        QC_BUCKETS, quality_classifier_df)
+
+    texts = {
+        1: "The quick brown Fox jumps over the LAZY dog",
+        2: "spark   spark\tspark\n join window",
+        3: "   ",          # whitespace-only: no tokens, row dropped
+        4: "one-token",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string")
+    got = {r["doc_id"]: r for r in quality_classifier_df(docs).collect()}
+
+    def weight(tok: str) -> int:
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+        return (h % QC_BUCKETS) % 1001 - 500
+
+    assert 3 not in got
+    for doc_id, text in texts.items():
+        toks = [t for t in text.lower().split() if t]
+        if not toks:
+            continue
+        sw = sum(weight(t) for t in toks)
+        score = round(sw / (500.0 * len(toks)), 6)
+        row = got[doc_id]
+        assert row["n_tok"] == len(toks)
+        assert row["score"] == score
+        assert row["keep"] == (score >= 0.0)
+
+
+def test_quality_classifier_case_folds(spark):
+    from extract_ocr_spark.operators.textanalysis import quality_classifier_df
+
+    docs = spark.createDataFrame(
+        [(1, "Hello WORLD"), (2, "hello world")], "doc_id long, text string")
+    rows = quality_classifier_df(docs).collect()
+    assert rows[0]["score"] == rows[1]["score"]

@@ -9,6 +9,15 @@ get the driver's weaker rows-only check).
 
 from __future__ import annotations
 
+# Engine-invariant whitespace class for tokenizer regexes. Java's \s
+# (Spark) matches vertical tab \x0B; RE2's \s (DuckDB) does not, so a
+# bare \s+ tokenizer silently diverges between a query and its oracle on
+# \x0B-bearing text. Both engines parse the explicit escapes below
+# identically, so every Spark split and its SQL twin interpolate these
+# instead of \s.
+WS_CHARS = r" \t\n\x0B\f\r"
+WS_RE = "[" + WS_CHARS + "]"
+
 
 def all_queries():
     from .. import multimodal

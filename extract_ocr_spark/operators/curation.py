@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import WS_CHARS, WS_RE
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -241,8 +243,8 @@ def quality_filter_df(docs: DataFrame) -> DataFrame:
     pipeline stage; see quality_filter_apply for the gates)."""
     n = F.length("text")
     alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
-    punct = F.length(F.regexp_replace("text", r"[\w\s]", ""))
-    words = F.split(F.trim(F.col("text")), r"\s+")
+    punct = F.length(F.regexp_replace("text", rf"[\w{WS_CHARS}]", ""))
+    words = F.split(F.trim(F.col("text")), WS_RE + "+")
     mwl = F.length(F.concat_ws("", words)).cast("double") / F.size(words)
     ok_len = n >= MIN_CHARS
     ok_alpha = (alpha.cast("double") / n) >= MIN_ALPHA_RATIO
@@ -272,9 +274,9 @@ WITH q AS (
   SELECT doc_id,
          length(text) AS n,
          length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
-         length(regexp_replace(text, '[\w\s]', '', 'g')) AS punct,
-         length(array_to_string(regexp_split_to_array(trim(text), '\s+'), ''))
-           * 1.0 / len(regexp_split_to_array(trim(text), '\s+')) AS mwl
+         length(regexp_replace(text, '[\w{WS_CHARS}]', '', 'g')) AS punct,
+         length(array_to_string(regexp_split_to_array(trim(text), '{WS_RE}+'), ''))
+           * 1.0 / len(regexp_split_to_array(trim(text), '{WS_RE}+')) AS mwl
   FROM documents
 )
 SELECT doc_id,
@@ -311,7 +313,7 @@ def pack_sequences_df(docs: DataFrame, *, budget: int = PACK_BUDGET,
     from pyspark.sql import Window
 
     n_tokens = F.size(F.split(F.trim(
-        F.regexp_replace("text", r"\s+", " ")), " "))
+        F.regexp_replace("text", WS_RE + "+", " ")), " "))
     shard = F.pmod(
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
                16, 10).cast("long"),
@@ -336,7 +338,7 @@ def pack_sequences(spark, sf_dir):
 PACK_SEQUENCES_SQL = rf"""
 WITH t AS (
   SELECT doc_id,
-         len(regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS n_tokens,
+         len(regexp_split_to_array(trim(regexp_replace(text, '{WS_RE}+', ' ', 'g')), ' ')) AS n_tokens,
          CAST(('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT
               % {PACK_SHARDS} AS INT) AS shard
   FROM documents
@@ -446,7 +448,7 @@ def mixture_weights_df(docs: DataFrame) -> DataFrame:
     (F.aggregate over a sorted array here, list_reduce over
     list(ORDER BY source) in the oracle) — a plain SUM() would add in
     engine-dependent order and could flip the 6th rounded decimal."""
-    ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    ws = F.size(F.split(F.trim(F.col("text")), WS_RE + "+"))
     per = docs.groupBy("source").agg(
         F.count("*").alias("docs"),
         F.sum(ws).alias("tokens"))
@@ -470,10 +472,10 @@ def mixture_weights(spark, sf_dir):
         spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
-MIXTURE_WEIGHTS_SQL = r"""
+MIXTURE_WEIGHTS_SQL = rf"""
 WITH per AS (
   SELECT source, CAST(count(*) AS BIGINT) AS docs,
-         CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+         CAST(sum(len(regexp_split_to_array(trim(text), '{WS_RE}+')))
               AS BIGINT) AS tokens
   FROM documents GROUP BY source
 ), tot AS (

@@ -25,6 +25,8 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import WS_RE
+
 TOP_K = 10
 QUERY_VEC_ID = 0
 _N_PLANES = 8
@@ -294,19 +296,31 @@ ANN_TOPK_IVF_SQL = _ivf_sql()
 SEMDEDUP_TAU = 0.35
 
 
+# Refuse when the fixed 16-cell quantizer would make average cells this
+# large (the pair join inside a cell is quadratic in the cell size).
+MAX_SEMDEDUP_CELL_ROWS = 10_000
+
+
 def semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): coarse-cluster the
     embeddings (the 16 seeded literal centroids stand in for trained
     k-means, same as ``ann_topk_ivf``), then compare pairs ONLY within a
-    cluster; a vector is a semantic duplicate when a lower-id cluster-mate
-    has cosine ≥ tau (keep-lowest-id greedy — deterministic, no RNG).
-    Returns the removed vectors with their kept representative.
+    cluster; a vector is removed when any lower-id cluster-mate has
+    cosine ≥ tau. That is exactly the paper implementation's
+    lower-triangle rule (zero the upper triangle of the cluster's sim
+    matrix, drop rows whose max survives the threshold) — deterministic,
+    no RNG. ``dup_of`` is the removal *witness* (the smallest-id such
+    mate); a witness can itself be removed — the rule is not a maximal
+    independent set, matching the paper.
 
-    Scale path: this is the published algorithm's shape — the cluster
-    count grows with the corpus (~sqrt(n)), bounding per-cluster pair
-    blocks, and the join is a cell-equi join (shuffle keyed on cell),
-    never the O(n²) all-pairs space. The cell id doubles as a partition
-    column for the embeddings table at 100 TB.
+    Scale path: the published recipe grows the cluster count with the
+    corpus (~sqrt(n)), bounding per-cluster pair blocks, and the join is
+    a cell-equi join (shuffle keyed on cell), never the O(n²) all-pairs
+    space. The cell id doubles as a partition column for the embeddings
+    table at 100 TB. Because THIS query pins 16 literal cells for oracle
+    parity, it guards average cell size and refuses oversized inputs
+    instead of degrading into a quadratic join (see
+    ``MAX_SEMDEDUP_CELL_ROWS``).
 
     Reference analog: the content-sha dedupe of raw pages
     (/root/reference/src/extract_ocr/crawl.py:712) lifted from exact
@@ -317,27 +331,44 @@ def semdedup(spark, sf_dir):
 def semdedup_df(emb: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFrame:
     """SemDeDup over any (vec_id, emb: array<double>) frame — see
     ``semdedup`` for semantics and the scale argument."""
+    # The slim (vec_id, emb, cell) table is persisted so the parquet scan
+    # and the 16×64-dim centroid fold run ONCE, not once per join side
+    # (the r2 self-join-over-unmaterialized-frame lesson); the result is
+    # localCheckpointed eagerly so unpersist below is safe.
     assigned = emb.withColumn(
-        "cell", _cell_expr(F.col("emb"))).select("vec_id", "emb", "cell")
-    a = assigned.alias("a")
-    b = assigned.alias("b")
-    c = _pair_cosine(F.col("a.emb"), F.col("b.emb"))
-    pairs = (
-        a.join(b, (F.col("a.cell") == F.col("b.cell"))
-               & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(F.col("b.vec_id").alias("vec_id"),
-                F.col("b.cell").alias("cell"),
-                F.col("a.vec_id").alias("partner"),
-                c.alias("cosine"))
-        .filter(F.col("cosine") >= tau)
-    )
-    return (
-        pairs.groupBy("vec_id")
-        .agg(F.max("cell").alias("cell"),
-             F.min("partner").alias("dup_of"),
-             F.round(F.min_by("cosine", "partner"), 6).alias("cosine"))
-        .orderBy("vec_id")
-    )
+        "cell", _cell_expr(F.col("emb"))).select(
+            "vec_id", "emb", "cell").persist()
+    try:
+        n = assigned.count()
+        if n > MAX_SEMDEDUP_CELL_ROWS * _N_CELLS:
+            raise ValueError(
+                f"semdedup with {_N_CELLS} fixed cells would average "
+                f"{n // _N_CELLS} rows/cell (> {MAX_SEMDEDUP_CELL_ROWS}); "
+                f"the within-cell pair join is quadratic in cell size. "
+                f"Scale the cluster count ~sqrt(n) per the SemDeDup "
+                f"recipe (re-seed _centroids with more cells) instead.")
+        a = assigned.alias("a")
+        b = assigned.alias("b")
+        c = _pair_cosine(F.col("a.emb"), F.col("b.emb"))
+        pairs = (
+            a.join(b, (F.col("a.cell") == F.col("b.cell"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("b.vec_id").alias("vec_id"),
+                    F.col("b.cell").alias("cell"),
+                    F.col("a.vec_id").alias("partner"),
+                    c.alias("cosine"))
+            .filter(F.col("cosine") >= tau)
+        )
+        return (
+            pairs.groupBy("vec_id")
+            .agg(F.max("cell").alias("cell"),
+                 F.min("partner").alias("dup_of"),
+                 F.round(F.min_by("cosine", "partner"), 6).alias("cosine"))
+            .orderBy("vec_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        assigned.unpersist()
 
 
 def _semdedup_sql() -> str:
@@ -413,7 +444,7 @@ def bm25_search_df(docs: DataFrame, terms=BM25_TERMS, k1: float = BM25_K1,
     flakiness at the round() boundary (the lm_nll lesson). Top-k orders
     by the *rounded* score with a doc_id tie-break, deterministic on
     both sides."""
-    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    words = F.split(F.trim(F.lower(F.col("text"))), WS_RE + "+")
     wl = docs.select("doc_id", F.explode(words).alias("w"))
     per_doc = wl.groupBy("doc_id").agg(
         F.count("*").alias("dl"),
@@ -470,15 +501,15 @@ def _bm25_sql() -> str:
     return rf"""
 WITH w AS (
   SELECT doc_id,
-         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS dl,
-         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+         len(regexp_split_to_array(trim(lower(text)), '{WS_RE}+')) AS dl,
+         unnest(regexp_split_to_array(trim(lower(text)), '{WS_RE}+')) AS w
   FROM documents
 ), tf AS (
   SELECT doc_id, dl, w, count(*) AS tf FROM w
   WHERE w IN ({terms}) GROUP BY doc_id, dl, w
 ), stats AS (
   SELECT CAST(count(*) AS DOUBLE) AS n,
-         avg(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS avgdl
+         avg(len(regexp_split_to_array(trim(lower(text)), '{WS_RE}+'))) AS avgdl
   FROM documents
 ), dfreq AS (
   SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY w

@@ -14,6 +14,7 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from ..kernels.textstats import fingerprint, lang_id
+from . import WS_CHARS, WS_RE
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -23,17 +24,20 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def token_counts(spark, sf_dir):
     """Whitespace tokens + BPE-ish regex tokens (words / punctuation)."""
     docs = _docs(spark, sf_dir)
-    ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
-    bpe = F.size(F.expr(r"regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)"))
+    ws = F.size(F.split(F.trim(F.col("text")), WS_RE + "+"))
+    # F.expr string literal: Spark SQL unescapes \\ once before the regex
+    # engine sees the pattern.
+    _bpe_pat = r"\\w+|[^\\w" + WS_CHARS.replace("\\", "\\\\") + "]"
+    bpe = F.size(F.expr(f"regexp_extract_all(text, '{_bpe_pat}', 0)"))
     return docs.select(
         "doc_id", ws.alias("ws_tokens"), bpe.alias("bpe_tokens")
     ).orderBy("doc_id")
 
 
-TOKEN_COUNTS_SQL = r"""
+TOKEN_COUNTS_SQL = rf"""
 SELECT doc_id,
-       len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
-       len(regexp_extract_all(text, '\w+|[^\w\s]')) AS bpe_tokens
+       len(regexp_split_to_array(trim(text), '{WS_RE}+')) AS ws_tokens,
+       len(regexp_extract_all(text, '\w+|[^\w{WS_CHARS}]')) AS bpe_tokens
 FROM documents ORDER BY doc_id
 """
 
@@ -44,8 +48,8 @@ def quality_metrics(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     n = F.length("text")
     alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
-    punct = F.length(F.regexp_replace("text", r"[\w\s]", ""))
-    words = F.split(F.trim(F.col("text")), r"\s+")
+    punct = F.length(F.regexp_replace("text", rf"[\w{WS_CHARS}]", ""))
+    words = F.split(F.trim(F.col("text")), WS_RE + "+")
     mean_wlen = F.round(
         (F.length(F.concat_ws("", words)).cast("double")) / F.size(words), 6)
     return docs.select(
@@ -57,15 +61,15 @@ def quality_metrics(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-QUALITY_METRICS_SQL = r"""
+QUALITY_METRICS_SQL = rf"""
 SELECT doc_id,
        length(text) AS n_chars_actual,
        round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
              / length(text), 6) AS alpha_ratio,
-       round(length(regexp_replace(text, '[\w\s]', '', 'g')) * 1.0
+       round(length(regexp_replace(text, '[\w{WS_CHARS}]', '', 'g')) * 1.0
              / length(text), 6) AS punct_ratio,
-       round(length(array_to_string(regexp_split_to_array(trim(text), '\s+'), '')) * 1.0
-             / len(regexp_split_to_array(trim(text), '\s+')), 6) AS mean_word_len
+       round(length(array_to_string(regexp_split_to_array(trim(text), '{WS_RE}+'), '')) * 1.0
+             / len(regexp_split_to_array(trim(text), '{WS_RE}+')), 6) AS mean_word_len
 FROM documents ORDER BY doc_id
 """
 
@@ -118,8 +122,8 @@ _LANGS_SORTED = sorted(_STOPWORDS)
 
 def _lang_hits_sql(lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in sorted(_STOPWORDS[lang]))
-    return (f"len(list_filter(regexp_split_to_array(lower(text), '\\s+'), "
-            f"w -> list_contains([{words}], w))) AS h_{lang}")
+    return (f"len(list_filter(regexp_split_to_array(lower(text), "
+            f"'{WS_RE}+'), w -> list_contains([{words}], w))) AS h_{lang}")
 
 
 LANG_ID_PRED_SQL = (
@@ -156,7 +160,7 @@ DOC_FINGERPRINTS_SQL = rf"""
 WITH n AS (
   SELECT source,
          array_to_string(list_filter(
-           regexp_split_to_array(lower(text), '\s+'), w -> w != ''), ' ') AS norm
+           regexp_split_to_array(lower(text), '{WS_RE}+'), w -> w != ''), ' ') AS norm
   FROM documents
 ), f AS (
   SELECT source, {_FP_SQL_EXPR} AS fp FROM n
@@ -227,7 +231,7 @@ def top_terms_per_source(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     words = docs.select(
         "source", "doc_id",
-        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term")
+        F.explode(F.split(F.lower(F.col("text")), WS_RE + "+")).alias("term")
     ).filter(F.col("term") != "")
     tf = words.groupBy("source", "term").agg(F.count("*").alias("tf"))
     ndocs = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
@@ -241,9 +245,10 @@ def top_terms_per_source(spark, sf_dir):
     )
 
 
-TOP_TERMS_PER_SOURCE_SQL = r"""
+TOP_TERMS_PER_SOURCE_SQL = rf"""
 WITH words AS (
-  SELECT source, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+  SELECT source,
+         unnest(regexp_split_to_array(lower(text), '{WS_RE}+')) AS term
   FROM documents
 ), tf AS (
   SELECT source, term, count(*) AS tf
@@ -285,7 +290,8 @@ def repetition_metrics_df(docs: DataFrame) -> DataFrame:
         F.size(F.array_distinct(lines)).alias("n_uniq_lines"),
     )
     words = F.split(
-        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")
+        F.trim(F.regexp_replace(F.lower(F.col("text")), WS_RE + "+", " ")),
+        " ")
     # size >= 2 guard BEFORE sequence(): with one word sequence(0, -1)
     # descends and slice(words, 0, 2) throws; sub-2-word docs simply have
     # no 2-grams and fall out via the left join (frac coalesced to 0)
@@ -323,7 +329,7 @@ def repetition_metrics(spark, sf_dir):
     return repetition_metrics_df(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
-REPETITION_METRICS_SQL = r"""
+REPETITION_METRICS_SQL = rf"""
 WITH l AS (
   SELECT doc_id,
          list_filter(list_transform(string_split(text, chr(10)),
@@ -335,7 +341,7 @@ WITH l AS (
   FROM l
 ), w AS (
   SELECT doc_id,
-         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+         regexp_split_to_array(trim(regexp_replace(lower(text), '{WS_RE}+', ' ', 'g')), ' ') AS words
   FROM documents
 ), g AS (
   SELECT doc_id,
@@ -492,7 +498,7 @@ def chunk_documents_df(docs: DataFrame, win: int = CHUNK_WIN,
     extra columns to pass through unchanged (the curation job carries
     source/lang metadata onto each chunk)."""
     carry = list(carry)
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    toks = F.split(F.trim(F.col("text")), WS_RE + "+")
     base = docs.select(
         "doc_id", *carry, toks.alias("toks"), F.size(toks).alias("n"))
     out = (
@@ -522,7 +528,7 @@ def chunk_documents(spark, sf_dir):
 # F.slice(toks, st+1, WIN).
 CHUNK_DOCUMENTS_SQL = rf"""
 WITH t AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  SELECT doc_id, regexp_split_to_array(trim(text), '{WS_RE}+') AS toks
   FROM documents
 ), s AS (
   SELECT doc_id, toks,
@@ -567,7 +573,8 @@ def quality_classifier_df(docs: DataFrame, threshold: float = QC_THRESHOLD
     to a scored classifier, the shape a curation pipeline trains."""
     tok = docs.select(
         "doc_id",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), WS_RE + "+")).alias("tok"),
     ).filter(F.col("tok") != "")
     bucket = (F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
               .cast("long") % QC_BUCKETS)
@@ -592,7 +599,7 @@ def quality_classifier(spark, sf_dir):
 QUALITY_CLASSIFIER_SQL = rf"""
 WITH tok AS (
   SELECT doc_id,
-         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+         unnest(regexp_split_to_array(lower(trim(text)), '{WS_RE}+')) AS tok
   FROM documents
 ), w AS (
   SELECT doc_id,

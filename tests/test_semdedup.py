@@ -1,5 +1,5 @@
 """SemDeDup (cluster-then-pairwise-cosine dedup) vs a from-scratch numpy
-oracle: same centroid assignment, same keep-lowest-id greedy rule."""
+oracle: same centroid assignment, same lower-triangle removal rule."""
 
 from __future__ import annotations
 
@@ -71,3 +71,48 @@ def test_semdedup_is_cluster_scoped(spark):
         [(1, [float(x) for x in a]), (2, [float(x) for x in b])],
         "vec_id long, emb array<double>")
     assert semdedup_df(emb, tau=0.9).count() == 0
+
+
+def test_semdedup_witness_chain(spark):
+    """Paper semantics pin: removal uses the LOWER-TRIANGLE rule, so a
+    removed vector can still act as the witness for a later one. With
+    cos(1,2) >= tau, cos(2,3) >= tau, cos(1,3) < tau: both 2 AND 3 are
+    removed, and 3's dup_of is 2 even though 2 is itself removed."""
+    import numpy as np
+
+    from extract_ocr_spark.operators.similarity import _centroids, semdedup_df
+
+    cents = _centroids()
+    c = cents[5]
+    u = np.zeros_like(c)
+    u[0] = 1.0
+    u = u - (u @ c) * c
+    u /= np.linalg.norm(u)
+    theta = np.deg2rad(25)
+    v1 = np.cos(theta) * c - np.sin(theta) * u
+    v2 = c.copy()
+    v3 = np.cos(theta) * c + np.sin(theta) * u
+    # preconditions: one shared cell; pairwise cosines bracket tau=0.8
+    for v in (v1, v2, v3):
+        assert int(np.argmax(cents @ v)) == 5
+    assert v1 @ v2 > 0.8 and v2 @ v3 > 0.8 and v1 @ v3 < 0.8
+
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in ((1, v1), (2, v2), (3, v3))],
+        "vec_id long, emb array<double>")
+    got = {r["vec_id"]: r["dup_of"] for r in semdedup_df(emb, tau=0.8).collect()}
+    assert got == {2: 1, 3: 2}
+
+
+def test_semdedup_refuses_oversized_fixed_cell_input(spark):
+    """The 16-cell registry query guards average cell size — a corpus
+    that would make the within-cell join quadratic refuses loudly with
+    a pointer to scaling the cluster count, instead of hanging."""
+    import pytest
+
+    from extract_ocr_spark.operators import similarity as S
+
+    emb = spark.range(S.MAX_SEMDEDUP_CELL_ROWS * S._N_CELLS + 1).selectExpr(
+        "id AS vec_id", "array(1.0d, 2.0d) AS emb")
+    with pytest.raises(ValueError, match="quadratic in cell size"):
+        S.semdedup_df(emb)

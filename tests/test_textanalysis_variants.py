@@ -121,6 +121,9 @@ def test_quality_classifier_matches_python_oracle(spark):
         2: "spark   spark\tspark\n join window",
         3: "   ",          # whitespace-only: no tokens, row dropped
         4: "one-token",
+        5: "a\x0Bb c",     # vertical tab IS a separator (python .split()
+                           # and the explicit WS class agree; RE2 \s would
+                           # not — the engine-invariance the class buys)
     }
     docs = spark.createDataFrame(
         list(texts.items()), "doc_id long, text string")

@@ -551,8 +551,8 @@ QC_BUCKETS = 4096
 QC_THRESHOLD = 0.0
 
 
-def quality_classifier_df(docs: DataFrame, threshold: float = QC_THRESHOLD
-                          ) -> DataFrame:
+def quality_classifier_df(docs: DataFrame, threshold: float = QC_THRESHOLD,
+                          ordered: bool = True) -> DataFrame:
     """fastText-style hashed bag-of-words linear classifier: lowercase
     whitespace tokens hash into ``QC_BUCKETS`` buckets; each bucket
     carries a deterministic integer weight (a stand-in for trained
@@ -579,7 +579,7 @@ def quality_classifier_df(docs: DataFrame, threshold: float = QC_THRESHOLD
     bucket = (F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
               .cast("long") % QC_BUCKETS)
     w = (bucket % 1001 - 500).cast("long")
-    return (
+    out = (
         tok.select("doc_id", w.alias("w"))
         .groupBy("doc_id")
         .agg(F.sum("w").alias("sw"), F.count("*").alias("n_tok"))
@@ -588,8 +588,9 @@ def quality_classifier_df(docs: DataFrame, threshold: float = QC_THRESHOLD
             F.round(F.col("sw").cast("double")
                     / (F.lit(500.0) * F.col("n_tok")), 6).alias("score"))
         .withColumn("keep", F.col("score") >= F.lit(threshold))
-        .orderBy("doc_id")
     )
+    # presentation sort for the oracle protocol; pipeline callers skip it
+    return out.orderBy("doc_id") if ordered else out
 
 
 def quality_classifier(spark, sf_dir):

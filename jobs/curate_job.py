@@ -38,6 +38,7 @@ def run(spark, docs, output: str, *, eval_ids=(0, 1, 2, 3, 4),
         min_shared_shingles: int = 5, max_dup_line_frac: float = 0.30,
         max_top_2gram_frac: float = 0.20, mixture_sampling: bool = False,
         fuzzy_dedup: bool = False, max_lm_nll: float | None = None,
+        min_classifier_score: float | None = None,
         chunk_tokens: int | None = None, chunk_stride: int | None = None,
         pack_budget: int = 2048, write_partitions: int | None = None) -> dict:
     """The composed curation pipeline as a callable (spark-submit `main`
@@ -134,12 +135,37 @@ def run(spark, docs, output: str, *, eval_ids=(0, 1, 2, 3, 4),
     else:
         flags = flags.withColumn("_lm_bad", F.lit(False))
 
+    # 2c (optional): hashed-linear-classifier gate — the fastText-style
+    # scored twin of the boolean quality heuristics; docs scoring below
+    # --min-classifier-score are flagged. Same cached-flag-frame input
+    # discipline as the LM gate: one slim (doc_id, text) projection of
+    # the survivors, one groupBy, joined back as a flag.
+    if min_classifier_score is not None:
+        from extract_ocr_spark.operators.textanalysis import (
+            quality_classifier_df,
+        )
+
+        clf_bad = (
+            quality_classifier_df(
+                flags.filter(F.col("_canonical") & F.col("_quality")
+                             & ~F.col("_fuzzy_dup") & ~F.col("_lm_bad"))
+                .select("doc_id", "text"),
+                threshold=min_classifier_score, ordered=False)
+            .filter(~F.col("keep"))
+            .select("doc_id", F.lit(True).alias("_clf_bad"))
+        )
+        flags = flags.join(clf_bad, "doc_id", "left") \
+            .fillna({"_clf_bad": False})
+    else:
+        flags = flags.withColumn("_clf_bad", F.lit(False))
+
     # 3: repetition flag (Gopher-style), computed only over the docs that
     # survived 1-2 — same input set as the old staged form, one
     # explode+agg keyed on doc_id, joined back as a flag
     rep = repetition_metrics_df(
         flags.filter(F.col("_canonical") & F.col("_quality")
-                     & ~F.col("_fuzzy_dup") & ~F.col("_lm_bad"))
+                     & ~F.col("_fuzzy_dup") & ~F.col("_lm_bad")
+                     & ~F.col("_clf_bad"))
         .select("doc_id", "text"))
     repetitive = rep.filter(
         (F.col("dup_line_frac") > max_dup_line_frac)
@@ -161,7 +187,8 @@ def run(spark, docs, output: str, *, eval_ids=(0, 1, 2, 3, 4),
     )
     corpus_side = flags.filter(
         F.col("_canonical") & F.col("_quality") & ~F.col("_fuzzy_dup")
-        & ~F.col("_lm_bad") & ~F.col("_repetitive") & ~is_eval)
+        & ~F.col("_lm_bad") & ~F.col("_clf_bad") & ~F.col("_repetitive")
+        & ~is_eval)
     corpus_sh = _drop_hot_shingles(
         _with_shingles(corpus_side)
         .select("doc_id", F.explode("shingles").alias("shingle")))
@@ -189,13 +216,17 @@ def run(spark, docs, output: str, *, eval_ids=(0, 1, 2, 3, 4),
         _n(qual & ~F.col("_fuzzy_dup")
            & F.col("_lm_bad")).alias("lm_dropped"),
         _n(qual & ~F.col("_fuzzy_dup") & ~F.col("_lm_bad")
-           & F.col("_repetitive")).alias("repetitive_dropped"),
+           & F.col("_clf_bad")).alias("clf_dropped"),
+        _n(qual & ~F.col("_fuzzy_dup") & ~F.col("_lm_bad")
+           & ~F.col("_clf_bad") & F.col("_repetitive"))
+        .alias("repetitive_dropped"),
         _n(F.col("_contaminated")).alias("contaminated_dropped"),
     ).first()
 
     clean = flags.filter(
         canon & F.col("_quality") & ~F.col("_fuzzy_dup") & ~F.col("_lm_bad")
-        & ~F.col("_repetitive") & ~F.col("_contaminated") & ~is_eval
+        & ~F.col("_clf_bad") & ~F.col("_repetitive")
+        & ~F.col("_contaminated") & ~is_eval
     ).select(*in_cols)
 
     # 5: optional per-source mixture sampling
@@ -264,6 +295,7 @@ def run(spark, docs, output: str, *, eval_ids=(0, 1, 2, 3, 4),
         "after_quality": c["after_quality"],
         "fuzzy_dropped": c["fuzzy_dropped"],
         "lm_dropped": c["lm_dropped"],
+        "clf_dropped": c["clf_dropped"],
         "repetitive_dropped": c["repetitive_dropped"],
         "contaminated_dropped": c["contaminated_dropped"],
         "chunk_tokens": chunk_tokens,
@@ -293,6 +325,9 @@ def main() -> None:
     ap.add_argument("--fuzzy-dedup", action="store_true",
                     help="MinHash near-dup clustering after exact dedup; "
                          "keep one doc per cluster")
+    ap.add_argument("--min-classifier-score", type=float, default=None,
+                    help="drop docs whose hashed-linear-classifier "
+                         "quality score falls below this threshold")
     ap.add_argument("--max-lm-nll", type=float, default=None,
                     help="drop docs whose corpus-bigram-LM avg negative "
                          "log-likelihood exceeds this (CCNet-style gate)")
@@ -326,6 +361,7 @@ def main() -> None:
         mixture_sampling=args.mixture_sampling,
         fuzzy_dedup=args.fuzzy_dedup,
         max_lm_nll=args.max_lm_nll,
+        min_classifier_score=args.min_classifier_score,
         chunk_tokens=args.chunk_tokens,
         chunk_stride=args.chunk_stride,
         pack_budget=args.pack_budget,

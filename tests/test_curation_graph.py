@@ -256,3 +256,27 @@ def test_mixture_weights_upweights_low_resource_sources(spark):
     assert got["small"]["weight"] > got["small"]["share"]
     assert got["big"]["weight"] < got["big"]["share"]
     assert abs(got["small"]["weight"] + got["big"]["weight"] - 1.0) < 1e-6
+
+
+def test_curate_run_classifier_gate_drops_low_scorers(spark, tmp_path):
+    """--min-classifier-score composes the hashed-linear-classifier gate:
+    the lowest-scoring doc is dropped, the rest survive, and the stats
+    record the drop under clf_dropped."""
+    from jobs.curate_job import run
+
+    common = ("the quick brown fox jumps over the lazy dog and then "
+              "runs far away into the deep green forest tonight again")
+    rows = [(i, common + f" marker{i}", "en", "s", 130) for i in range(12)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+    probe = run(spark, docs, str(tmp_path / "probe"), eval_ids=[])
+    assert probe["clf_dropped"] == 0  # gate off by default
+
+    # measured: doc 1 scores 0.055, every other doc >= 0.082
+    stats = run(spark, docs, str(tmp_path / "clf"), eval_ids=[],
+                min_classifier_score=0.07)
+    assert stats["clf_dropped"] == 1
+    kept = {r["doc_id"] for r in spark.read.parquet(
+        str(tmp_path / "clf" / "corpus")).select("doc_id").collect()}
+    assert 1 not in kept and 0 in kept and len(kept) == 11

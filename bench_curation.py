@@ -10,6 +10,8 @@ wall numbers, not just correctness tests:
   fuzzy      — + --fuzzy-dedup (MinHash LSH + connected components,
                the costliest stage in the job)
   fuzzy_lm   — + --max-lm-nll (corpus bigram LM gate) on top of fuzzy
+  full       — + --min-classifier-score (hashed linear classifier) on
+               top of fuzzy_lm — every optional gate on at once
 
 Prints ONE JSON line mirroring bench.py's format; timing discipline is
 shared with bench.py (min-of-N, per-run [wall, steal, foreign_busy,
@@ -44,7 +46,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_DOCS = int(os.environ.get("SPARK_GRAFT_CURATION_DOCS", "0"))
 STAGES = [s.strip() for s in os.environ.get(
     "SPARK_GRAFT_CURATION_STAGES",
-    "default" if N_DOCS else "default,fuzzy,fuzzy_lm").split(",")
+    "default" if N_DOCS else "default,fuzzy,fuzzy_lm,full").split(",")
     if s.strip()]
 
 # measured on the sf0.1 corpus: typical docs score ~4-6 avg_nll under the
@@ -52,10 +54,17 @@ STAGES = [s.strip() for s in os.environ.get(
 # only genuine outliers
 LM_NLL_GATE = 8.0
 
+# measured on the sf0.1 corpus: classifier scores center at ~0.01 with
+# std ~0.105, so -0.2 (< 2.5th percentile) pays the full gate cost while
+# dropping only genuine outliers
+CLF_GATE = -0.2
+
 _KW = {
     "default": {},
     "fuzzy": {"fuzzy_dedup": True},
     "fuzzy_lm": {"fuzzy_dedup": True, "max_lm_nll": LM_NLL_GATE},
+    "full": {"fuzzy_dedup": True, "max_lm_nll": LM_NLL_GATE,
+             "min_classifier_score": CLF_GATE},
 }
 
 _UNKNOWN = sorted(set(STAGES) - set(_KW))

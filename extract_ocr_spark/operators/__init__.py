@@ -64,6 +64,7 @@ def all_queries():
         # queries new in r5 — never driver-checked yet
         "bfs_frontier", "chunk_documents", "bm25_search",
         "mixture_weights", "semdedup", "quality_classifier",
+        "corpus_report",
     )
     order = [n for n in front if n in queries] + [
         n for n in queries if n not in front]

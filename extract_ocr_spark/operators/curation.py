@@ -35,7 +35,7 @@ def norm_content_sha() -> "F.Column":
     """Normalized-content hash shared by the dedup stage and the
     curation job's flag frame (one definition so they cannot diverge)."""
     return F.sha2(
-        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), 256)
+        F.trim(F.regexp_replace(F.lower(F.col("text")), WS_RE + "+", " ")), 256)
 
 
 def dedup_apply_df(docs: DataFrame) -> DataFrame:
@@ -58,7 +58,7 @@ def dedup_apply(spark, sf_dir):
 
 DEDUP_APPLY_SQL = r"""
 WITH h AS (
-  SELECT *, sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS sha
+  SELECT *, sha256(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS sha
   FROM documents
 )
 SELECT doc_id, lang, source, n_chars
@@ -498,3 +498,74 @@ FROM sh, den ORDER BY source
 
 QUERIES["mixture_weights"] = mixture_weights
 ORACLES["mixture_weights"] = MIXTURE_WEIGHTS_SQL
+
+
+# --- Corpus report (per-source "data card" aggregate) -------------------
+
+
+def corpus_report_df(docs: DataFrame) -> DataFrame:
+    """Per-source corpus statistics — the "data card" a training-data
+    pipeline publishes alongside a curated corpus: document/token/char
+    volumes, exact-duplicate counts (normalized-content sha), the
+    language mix, and mean document length.
+
+    Numerics: every sum is an exact BIGINT; the one float op is the
+    final tokens/docs division (hash-exact parity by construction).
+
+    Scale: ONE groupBy(source) — the distinct-sha count rides the same
+    shuffle (Spark plans count+countDistinct as a two-phase expand, both
+    keyed on source). At 10^12 docs swap countDistinct for
+    approx_count_distinct if the per-source sha cardinality strains the
+    expand; the rest is map-side combinable.
+
+    Reference analog: ExportInspection's counts-by-kind over the
+    manifest (/root/reference/src/extract_ocr/export_inspect.py:9-30)
+    lifted to corpus-curation fields."""
+    ws = F.size(F.split(F.trim(F.col("text")), WS_RE + "+")).cast("long")
+    return (
+        docs.select(
+            "source", "lang",
+            F.length("text").cast("long").alias("chars_"),
+            ws.alias("toks"),
+            norm_content_sha().alias("sha"))
+        .groupBy("source")
+        .agg(F.count("*").alias("docs"),
+             F.sum("toks").alias("tokens"),
+             F.sum("chars_").alias("chars"),
+             (F.count("*") - F.countDistinct("sha")).alias("dup_docs"),
+             F.array_join(F.array_sort(F.collect_set("lang")), ",")
+             .alias("langs"))
+        .select(
+            "source", "docs", "tokens", "chars", "dup_docs", "langs",
+            F.round(F.col("tokens").cast("double") / F.col("docs"), 6)
+            .alias("avg_doc_tokens"))
+        .orderBy("source")
+    )
+
+
+def corpus_report(spark, sf_dir):
+    return corpus_report_df(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+CORPUS_REPORT_SQL = rf"""
+WITH d AS (
+  SELECT source, lang,
+         length(text) AS chars_,
+         len(regexp_split_to_array(trim(text), '{WS_RE}+')) AS toks,
+         sha256(trim(regexp_replace(lower(text), '{WS_RE}+', ' ', 'g')))
+           AS sha
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(toks) AS BIGINT) AS tokens,
+       CAST(sum(chars_) AS BIGINT) AS chars,
+       CAST(count(*) - count(DISTINCT sha) AS BIGINT) AS dup_docs,
+       array_to_string(list_sort(list_distinct(list(lang))), ',') AS langs,
+       round(CAST(sum(toks) AS DOUBLE) / count(*), 6) AS avg_doc_tokens
+FROM d GROUP BY source ORDER BY source
+"""
+
+QUERIES["corpus_report"] = corpus_report
+ORACLES["corpus_report"] = CORPUS_REPORT_SQL

@@ -44,6 +44,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from . import WS_RE
 from pyspark.sql import types as T
 
 from ..kernels.dedupkit import lsh_bands, minhash_signature
@@ -115,7 +117,7 @@ def dedup_exact_norm(spark, sf_dir):
     """Exact dedup after whitespace/case normalization (hash-groupBy)."""
     docs = _docs(spark, sf_dir)
     norm_sha = F.sha2(
-        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), 256)
+        F.trim(F.regexp_replace(F.lower(F.col("text")), WS_RE + "+", " ")), 256)
     return (
         docs.withColumn("sha", F.substring(norm_sha, 1, 16))
         .groupBy("sha")
@@ -126,7 +128,7 @@ def dedup_exact_norm(spark, sf_dir):
 
 
 DEDUP_EXACT_NORM_SQL = r"""
-SELECT substring(sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16) AS sha,
+SELECT substring(sha256(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))), 1, 16) AS sha,
        count(*) AS n_dups, min(doc_id) AS keep_doc_id
 FROM documents GROUP BY 1 ORDER BY sha
 """
@@ -290,7 +292,7 @@ def _simhash_sig(docs: DataFrame) -> DataFrame:
     tokens get simhash 0 (matching the kernel's empty-input convention)."""
     tok = (
         docs.select("doc_id",
-                    F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"))
+                    F.explode(F.split(F.lower(F.col("text")), WS_RE + "+")).alias("tok"))
         .filter(F.col("tok") != "")
         .withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
                     .cast("long"))
@@ -373,7 +375,7 @@ _SIMHASH_PACK = " + ".join(
 
 SIMHASH_PAIRS_SQL = rf"""
 WITH toks AS (
-  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '{WS_RE}+')) AS tok
   FROM documents
 ), th AS (
   SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h

@@ -47,7 +47,7 @@ EXTRACT_HTML_MARKDOWN_SQL = r"""
 SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        'Source: doc://' || doc_id || '/0' || chr(10) || chr(10) ||
        '# Doc ' || doc_id || chr(10) || chr(10) ||
-       trim(regexp_replace(text, '\s+', ' ', 'g')) || chr(10) AS md
+       trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')) || chr(10) AS md
 FROM documents ORDER BY doc_id
 """
 
@@ -205,7 +205,7 @@ _NL = "chr(10)"
 EXTRACT_SYNTHETIC_SPANS_SQL = rf"""
 WITH flat AS (
   SELECT CAST(doc_id AS VARCHAR) AS did, doc_id AS n, text, lang, source,
-         trim(regexp_replace(text, '\s+', ' ', 'g')) AS tnorm
+         trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')) AS tnorm
   FROM documents
 )
 SELECT did AS doc_id, 0 AS ord, 'markdown' AS kind,

@@ -15,6 +15,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from . import WS_RE
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
@@ -161,7 +163,7 @@ FROM hits GROUP BY endpoint ORDER BY endpoint
 def filename_sanitize(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     piece = F.substring("text", 1, 60)
-    out = F.regexp_replace(F.trim(piece), r"\s+", "-")
+    out = F.regexp_replace(F.trim(piece), WS_RE + "+", "-")
     out = F.regexp_replace(out, "[^A-Za-z0-9._-]+", "-")
     out = F.regexp_replace(out, "-+", "-")
     out = F.regexp_replace(out, "^-|-$", "")
@@ -176,7 +178,7 @@ FROM (
   SELECT doc_id,
          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
            trim(substring(text, 1, 60)),
-           '\s+', '-', 'g'),
+           '[ \t\n\x0B\f\r]+', '-', 'g'),
            '[^A-Za-z0-9._-]+', '-', 'g'),
            '-+', '-', 'g'),
            '^-|-$', '', 'g') AS s

@@ -280,3 +280,25 @@ def test_curate_run_classifier_gate_drops_low_scorers(spark, tmp_path):
     kept = {r["doc_id"] for r in spark.read.parquet(
         str(tmp_path / "clf" / "corpus")).select("doc_id").collect()}
     assert 1 not in kept and 0 in kept and len(kept) == 11
+
+
+def test_corpus_report_counts_dups_and_langs(spark):
+    """Data-card aggregate: exact-dup counting is per normalized content
+    (case/whitespace-insensitive), the language mix is sorted, and mean
+    tokens divide exactly."""
+    from extract_ocr_spark.operators.curation import corpus_report_df
+
+    rows = [
+        (1, "Hello   world", "en", "a", 13),
+        (2, "hello world", "en", "a", 11),          # normalized dup of 1
+        (3, "three more words here", "fr", "a", 21),
+        (4, "unrelated text", "de", "b", 14),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    got = {r["source"]: r for r in corpus_report_df(docs).collect()}
+    a, b = got["a"], got["b"]
+    assert (a["docs"], a["dup_docs"], a["langs"]) == (3, 1, "en,fr")
+    assert a["tokens"] == 2 + 2 + 4
+    assert a["avg_doc_tokens"] == round(8 / 3.0, 6)
+    assert (b["docs"], b["dup_docs"], b["langs"]) == (1, 0, "de")

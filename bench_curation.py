@@ -4,7 +4,7 @@ composed dedup → quality → repetition gate → decontamination → split →
 pack pipeline — end-to-end at the bench scale factor, writing the real
 partitioned output each attempt (the write is part of the pipeline).
 
-Three configurations are timed so the expensive optional stages carry
+Four configurations are timed so the expensive optional stages carry
 wall numbers, not just correctness tests:
   default    — exact dedup + quality + repetition + decontamination
   fuzzy      — + --fuzzy-dedup (MinHash LSH + connected components,
@@ -20,7 +20,7 @@ idle_ok] tuples, clean = steal < 0.5% AND foreign busy < 2%).
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
      SPARK_GRAFT_CURATION_STAGES (comma list, default
-         "default,fuzzy,fuzzy_lm"),
+         "default,fuzzy,fuzzy_lm,full"),
      SPARK_GRAFT_CURATION_DOCS (default 0 = use SF_DIR documents;
          set e.g. 1200000 for the endurance corpus — generated natively,
          cached under .bench_data/, default stages then just "default",

@@ -18,6 +18,15 @@ from __future__ import annotations
 WS_CHARS = r" \t\n\x0B\f\r"
 WS_RE = "[" + WS_CHARS + "]"
 
+# Python's whitespace set (re \s on str == str.isspace(), measured: the
+# same 29 codepoints) for oracles whose Spark side is a PYTHON kernel
+# (htmlkit's \s+ collapse, textstats' str.split()). RE2 accepts the
+# \x{...} escapes; Java-expression pairs must keep WS_RE instead (Java
+# \s is ASCII-only).
+PY_WS_RE = (r"[ \t\n\x0B\f\r\x{001C}-\x{001F}\x{0085}\x{00A0}"
+            r"\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}"
+            r"\x{205F}\x{3000}]")
+
 
 def all_queries():
     from .. import multimodal

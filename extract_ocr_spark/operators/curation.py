@@ -56,9 +56,9 @@ def dedup_apply(spark, sf_dir):
     )
 
 
-DEDUP_APPLY_SQL = r"""
+DEDUP_APPLY_SQL = rf"""
 WITH h AS (
-  SELECT *, sha256(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS sha
+  SELECT *, sha256(trim(regexp_replace(lower(text), '{WS_RE}+', ' ', 'g'))) AS sha
   FROM documents
 )
 SELECT doc_id, lang, source, n_chars
@@ -521,7 +521,12 @@ def corpus_report_df(docs: DataFrame) -> DataFrame:
     Reference analog: ExportInspection's counts-by-kind over the
     manifest (/root/reference/src/extract_ocr/export_inspect.py:9-30)
     lifted to corpus-curation fields."""
-    ws = F.size(F.split(F.trim(F.col("text")), WS_RE + "+")).cast("long")
+    # filter empties so whitespace-only docs report 0 tokens (split of
+    # '' yields [''], and a trailing tab leaves a trailing '' — both
+    # would inflate the published token stat)
+    ws = F.size(F.filter(
+        F.split(F.trim(F.col("text")), WS_RE + "+"),
+        lambda t: t != F.lit(""))).cast("long")
     return (
         docs.select(
             "source", "lang",
@@ -552,7 +557,8 @@ CORPUS_REPORT_SQL = rf"""
 WITH d AS (
   SELECT source, lang,
          length(text) AS chars_,
-         len(regexp_split_to_array(trim(text), '{WS_RE}+')) AS toks,
+         len(list_filter(regexp_split_to_array(trim(text), '{WS_RE}+'),
+                         t -> t != '')) AS toks,
          sha256(trim(regexp_replace(lower(text), '{WS_RE}+', ' ', 'g')))
            AS sha
   FROM documents

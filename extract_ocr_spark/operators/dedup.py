@@ -44,9 +44,9 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from . import WS_RE
-from pyspark.sql import types as T
 
 from ..kernels.dedupkit import lsh_bands, minhash_signature
 
@@ -127,8 +127,8 @@ def dedup_exact_norm(spark, sf_dir):
     )
 
 
-DEDUP_EXACT_NORM_SQL = r"""
-SELECT substring(sha256(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))), 1, 16) AS sha,
+DEDUP_EXACT_NORM_SQL = rf"""
+SELECT substring(sha256(trim(regexp_replace(lower(text), '{WS_RE}+', ' ', 'g'))), 1, 16) AS sha,
        count(*) AS n_dups, min(doc_id) AS keep_doc_id
 FROM documents GROUP BY 1 ORDER BY sha
 """

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import PY_WS_RE
+
 from ..datagen import spans_from_flat_documents
 from ..pipeline import extract_df
 
@@ -43,11 +45,11 @@ def extract_html_markdown(spark, sf_dir):
     )
 
 
-EXTRACT_HTML_MARKDOWN_SQL = r"""
+EXTRACT_HTML_MARKDOWN_SQL = rf"""
 SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        'Source: doc://' || doc_id || '/0' || chr(10) || chr(10) ||
        '# Doc ' || doc_id || chr(10) || chr(10) ||
-       trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')) || chr(10) AS md
+       trim(regexp_replace(text, '{PY_WS_RE}+', ' ', 'g')) || chr(10) AS md
 FROM documents ORDER BY doc_id
 """
 
@@ -205,7 +207,7 @@ _NL = "chr(10)"
 EXTRACT_SYNTHETIC_SPANS_SQL = rf"""
 WITH flat AS (
   SELECT CAST(doc_id AS VARCHAR) AS did, doc_id AS n, text, lang, source,
-         trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')) AS tnorm
+         trim(regexp_replace(text, '{PY_WS_RE}+', ' ', 'g')) AS tnorm
   FROM documents
 )
 SELECT did AS doc_id, 0 AS ord, 'markdown' AS kind,

@@ -171,14 +171,14 @@ def filename_sanitize(spark, sf_dir):
     return docs.select("doc_id", out.alias("fname")).orderBy("doc_id")
 
 
-FILENAME_SANITIZE_SQL = r"""
+FILENAME_SANITIZE_SQL = rf"""
 SELECT doc_id,
        CASE WHEN s = '' THEN 'untitled' ELSE substring(s, 1, 80) END AS fname
 FROM (
   SELECT doc_id,
          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
            trim(substring(text, 1, 60)),
-           '[ \t\n\x0B\f\r]+', '-', 'g'),
+           '{WS_RE}+', '-', 'g'),
            '[^A-Za-z0-9._-]+', '-', 'g'),
            '-+', '-', 'g'),
            '^-|-$', '', 'g') AS s

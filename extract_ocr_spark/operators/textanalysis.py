@@ -14,7 +14,7 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from ..kernels.textstats import fingerprint, lang_id
-from . import WS_CHARS, WS_RE
+from . import PY_WS_RE, WS_CHARS, WS_RE
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -123,7 +123,7 @@ _LANGS_SORTED = sorted(_STOPWORDS)
 def _lang_hits_sql(lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in sorted(_STOPWORDS[lang]))
     return (f"len(list_filter(regexp_split_to_array(lower(text), "
-            f"'{WS_RE}+'), w -> list_contains([{words}], w))) AS h_{lang}")
+            f"'{PY_WS_RE}+'), w -> list_contains([{words}], w))) AS h_{lang}")
 
 
 LANG_ID_PRED_SQL = (
@@ -160,7 +160,7 @@ DOC_FINGERPRINTS_SQL = rf"""
 WITH n AS (
   SELECT source,
          array_to_string(list_filter(
-           regexp_split_to_array(lower(text), '{WS_RE}+'), w -> w != ''), ' ') AS norm
+           regexp_split_to_array(lower(text), '{PY_WS_RE}+'), w -> w != ''), ' ') AS norm
   FROM documents
 ), f AS (
   SELECT source, {_FP_SQL_EXPR} AS fp FROM n

@@ -293,6 +293,7 @@ def test_corpus_report_counts_dups_and_langs(spark):
         (2, "hello world", "en", "a", 11),          # normalized dup of 1
         (3, "three more words here", "fr", "a", 21),
         (4, "unrelated text", "de", "b", 14),
+        (5, "   ", "de", "b", 3),                   # whitespace-only: 0 tokens
     ]
     docs = spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long")
@@ -301,4 +302,6 @@ def test_corpus_report_counts_dups_and_langs(spark):
     assert (a["docs"], a["dup_docs"], a["langs"]) == (3, 1, "en,fr")
     assert a["tokens"] == 2 + 2 + 4
     assert a["avg_doc_tokens"] == round(8 / 3.0, 6)
-    assert (b["docs"], b["dup_docs"], b["langs"]) == (1, 0, "de")
+    assert (b["docs"], b["dup_docs"], b["langs"]) == (2, 0, "de")
+    assert b["tokens"] == 2                          # the empty doc adds none
+    assert b["avg_doc_tokens"] == 1.0

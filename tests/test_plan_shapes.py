@@ -1,0 +1,61 @@
+"""Physical-plan pins for the newest operators: the shapes the PLANS.md
+scale arguments rely on (single-pass aggregation, no Python in the hot
+path, no pair-space blowup joins)."""
+
+from __future__ import annotations
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _docs(spark):
+    rows = [(i, f"some text number {i} with a few words", "en", "s", 30)
+            for i in range(20)]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+
+def test_quality_classifier_plan_one_shuffle_no_python(spark):
+    """One hash exchange (the doc_id groupBy), zero Python evals — the
+    whole scorer stays in whole-stage codegen."""
+    from extract_ocr_spark.operators.textanalysis import quality_classifier_df
+
+    plan = _plan(quality_classifier_df(_docs(spark), ordered=False))
+    assert plan.count("Exchange") == 1, plan
+    assert "hashpartitioning(doc_id" in plan, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+               "MapInPandas"):
+        assert py not in plan, plan
+
+
+def test_corpus_report_plan_single_pass_no_python(spark):
+    """The data card reads its input once (one scan feeding the
+    source-keyed aggregate; the distinct-dup count rides the same
+    aggregation via expand, not a second read) and stays JVM-side."""
+    from extract_ocr_spark.operators.curation import corpus_report_df
+
+    plan = _plan(corpus_report_df(_docs(spark)))
+    assert plan.count("Scan ExistingRDD") == 1, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+               "MapInPandas"):
+        assert py not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_semdedup_assignment_plan_is_native(spark):
+    """The centroid assignment (the per-row hot path) is a pure codegen
+    projection: no shuffle, no Python eval. (The downstream join is
+    covered by the numpy-parity tests; its frame is localCheckpointed so
+    the returned plan is not inspectable.)"""
+    from pyspark.sql import functions as F
+
+    from extract_ocr_spark.operators.similarity import _cell_expr
+
+    emb = spark.range(50).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(1, 64), x -> cast(x AS double)) AS emb")
+    plan = _plan(emb.withColumn("cell", _cell_expr(F.col("emb"))))
+    assert "Exchange" not in plan, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan, plan

@@ -73,7 +73,7 @@ def all_queries():
         # queries new in r5 — never driver-checked yet
         "bfs_frontier", "chunk_documents", "bm25_search",
         "mixture_weights", "semdedup", "quality_classifier",
-        "corpus_report",
+        "corpus_report", "paragraph_dedup", "winnow_fingerprints",
     )
     order = [n for n in front if n in queries] + [
         n for n in queries if n not in front]

@@ -619,3 +619,98 @@ FROM agg ORDER BY doc_id
 
 QUERIES["quality_classifier"] = quality_classifier
 ORACLES["quality_classifier"] = QUALITY_CLASSIFIER_SQL
+
+
+# --- Winnowing fingerprints (MOSS-style local fingerprint selection) -----
+
+WIN_K = 4  # tokens per k-gram
+WIN_W = 4  # winnowing window (k-gram positions per window)
+
+
+def winnow_fingerprints_df(docs: "DataFrame") -> "DataFrame":
+    """Winnowing (Schleimer/Wilkerson/Aiken, MOSS): hash every k-gram of
+    tokens, then keep only each window's minimum hash — a position-robust
+    fingerprint subset that still guarantees any shared run of
+    w + k - 1 tokens yields at least one shared fingerprint. Ties break
+    to the LEFTMOST position (min over (hash, pos) — fixed here so both
+    engines agree; classic MOSS picks rightmost).
+
+    Complements ``doc_fingerprints`` (one whole-doc hash): these are the
+    LOCAL fingerprints that detect partial overlap / near-copies.
+
+    Docs with fewer k-grams than one window keep their single overall
+    min (the pos = 0 window), so every doc with ≥ k tokens is
+    represented.
+
+    Scale: one explode (one row per k-gram), ONE shuffle — the window
+    over doc_id — then a partial-aggregated distinct. Fingerprint rows
+    out ≈ 2/(w+1) of gram rows (the winnowing density bound). The
+    doc_id partition is bounded by the 400k-char doc cap, so no window
+    skew; no pair joins here — downstream matching equi-joins on fp.
+
+    Reference analog: sha-keyed response identity
+    (/root/reference/src/extract_ocr/crawl.py content-sha naming)
+    refined to sub-document granularity for overlap detection."""
+    from pyspark.sql.window import Window
+
+    toks = F.filter(F.split(F.lower(F.col("text")), WS_RE + "+"),
+                    lambda x: x != F.lit(""))
+    base = (docs.select("doc_id", toks.alias("toks"))
+            .withColumn("n", F.size("toks")))
+    # guard: sequence(0, n-K) descends when n < K — filter first
+    grams = (base.filter(F.col("n") >= WIN_K)
+             .select("doc_id",
+                     (F.col("n") - WIN_K + 1).alias("n_grams"),
+                     F.posexplode(F.transform(
+                         F.sequence(F.lit(0), F.col("n") - WIN_K),
+                         lambda i: F.array_join(
+                             F.slice("toks", i + 1, WIN_K), " "))
+                     ).alias("pos", "gram")))
+    h = grams.withColumn(
+        "fp", F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+        .cast("long"))
+    wspec = (Window.partitionBy("doc_id").orderBy("pos")
+             .rowsBetween(0, WIN_W - 1))
+    winners = (h.withColumn("win", F.min(F.struct("fp", "pos")).over(wspec))
+               .filter((F.col("pos") == 0) |
+                       (F.col("pos") <= F.col("n_grams") - WIN_W))
+               .select("doc_id",
+                       F.col("win.pos").alias("pos"),
+                       F.col("win.fp").alias("fp"))
+               .distinct())
+    return winners
+
+
+def winnow_fingerprints(spark, sf_dir):
+    return winnow_fingerprints_df(_docs(spark, sf_dir)).orderBy(
+        "doc_id", "pos")
+
+
+WINNOW_FINGERPRINTS_SQL = rf"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{WS_RE}+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, len(toks) - {WIN_K} + 1 AS n_grams, r.i AS pos,
+         ('0x' || substring(md5(array_to_string(
+            toks[r.i+1 : r.i+{WIN_K}], ' ')), 1, 15))::BIGINT AS fp
+  FROM t, unnest(range(0, len(toks) - {WIN_K} + 1)) AS r(i)
+  WHERE len(toks) >= {WIN_K}
+), w AS (
+  SELECT doc_id, n_grams, pos,
+         min(struct_pack(f := fp, p := pos))
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND {WIN_W} - 1 FOLLOWING) AS win
+  FROM g
+)
+SELECT DISTINCT doc_id,
+       struct_extract(win, 'p') AS pos,
+       struct_extract(win, 'f') AS fp
+FROM w WHERE pos = 0 OR pos <= n_grams - {WIN_W}
+ORDER BY doc_id, pos
+"""
+
+QUERIES["winnow_fingerprints"] = winnow_fingerprints
+ORACLES["winnow_fingerprints"] = WINNOW_FINGERPRINTS_SQL

@@ -59,3 +59,32 @@ def test_semdedup_assignment_plan_is_native(spark):
     assert "Exchange" not in plan, plan
     for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py not in plan, plan
+
+
+def test_winnow_fingerprints_plan_one_shuffle_no_python(spark):
+    """ONE exchange total: the doc_id window partitioning also satisfies
+    the (doc_id, pos, fp) distinct's clustering requirement, so the
+    dedup rides the same shuffle; everything stays JVM-side."""
+    from extract_ocr_spark.operators.textanalysis import winnow_fingerprints_df
+
+    plan = _plan(winnow_fingerprints_df(_docs(spark)))
+    assert plan.count("Exchange") == 1, plan
+    assert "hashpartitioning(doc_id" in plan, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+               "MapInPandas"):
+        assert py not in plan, plan
+
+
+def test_paragraph_dedup_plan_grouplimit_no_python(spark):
+    """The keep-first rank must compile to WindowGroupLimit (map-side
+    partial top-1 per sha — rows drop BEFORE the shuffle), and the whole
+    operator is <= 3 exchanges (sha window, doc re-assembly, join) with
+    zero Python evals."""
+    from extract_ocr_spark.operators.curation import paragraph_dedup_df
+
+    plan = _plan(paragraph_dedup_df(_docs(spark)))
+    assert "WindowGroupLimit" in plan, plan
+    assert plan.count("Exchange") <= 3, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+               "MapInPandas"):
+        assert py not in plan, plan

@@ -28,6 +28,25 @@ PY_WS_RE = (r"[ \t\n\x0B\f\r\x{001C}-\x{001F}\x{0085}\x{00A0}"
             r"\x{205F}\x{3000}]")
 
 
+def tok_array(col, *, lower: bool = True):
+    """The one whitespace tokenizer every JVM-expression operator shares:
+    split on WS_RE, drop empties (split of '' yields ['']). Keep oracle
+    twins on `regexp_split_to_array(..., '{WS_RE}+')` + list_filter."""
+    from pyspark.sql import functions as F
+
+    c = F.lower(col) if lower else col
+    return F.filter(F.split(c, WS_RE + "+"), lambda x: x != F.lit(""))
+
+
+def md5_long(col):
+    """Shared 60-bit engine-invariant hash: first 15 md5 hex chars as a
+    signed-safe BIGINT. Oracle twin: ('0x' || substring(md5(x), 1,
+    15))::BIGINT."""
+    from pyspark.sql import functions as F
+
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def all_queries():
     from .. import multimodal
     from . import (

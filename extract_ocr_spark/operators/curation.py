@@ -585,50 +585,62 @@ PARA_TOKENS = 6  # paragraph block size; small enough that the synthetic
 
 def paragraph_dedup_df(docs: DataFrame, p: int = PARA_TOKENS) -> DataFrame:
     """CCNet-style paragraph-level dedup: split each document into
-    paragraphs, hash the normalized paragraph, and keep only the FIRST
-    occurrence corpus-wide (ordered by (doc_id, position)); rebuild each
-    document from its surviving paragraphs in original order.
+    paragraphs, hash the NORMALIZED (lowercased) paragraph, and keep only
+    the FIRST occurrence corpus-wide (ordered by (doc_id, position));
+    rebuild each document from its surviving paragraphs in original
+    order. Kept paragraphs keep their ORIGINAL casing — only the dedup
+    key is case-folded, like CCNet's hash-normalized / text-preserved
+    paragraph pass (inter-token whitespace does collapse to single
+    spaces: token-block segmentation cannot preserve it).
 
     The synthetic corpus has no newlines, so "paragraph" here is a
     fixed-size block of ``p`` whitespace tokens (the segmentation is a
     pluggable seam; on real text it would split on blank lines exactly
     like CCNet's per-paragraph sha1 pass).
 
-    Scale: one explode (rows ≈ tokens/p), ONE shuffle — a window over
-    sha256(paragraph) for the keep-first rank — then a groupBy(doc_id)
-    re-assembly. No pair joins; the window key is a uniform hash so no
-    skew. At 10^12 docs the sha shuffle is the cost driver: ~17× fewer
-    rows than a token shuffle, and AQE coalesces the tail.
+    Scale: documents are tokenized ONCE (the doc-list join side below
+    reads only doc_id — a column-pruned scan, plan-pinned to a single
+    Generate). One explode (rows ≈ tokens/p), then two shuffles: the
+    sha256 window for the keep-first rank and the groupBy(doc_id)
+    re-assembly (n_paras rides the exploded rows, so no doc needs a
+    second tokenization). No pair joins; both keys are uniform hashes so
+    no skew. At 10^12 docs the sha shuffle is the cost driver: ~17×
+    fewer rows than a token shuffle, and AQE coalesces the tail.
 
     Reference analog: the content-sha dedupe of raw snapshots
     (/root/reference/src/extract_ocr/crawl.py sha-named response files)
     applied at sub-document granularity."""
     from pyspark.sql.window import Window
 
-    toks = F.filter(F.split(F.lower(F.col("text")), WS_RE + "+"),
-                    lambda x: x != F.lit(""))
+    from . import tok_array
+
+    toks = tok_array(F.col("text"), lower=False)
     base = (docs.select("doc_id", toks.alias("toks"))
             .withColumn("n_paras",
                         F.ceil(F.size("toks") / F.lit(p)).cast("long")))
     # guard: sequence(0, -1) DESCENDS — only explode docs with ≥1 block
     paras = (base.filter(F.col("n_paras") > 0)
-             .select("doc_id",
+             .select("doc_id", "n_paras",
                      F.posexplode(F.transform(
                          F.sequence(F.lit(0), F.col("n_paras") - 1),
                          lambda i: F.array_join(
                              F.slice("toks", i * p + 1, p), " "))
                      ).alias("pos", "para")))
-    w = Window.partitionBy(F.sha2("para", 256)).orderBy("doc_id", "pos")
-    kept = (paras.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1))
-    agg = kept.groupBy("doc_id").agg(
-        F.count("*").alias("n_kept"),
+    w = Window.partitionBy(
+        F.sha2(F.lower("para"), 256)).orderBy("doc_id", "pos")
+    ranked = paras.withColumn("rn", F.row_number().over(w))
+    keep = F.col("rn") == 1
+    agg = ranked.groupBy("doc_id").agg(
+        F.first("n_paras").alias("n_paras"),
+        F.sum(keep.cast("long")).alias("n_kept"),
         F.array_join(
-            F.transform(F.array_sort(F.collect_list(F.struct("pos", "para"))),
-                        lambda x: x["para"]), " ").alias("text_kept"))
-    return (base.select("doc_id", "n_paras")
+            F.transform(F.array_sort(F.collect_list(
+                F.when(keep, F.struct("pos", "para")))),
+                lambda x: x["para"]), " ").alias("text_kept"))
+    return (docs.select("doc_id")
             .join(agg, "doc_id", "left")
-            .select("doc_id", "n_paras",
+            .select("doc_id",
+                    F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
                     F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
                     F.coalesce("text_kept", F.lit("")).alias("text_kept")))
 
@@ -641,7 +653,7 @@ def paragraph_dedup(spark, sf_dir):
 PARAGRAPH_DEDUP_SQL = rf"""
 WITH t AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '{WS_RE}+'),
+         list_filter(regexp_split_to_array(text, '{WS_RE}+'),
                      x -> x <> '') AS toks
   FROM documents
 ), b AS (
@@ -649,25 +661,28 @@ WITH t AS (
          CAST(ceil(len(toks) / {PARA_TOKENS}.0) AS BIGINT) AS n_paras
   FROM t
 ), p AS (
-  SELECT doc_id, r.i AS pos,
+  SELECT doc_id, n_paras, r.i AS pos,
          array_to_string(
            toks[r.i*{PARA_TOKENS}+1 : r.i*{PARA_TOKENS}+{PARA_TOKENS}],
            ' ') AS para
   FROM b, unnest(range(0, n_paras)) AS r(i)
 ), k AS (
-  SELECT doc_id, pos, para,
-         row_number() OVER (PARTITION BY sha256(para)
+  SELECT doc_id, n_paras, pos, para,
+         row_number() OVER (PARTITION BY sha256(lower(para))
                             ORDER BY doc_id, pos) AS rn
   FROM p
 ), a AS (
-  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
-         string_agg(para, ' ' ORDER BY pos) AS text_kept
-  FROM k WHERE rn = 1 GROUP BY doc_id
+  SELECT doc_id, max(n_paras) AS n_paras,
+         CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+         string_agg(para, ' ' ORDER BY pos)
+           FILTER (WHERE rn = 1) AS text_kept
+  FROM k GROUP BY doc_id
 )
-SELECT b.doc_id, b.n_paras,
+SELECT d.doc_id,
+       coalesce(a.n_paras, 0) AS n_paras,
        coalesce(a.n_kept, 0) AS n_kept,
        coalesce(a.text_kept, '') AS text_kept
-FROM b LEFT JOIN a USING (doc_id)
+FROM documents d LEFT JOIN a USING (doc_id)
 ORDER BY doc_id
 """
 

@@ -653,9 +653,9 @@ def winnow_fingerprints_df(docs: "DataFrame") -> "DataFrame":
     refined to sub-document granularity for overlap detection."""
     from pyspark.sql.window import Window
 
-    toks = F.filter(F.split(F.lower(F.col("text")), WS_RE + "+"),
-                    lambda x: x != F.lit(""))
-    base = (docs.select("doc_id", toks.alias("toks"))
+    from . import tok_array
+
+    base = (docs.select("doc_id", tok_array(F.col("text")).alias("toks"))
             .withColumn("n", F.size("toks")))
     # guard: sequence(0, n-K) descends when n < K — filter first
     grams = (base.filter(F.col("n") >= WIN_K)
@@ -666,9 +666,9 @@ def winnow_fingerprints_df(docs: "DataFrame") -> "DataFrame":
                          lambda i: F.array_join(
                              F.slice("toks", i + 1, WIN_K), " "))
                      ).alias("pos", "gram")))
-    h = grams.withColumn(
-        "fp", F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
-        .cast("long"))
+    from . import md5_long
+
+    h = grams.withColumn("fp", md5_long(F.col("gram")))
     wspec = (Window.partitionBy("doc_id").orderBy("pos")
              .rowsBetween(0, WIN_W - 1))
     winners = (h.withColumn("win", F.min(F.struct("fp", "pos")).over(wspec))

@@ -18,6 +18,9 @@ Stages (each one shuffle or less; see operators/curation.py scale notes):
    fraction over thresholds -> dropped)
 4. benchmark decontamination (inverted shingle index vs the eval set,
    hot-shingle df-cap on the corpus side, eval side broadcast)
+   [+ optional --paragraph-dedup: CCNet-style sub-document rewrite —
+   keep only the corpus-wide first occurrence of every paragraph
+   block; fully-duplicated docs drop out]
 5. optional per-source mixture sampling (--mixture-sampling;
    deterministic md5 buckets, no RNG)
 6. deterministic 90/5/5 split assignment (content-hash buckets, no RNG)
@@ -39,6 +42,7 @@ def run(spark, docs, output: str, *, eval_ids=(0, 1, 2, 3, 4),
         max_top_2gram_frac: float = 0.20, mixture_sampling: bool = False,
         fuzzy_dedup: bool = False, max_lm_nll: float | None = None,
         min_classifier_score: float | None = None,
+        paragraph_dedup: bool = False, para_tokens: int | None = None,
         chunk_tokens: int | None = None, chunk_stride: int | None = None,
         pack_budget: int = 2048, write_partitions: int | None = None) -> dict:
     """The composed curation pipeline as a callable (spark-submit `main`
@@ -229,6 +233,38 @@ def run(spark, docs, output: str, *, eval_ids=(0, 1, 2, 3, 4),
         & ~F.col("_contaminated") & ~is_eval
     ).select(*in_cols)
 
+    # 4b (optional): paragraph-level dedup — rewrite every surviving doc
+    # keeping only the corpus-wide FIRST occurrence of each paragraph
+    # block (CCNet-style); docs left with zero paragraphs drop out.
+    # Runs after the gates so junk docs cannot "claim" a paragraph's
+    # first occurrence, and before sampling/chunking/splits so those all
+    # see the rewritten text. Persisted: the stats aggregate and the
+    # downstream pipeline both read it.
+    pd_frame = None
+    para_stats = None
+    if paragraph_dedup:
+        from extract_ocr_spark.operators.curation import (
+            PARA_TOKENS,
+            paragraph_dedup_df,
+        )
+
+        pd_frame = paragraph_dedup_df(
+            clean, p=para_tokens or PARA_TOKENS) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        para_stats = pd_frame.agg(
+            F.sum("n_paras").alias("paras_in"),
+            F.sum(F.col("n_paras") - F.col("n_kept")).alias("dropped"),
+            F.sum((F.col("n_kept") == 0).cast("long")).alias("emptied"),
+        ).first()
+        clean = (clean.drop("text", "n_chars")
+                 .join(pd_frame.filter(F.col("n_kept") > 0)
+                       .select("doc_id",
+                               F.col("text_kept").alias("text"),
+                               F.length("text_kept").cast("long")
+                               .alias("n_chars")),
+                       "doc_id")
+                 .select(*in_cols))
+
     # 5: optional per-source mixture sampling
     sampled = stratified_sample_df(clean).drop("rate") \
         if mixture_sampling else clean
@@ -298,6 +334,12 @@ def run(spark, docs, output: str, *, eval_ids=(0, 1, 2, 3, 4),
         "clf_dropped": c["clf_dropped"],
         "repetitive_dropped": c["repetitive_dropped"],
         "contaminated_dropped": c["contaminated_dropped"],
+        "paras_in": int(para_stats["paras_in"] or 0)
+        if paragraph_dedup else None,
+        "paras_dropped": int(para_stats["dropped"] or 0)
+        if paragraph_dedup else None,
+        "para_emptied_docs": int(para_stats["emptied"] or 0)
+        if paragraph_dedup else None,
         "chunk_tokens": chunk_tokens,
         "docs_out": sum(by_split.values()),
         "by_split": by_split,
@@ -306,6 +348,8 @@ def run(spark, docs, output: str, *, eval_ids=(0, 1, 2, 3, 4),
     }
     final.unpersist()
     flags.unpersist()
+    if pd_frame is not None:
+        pd_frame.unpersist()
     with open(f"{output}/stats.json", "w") as f:
         json.dump(stats, f, indent=1)
     return stats
@@ -331,6 +375,15 @@ def main() -> None:
     ap.add_argument("--max-lm-nll", type=float, default=None,
                     help="drop docs whose corpus-bigram-LM avg negative "
                          "log-likelihood exceeds this (CCNet-style gate)")
+    ap.add_argument("--paragraph-dedup", action="store_true",
+                    help="rewrite surviving docs keeping only the "
+                         "corpus-wide first occurrence of each paragraph "
+                         "block (CCNet-style sub-document dedup)")
+    ap.add_argument("--para-tokens", type=int, default=None,
+                    help="tokens per paragraph block for --paragraph-dedup "
+                         "(default: operators.curation.PARA_TOKENS; tune "
+                         "UP on real corpora — 6 is sized to the "
+                         "synthetic corpus's duplicate-run length)")
     ap.add_argument("--chunk-tokens", type=int, default=None,
                     help="token-window chunk size: long docs become "
                          "overlapping chunks before splits/packing")
@@ -362,6 +415,8 @@ def main() -> None:
         fuzzy_dedup=args.fuzzy_dedup,
         max_lm_nll=args.max_lm_nll,
         min_classifier_score=args.min_classifier_score,
+        paragraph_dedup=args.paragraph_dedup,
+        para_tokens=args.para_tokens,
         chunk_tokens=args.chunk_tokens,
         chunk_stride=args.chunk_stride,
         pack_budget=args.pack_budget,

@@ -130,3 +130,42 @@ def test_curate_job_chunking_stage(spark, tmp_path):
     assert by_id["10#1"].split()[0] == toks[8]
     train = corpus.filter(F.col("split") == "train")
     assert train.filter(F.col("seq_id").isNull()).count() == 0
+
+
+def test_curate_job_paragraph_dedup_stage(spark, tmp_path):
+    """--paragraph-dedup: surviving docs are rewritten to their first-
+    occurrence paragraphs; a doc whose every paragraph was already seen
+    drops out entirely; exact dedup still runs first."""
+    # 6-token blocks of letter-only 4-7 char words (pass every quality
+    # gate; each 3-block doc is ~110 chars >= MIN_CHARS)
+    A = "alpha beta gamma delta epsilon zeta"
+    B = "ethics monad praxis quorum raster sonnet"
+    C = "tundra umbrage velvet walnut xylem yonder"
+    D = "zephyr anchor botany cipher dynamo enzyme"
+    rows = [
+        (10, f"{A} {B} {C}", "en", "web", 110),
+        (11, f"{A} {B} {D}", "en", "web", 110),   # keeps only D
+        (12, f"{A} {B} {C}", "en", "web", 110),   # exact dup of 10
+        (13, f"{C} {A} {B}", "en", "web", 110),   # all paras seen → out
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long")
+    inp = str(tmp_path / "docs")
+    docs.coalesce(1).write.parquet(inp)
+    out = str(tmp_path / "out")
+
+    stats = _run_job("curate_job.py", "--input", inp, "--output", out,
+                     "--eval-ids", "", "--paragraph-dedup")
+    assert stats["docs_in"] == 4
+    assert stats["after_dedup"] == 3           # doc 12 exact-dropped first
+    assert stats["paras_in"] == 9              # docs 10, 11, 13 × 3 blocks
+    assert stats["paras_dropped"] == 5         # 11: A,B; 13: C,A,B
+    assert stats["para_emptied_docs"] == 1     # doc 13
+    assert stats["docs_out"] == 2
+
+    corpus = spark.read.parquet(f"{out}/corpus")
+    got = {int(r["doc_id"]): r["text"] for r in corpus.collect()}
+    assert got[10] == f"{A} {B} {C}"
+    assert got[11] == D
+    assert set(got) == {10, 11}

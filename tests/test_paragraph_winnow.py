@@ -57,6 +57,22 @@ def test_paragraph_dedup_keep_first(spark, tmp_path):
     assert got[5]["text_kept"] == "t1 t2"
 
 
+def test_paragraph_dedup_case_insensitive_hash_case_preserving_text(
+        spark, tmp_path):
+    # The dedup KEY is case-folded but kept text is NOT rewritten: doc 2's
+    # uppercase copy of X dedups against doc 1's lowercase original, and
+    # doc 1 keeps its original casing ("The" stays "The").
+    rows = [
+        (1, "The Quick Brown Fox Jumps Over " + BLOCK_Y, "en", "s", 60),
+        (2, "the quick brown fox jumps over " + BLOCK_Z, "en", "s", 60),
+    ]
+    sf = _write_documents(spark, tmp_path, rows)
+    got = {r["doc_id"]: r for r in paragraph_dedup(spark, sf).collect()}
+    assert got[1]["text_kept"] == "The Quick Brown Fox Jumps Over " + BLOCK_Y
+    assert (got[2]["n_paras"], got[2]["n_kept"]) == (2, 1)
+    assert got[2]["text_kept"] == BLOCK_Z
+
+
 def _py_winnow(text: str) -> set[tuple[int, int]]:
     """Pure-python reference of the exact rule: leftmost-min (fp, pos)
     per window of WIN_W gram positions; window starts are 0 and every

@@ -75,15 +75,15 @@ def test_winnow_fingerprints_plan_one_shuffle_no_python(spark):
         assert py not in plan, plan
 
 
-def test_paragraph_dedup_plan_grouplimit_no_python(spark):
-    """The keep-first rank must compile to WindowGroupLimit (map-side
-    partial top-1 per sha — rows drop BEFORE the shuffle), and the whole
-    operator is <= 3 exchanges (sha window, doc re-assembly, join) with
-    zero Python evals."""
+def test_paragraph_dedup_plan_single_tokenize_no_python(spark):
+    """Documents are tokenized+exploded exactly ONCE (one Generate —
+    n_paras rides the exploded rows, and the doc-list join side is a
+    doc_id-only pruned scan), <= 3 exchanges (sha window, doc
+    re-assembly, join), zero Python evals."""
     from extract_ocr_spark.operators.curation import paragraph_dedup_df
 
     plan = _plan(paragraph_dedup_df(_docs(spark)))
-    assert "WindowGroupLimit" in plan, plan
+    assert plan.count("Generate") == 1, plan
     assert plan.count("Exchange") <= 3, plan
     for py in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
                "MapInPandas"):

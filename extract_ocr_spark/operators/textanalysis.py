@@ -714,3 +714,81 @@ ORDER BY doc_id, pos
 
 QUERIES["winnow_fingerprints"] = winnow_fingerprints
 ORACLES["winnow_fingerprints"] = WINNOW_FINGERPRINTS_SQL
+
+
+# --- Character-entropy quality signal -------------------------------------
+
+def char_entropy_df(docs: "DataFrame") -> "DataFrame":
+    """Shannon entropy (nats) of each document's character distribution —
+    the classic gibberish/binary-noise quality signal: natural text sits
+    ~2.2-3.2 nats, base64/hex blobs and single-char spam fall far outside.
+
+    Float parity engineering (the lm_nll lesson): both engines fold the
+    SAME per-(char,count) term multiset in the SAME char-sorted order —
+    `F.aggregate` over an array_sort'ed struct list here, `list_reduce`
+    over `list(... ORDER BY ch)` in the oracle — then round once at the
+    end. A bare SUM() would add in engine-dependent order.
+
+    Scale: the char explode is wide (one row per character) but the
+    groupBy(doc_id, ch) partial-aggregates map-side, so the shuffle
+    carries at most |alphabet| rows per doc per partition; the second
+    groupBy rides the same doc_id hash. Caveat: Spark's split('') walks
+    UTF-16 code units, DuckDB walks codepoints — identical on BMP text
+    (the corpus is ASCII); supplementary-plane text would need a
+    codepoint-safe splitter on the Spark side."""
+    hist = (docs.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+            .filter(F.col("ch") != "")
+            .groupBy("doc_id", "ch").agg(F.count("*").alias("cnt")))
+    ent = (hist.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n"),
+        F.array_sort(F.collect_list(F.struct("ch", "cnt"))).alias("terms"))
+        .select(
+            "doc_id", F.col("n").alias("n_chars_counted"),
+            F.round(-F.aggregate(
+                "terms", F.lit(0.0),
+                lambda a, x: a + (x["cnt"] / F.col("n"))
+                * F.log(x["cnt"] / F.col("n"))), 4).alias("entropy_nats")))
+    return (docs.select("doc_id")
+            .join(ent, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_chars_counted", F.lit(0))
+                    .alias("n_chars_counted"),
+                    F.coalesce("entropy_nats", F.lit(0.0))
+                    .alias("entropy_nats")))
+
+
+def char_entropy(spark, sf_dir):
+    return char_entropy_df(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+CHAR_ENTROPY_SQL = r"""
+WITH c AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS ch
+  FROM documents
+), hist AS (
+  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS cnt
+  FROM c WHERE ch <> '' GROUP BY doc_id, ch
+), tot AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n FROM hist GROUP BY doc_id
+), ent AS (
+  -- fold the char-sorted term list: identical additions in identical
+  -- order to the Spark aggregate
+  SELECT h.doc_id, t.n,
+         round(-list_reduce(
+           list_prepend(0.0, list(
+             (CAST(cnt AS DOUBLE) / t.n)
+             * ln(CAST(cnt AS DOUBLE) / t.n)
+             ORDER BY ch)),
+           (a, b) -> a + b), 4) AS entropy_nats
+  FROM hist h JOIN tot t USING (doc_id)
+  GROUP BY h.doc_id, t.n
+)
+SELECT d.doc_id,
+       coalesce(ent.n, 0) AS n_chars_counted,
+       coalesce(ent.entropy_nats, 0.0) AS entropy_nats
+FROM documents d LEFT JOIN ent USING (doc_id)
+ORDER BY doc_id
+"""
+
+QUERIES["char_entropy"] = char_entropy
+ORACLES["char_entropy"] = CHAR_ENTROPY_SQL

@@ -153,3 +153,27 @@ def test_quality_classifier_case_folds(spark):
         [(1, "Hello WORLD"), (2, "hello world")], "doc_id long, text string")
     rows = quality_classifier_df(docs).collect()
     assert rows[0]["score"] == rows[1]["score"]
+
+
+def test_char_entropy_known_values(spark, tmp_path):
+    """Entropy pinned against hand-computed distributions: uniform
+    2-symbol text = ln 2, single-char runs = 0, empty docs report 0/0."""
+    import math
+
+    from extract_ocr_spark.operators.textanalysis import char_entropy
+
+    rows = [
+        (1, "abab", "en", "s", 4),      # p(a)=p(b)=0.5 → ln 2
+        (2, "aaaa", "en", "s", 4),      # single symbol → 0
+        (3, "", "en", "s", 0),          # empty → n=0, entropy 0
+        (4, "abcd", "en", "s", 4),      # uniform 4-symbol → ln 4
+    ]
+    d = tmp_path / "documents.parquet"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d))
+    got = {r["doc_id"]: r for r in char_entropy(spark, str(tmp_path)).collect()}
+    assert got[1]["entropy_nats"] == round(math.log(2), 4)
+    assert (got[2]["n_chars_counted"], got[2]["entropy_nats"]) == (4, 0.0)
+    assert (got[3]["n_chars_counted"], got[3]["entropy_nats"]) == (0, 0.0)
+    assert got[4]["entropy_nats"] == round(math.log(4), 4)

@@ -4,14 +4,18 @@ composed dedup → quality → repetition gate → decontamination → split →
 pack pipeline — end-to-end at the bench scale factor, writing the real
 partitioned output each attempt (the write is part of the pipeline).
 
-Four configurations are timed so the expensive optional stages carry
-wall numbers, not just correctness tests:
+Timed configurations (the default list keeps the four historical rows
+comparable across rounds; "para" is opt-in via the env) so the
+expensive optional stages carry wall numbers, not just correctness
+tests:
   default    — exact dedup + quality + repetition + decontamination
   fuzzy      — + --fuzzy-dedup (MinHash LSH + connected components,
                the costliest stage in the job)
   fuzzy_lm   — + --max-lm-nll (corpus bigram LM gate) on top of fuzzy
   full       — + --min-classifier-score (hashed linear classifier) on
                top of fuzzy_lm — every optional gate on at once
+  para       — + --paragraph-dedup alone (sub-document rewrite; the
+               paragraph-sha shuffle is what this row isolates)
 
 Prints ONE JSON line mirroring bench.py's format; timing discipline is
 shared with bench.py (min-of-N, per-run [wall, steal, foreign_busy,
@@ -65,6 +69,9 @@ _KW = {
     "fuzzy_lm": {"fuzzy_dedup": True, "max_lm_nll": LM_NLL_GATE},
     "full": {"fuzzy_dedup": True, "max_lm_nll": LM_NLL_GATE,
              "min_classifier_score": CLF_GATE},
+    # the sub-document rewrite stage alone over the default gates — the
+    # para shuffle cost is what the wall number isolates
+    "para": {"paragraph_dedup": True},
 }
 
 _UNKNOWN = sorted(set(STAGES) - set(_KW))

@@ -792,3 +792,97 @@ ORDER BY doc_id
 
 QUERIES["char_entropy"] = char_entropy
 ORACLES["char_entropy"] = CHAR_ENTROPY_SQL
+
+
+# --- KMV distinct-count sketch --------------------------------------------
+
+KMV_K = 64  # sketch size; per-source bigram cardinality (~700 at sf0.01)
+# keeps the estimator path (not the exact-small-set path) exercised
+
+_KMV_NUM = float((KMV_K - 1) << 60)  # (k-1) * 2^60, exactly representable
+
+
+def kmv_distinct_df(docs: "DataFrame") -> "DataFrame":
+    """K-minimum-values cardinality sketch (Bar-Yossef et al. 2002) over
+    each source's distinct token bigrams, reported next to the exact
+    count. With a uniform hash on [0, 2^60), the k-th smallest value
+    h_(k) estimates the cardinality as (k-1) * 2^60 / h_(k); sources
+    holding fewer than k values report the exact count (the sketch
+    isn't full).
+
+    Why this exists next to approx_count_distinct: Spark's HLL sketch
+    is not reproducible in another engine, so it can never be
+    oracle-checked — KMV with md5 is fully deterministic, giving the
+    driver a hash-exact check on a genuinely approximate estimator
+    (same trick as the inlined-literal LSH oracles). KMV is also the
+    textbook MERGEABLE sketch: the k smallest of a union are a subset
+    of the union of per-partition k smallest, so a production variant
+    partial-aggregates map-side; the window formulation here trades
+    that for oracle checkability (the per-source distinct-bigram
+    cardinality is vocabulary-bounded, so the per-source sort is safe).
+
+    Float parity: one division of two exactly-representable doubles
+    ((k-1)*2^60 is 6 significand bits; int64→double rounding is
+    IEEE-identical in both engines), then one round — by construction.
+    """
+    from pyspark.sql.window import Window
+
+    from . import md5_long, tok_array
+
+    base = (docs.select("source", tok_array(F.col("text")).alias("toks"))
+            .filter(F.size("toks") >= 2))
+    grams = base.select(
+        "source",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.size("toks") - 2),
+            lambda i: F.array_join(F.slice("toks", i + 1, 2), " ")
+        )).alias("bg")).distinct()
+    h = grams.select("source", "bg", md5_long(F.col("bg")).alias("h"))
+    w = Window.partitionBy("source").orderBy("h", "bg")
+    r = h.withColumn("rn", F.row_number().over(w))
+    agg = r.groupBy("source").agg(
+        F.count("*").alias("exact_distinct"),
+        F.max(F.when(F.col("rn") <= KMV_K, F.col("h"))).alias("kth"))
+    est = (F.when(F.col("exact_distinct") < KMV_K,
+                  F.col("exact_distinct").cast("double"))
+           .otherwise(F.round(F.lit(_KMV_NUM) / F.col("kth"), 4)))
+    return agg.select("source", "exact_distinct",
+                      est.alias("kmv_estimate"))
+
+
+def kmv_distinct(spark, sf_dir):
+    return kmv_distinct_df(_docs(spark, sf_dir)).orderBy("source")
+
+
+KMV_DISTINCT_SQL = rf"""
+WITH t AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(lower(text), '{WS_RE}+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT DISTINCT source,
+         array_to_string(toks[r.i+1 : r.i+2], ' ') AS bg
+  FROM t, unnest(range(0, len(toks) - 1)) AS r(i)
+  WHERE len(toks) >= 2
+), h AS (
+  SELECT source, bg, ('0x' || substring(md5(bg), 1, 15))::BIGINT AS h
+  FROM g
+), r AS (
+  SELECT source, h,
+         row_number() OVER (PARTITION BY source ORDER BY h, bg) AS rn
+  FROM h
+), a AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS exact_distinct,
+         max(CASE WHEN rn <= {KMV_K} THEN h END) AS kth
+  FROM r GROUP BY source
+)
+SELECT source, exact_distinct,
+       CASE WHEN exact_distinct < {KMV_K}
+            THEN CAST(exact_distinct AS DOUBLE)
+            ELSE round({_KMV_NUM!r} / kth, 4) END AS kmv_estimate
+FROM a ORDER BY source
+"""
+
+QUERIES["kmv_distinct"] = kmv_distinct
+ORACLES["kmv_distinct"] = KMV_DISTINCT_SQL

@@ -177,3 +177,45 @@ def test_char_entropy_known_values(spark, tmp_path):
     assert (got[2]["n_chars_counted"], got[2]["entropy_nats"]) == (4, 0.0)
     assert (got[3]["n_chars_counted"], got[3]["entropy_nats"]) == (0, 0.0)
     assert got[4]["entropy_nats"] == round(math.log(4), 4)
+
+
+def test_kmv_distinct_python_mirror(spark, tmp_path):
+    """KMV estimate pinned against a pure-python mirror of the exact
+    rule (md5 60-bit hashes, k-th smallest, (k-1)*2^60/h_k), plus the
+    not-full case returning the exact count."""
+    import hashlib
+
+    from extract_ocr_spark.operators.textanalysis import (
+        KMV_K,
+        kmv_distinct,
+    )
+
+    # source "big": 40 tokens -> ~1500 distinct bigrams (sketch full);
+    # source "tiny": 10 tokens -> 9 bigrams (sketch not full)
+    big_toks = [f"w{i}" for i in range(40)]
+    big_texts = [" ".join(big_toks[i % 7:] + big_toks[:i % 7])
+                 for i in range(50)]
+    rows = [(i, t, "en", "big", len(t)) for i, t in enumerate(big_texts)]
+    rows.append((99, " ".join(f"t{i}" for i in range(10)), "en", "tiny", 40))
+    d = tmp_path / "documents.parquet"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d))
+
+    def py_kmv(texts):
+        bgs = set()
+        for t in texts:
+            toks = t.lower().split()
+            bgs |= {f"{a} {b}" for a, b in zip(toks, toks[1:])}
+        hs = sorted(int(hashlib.md5(bg.encode()).hexdigest()[:15], 16)
+                    for bg in bgs)
+        if len(hs) < KMV_K:
+            return len(bgs), float(len(bgs))
+        return len(bgs), round(float((KMV_K - 1) << 60) / hs[KMV_K - 1], 4)
+
+    got = {r["source"]: r for r in kmv_distinct(spark, str(tmp_path)).collect()}
+    for src, texts in (("big", big_texts), ("tiny", [rows[-1][1]])):
+        exact, est = py_kmv(texts)
+        assert got[src]["exact_distinct"] == exact, src
+        assert got[src]["kmv_estimate"] == est, src
+    assert got["tiny"]["kmv_estimate"] == got["tiny"]["exact_distinct"]

@@ -93,7 +93,7 @@ def all_queries():
         "bfs_frontier", "chunk_documents", "bm25_search",
         "mixture_weights", "semdedup", "quality_classifier",
         "corpus_report", "paragraph_dedup", "winnow_fingerprints",
-        "char_entropy", "kmv_distinct",
+        "char_entropy", "kmv_distinct", "gopher_rules", "dsir_weights",
     )
     order = [n for n in front if n in queries] + [
         n for n in queries if n not in front]

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import WS_CHARS, WS_RE
+from . import WS_CHARS, WS_RE, md5_long, tok_array
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -688,3 +688,142 @@ ORDER BY doc_id
 
 QUERIES["paragraph_dedup"] = paragraph_dedup
 ORACLES["paragraph_dedup"] = PARAGRAPH_DEDUP_SQL
+
+
+# --- DSIR hashed importance-resampling weights (Xie et al. 2023) ---------
+
+DSIR_BUCKETS = 8192
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_weights_df(docs: DataFrame, target_lang: str = DSIR_TARGET_LANG,
+                    buckets: int = DSIR_BUCKETS, *,
+                    _checkpoint: bool = True) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al., NeurIPS
+    2023): score every raw document by the log-likelihood ratio between
+    a TARGET distribution (here: the ``lang = target_lang`` slice, the
+    paper's "formal text" stand-in) and the RAW distribution, both
+    modeled as hashed unigram+bigram bag-of-ngrams with add-1 smoothing
+    over ``buckets`` buckets. High log_ratio = looks like the target;
+    resampling by these weights is the paper's data-selection step.
+
+    Plan shape (100 TB honest): one explode over unigrams+bigrams, one
+    partial-aggregated groupBy to per-doc bucket counts (`occ`, persisted
+    — FOUR downstream consumers), then the raw/target distributions are
+    tiny rollups of `occ` (≤ ``buckets`` rows) joined back broadcast-
+    style; nothing ever carries more than O(distinct (doc, bucket)) rows.
+
+    Float parity: bucket counts are exact BIGINTs, each per-bucket term
+    is computed from the same integers on both engines, and the per-doc
+    sum folds in BUCKET-SORTED order (F.aggregate over an array_sort'ed
+    struct list / list_reduce over list(ORDER BY b)) — the char_entropy
+    discipline — so round(6) is hash-exact, never last-ulp flaky.
+    """
+    toks = docs.select(
+        "doc_id", "lang", tok_array(F.col("text")).alias("w"))
+    uni = toks.select("doc_id", "lang", F.explode("w").alias("f"))
+    bi = toks.filter(F.size("w") >= 2).select(
+        "doc_id", "lang",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.size("w") - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at("w", i + 1), F.element_at("w", i + 2)),
+        )).alias("f"))
+    occ = (uni.unionByName(bi)
+           .select("doc_id", "lang",
+                   (md5_long(F.col("f")) % buckets).alias("b"))
+           .groupBy("doc_id", "lang", "b")
+           .agg(F.count("*").alias("n"))
+           .persist())
+    try:
+        is_tgt = F.col("lang") == target_lang
+        raw = occ.groupBy("b").agg(
+            F.sum("n").alias("rb"),
+            F.sum(F.when(is_tgt, F.col("n")).otherwise(F.lit(0)))
+            .alias("tb"))
+        tot = occ.agg(
+            F.sum("n").alias("r_total"),
+            F.sum(F.when(is_tgt, F.col("n")).otherwise(F.lit(0)))
+            .alias("t_total"))
+        term = F.col("n") * (
+            F.log((F.col("tb") + 1) / (F.col("t_total") + buckets))
+            - F.log((F.col("rb") + 1) / (F.col("r_total") + buckets)))
+        scored = (occ.join(F.broadcast(raw), "b")
+                  .crossJoin(F.broadcast(tot))
+                  .select("doc_id", "b", "n", term.alias("term")))
+        agg = scored.groupBy("doc_id").agg(
+            F.sum("n").alias("n_feats"),
+            F.round(F.aggregate(
+                F.array_sort(F.collect_list(F.struct("b", "term"))),
+                F.lit(0.0), lambda a, x: a + x["term"]), 6)
+            .alias("log_ratio"))
+        # the slim per-doc result is pinned eagerly so `occ` can be
+        # released here; _checkpoint=False is the plan-inspection seam
+        # (localCheckpoint hides the upstream plan from .explain)
+        if _checkpoint:
+            agg = agg.localCheckpoint(eager=True)
+    finally:
+        occ.unpersist()
+    return (docs.select("doc_id").join(agg, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+                    F.coalesce("log_ratio", F.lit(0.0)).alias("log_ratio")))
+
+
+def dsir_weights(spark, sf_dir):
+    return dsir_weights_df(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+DSIR_WEIGHTS_SQL = rf"""
+WITH w AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '{WS_RE}+'),
+                     x -> x != '') AS toks
+  FROM documents
+), uni AS (
+  SELECT doc_id, lang, unnest(toks) AS f FROM w
+), bi AS (
+  SELECT doc_id, lang, toks[i] || ' ' || toks[i+1] AS f
+  FROM w, unnest(range(1, len(toks))) AS t(i)
+  WHERE len(toks) >= 2
+), feats AS (
+  SELECT * FROM uni UNION ALL SELECT * FROM bi
+), occ AS (
+  SELECT doc_id, lang,
+         ('0x' || substring(md5(f), 1, 15))::BIGINT % {DSIR_BUCKETS} AS b,
+         CAST(count(*) AS BIGINT) AS n
+  FROM feats GROUP BY doc_id, lang, b
+), raw AS (
+  SELECT b, CAST(sum(n) AS BIGINT) AS rb,
+         CAST(coalesce(sum(n) FILTER (WHERE lang = '{DSIR_TARGET_LANG}'),
+                       0) AS BIGINT) AS tb
+  FROM occ GROUP BY b
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS r_total,
+         CAST(coalesce(sum(n) FILTER (WHERE lang = '{DSIR_TARGET_LANG}'),
+                       0) AS BIGINT) AS t_total
+  FROM occ
+), terms AS (
+  SELECT occ.doc_id, occ.b, occ.n,
+         occ.n * (ln(CAST(raw.tb + 1 AS DOUBLE)
+                     / (tot.t_total + {DSIR_BUCKETS}))
+                  - ln(CAST(raw.rb + 1 AS DOUBLE)
+                       / (tot.r_total + {DSIR_BUCKETS}))) AS term
+  FROM occ JOIN raw USING (b) CROSS JOIN tot
+), agg AS (
+  -- fold in bucket-sorted order: the same float additions in the same
+  -- order as the Spark plan's sorted-array aggregate
+  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_feats,
+         round(list_reduce(list_prepend(0.0, list(term ORDER BY b)),
+                           (a, x) -> a + x), 6) AS log_ratio
+  FROM terms GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(agg.n_feats, 0) AS n_feats,
+       coalesce(agg.log_ratio, 0.0) AS log_ratio
+FROM documents d LEFT JOIN agg USING (doc_id)
+ORDER BY doc_id
+"""
+
+QUERIES["dsir_weights"] = dsir_weights
+ORACLES["dsir_weights"] = DSIR_WEIGHTS_SQL

@@ -14,7 +14,7 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from ..kernels.textstats import fingerprint, lang_id
-from . import PY_WS_RE, WS_CHARS, WS_RE
+from . import PY_WS_RE, WS_CHARS, WS_RE, tok_array
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -886,3 +886,130 @@ FROM a ORDER BY source
 
 QUERIES["kmv_distinct"] = kmv_distinct
 ORACLES["kmv_distinct"] = KMV_DISTINCT_SQL
+
+
+# --- Gopher document-quality rules (Rae et al. 2021, Appendix A) ----------
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+_GOPHER_STOPS = ("and", "be", "have", "of", "that", "the", "to", "with")
+
+
+def gopher_rules_df(docs: "DataFrame") -> "DataFrame":
+    """The Gopher/MassiveText document-quality rule set (Rae et al. 2021,
+    Appendix A) as per-doc counters plus one combined ``keep`` flag:
+    word-count bounds, mean-word-length bounds, symbol-to-word ratio
+    ('#' and ellipsis), bullet-started and ellipsis-ended line fractions,
+    alphabetic-word fraction, and the >=2-distinct-stopwords gate.
+    Complements ``repetition_metrics`` (which owns Gopher's dup-line and
+    top-2gram repetition rules) and ``quality_metrics`` (generic ratios).
+
+    Numerics: every rule threshold is evaluated in EXACT integer
+    arithmetic (e.g. symbol ratio <= 0.1 as ``10*symbols <= n_words``),
+    so the output carries no floats at all — oracle parity by
+    construction, nothing to round.
+
+    Scale: pure per-row JVM expressions (splits, filters, replaces) —
+    no shuffle beyond the presentation sort, whole-stage codegen
+    throughout; at cluster scale this is a map-only stage.
+    """
+    words = tok_array(F.col("text"), lower=False)
+    lines = F.split(F.col("text"), "\n")
+    n_words = F.size(words)
+    n_lines = F.size(lines)
+    wchars = F.length(F.concat_ws("", words))
+
+    def _count(sub: str, width: int):
+        diff = F.length("text") - F.length(
+            F.replace(F.col("text"), F.lit(sub)))
+        return diff if width == 1 else (diff / F.lit(width)).cast("long")
+
+    symbols = _count("#", 1) + _count("...", 3) + _count("…", 1)
+    bullet_lines = F.size(F.filter(
+        lines, lambda l: F.ltrim(l).rlike("^[-*•]")))
+    ellipsis_lines = F.size(F.filter(
+        lines,
+        lambda l: F.endswith(F.rtrim(l), F.lit("..."))
+        | F.endswith(F.rtrim(l), F.lit("…"))))
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    # lower AFTER splitting (mirrored in the oracle) so case-folding can
+    # never move a token boundary differently between the two engines
+    lowered = F.transform(words, lambda w: F.lower(w))
+    stop_hits = F.size(F.filter(
+        F.array(*[F.lit(s) for s in _GOPHER_STOPS]),
+        lambda s: F.array_contains(lowered, s)))
+
+    out = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_lines.alias("n_lines"),
+        wchars.alias("wchars"),
+        symbols.cast("long").alias("symbols"),
+        bullet_lines.alias("bullet_lines"),
+        ellipsis_lines.alias("ellipsis_lines"),
+        alpha_words.alias("alpha_words"),
+        stop_hits.alias("stop_hits"),
+    )
+    keep = (
+        (F.col("n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("n_words") <= GOPHER_MAX_WORDS)
+        & (F.lit(3) * F.col("n_words") <= F.col("wchars"))
+        & (F.col("wchars") <= F.lit(10) * F.col("n_words"))
+        & (F.lit(10) * F.col("symbols") <= F.col("n_words"))
+        & (F.lit(10) * F.col("bullet_lines") <= F.lit(9) * F.col("n_lines"))
+        & (F.lit(10) * F.col("ellipsis_lines") <= F.lit(3) * F.col("n_lines"))
+        & (F.lit(5) * F.col("alpha_words") >= F.lit(4) * F.col("n_words"))
+        & (F.col("stop_hits") >= 2)
+    )
+    return out.withColumn("keep", keep).drop("wchars")
+
+
+def gopher_rules(spark, sf_dir):
+    return gopher_rules_df(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+_STOPS_SQL = ", ".join(f"'{s}'" for s in _GOPHER_STOPS)
+
+GOPHER_RULES_SQL = rf"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '{WS_RE}+'),
+                     x -> x != '') AS words,
+         regexp_split_to_array(text, '\n') AS lines,
+         CAST(length(text) - length(replace(text, '#', ''))
+              + (length(text) - length(replace(text, '...', ''))) / 3
+              + length(text) - length(replace(text, '…', ''))
+              AS BIGINT) AS symbols
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         len(lines) AS n_lines,
+         length(array_to_string(words, '')) AS wchars,
+         symbols,
+         len(list_filter(lines,
+             l -> regexp_matches(ltrim(l), '^[-*•]'))) AS bullet_lines,
+         len(list_filter(lines,
+             l -> ends_with(rtrim(l), '...')
+                  OR ends_with(rtrim(l), '…'))) AS ellipsis_lines,
+         len(list_filter(words,
+             w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
+         len(list_filter([{_STOPS_SQL}],
+             s -> list_contains(list_transform(words, x -> lower(x)),
+                                s))) AS stop_hits
+  FROM base
+)
+SELECT doc_id, n_words, n_lines, symbols, bullet_lines, ellipsis_lines,
+       alpha_words, stop_hits,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+        AND 3 * n_words <= wchars AND wchars <= 10 * n_words
+        AND 10 * symbols <= n_words
+        AND 10 * bullet_lines <= 9 * n_lines
+        AND 10 * ellipsis_lines <= 3 * n_lines
+        AND 5 * alpha_words >= 4 * n_words
+        AND stop_hits >= 2) AS keep
+FROM c ORDER BY doc_id
+"""
+
+QUERIES["gopher_rules"] = gopher_rules
+ORACLES["gopher_rules"] = GOPHER_RULES_SQL

@@ -305,3 +305,39 @@ def test_corpus_report_counts_dups_and_langs(spark):
     assert (b["docs"], b["dup_docs"], b["langs"]) == (2, 0, "de")
     assert b["tokens"] == 2                          # the empty doc adds none
     assert b["avg_doc_tokens"] == 1.0
+
+
+def test_dsir_weights_prefer_target_like_text(spark, tmp_path):
+    """DSIR log-ratio must rank a non-target-language doc WRITTEN IN the
+    target's vocabulary above one written in off-target vocabulary, and
+    zero-token docs report (0, 0.0)."""
+    from extract_ocr_spark.operators.curation import dsir_weights
+
+    tgt_voc = "alpha beta gamma delta epsilon zeta eta theta"
+    off_voc = "uno dos tres cuatro cinco seis siete ocho"
+    rows = [
+        # target slice (lang=en) — defines the target distribution
+        *[(i, tgt_voc, "en") for i in range(5)],
+        # off-target bulk — shifts the raw distribution away from target
+        *[(10 + i, off_voc, "xx") for i in range(5)],
+        # probes: same lang, different vocabulary
+        (100, tgt_voc, "xx"),
+        (101, off_voc, "xx"),
+        (102, "", "xx"),
+    ]
+    d = tmp_path / "documents.parquet"
+    spark.createDataFrame(
+        [(i, t, lg, "s", len(t)) for i, t, lg in rows],
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d))
+
+    got = {r["doc_id"]: r.asDict()
+           for r in dsir_weights(spark, str(tmp_path)).collect()}
+    # relative ranking is the DSIR contract (absolute sign depends on
+    # the smoothing mass — raw is a superset of target, so tiny corpora
+    # skew every observed-bucket term negative)
+    assert got[100]["log_ratio"] > got[101]["log_ratio"]
+    assert got[100]["log_ratio"] > got[11]["log_ratio"]
+    assert got[102] == {"doc_id": 102, "n_feats": 0, "log_ratio": 0.0}
+    # unigrams + bigrams: 8 words -> 8 + 7 features
+    assert got[100]["n_feats"] == 15

@@ -88,3 +88,34 @@ def test_paragraph_dedup_plan_single_tokenize_no_python(spark):
     for py in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
                "MapInPandas"):
         assert py not in plan, plan
+
+
+def test_gopher_rules_plan_map_only_no_python(spark):
+    """Every Gopher rule is a per-row JVM expression: zero exchanges,
+    zero Python evals — at cluster scale this is a map-only stage."""
+    from extract_ocr_spark.operators.textanalysis import gopher_rules_df
+
+    plan = _plan(gopher_rules_df(_docs(spark)))
+    assert plan.count("Exchange") == 0, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+               "MapInPandas"):
+        assert py not in plan, plan
+
+
+def test_dsir_weights_plan_broadcasts_distributions_no_python(spark):
+    """The raw/target bucket distributions (<= DSIR_BUCKETS rows) join
+    back via broadcast — the per-doc occurrence table is never hash-
+    shuffled for the scoring join — and nothing drops to Python."""
+    from extract_ocr_spark.operators.curation import dsir_weights_df
+
+    plan = _plan(dsir_weights_df(_docs(spark), _checkpoint=False))
+    assert "BroadcastHashJoin" in plan, plan          # occ ⋈ raw/tgt dists
+    assert "BroadcastNestedLoopJoin" in plan, plan    # the 1-row totals
+    # exactly one non-broadcast join is allowed: the final docs ⋈ agg
+    # assembly, where BOTH sides are corpus-sized (per-doc rows) — a
+    # shuffle join is the correct plan there
+    assert plan.count("SortMergeJoin") <= 1, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+               "MapInPandas"):
+        assert py not in plan, plan
+    assert "CartesianProduct" not in plan, plan

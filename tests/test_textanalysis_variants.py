@@ -219,3 +219,56 @@ def test_kmv_distinct_python_mirror(spark, tmp_path):
         assert got[src]["exact_distinct"] == exact, src
         assert got[src]["kmv_estimate"] == est, src
     assert got["tiny"]["kmv_estimate"] == got["tiny"]["exact_distinct"]
+
+
+def test_gopher_rules_line_and_word_gates(spark, tmp_path):
+    """Crafted corpus exercising every Gopher rule the sf tables can't
+    (they have no newlines): bullet-started lines, ellipsis-ended lines,
+    symbol ratio, alpha-word fraction, stopword gate, word-count bounds.
+    """
+    from extract_ocr_spark.operators.textanalysis import gopher_rules
+
+    good = ("the quick brown fox and the lazy dog have decided to run "
+            "off with a caravan of fifty other animals that wander the "
+            "wide open plains looking for water food shelter and the "
+            "company of friendly creatures under a warm evening sky "
+            "while singing songs about distant tall mountain ranges")  # 50
+    bullets = "\n".join(f"- item {i}" for i in range(10))
+    ellipses = "\n".join(f"line {i}..." for i in range(10))
+    hashes = "the " + "# " * 30  # 31 words, 30 '#'
+    numeric = "the of " + " ".join(str(i) for i in range(60))
+    short = "the cat sat of"
+    d = tmp_path / "documents.parquet"
+    rows = [(1, good), (2, bullets), (3, ellipses), (4, hashes),
+            (5, numeric), (6, short), (7, "")]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d))
+
+    got = {r["doc_id"]: r.asDict()
+           for r in gopher_rules(spark, str(tmp_path)).collect()}
+
+    assert got[1]["keep"] and got[1]["n_words"] == 50
+    assert got[1]["stop_hits"] >= 2 and got[1]["symbols"] == 0
+
+    # every line bullet-started -> bullet fraction 1.0 > 0.9 -> drop
+    assert got[2]["bullet_lines"] == 10 and got[2]["n_lines"] == 10
+    assert not got[2]["keep"]
+
+    # every line ellipsis-ended -> fraction 1.0 > 0.3 -> drop
+    assert got[3]["ellipsis_lines"] == 10 and not got[3]["keep"]
+
+    # 30 '#' over 31 words -> symbol ratio ~0.97 > 0.1 -> drop
+    assert got[4]["symbols"] == 30 and not got[4]["keep"]
+
+    # 60/62 words are digits -> alpha fraction < 0.8 -> drop
+    assert got[5]["alpha_words"] == 2 and not got[5]["keep"]
+
+    # under the 50-word floor -> drop (even with 2 stopword hits)
+    assert got[6]["n_words"] == 4 and got[6]["stop_hits"] == 2
+    assert not got[6]["keep"]
+
+    # empty text: 0 words, 1 line ([''] split artifact), drop
+    assert got[7]["n_words"] == 0 and got[7]["n_lines"] == 1
+    assert not got[7]["keep"]

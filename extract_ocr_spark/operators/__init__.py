@@ -38,6 +38,26 @@ def tok_array(col, *, lower: bool = True):
     return F.filter(F.split(c, WS_RE + "+"), lambda x: x != F.lit(""))
 
 
+def bigram_array(toks):
+    """Adjacent-token bigrams (space-joined) of a token array; empty
+    array for <2 tokens. The ONE definition shared by every bigram
+    operator (kmv_distinct, dsir_weights) so their oracle twins —
+    ``toks[i] || ' ' || toks[i+1]`` over ``unnest(range(1, len(toks)))``
+    — can never drift against a second hand-rolled Spark variant.
+
+    The <2 guard is load-bearing: sequence(0, size-2) DESCENDS for a
+    1-token array and slice(toks, 0, 2) then throws (the
+    repetition_metrics lesson); CASE WHEN evaluates lazily per row, so
+    the guarded branch never runs for short docs."""
+    from pyspark.sql import functions as F
+
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - 2),
+                    lambda i: F.array_join(F.slice(toks, i + 1, 2), " ")),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+
+
 def md5_long(col):
     """Shared 60-bit engine-invariant hash: first 15 md5 hex chars as a
     signed-safe BIGINT. Oracle twin: ('0x' || substring(md5(x), 1,

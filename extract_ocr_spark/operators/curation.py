@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import WS_CHARS, WS_RE, md5_long, tok_array
+from . import WS_CHARS, WS_RE, bigram_array, md5_long, tok_array
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -707,9 +707,10 @@ def dsir_weights_df(docs: DataFrame, target_lang: str = DSIR_TARGET_LANG,
     over ``buckets`` buckets. High log_ratio = looks like the target;
     resampling by these weights is the paper's data-selection step.
 
-    Plan shape (100 TB honest): one explode over unigrams+bigrams, one
-    partial-aggregated groupBy to per-doc bucket counts (`occ`, persisted
-    — FOUR downstream consumers), then the raw/target distributions are
+    Plan shape (100 TB honest): one scan, one explode over the
+    concatenated unigram+bigram feature array, one partial-aggregated
+    groupBy to per-doc bucket counts (`occ`, persisted — three
+    consumers: raw, tot, scored), then the raw/target distributions are
     tiny rollups of `occ` (≤ ``buckets`` rows) joined back broadcast-
     style; nothing ever carries more than O(distinct (doc, bucket)) rows.
 
@@ -719,17 +720,16 @@ def dsir_weights_df(docs: DataFrame, target_lang: str = DSIR_TARGET_LANG,
     struct list / list_reduce over list(ORDER BY b)) — the char_entropy
     discipline — so round(6) is hash-exact, never last-ulp flaky.
     """
+    # ONE scan + ONE explode: unigrams and bigrams concatenate into a
+    # single feature array before exploding (a union of two selects
+    # would re-read and re-tokenize the corpus per branch)
     toks = docs.select(
         "doc_id", "lang", tok_array(F.col("text")).alias("w"))
-    uni = toks.select("doc_id", "lang", F.explode("w").alias("f"))
-    bi = toks.filter(F.size("w") >= 2).select(
+    feats = toks.select(
         "doc_id", "lang",
-        F.explode(F.transform(
-            F.sequence(F.lit(0), F.size("w") - 2),
-            lambda i: F.concat_ws(
-                " ", F.element_at("w", i + 1), F.element_at("w", i + 2)),
-        )).alias("f"))
-    occ = (uni.unionByName(bi)
+        F.explode(F.concat(F.col("w"), bigram_array(F.col("w"))))
+        .alias("f"))
+    occ = (feats
            .select("doc_id", "lang",
                    (md5_long(F.col("f")) % buckets).alias("b"))
            .groupBy("doc_id", "lang", "b")

@@ -827,16 +827,13 @@ def kmv_distinct_df(docs: "DataFrame") -> "DataFrame":
     """
     from pyspark.sql.window import Window
 
-    from . import md5_long, tok_array
+    from . import bigram_array, md5_long
 
     base = (docs.select("source", tok_array(F.col("text")).alias("toks"))
             .filter(F.size("toks") >= 2))
     grams = base.select(
         "source",
-        F.explode(F.transform(
-            F.sequence(F.lit(0), F.size("toks") - 2),
-            lambda i: F.array_join(F.slice("toks", i + 1, 2), " ")
-        )).alias("bg")).distinct()
+        F.explode(bigram_array(F.col("toks"))).alias("bg")).distinct()
     h = grams.select("source", "bg", md5_long(F.col("bg")).alias("h"))
     w = Window.partitionBy("source").orderBy("h", "bg")
     r = h.withColumn("rn", F.row_number().over(w))
@@ -911,44 +908,47 @@ def gopher_rules_df(docs: "DataFrame") -> "DataFrame":
 
     Scale: pure per-row JVM expressions (splits, filters, replaces) —
     no shuffle beyond the presentation sort, whole-stage codegen
-    throughout; at cluster scale this is a map-only stage.
+    throughout; at cluster scale this is a map-only stage. The tokenize
+    runs ONCE: words/lines land in a staged projection (non-cheap
+    expressions referenced more than once survive CollapseProject), and
+    every counter derives from those array columns — inlining the split
+    into each lambda would re-tokenize ~7x per row (plan-pinned).
     """
-    words = tok_array(F.col("text"), lower=False)
-    lines = F.split(F.col("text"), "\n")
-    n_words = F.size(words)
-    n_lines = F.size(lines)
-    wchars = F.length(F.concat_ws("", words))
-
     def _count(sub: str, width: int):
         diff = F.length("text") - F.length(
             F.replace(F.col("text"), F.lit(sub)))
         return diff if width == 1 else (diff / F.lit(width)).cast("long")
 
     symbols = _count("#", 1) + _count("...", 3) + _count("…", 1)
-    bullet_lines = F.size(F.filter(
-        lines, lambda l: F.ltrim(l).rlike("^[-*•]")))
-    ellipsis_lines = F.size(F.filter(
-        lines,
-        lambda l: F.endswith(F.rtrim(l), F.lit("..."))
-        | F.endswith(F.rtrim(l), F.lit("…"))))
-    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    base = docs.select(
+        "doc_id",
+        tok_array(F.col("text"), lower=False).alias("words"),
+        F.split(F.col("text"), "\n").alias("lines"),
+        symbols.cast("long").alias("symbols"),
+    )
     # lower AFTER splitting (mirrored in the oracle) so case-folding can
     # never move a token boundary differently between the two engines
-    lowered = F.transform(words, lambda w: F.lower(w))
-    stop_hits = F.size(F.filter(
-        F.array(*[F.lit(s) for s in _GOPHER_STOPS]),
-        lambda s: F.array_contains(lowered, s)))
-
-    out = docs.select(
+    lowered = F.transform("words", lambda w: F.lower(w))
+    out = base.select(
         "doc_id",
-        n_words.alias("n_words"),
-        n_lines.alias("n_lines"),
-        wchars.alias("wchars"),
-        symbols.cast("long").alias("symbols"),
-        bullet_lines.alias("bullet_lines"),
-        ellipsis_lines.alias("ellipsis_lines"),
-        alpha_words.alias("alpha_words"),
-        stop_hits.alias("stop_hits"),
+        F.size("words").alias("n_words"),
+        F.size("lines").alias("n_lines"),
+        F.length(F.concat_ws("", F.col("words"))).alias("wchars"),
+        "symbols",
+        F.size(F.filter(
+            "lines", lambda l: F.ltrim(l).rlike("^[-*•]")))
+        .alias("bullet_lines"),
+        F.size(F.filter(
+            "lines",
+            lambda l: F.endswith(F.rtrim(l), F.lit("..."))
+            | F.endswith(F.rtrim(l), F.lit("…"))))
+        .alias("ellipsis_lines"),
+        F.size(F.filter("words", lambda w: w.rlike("[A-Za-z]")))
+        .alias("alpha_words"),
+        # distinct stopwords present = size of the (distinct) intersection
+        F.size(F.array_intersect(
+            lowered, F.array(*[F.lit(s) for s in _GOPHER_STOPS])))
+        .alias("stop_hits"),
     )
     keep = (
         (F.col("n_words") >= GOPHER_MIN_WORDS)

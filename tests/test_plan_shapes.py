@@ -97,6 +97,10 @@ def test_gopher_rules_plan_map_only_no_python(spark):
 
     plan = _plan(gopher_rules_df(_docs(spark)))
     assert plan.count("Exchange") == 0, plan
+    # tokenize ONCE: exactly two splits survive (words + lines); the
+    # staged projection keeps CollapseProject from inlining the
+    # non-cheap split into every rule lambda (~7 tokenizes per row)
+    assert plan.count("split(") == 2, plan
     for py in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
                "MapInPandas"):
         assert py not in plan, plan

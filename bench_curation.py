@@ -16,6 +16,9 @@ tests:
                top of fuzzy_lm — every optional gate on at once
   para       — + --paragraph-dedup alone (sub-document rewrite; the
                paragraph-sha shuffle is what this row isolates)
+  dsir       — + --min-dsir-logratio=-100 alone (hashed-ngram explode +
+               distribution rollup; non-selective so downstream stage
+               sizes stay comparable to "default")
 
 Prints ONE JSON line mirroring bench.py's format; timing discipline is
 shared with bench.py (min-of-N, per-run [wall, steal, foreign_busy,
@@ -72,6 +75,13 @@ _KW = {
     # the sub-document rewrite stage alone over the default gates — the
     # para shuffle cost is what the wall number isolates
     "para": {"paragraph_dedup": True},
+    # the DSIR gate alone over the default gates — the hashed-ngram
+    # explode + distribution rollup is its whole cost. -100 keeps the
+    # gate from dropping rows (cost, not selectivity). The gopher gate
+    # has no stage: it is a map-only flag (near-free), and the synthetic
+    # word-soup corpus fails its stopword rule wholesale, which would
+    # empty every downstream stage and fake their costs.
+    "dsir": {"min_dsir_logratio": -100.0},
 }
 
 _UNKNOWN = sorted(set(STAGES) - set(_KW))

@@ -42,6 +42,8 @@ def run(spark, docs, output: str, *, eval_ids=(0, 1, 2, 3, 4),
         max_top_2gram_frac: float = 0.20, mixture_sampling: bool = False,
         fuzzy_dedup: bool = False, max_lm_nll: float | None = None,
         min_classifier_score: float | None = None,
+        gopher: bool = False, min_dsir_logratio: float | None = None,
+        dsir_target_lang: str = "en",
         paragraph_dedup: bool = False, para_tokens: int | None = None,
         chunk_tokens: int | None = None, chunk_stride: int | None = None,
         pack_budget: int = 2048, write_partitions: int | None = None) -> dict:
@@ -163,13 +165,61 @@ def run(spark, docs, output: str, *, eval_ids=(0, 1, 2, 3, 4),
     else:
         flags = flags.withColumn("_clf_bad", F.lit(False))
 
+    # 2d (optional): Gopher rule-set gate — the full MassiveText
+    # Appendix-A document rules (word/line shape, symbol ratio, stopword
+    # gate) as one map-only flag over the survivors; complements the
+    # repetition flag below (which owns the dup-line/top-2gram rules).
+    if gopher:
+        from extract_ocr_spark.operators.textanalysis import gopher_rules_df
+
+        gopher_bad = (
+            gopher_rules_df(
+                flags.filter(F.col("_canonical") & F.col("_quality")
+                             & ~F.col("_fuzzy_dup") & ~F.col("_lm_bad")
+                             & ~F.col("_clf_bad"))
+                .select("doc_id", "text"))
+            .filter(~F.col("keep"))
+            .select("doc_id", F.lit(True).alias("_gopher_bad"))
+        )
+        flags = flags.join(gopher_bad, "doc_id", "left") \
+            .fillna({"_gopher_bad": False})
+    else:
+        flags = flags.withColumn("_gopher_bad", F.lit(False))
+
+    # 2e (optional): DSIR gate — hashed-ngram importance log-ratio of
+    # each doc vs the --dsir-target-lang slice (Xie et al. 2023); docs
+    # below --min-dsir-logratio (least target-like) are flagged. The
+    # distributions are estimated over the survivors so already-rejected
+    # junk cannot distort the raw model.
+    if min_dsir_logratio is not None:
+        from extract_ocr_spark.operators.curation import dsir_weights_df
+
+        if "lang" not in flags.columns:
+            raise ValueError(
+                "--min-dsir-logratio requires a 'lang' column on the input")
+        dsir_bad = (
+            dsir_weights_df(
+                flags.filter(F.col("_canonical") & F.col("_quality")
+                             & ~F.col("_fuzzy_dup") & ~F.col("_lm_bad")
+                             & ~F.col("_clf_bad") & ~F.col("_gopher_bad"))
+                .select("doc_id", "text", "lang"),
+                target_lang=dsir_target_lang)
+            .filter(F.col("log_ratio") < min_dsir_logratio)
+            .select("doc_id", F.lit(True).alias("_dsir_bad"))
+        )
+        flags = flags.join(dsir_bad, "doc_id", "left") \
+            .fillna({"_dsir_bad": False})
+    else:
+        flags = flags.withColumn("_dsir_bad", F.lit(False))
+
     # 3: repetition flag (Gopher-style), computed only over the docs that
     # survived 1-2 — same input set as the old staged form, one
     # explode+agg keyed on doc_id, joined back as a flag
     rep = repetition_metrics_df(
         flags.filter(F.col("_canonical") & F.col("_quality")
                      & ~F.col("_fuzzy_dup") & ~F.col("_lm_bad")
-                     & ~F.col("_clf_bad"))
+                     & ~F.col("_clf_bad") & ~F.col("_gopher_bad")
+                     & ~F.col("_dsir_bad"))
         .select("doc_id", "text"))
     repetitive = rep.filter(
         (F.col("dup_line_frac") > max_dup_line_frac)
@@ -191,8 +241,8 @@ def run(spark, docs, output: str, *, eval_ids=(0, 1, 2, 3, 4),
     )
     corpus_side = flags.filter(
         F.col("_canonical") & F.col("_quality") & ~F.col("_fuzzy_dup")
-        & ~F.col("_lm_bad") & ~F.col("_clf_bad") & ~F.col("_repetitive")
-        & ~is_eval)
+        & ~F.col("_lm_bad") & ~F.col("_clf_bad") & ~F.col("_gopher_bad")
+        & ~F.col("_dsir_bad") & ~F.col("_repetitive") & ~is_eval)
     corpus_sh = _drop_hot_shingles(
         _with_shingles(corpus_side)
         .select("doc_id", F.explode("shingles").alias("shingle")))
@@ -222,15 +272,22 @@ def run(spark, docs, output: str, *, eval_ids=(0, 1, 2, 3, 4),
         _n(qual & ~F.col("_fuzzy_dup") & ~F.col("_lm_bad")
            & F.col("_clf_bad")).alias("clf_dropped"),
         _n(qual & ~F.col("_fuzzy_dup") & ~F.col("_lm_bad")
-           & ~F.col("_clf_bad") & F.col("_repetitive"))
+           & ~F.col("_clf_bad") & F.col("_gopher_bad"))
+        .alias("gopher_dropped"),
+        _n(qual & ~F.col("_fuzzy_dup") & ~F.col("_lm_bad")
+           & ~F.col("_clf_bad") & ~F.col("_gopher_bad")
+           & F.col("_dsir_bad")).alias("dsir_dropped"),
+        _n(qual & ~F.col("_fuzzy_dup") & ~F.col("_lm_bad")
+           & ~F.col("_clf_bad") & ~F.col("_gopher_bad")
+           & ~F.col("_dsir_bad") & F.col("_repetitive"))
         .alias("repetitive_dropped"),
         _n(F.col("_contaminated")).alias("contaminated_dropped"),
     ).first()
 
     clean = flags.filter(
         canon & F.col("_quality") & ~F.col("_fuzzy_dup") & ~F.col("_lm_bad")
-        & ~F.col("_clf_bad") & ~F.col("_repetitive")
-        & ~F.col("_contaminated") & ~is_eval
+        & ~F.col("_clf_bad") & ~F.col("_gopher_bad") & ~F.col("_dsir_bad")
+        & ~F.col("_repetitive") & ~F.col("_contaminated") & ~is_eval
     ).select(*in_cols)
 
     # 4b (optional): paragraph-level dedup — rewrite every surviving doc
@@ -332,6 +389,8 @@ def run(spark, docs, output: str, *, eval_ids=(0, 1, 2, 3, 4),
         "fuzzy_dropped": c["fuzzy_dropped"],
         "lm_dropped": c["lm_dropped"],
         "clf_dropped": c["clf_dropped"],
+        "gopher_dropped": c["gopher_dropped"],
+        "dsir_dropped": c["dsir_dropped"],
         "repetitive_dropped": c["repetitive_dropped"],
         "contaminated_dropped": c["contaminated_dropped"],
         "paras_in": int(para_stats["paras_in"] or 0)
@@ -375,6 +434,15 @@ def main() -> None:
     ap.add_argument("--max-lm-nll", type=float, default=None,
                     help="drop docs whose corpus-bigram-LM avg negative "
                          "log-likelihood exceeds this (CCNet-style gate)")
+    ap.add_argument("--gopher", action="store_true",
+                    help="apply the Gopher/MassiveText Appendix-A document "
+                         "rule set (word/line shape, symbol ratio, "
+                         "stopword gate)")
+    ap.add_argument("--min-dsir-logratio", type=float, default=None,
+                    help="drop docs whose DSIR importance log-ratio vs the "
+                         "--dsir-target-lang slice falls below this")
+    ap.add_argument("--dsir-target-lang", default="en",
+                    help="lang value defining the DSIR target slice")
     ap.add_argument("--paragraph-dedup", action="store_true",
                     help="rewrite surviving docs keeping only the "
                          "corpus-wide first occurrence of each paragraph "
@@ -415,6 +483,9 @@ def main() -> None:
         fuzzy_dedup=args.fuzzy_dedup,
         max_lm_nll=args.max_lm_nll,
         min_classifier_score=args.min_classifier_score,
+        gopher=args.gopher,
+        min_dsir_logratio=args.min_dsir_logratio,
+        dsir_target_lang=args.dsir_target_lang,
         paragraph_dedup=args.paragraph_dedup,
         para_tokens=args.para_tokens,
         chunk_tokens=args.chunk_tokens,

@@ -341,3 +341,74 @@ def test_dsir_weights_prefer_target_like_text(spark, tmp_path):
     assert got[102] == {"doc_id": 102, "n_feats": 0, "log_ratio": 0.0}
     # unigrams + bigrams: 8 words -> 8 + 7 features
     assert got[100]["n_feats"] == 15
+
+
+_FIFTY_WORDS = ("the quick brown fox and the lazy dog have decided to run "
+                "off with a caravan of fifty other animals that wander the "
+                "wide open plains looking for water food shelter and the "
+                "company of friendly creatures under a warm evening sky "
+                "while singing songs about distant tall mountain ranges")
+
+
+def test_curate_run_gopher_gate_drops_short_docs(spark, tmp_path):
+    """--gopher composes the MassiveText rule set: a doc that passes the
+    generic quality gates (>=80 chars) but sits under Gopher's 50-word
+    floor is dropped; 50+-word docs survive; stats record gopher_dropped."""
+    from jobs.curate_job import run
+
+    rows = [(3000 + i, _FIFTY_WORDS + f" marker{i}", "en", "s", 300)
+            for i in range(10)]
+    rows.append((3099, "the quick brown fox jumps over the lazy dog and "
+                       "then runs far away into the deep green forest "
+                       "tonight again", "en", "s", 109))  # 21 words
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+    probe = run(spark, docs, str(tmp_path / "probe"), eval_ids=[])
+    assert probe["gopher_dropped"] == 0  # gate off by default
+    kept = {r["doc_id"] for r in spark.read.parquet(
+        str(tmp_path / "probe" / "corpus")).select("doc_id").collect()}
+    assert 3099 in kept
+
+    stats = run(spark, docs, str(tmp_path / "gopher"), eval_ids=[],
+                gopher=True)
+    assert stats["gopher_dropped"] == 1
+    kept = {r["doc_id"] for r in spark.read.parquet(
+        str(tmp_path / "gopher" / "corpus")).select("doc_id").collect()}
+    assert 3099 not in kept and 3000 in kept and len(kept) == 10
+
+
+def test_curate_run_dsir_gate_drops_off_target_docs(spark, tmp_path):
+    """--min-dsir-logratio composes the DSIR importance gate: the doc
+    least like the lang='en' target slice (off-vocabulary) is dropped at
+    a threshold MEASURED from the operator (not guessed), target-like
+    docs survive regardless of their own lang tag."""
+    from extract_ocr_spark.operators.curation import dsir_weights_df
+    from jobs.curate_job import run
+
+    off_voc = ("cada manana los viajeros cruzan montanas verdes buscando "
+               "rios claros mientras cantan canciones antiguas sobre "
+               "pueblos lejanos y comparten historias alegres junto al "
+               "fuego hasta que llega la noche estrellada trayendo "
+               "suenos tranquilos para todos los caminantes cansados "
+               "que descansan bajo cielos abiertos esperando un amanecer "
+               "dorado nuevo")  # 50 words, no overlap with _FIFTY_WORDS
+    rows = [(3000 + i, _FIFTY_WORDS + f" marker{i}", "en", "s", 300)
+            for i in range(8)]
+    rows.append((3100, _FIFTY_WORDS + " markerx", "xx", "s", 300))
+    rows.append((3101, off_voc, "xx", "s", 300))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+    scores = {r["doc_id"]: r["log_ratio"] for r in dsir_weights_df(
+        docs.select("doc_id", "text", "lang")).collect()}
+    ordered = sorted(scores.values())
+    assert scores[3101] == ordered[0]          # off-vocab doc scores lowest
+    threshold = (ordered[0] + ordered[1]) / 2
+
+    stats = run(spark, docs, str(tmp_path / "dsir"), eval_ids=[],
+                min_dsir_logratio=threshold)
+    assert stats["dsir_dropped"] == 1
+    kept = {r["doc_id"] for r in spark.read.parquet(
+        str(tmp_path / "dsir" / "corpus")).select("doc_id").collect()}
+    assert 3101 not in kept and 3100 in kept and 3000 in kept

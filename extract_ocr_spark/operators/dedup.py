@@ -669,3 +669,67 @@ ORACLES = {
     "neardup_clusters": NEARDUP_CLUSTERS_SQL,
     "dup_ngram_spans": DUP_NGRAM_SPANS_SQL,
 }
+
+
+# -- Overlap-coefficient containment pairs ----------------------------------
+
+OVERLAP_THRESHOLD = 0.8
+
+
+def containment_pairs(spark, sf_dir):
+    """Asymmetric near-dup detection: overlap coefficient
+    |Sa ∩ Sb| / min(|Sa|, |Sb|) over word-3-gram shingle sets. Catches a
+    short document embedded inside a long one — the case Jaccard
+    structurally dilutes (the union grows with the long doc, so the
+    pair never crosses the Jaccard threshold no matter how complete the
+    containment is).
+
+    Same inverted shingle index + stop-shingle cap + pair aggregate as
+    ngram_jaccard_pairs (shuffle O(matching shingles), never a cross
+    join); only the coefficient differs, so the scale argument is the
+    one already made there. Denominators use the full (uncapped)
+    shingle sets; the intersection counts only non-hot shingles —
+    mirrored in the oracle."""
+    sh = _with_shingles(_docs(spark, sf_dir)).select(
+        F.col("doc_id"), "shingles", F.size("shingles").alias("n_sh"))
+    inv = _drop_hot_shingles(
+        sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle")))
+    a = inv.alias("a")
+    b = inv.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"),
+            F.col("a.n_sh").alias("na"), F.col("b.n_sh").alias("nb"))
+        .agg(F.count("*").alias("inter"))
+    )
+    ov = F.col("inter") / F.least("na", "nb")
+    return (
+        pairs.withColumn("overlap", F.round(ov, 6))
+        .filter(ov >= OVERLAP_THRESHOLD)
+        .select("a_id", "b_id", "inter", "overlap")
+        .orderBy("a_id", "b_id")
+    )
+
+
+CONTAINMENT_PAIRS_SQL = _SHINGLE_CTE + f"""
+, inv AS (
+  SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+), inv2 AS (
+  SELECT * FROM inv WHERE shingle NOT IN (
+    SELECT shingle FROM inv GROUP BY shingle HAVING count(*) > {SHINGLE_DF_CAP})
+), p AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_sh AS na, b.n_sh AS nb,
+         CAST(count(*) AS BIGINT) AS inter
+  FROM inv2 a JOIN inv2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT a_id, b_id, inter,
+       round(CAST(inter AS DOUBLE) / least(na, nb), 6) AS overlap
+FROM p WHERE CAST(inter AS DOUBLE) / least(na, nb) >= {OVERLAP_THRESHOLD}
+ORDER BY a_id, b_id
+"""
+
+QUERIES["containment_pairs"] = containment_pairs
+ORACLES["containment_pairs"] = CONTAINMENT_PAIRS_SQL

@@ -1013,3 +1013,79 @@ FROM c ORDER BY doc_id
 
 QUERIES["gopher_rules"] = gopher_rules
 ORACLES["gopher_rules"] = GOPHER_RULES_SQL
+
+
+# --- Per-document TF-IDF top terms ----------------------------------------
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms_df(docs: "DataFrame", k: int = TFIDF_TOP_K) -> "DataFrame":
+    """Top-k terms per document by TF-IDF (tf * ln(N/df)) — the standard
+    per-doc keyword signal (complements top_terms_per_source, which
+    ranks raw frequency per source). Ties break alphabetically so the
+    ranking is deterministic on both engines.
+
+    Plan shape: one explode → groupBy(doc_id, term) for tf (map-side
+    combined); df is a slim rollup of tf (O(vocabulary) rows) joined
+    back broadcast-style; N rides a 1-row broadcast. The per-doc top-k
+    window partitions on doc_id — WindowGroupLimit pushes the k-filter
+    map-side, so the shuffle never carries more than k rows per doc per
+    partition beyond the tf aggregate itself.
+
+    Float parity: tf/N/df are exact BIGINTs; score = tf * ln(N/df) is
+    two float ops on identical operands (IEEE-identical in both
+    engines); the rank compares those identical doubles, so the top-k
+    cut can never disagree."""
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        "doc_id", F.explode(tok_array(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n"))
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .crossJoin(F.broadcast(n))
+              .withColumn("score",
+                          F.col("tf") * F.log(F.col("n") / F.col("df"))))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("doc_id", "term", "tf",
+                    F.round("score", 6).alias("tfidf")))
+
+
+def tfidf_top_terms(spark, sf_dir):
+    return tfidf_top_terms_df(_docs(spark, sf_dir)).orderBy("doc_id", "term")
+
+
+TFIDF_TOP_TERMS_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '{WS_RE}+'),
+                            x -> x != '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, term
+), df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+), s AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term) AS rn
+  FROM s
+)
+SELECT doc_id, term, tf, round(score, 6) AS tfidf
+FROM r WHERE rn <= {TFIDF_TOP_K}
+ORDER BY doc_id, term
+"""
+
+QUERIES["tfidf_top_terms"] = tfidf_top_terms
+ORACLES["tfidf_top_terms"] = TFIDF_TOP_TERMS_SQL

@@ -272,3 +272,55 @@ def test_gopher_rules_line_and_word_gates(spark, tmp_path):
     # empty text: 0 words, 1 line ([''] split artifact), drop
     assert got[7]["n_words"] == 0 and got[7]["n_lines"] == 1
     assert not got[7]["keep"]
+
+
+def test_containment_catches_what_jaccard_misses(spark, tmp_path):
+    """A short doc fully embedded in a much longer one: overlap
+    coefficient 1.0 (flagged) while its Jaccard sits far below that
+    query's 0.5 threshold — the asymmetric case containment exists for."""
+    from extract_ocr_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"          # 4 shingles
+    filler = " ".join(f"word{i} item{i} thing{i}" for i in range(30))
+    rows = [
+        (1, short, "en", "s", 0),
+        (2, short + " " + filler, "en", "s", 0),   # contains all of 1
+        (3, "completely different text with nothing shared here at all",
+         "en", "s", 0),
+    ]
+    d = tmp_path / "documents.parquet"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d))
+
+    got = {(r["a_id"], r["b_id"]): r["overlap"]
+           for r in containment_pairs(spark, str(tmp_path)).collect()}
+    assert got == {(1, 2): 1.0}
+    jac = {(r["a_id"], r["b_id"])
+           for r in ngram_jaccard_pairs(spark, str(tmp_path)).collect()}
+    assert (1, 2) not in jac  # jaccard structurally misses it
+
+
+def test_tfidf_top_terms_surface_distinctive_words(spark, tmp_path):
+    """Terms shared by every doc score ln(N/N)=0; each doc's unique
+    keywords outrank them and fill the top-k."""
+    from extract_ocr_spark.operators.textanalysis import tfidf_top_terms
+
+    filler = "the data engine runs fast"
+    rows = [(i, filler + f" special{i} unique{i} rare{i}", "en", "s", 0)
+            for i in range(4)]
+    d = tmp_path / "documents.parquet"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d))
+
+    out = tfidf_top_terms(spark, str(tmp_path)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], set()).add(r["term"])
+    assert by_doc[0] == {"special0", "unique0", "rare0"}
+    assert by_doc[3] == {"special3", "unique3", "rare3"}
+    assert all(r["tfidf"] > 0 for r in out)

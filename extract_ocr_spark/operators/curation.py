@@ -737,6 +737,12 @@ def dsir_weights_df(docs: DataFrame, target_lang: str = DSIR_TARGET_LANG,
            .persist())
     try:
         is_tgt = F.col("lang") == target_lang
+        # a wrong target_lang (e.g. a case mismatch) would otherwise
+        # silently degrade every log_ratio to smoothing noise
+        if occ.filter(is_tgt).isEmpty():
+            raise ValueError(
+                f"DSIR target slice lang={target_lang!r} matched no "
+                f"documents with features")
         raw = occ.groupBy("b").agg(
             F.sum("n").alias("rb"),
             F.sum(F.when(is_tgt, F.col("n")).otherwise(F.lit(0)))

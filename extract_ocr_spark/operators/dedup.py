@@ -136,19 +136,21 @@ FROM documents GROUP BY 1 ORDER BY sha
 
 # -- exact n-gram Jaccard via inverted index --------------------------------------
 
-def ngram_jaccard_pairs(spark, sf_dir):
-    """All pairs with word-3-gram Jaccard ≥ 0.5, computed via an inverted
-    shingle index (no cross join) with the stop-shingle cap applied
-    before the self-join. ``n_sh`` denominators use the full (uncapped)
-    shingle sets; the intersection counts only non-hot shingles — the
-    oracle mirrors both choices exactly."""
-    sh = _with_shingles(_docs(spark, sf_dir)).select(
+def _capped_pair_intersections(docs: DataFrame) -> DataFrame:
+    """(a_id, b_id, na, nb, inter) for every doc pair sharing at least
+    one non-hot word-3-gram shingle: the ONE inverted-index pair engine
+    behind ngram_jaccard_pairs and containment_pairs (only their
+    coefficients differ — a fix to the shingle index, df-cap discipline,
+    or join must not have to land in two places). ``na``/``nb``
+    denominators use the full (uncapped) shingle sets; ``inter`` counts
+    only non-hot shingles — both choices mirrored in ``_PAIR_CTE``."""
+    sh = _with_shingles(docs).select(
         F.col("doc_id"), "shingles", F.size("shingles").alias("n_sh"))
     inv = _drop_hot_shingles(
         sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle")))
     a = inv.alias("a")
     b = inv.alias("b")
-    pairs = (
+    return (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(
@@ -156,6 +158,15 @@ def ngram_jaccard_pairs(spark, sf_dir):
             F.col("a.n_sh").alias("na"), F.col("b.n_sh").alias("nb"))
         .agg(F.count("*").alias("inter"))
     )
+
+
+def ngram_jaccard_pairs(spark, sf_dir):
+    """All pairs with word-3-gram Jaccard ≥ 0.5, computed via an inverted
+    shingle index (no cross join) with the stop-shingle cap applied
+    before the self-join. ``n_sh`` denominators use the full (uncapped)
+    shingle sets; the intersection counts only non-hot shingles — the
+    oracle mirrors both choices exactly."""
+    pairs = _capped_pair_intersections(_docs(spark, sf_dir))
     j = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
         pairs.withColumn("jaccard", F.round(j, 6))
@@ -178,7 +189,9 @@ WITH w AS (
 )
 """
 
-NGRAM_JACCARD_PAIRS_SQL = _SHINGLE_CTE + f"""
+# the SQL twin of _capped_pair_intersections (shared by the jaccard and
+# containment oracles exactly like the Spark helper)
+_PAIR_CTE = _SHINGLE_CTE + f"""
 , inv AS (
   SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
 ), inv2 AS (
@@ -186,10 +199,13 @@ NGRAM_JACCARD_PAIRS_SQL = _SHINGLE_CTE + f"""
     SELECT shingle FROM inv GROUP BY shingle HAVING count(*) > {SHINGLE_DF_CAP})
 ), p AS (
   SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_sh AS na, b.n_sh AS nb,
-         count(*) AS inter
+         CAST(count(*) AS BIGINT) AS inter
   FROM inv2 a JOIN inv2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2, 3, 4
 )
+"""
+
+NGRAM_JACCARD_PAIRS_SQL = _PAIR_CTE + f"""
 SELECT a_id, b_id, round(inter * 1.0 / (na + nb - inter), 6) AS jaccard
 FROM p WHERE inter * 1.0 / (na + nb - inter) >= {JACCARD_THRESHOLD}
 ORDER BY a_id, b_id
@@ -684,26 +700,12 @@ def containment_pairs(spark, sf_dir):
     pair never crosses the Jaccard threshold no matter how complete the
     containment is).
 
-    Same inverted shingle index + stop-shingle cap + pair aggregate as
-    ngram_jaccard_pairs (shuffle O(matching shingles), never a cross
-    join); only the coefficient differs, so the scale argument is the
-    one already made there. Denominators use the full (uncapped)
-    shingle sets; the intersection counts only non-hot shingles —
-    mirrored in the oracle."""
-    sh = _with_shingles(_docs(spark, sf_dir)).select(
-        F.col("doc_id"), "shingles", F.size("shingles").alias("n_sh"))
-    inv = _drop_hot_shingles(
-        sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle")))
-    a = inv.alias("a")
-    b = inv.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"),
-            F.col("a.n_sh").alias("na"), F.col("b.n_sh").alias("nb"))
-        .agg(F.count("*").alias("inter"))
-    )
+    Shares ``_capped_pair_intersections`` (and its ``_PAIR_CTE`` SQL
+    twin) with ngram_jaccard_pairs — inverted shingle index, stop-
+    shingle cap before the self-join, pair aggregate; only the
+    coefficient differs, so the scale argument is the one already made
+    there."""
+    pairs = _capped_pair_intersections(_docs(spark, sf_dir))
     ov = F.col("inter") / F.least("na", "nb")
     return (
         pairs.withColumn("overlap", F.round(ov, 6))
@@ -713,18 +715,7 @@ def containment_pairs(spark, sf_dir):
     )
 
 
-CONTAINMENT_PAIRS_SQL = _SHINGLE_CTE + f"""
-, inv AS (
-  SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
-), inv2 AS (
-  SELECT * FROM inv WHERE shingle NOT IN (
-    SELECT shingle FROM inv GROUP BY shingle HAVING count(*) > {SHINGLE_DF_CAP})
-), p AS (
-  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_sh AS na, b.n_sh AS nb,
-         CAST(count(*) AS BIGINT) AS inter
-  FROM inv2 a JOIN inv2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2, 3, 4
-)
+CONTAINMENT_PAIRS_SQL = _PAIR_CTE + f"""
 SELECT a_id, b_id, inter,
        round(CAST(inter AS DOUBLE) / least(na, nb), 6) AS overlap
 FROM p WHERE CAST(inter AS DOUBLE) / least(na, nb) >= {OVERLAP_THRESHOLD}

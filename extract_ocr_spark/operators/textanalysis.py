@@ -1027,11 +1027,14 @@ def tfidf_top_terms_df(docs: "DataFrame", k: int = TFIDF_TOP_K) -> "DataFrame":
     ranking is deterministic on both engines.
 
     Plan shape: one explode → groupBy(doc_id, term) for tf (map-side
-    combined); df is a slim rollup of tf (O(vocabulary) rows) joined
-    back broadcast-style; N rides a 1-row broadcast. The per-doc top-k
-    window partitions on doc_id — WindowGroupLimit pushes the k-filter
-    map-side, so the shuffle never carries more than k rows per doc per
-    partition beyond the tf aggregate itself.
+    combined); df is an O(vocabulary) rollup of tf joined back WITHOUT
+    a broadcast hint — vocabulary grows with corpus size (Heaps' law),
+    so at 100 TB the df table is NOT broadcastable and the tf ⋈ df
+    equi-join on term must be free to shuffle (AQE still broadcasts it
+    when it measures small). N rides a 1-row broadcast. The per-doc
+    top-k window partitions on doc_id — WindowGroupLimit pushes the
+    k-filter map-side, so the shuffle never carries more than k rows
+    per doc per partition beyond the tf aggregate itself.
 
     Float parity: tf/N/df are exact BIGINTs; score = tf * ln(N/df) is
     two float ops on identical operands (IEEE-identical in both
@@ -1044,7 +1047,7 @@ def tfidf_top_terms_df(docs: "DataFrame", k: int = TFIDF_TOP_K) -> "DataFrame":
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n"))
-    scored = (tf.join(F.broadcast(dfreq), "term")
+    scored = (tf.join(dfreq, "term")
               .crossJoin(F.broadcast(n))
               .withColumn("score",
                           F.col("tf") * F.log(F.col("n") / F.col("df"))))

@@ -412,3 +412,17 @@ def test_curate_run_dsir_gate_drops_off_target_docs(spark, tmp_path):
     kept = {r["doc_id"] for r in spark.read.parquet(
         str(tmp_path / "dsir" / "corpus")).select("doc_id").collect()}
     assert 3101 not in kept and 3100 in kept and 3000 in kept
+
+
+def test_dsir_weights_rejects_empty_target_slice(spark):
+    """A wrong --dsir-target-lang (e.g. case mismatch) must raise, not
+    silently degrade every log_ratio to smoothing noise."""
+    import pytest
+
+    from extract_ocr_spark.operators.curation import dsir_weights_df
+
+    docs = spark.createDataFrame(
+        [(1, "some words here", "en"), (2, "other words there", "en")],
+        "doc_id long, text string, lang string")
+    with pytest.raises(ValueError, match="matched no documents"):
+        dsir_weights_df(docs, target_lang="EN").localCheckpoint()

@@ -123,3 +123,35 @@ def test_dsir_weights_plan_broadcasts_distributions_no_python(spark):
                "MapInPandas"):
         assert py not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_tfidf_plan_window_group_limit_no_python(spark):
+    """The per-doc top-k compiles to WindowGroupLimit (map-side k-filter,
+    never a full per-doc sort of the whole tf table); the df join carries
+    NO broadcast hint (vocabulary grows with the corpus — at 100 TB it
+    must be free to shuffle); nothing drops to Python."""
+    from extract_ocr_spark.operators.textanalysis import tfidf_top_terms_df
+
+    plan = _plan(tfidf_top_terms_df(_docs(spark)))
+    assert "WindowGroupLimit" in plan, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+               "MapInPandas"):
+        assert py not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_containment_plan_caps_before_self_join_no_python(spark):
+    """The stop-shingle df-cap (an aggregate over the inverted index)
+    must sit BELOW the pair self-join in the plan — the cap is the only
+    thing bounding hot-shingle pair fan-out to O(cap * df) — and the
+    whole query stays JVM-side with no cartesian join."""
+    from extract_ocr_spark.operators.dedup import containment_pairs
+
+    plan = _plan(containment_pairs(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+               "MapInPandas"):
+        assert py not in plan, plan
+    # the anti-join implementing `shingle NOT IN hot` appears on each
+    # input of the pair join, i.e. at least twice in the plan tree
+    assert plan.count("LeftAnti") >= 2 or plan.count("left_anti") >= 2, plan

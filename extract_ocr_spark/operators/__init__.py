@@ -114,7 +114,7 @@ def all_queries():
         "mixture_weights", "semdedup", "quality_classifier",
         "corpus_report", "paragraph_dedup", "winnow_fingerprints",
         "char_entropy", "kmv_distinct", "gopher_rules", "dsir_weights",
-        "containment_pairs", "tfidf_top_terms",
+        "containment_pairs", "tfidf_top_terms", "pagerank_scores",
     )
     order = [n for n in front if n in queries] + [
         n for n in queries if n not in front]

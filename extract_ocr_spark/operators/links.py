@@ -313,3 +313,103 @@ FROM bfs GROUP BY doc_id ORDER BY depth, doc_id
 
 QUERIES["bfs_frontier"] = bfs_frontier_query
 ORACLES["bfs_frontier"] = BFS_FRONTIER_SQL
+
+
+# -- PageRank over the synthetic link graph ---------------------------------
+
+PR_ITERS = 3
+PR_D = 0.85  # damping; written as CAST literals in the oracle (DuckDB
+             # decimal-literal trap: 0.85 alone is DECIMAL, not DOUBLE)
+
+
+def pagerank_scores_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-prioritization PageRank (3 power iterations, d=0.85) over
+    the same deterministic synthetic link graph bfs_frontier uses
+    (dst = (2·id+1) mod n and (3·id+7) mod n, multi-edges deduped so
+    out-degree is well-defined) — the iterative-graph companion to the
+    BFS frontier: rank = where a crawler's budget should go first
+    (reference crawl loop crawl.py:920-1137 prioritizes FIFO; this is
+    the standard upgrade).
+
+    Scale shape: the (src, dst, deg) edge table is built once and
+    persisted — every iteration reuses its shuffle partitioning for the
+    contribution join; per-iteration cost is the inherent PageRank
+    shuffle (join on src, aggregate on dst, left-join the node set),
+    and each iteration localCheckpoints so the plan never grows.
+
+    Float parity: rank values stay bit-identical across engines by
+    induction — contributions r/deg are computed from identical doubles
+    and longs, each target's incoming terms fold in src-sorted order
+    (F.aggregate over array_sort here, list_reduce over list(ORDER BY
+    src) in the oracle), and damping uses CAST-to-double literals on
+    both sides; one round(6) at the end."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    n = docs.count()
+    e1 = docs.select(F.col("doc_id").alias("src"),
+                     ((F.col("doc_id") * 2 + 1) % n).alias("dst"))
+    e2 = docs.select(F.col("doc_id").alias("src"),
+                     ((F.col("doc_id") * 3 + 7) % n).alias("dst"))
+    edges = e1.unionByName(e2).distinct()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    esrc = edges.join(outdeg, "src").persist()
+    try:
+        ranks = docs.select(
+            F.col("doc_id").alias("v"),
+            (F.lit(1.0) / F.lit(n)).alias("r"))
+        for _ in range(PR_ITERS):
+            contrib = (esrc.join(ranks, esrc["src"] == ranks["v"])
+                       .select(esrc["dst"].alias("t"), esrc["src"],
+                               (ranks["r"] / esrc["deg"]).alias("term")))
+            summed = contrib.groupBy("t").agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("src", "term"))),
+                    F.lit(0.0), lambda a, x: a + x["term"]).alias("m"))
+            ranks = (docs.select(F.col("doc_id").alias("v"))
+                     .join(summed, F.col("v") == F.col("t"), "left")
+                     .select(
+                         "v",
+                         (F.lit(1.0 - PR_D) / F.lit(n)
+                          + F.lit(PR_D) * F.coalesce("m", F.lit(0.0)))
+                         .alias("r"))
+                     .localCheckpoint(eager=True))
+    finally:
+        esrc.unpersist()
+    return (ranks.select(F.col("v").alias("doc_id"),
+                         F.round("r", 6).alias("pagerank"))
+            .orderBy("doc_id"))
+
+
+def _pr_iter_sql(prev: str, it: str) -> str:
+    return f"""{it} AS (
+  SELECT d.doc_id AS v,
+         CAST(0.15 AS DOUBLE) / n.c
+         + CAST(0.85 AS DOUBLE) * coalesce(s.m, 0.0) AS r
+  FROM documents d CROSS JOIN n LEFT JOIN (
+    SELECT e.dst AS t,
+           list_reduce(list_prepend(0.0, list(p.r / o.deg ORDER BY e.src)),
+                       (a, b) -> a + b) AS m
+    FROM edges e JOIN {prev} p ON p.v = e.src
+    JOIN outdeg o ON o.src = e.src
+    GROUP BY e.dst) s ON s.t = d.doc_id
+)"""
+
+
+PAGERANK_SCORES_SQL = (
+    """WITH n AS (SELECT count(*) AS c FROM documents),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, (doc_id * 2 + 1) % c AS dst FROM documents, n
+    UNION ALL
+    SELECT doc_id AS src, (doc_id * 3 + 7) % c AS dst FROM documents, n)
+),
+outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT doc_id AS v, CAST(1.0 AS DOUBLE) / c AS r FROM documents, n),
+"""
+    + ",\n".join(_pr_iter_sql(f"r{i}", f"r{i+1}") for i in range(PR_ITERS))
+    + f"""
+SELECT v AS doc_id, round(r, 6) AS pagerank
+FROM r{PR_ITERS} ORDER BY doc_id
+""")
+
+QUERIES["pagerank_scores"] = pagerank_scores_query
+ORACLES["pagerank_scores"] = PAGERANK_SCORES_SQL

@@ -119,3 +119,44 @@ def test_bfs_random_graph_parity(spark, seed, seeds, max_pages):
            for r in bfs_frontier(spark, edges, seeds,
                                  max_depth=3, max_pages=max_pages).collect()}
     assert got == _python_bfs_over(graph, seeds, 3, max_pages)
+
+
+def test_pagerank_matches_python_mirror(spark, tmp_path):
+    """The registry PageRank must equal a from-scratch python power
+    iteration on the same synthetic graph (same dedup, same damping,
+    same iteration count), rounded to the same 6 places."""
+    from extract_ocr_spark.operators.links import (
+        PR_D,
+        PR_ITERS,
+        pagerank_scores_query,
+    )
+
+    n = 37
+    d = tmp_path / "documents.parquet"
+    spark.createDataFrame(
+        [(i, f"text {i}", "en", "s", 10) for i in range(n)],
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d))
+
+    edges = sorted({(i, (2 * i + 1) % n) for i in range(n)}
+                   | {(i, (3 * i + 7) % n) for i in range(n)})
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = {v: 1.0 / n for v in range(n)}
+    for _ in range(PR_ITERS):
+        incoming = {}
+        for s, t in edges:
+            incoming.setdefault(t, []).append((s, r[s] / outdeg[s]))
+        nxt = {}
+        for v in range(n):
+            m = 0.0
+            for _, term in sorted(incoming.get(v, [])):
+                m += term
+            nxt[v] = (1.0 - PR_D) / n + PR_D * m
+        r = nxt
+
+    got = {row["doc_id"]: row["pagerank"]
+           for row in pagerank_scores_query(spark, str(tmp_path)).collect()}
+    assert got == {v: round(r[v], 6) for v in range(n)}
+    assert abs(sum(r.values()) - 1.0) < 1e-9  # rank mass conserved

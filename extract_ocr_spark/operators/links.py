@@ -318,8 +318,13 @@ ORACLES["bfs_frontier"] = BFS_FRONTIER_SQL
 # -- PageRank over the synthetic link graph ---------------------------------
 
 PR_ITERS = 3
-PR_D = 0.85  # damping; written as CAST literals in the oracle (DuckDB
-             # decimal-literal trap: 0.85 alone is DECIMAL, not DOUBLE)
+PR_D = 0.85
+# the teleport constant is COMPUTED (1.0 - 0.85 = 0.15000000000000002,
+# one ulp above the 0.15 literal) — the oracle must use THIS double, so
+# both damping constants reach DuckDB as repr()-round-tripped strings
+# cast to DOUBLE (strtod is correctly rounded; a bare long decimal
+# literal would go through DuckDB's DECIMAL path and can re-round)
+_PR_TELEPORT = 1.0 - PR_D
 
 
 def pagerank_scores_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -341,8 +346,9 @@ def pagerank_scores_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     induction — contributions r/deg are computed from identical doubles
     and longs, each target's incoming terms fold in src-sorted order
     (F.aggregate over array_sort here, list_reduce over list(ORDER BY
-    src) in the oracle), and damping uses CAST-to-double literals on
-    both sides; one round(6) at the end."""
+    src) in the oracle), and BOTH damping constants reach the oracle as
+    repr()-round-tripped strings of the exact doubles Spark uses (see
+    _PR_TELEPORT above); one round(6) at the end."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     n = docs.count()
     e1 = docs.select(F.col("doc_id").alias("src"),
@@ -368,7 +374,7 @@ def pagerank_scores_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .join(summed, F.col("v") == F.col("t"), "left")
                      .select(
                          "v",
-                         (F.lit(1.0 - PR_D) / F.lit(n)
+                         (F.lit(_PR_TELEPORT) / F.lit(n)
                           + F.lit(PR_D) * F.coalesce("m", F.lit(0.0)))
                          .alias("r"))
                      .localCheckpoint(eager=True))
@@ -382,8 +388,8 @@ def pagerank_scores_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pr_iter_sql(prev: str, it: str) -> str:
     return f"""{it} AS (
   SELECT d.doc_id AS v,
-         CAST(0.15 AS DOUBLE) / n.c
-         + CAST(0.85 AS DOUBLE) * coalesce(s.m, 0.0) AS r
+         CAST('{_PR_TELEPORT!r}' AS DOUBLE) / n.c
+         + CAST('{PR_D!r}' AS DOUBLE) * coalesce(s.m, 0.0) AS r
   FROM documents d CROSS JOIN n LEFT JOIN (
     SELECT e.dst AS t,
            list_reduce(list_prepend(0.0, list(p.r / o.deg ORDER BY e.src)),

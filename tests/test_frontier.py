@@ -156,7 +156,16 @@ def test_pagerank_matches_python_mirror(spark, tmp_path):
             nxt[v] = (1.0 - PR_D) / n + PR_D * m
         r = nxt
 
+    # Spark F.round is HALF_UP; python round() is HALF_EVEN — quantize
+    # the mirror with the matching mode so a future halfway value can't
+    # fake a failure
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def round6(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
     got = {row["doc_id"]: row["pagerank"]
            for row in pagerank_scores_query(spark, str(tmp_path)).collect()}
-    assert got == {v: round(r[v], 6) for v in range(n)}
+    assert got == {v: round6(r[v]) for v in range(n)}
     assert abs(sum(r.values()) - 1.0) < 1e-9  # rank mass conserved

@@ -419,3 +419,113 @@ FROM r{PR_ITERS} ORDER BY doc_id
 
 QUERIES["pagerank_scores"] = pagerank_scores_query
 ORACLES["pagerank_scores"] = PAGERANK_SCORES_SQL
+
+
+# -- Politeness scheduling over the frontier ---------------------------------
+
+N_HOSTS = 20  # deterministic synthetic host assignment (doc_id % N_HOSTS)
+
+
+def crawl_schedule_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host politeness scheduler: assign every frontier URL a fetch
+    slot honoring its host's crawl-delay (the reference is a polite
+    crawler — robots gating is P4/S4; this is the scheduling half a
+    distributed refetch needs). Hosts are assigned deterministically
+    (doc_id mod N_HOSTS) and each host's delay is (host mod 5) + 1
+    seconds; within a host, fetch order is doc_id order and
+    fetch_at_s = slot * delay.
+
+    Scale shape: ONE window partitioned by host — the per-host queue is
+    embarrassingly parallel across hosts (the real cardinality axis at
+    web scale), and all arithmetic is exact integers (no floats to
+    reconcile)."""
+    from pyspark.sql.window import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    host_n = F.col("doc_id") % N_HOSTS
+    delay = (host_n % 5 + 1).alias("delay_s")
+    w = Window.partitionBy("host").orderBy("doc_id")
+    return (docs.select(
+                "doc_id",
+                F.concat(F.lit("h"), host_n).alias("host"),
+                delay)
+            .withColumn("slot", F.row_number().over(w) - 1)
+            .withColumn("fetch_at_s", F.col("slot") * F.col("delay_s"))
+            .select("doc_id", "host", "delay_s", "slot", "fetch_at_s")
+            .orderBy("doc_id"))
+
+
+CRAWL_SCHEDULE_SQL = f"""
+WITH f AS (
+  SELECT doc_id,
+         'h' || (doc_id % {N_HOSTS}) AS host,
+         (doc_id % {N_HOSTS}) % 5 + 1 AS delay_s
+  FROM documents
+)
+SELECT doc_id, host, delay_s,
+       row_number() OVER (PARTITION BY host ORDER BY doc_id) - 1 AS slot,
+       (row_number() OVER (PARTITION BY host ORDER BY doc_id) - 1)
+         * delay_s AS fetch_at_s
+FROM f ORDER BY doc_id
+"""
+
+QUERIES["crawl_schedule"] = crawl_schedule_query
+ORACLES["crawl_schedule"] = CRAWL_SCHEDULE_SQL
+
+
+# -- Incremental crawl diff ---------------------------------------------------
+
+
+def crawl_diff_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two crawls — the corpus-level refresh
+    decision (which docs to refetch / drop / keep) behind the
+    reference's per-response conditional-GET logic (S2) and done-skip
+    resume (P8). The 'previous' crawl derives deterministically from
+    the same table (docs with id % 10 != 0, text mangled for id % 7 ==
+    0) and the 'current' crawl drops id % 13 == 0, so all four statuses
+    occur: added (new this crawl), removed (gone this crawl), changed
+    (content sha differs), unchanged.
+
+    Scale shape: one full outer join on the doc key with a content-sha
+    equality — both sides shuffle once on the key; the sha comparison
+    is per-row. At 10^12 docs this is THE nightly incremental job."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    prev = (docs.filter(F.col("doc_id") % 10 != 0)
+            .select("doc_id",
+                    F.sha2(F.when(F.col("doc_id") % 7 == 0,
+                                  F.concat(F.col("text"), F.lit(" v1")))
+                           .otherwise(F.col("text")), 256).alias("prev_sha")))
+    cur = (docs.filter(F.col("doc_id") % 13 != 0)
+           .select("doc_id", F.sha2(F.col("text"), 256).alias("cur_sha")))
+    joined = cur.join(prev, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("prev_sha").isNull(), "added")
+        .when(F.col("cur_sha").isNull(), "removed")
+        .when(F.col("cur_sha") != F.col("prev_sha"), "changed")
+        .otherwise("unchanged"))
+    return (joined.select("doc_id", status.alias("status"))
+            .orderBy("doc_id"))
+
+
+CRAWL_DIFF_SQL = """
+WITH prev AS (
+  SELECT doc_id,
+         sha256(CASE WHEN doc_id % 7 = 0 THEN text || ' v1'
+                     ELSE text END) AS prev_sha
+  FROM documents WHERE doc_id % 10 != 0
+), cur AS (
+  SELECT doc_id, sha256(text) AS cur_sha
+  FROM documents WHERE doc_id % 13 != 0
+)
+SELECT coalesce(cur.doc_id, prev.doc_id) AS doc_id,
+       CASE WHEN prev_sha IS NULL THEN 'added'
+            WHEN cur_sha IS NULL THEN 'removed'
+            WHEN cur_sha != prev_sha THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM cur FULL OUTER JOIN prev USING (doc_id)
+ORDER BY doc_id
+"""
+
+QUERIES["crawl_diff"] = crawl_diff_query
+ORACLES["crawl_diff"] = CRAWL_DIFF_SQL

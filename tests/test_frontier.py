@@ -169,3 +169,38 @@ def test_pagerank_matches_python_mirror(spark, tmp_path):
            for row in pagerank_scores_query(spark, str(tmp_path)).collect()}
     assert got == {v: round6(r[v]) for v in range(n)}
     assert abs(sum(r.values()) - 1.0) < 1e-9  # rank mass conserved
+
+
+def test_crawl_schedule_politeness_invariant(spark):
+    """Within every host, consecutive fetches are exactly delay_s apart
+    and slots are dense from 0 — the politeness contract."""
+    from extract_ocr_spark.operators.links import crawl_schedule_query
+
+    rows = crawl_schedule_query(spark, "/root/testdata/sf0.001").collect()
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(r)
+    assert len(by_host) > 1
+    for host, hr in by_host.items():
+        hr.sort(key=lambda r: r["slot"])
+        assert [r["slot"] for r in hr] == list(range(len(hr)))
+        for r in hr:
+            assert r["fetch_at_s"] == r["slot"] * r["delay_s"]
+
+
+def test_crawl_diff_covers_all_statuses(spark):
+    """All four refresh decisions occur on the synthetic snapshots and
+    partition the doc space (each doc appears exactly once)."""
+    from extract_ocr_spark.operators.links import crawl_diff_query
+
+    rows = crawl_diff_query(spark, "/root/testdata/sf0.001").collect()
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    statuses = {r["status"] for r in rows}
+    assert statuses == {"added", "removed", "changed", "unchanged"}
+    by = {r["doc_id"]: r["status"] for r in rows}
+    assert by[10] == "added"       # %10==0, %13!=0
+    assert by[13] == "removed"     # %13==0, %10!=0
+    assert by[7] == "changed"      # %7==0, in both snapshots
+    assert by[1] == "unchanged"
+    assert 0 not in by             # %10==0 AND %13==0: in neither snapshot

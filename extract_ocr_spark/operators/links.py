@@ -423,7 +423,8 @@ ORACLES["pagerank_scores"] = PAGERANK_SCORES_SQL
 
 # -- Politeness scheduling over the frontier ---------------------------------
 
-N_HOSTS = 20  # deterministic synthetic host assignment (doc_id % N_HOSTS)
+N_HOSTS = 20        # deterministic synthetic host assignment (doc_id % N_HOSTS)
+DELAY_BUCKETS = 5   # crawl delay per host = (host % DELAY_BUCKETS) + 1 sec
 
 
 def crawl_schedule_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -443,7 +444,7 @@ def crawl_schedule_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     host_n = F.col("doc_id") % N_HOSTS
-    delay = (host_n % 5 + 1).alias("delay_s")
+    delay = (host_n % DELAY_BUCKETS + 1).alias("delay_s")
     w = Window.partitionBy("host").orderBy("doc_id")
     return (docs.select(
                 "doc_id",
@@ -459,7 +460,7 @@ CRAWL_SCHEDULE_SQL = f"""
 WITH f AS (
   SELECT doc_id,
          'h' || (doc_id % {N_HOSTS}) AS host,
-         (doc_id % {N_HOSTS}) % 5 + 1 AS delay_s
+         (doc_id % {N_HOSTS}) % {DELAY_BUCKETS} + 1 AS delay_s
   FROM documents
 )
 SELECT doc_id, host, delay_s,
@@ -475,53 +476,66 @@ ORACLES["crawl_schedule"] = CRAWL_SCHEDULE_SQL
 
 # -- Incremental crawl diff ---------------------------------------------------
 
+# snapshot-derivation constants, interpolated into BOTH the Spark query
+# and the oracle (tuning one side alone cannot desynchronize the pair)
+DIFF_PREV_DROP = 10   # docs with id % this == 0 are new this crawl
+DIFF_CUR_DROP = 13    # docs with id % this == 0 disappeared this crawl
+DIFF_CHANGE = 7       # docs with id % this == 0 changed content
+DIFF_MANGLE = " v1"   # suffix simulating the previous crawl's content
+
 
 def crawl_diff_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff between two crawls — the corpus-level refresh
     decision (which docs to refetch / drop / keep) behind the
     reference's per-response conditional-GET logic (S2) and done-skip
     resume (P8). The 'previous' crawl derives deterministically from
-    the same table (docs with id % 10 != 0, text mangled for id % 7 ==
-    0) and the 'current' crawl drops id % 13 == 0, so all four statuses
-    occur: added (new this crawl), removed (gone this crawl), changed
-    (content sha differs), unchanged.
+    the same table (drop id % DIFF_PREV_DROP == 0, mangle text for
+    id % DIFF_CHANGE == 0) and the 'current' crawl drops
+    id % DIFF_CUR_DROP == 0, so all four statuses occur: added (new
+    this crawl), removed (gone this crawl), changed (content sha
+    differs), unchanged. Membership is carried as explicit flags, not
+    inferred from sha NULLness, so a NULL-text doc present in both
+    snapshots can never masquerade as 'added'.
 
     Scale shape: one full outer join on the doc key with a content-sha
     equality — both sides shuffle once on the key; the sha comparison
     is per-row. At 10^12 docs this is THE nightly incremental job."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .select("doc_id", "text")
-    prev = (docs.filter(F.col("doc_id") % 10 != 0)
-            .select("doc_id",
-                    F.sha2(F.when(F.col("doc_id") % 7 == 0,
-                                  F.concat(F.col("text"), F.lit(" v1")))
+    prev = (docs.filter(F.col("doc_id") % DIFF_PREV_DROP != 0)
+            .select("doc_id", F.lit(True).alias("in_prev"),
+                    F.sha2(F.when(F.col("doc_id") % DIFF_CHANGE == 0,
+                                  F.concat(F.col("text"),
+                                           F.lit(DIFF_MANGLE)))
                            .otherwise(F.col("text")), 256).alias("prev_sha")))
-    cur = (docs.filter(F.col("doc_id") % 13 != 0)
-           .select("doc_id", F.sha2(F.col("text"), 256).alias("cur_sha")))
+    cur = (docs.filter(F.col("doc_id") % DIFF_CUR_DROP != 0)
+           .select("doc_id", F.lit(True).alias("in_cur"),
+                   F.sha2(F.col("text"), 256).alias("cur_sha")))
     joined = cur.join(prev, "doc_id", "full_outer")
     status = (
-        F.when(F.col("prev_sha").isNull(), "added")
-        .when(F.col("cur_sha").isNull(), "removed")
-        .when(F.col("cur_sha") != F.col("prev_sha"), "changed")
+        F.when(F.col("in_prev").isNull(), "added")
+        .when(F.col("in_cur").isNull(), "removed")
+        .when(~F.col("cur_sha").eqNullSafe(F.col("prev_sha")), "changed")
         .otherwise("unchanged"))
     return (joined.select("doc_id", status.alias("status"))
             .orderBy("doc_id"))
 
 
-CRAWL_DIFF_SQL = """
+CRAWL_DIFF_SQL = f"""
 WITH prev AS (
-  SELECT doc_id,
-         sha256(CASE WHEN doc_id % 7 = 0 THEN text || ' v1'
+  SELECT doc_id, TRUE AS in_prev,
+         sha256(CASE WHEN doc_id % {DIFF_CHANGE} = 0
+                     THEN text || '{DIFF_MANGLE}'
                      ELSE text END) AS prev_sha
-  FROM documents WHERE doc_id % 10 != 0
+  FROM documents WHERE doc_id % {DIFF_PREV_DROP} != 0
 ), cur AS (
-  SELECT doc_id, sha256(text) AS cur_sha
-  FROM documents WHERE doc_id % 13 != 0
+  SELECT doc_id, TRUE AS in_cur, sha256(text) AS cur_sha
+  FROM documents WHERE doc_id % {DIFF_CUR_DROP} != 0
 )
 SELECT coalesce(cur.doc_id, prev.doc_id) AS doc_id,
-       CASE WHEN prev_sha IS NULL THEN 'added'
-            WHEN cur_sha IS NULL THEN 'removed'
-            WHEN cur_sha != prev_sha THEN 'changed'
+       CASE WHEN in_prev IS NULL THEN 'added'
+            WHEN in_cur IS NULL THEN 'removed'
+            WHEN cur_sha IS DISTINCT FROM prev_sha THEN 'changed'
             ELSE 'unchanged' END AS status
 FROM cur FULL OUTER JOIN prev USING (doc_id)
 ORDER BY doc_id

@@ -155,3 +155,46 @@ def test_containment_plan_caps_before_self_join_no_python(spark):
     # the anti-join implementing `shingle NOT IN hot` appears on each
     # input of the pair join, i.e. at least twice in the plan tree
     assert plan.count("LeftAnti") >= 2 or plan.count("left_anti") >= 2, plan
+
+
+def test_crawl_schedule_plan_one_host_window_no_python(spark):
+    """One hash exchange (the per-host window; the trailing range
+    exchange is the presentation orderBy) and zero Python evals — at web
+    scale the scheduler parallelizes across hosts."""
+    from pyspark.sql import functions as F
+
+    from extract_ocr_spark.operators.links import (
+        DELAY_BUCKETS,
+        N_HOSTS,
+    )
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark).select("doc_id")
+    host_n = F.col("doc_id") % N_HOSTS
+    w = Window.partitionBy("host").orderBy("doc_id")
+    df = (docs.select("doc_id",
+                      F.concat(F.lit("h"), host_n).alias("host"),
+                      (host_n % DELAY_BUCKETS + 1).alias("delay_s"))
+          .withColumn("slot", F.row_number().over(w) - 1))
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1, plan
+    assert "hashpartitioning(host" in plan, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+               "MapInPandas"):
+        assert py not in plan, plan
+
+
+def test_crawl_diff_plan_single_shuffle_join_no_python(spark):
+    """The snapshot diff is exactly one join (full outer on the doc key)
+    with per-row sha comparison — no Python, no cartesian, and no second
+    join sneaking in."""
+    from extract_ocr_spark.operators.links import crawl_diff_query
+
+    plan = _plan(crawl_diff_query(spark, "/root/testdata/sf0.001"))
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") \
+        + plan.count("BroadcastHashJoin") == 1, plan
+    assert "FullOuter" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+               "MapInPandas"):
+        assert py not in plan, plan

@@ -115,7 +115,7 @@ def all_queries():
         "corpus_report", "paragraph_dedup", "winnow_fingerprints",
         "char_entropy", "kmv_distinct", "gopher_rules", "dsir_weights",
         "containment_pairs", "tfidf_top_terms", "pagerank_scores",
-        "crawl_schedule", "crawl_diff",
+        "crawl_schedule", "crawl_diff", "length_quantiles",
     )
     order = [n for n in front if n in queries] + [
         n for n in queries if n not in front]

@@ -833,3 +833,77 @@ ORDER BY doc_id
 
 QUERIES["dsir_weights"] = dsir_weights
 ORACLES["dsir_weights"] = DSIR_WEIGHTS_SQL
+
+
+# --- Per-source token-length quantiles (data-card staple) ----------------
+
+
+def length_quantiles_df(docs: DataFrame) -> DataFrame:
+    """Exact p50/p90/p99 of per-doc whitespace-token counts per source —
+    the length distribution every data card reports and every
+    pack/chunk budget is tuned against.
+
+    Exactness over approximation: Spark's percentile_approx (and any
+    t-digest) is engine-specific and can never be oracle-checked, so
+    this takes the KMV route — the quantile is the value at integer
+    rank ceil(q*n) under a total (tokens, doc_id) order, computed with
+    pure integer arithmetic (ceil(q*n) as (num*n + den - 1) div den —
+    no float q*n whose last ulp could flip the rank). Zero floats in
+    the output.
+
+    Scale: one groupBy-free projection for token counts, ONE shuffle on
+    source for the rank window, and the final conditional aggregate
+    rides the window's partitioning. Per-source sort is the inherent
+    cost of exact quantiles; a 100 TB variant with huge sources would
+    swap in percentile_approx and give up the oracle, not the shuffle."""
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        "source", "doc_id", F.size(tok_array(F.col("text"))).alias("tokens"))
+    w = Window.partitionBy("source").orderBy("tokens", "doc_id")
+    wn = Window.partitionBy("source")
+    ranked = (toks.withColumn("rn", F.row_number().over(w))
+              .withColumn("n", F.count("*").over(wn)))
+
+    def rank_at(num: int, den: int):
+        # ceil(num*n/den) in exact integer arithmetic
+        return F.floor((F.col("n") * num + den - 1) / den)
+
+    def q_at(num: int, den: int):
+        return F.max(F.when(F.col("rn") == rank_at(num, den),
+                            F.col("tokens")))
+
+    return (ranked.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        q_at(1, 2).alias("p50_tokens"),
+        q_at(9, 10).alias("p90_tokens"),
+        q_at(99, 100).alias("p99_tokens"),
+    ).orderBy("source"))
+
+
+def length_quantiles(spark, sf_dir):
+    return length_quantiles_df(_docs(spark, sf_dir))
+
+
+LENGTH_QUANTILES_SQL = rf"""
+WITH t AS (
+  SELECT source, doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '{WS_RE}+'),
+                         x -> x != '')) AS tokens
+  FROM documents
+), r AS (
+  SELECT source, tokens,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY tokens, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM t
+)
+SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+       max(CASE WHEN rn = (n * 1 + 1) // 2 THEN tokens END) AS p50_tokens,
+       max(CASE WHEN rn = (n * 9 + 9) // 10 THEN tokens END) AS p90_tokens,
+       max(CASE WHEN rn = (n * 99 + 99) // 100 THEN tokens END) AS p99_tokens
+FROM r GROUP BY source ORDER BY source
+"""
+
+QUERIES["length_quantiles"] = length_quantiles
+ORACLES["length_quantiles"] = LENGTH_QUANTILES_SQL

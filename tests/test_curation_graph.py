@@ -426,3 +426,27 @@ def test_dsir_weights_rejects_empty_target_slice(spark):
         "doc_id long, text string, lang string")
     with pytest.raises(ValueError, match="matched no documents"):
         dsir_weights_df(docs, target_lang="EN").localCheckpoint()
+
+
+def test_length_quantiles_exact_ranks(spark, tmp_path):
+    """Quantiles are the values at rank ceil(q*n) under the (tokens,
+    doc_id) total order — pinned against a hand-computed distribution."""
+    import math
+
+    from extract_ocr_spark.operators.curation import length_quantiles
+
+    # one source, token counts 1..10 (doc i has i+1 tokens)
+    rows = [(i, " ".join(f"w{j}" for j in range(i + 1)), "en", "s", 0)
+            for i in range(10)]
+    d = tmp_path / "documents.parquet"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d))
+
+    got = {r["source"]: r for r in
+           length_quantiles(spark, str(tmp_path)).collect()}
+    r = got["s"]
+    assert r["n_docs"] == 10
+    assert r["p50_tokens"] == math.ceil(0.5 * 10)    # rank 5 -> 5 tokens
+    assert r["p90_tokens"] == math.ceil(0.9 * 10)    # rank 9 -> 9 tokens
+    assert r["p99_tokens"] == math.ceil(0.99 * 10)   # rank 10 -> 10 tokens

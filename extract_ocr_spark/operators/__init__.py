@@ -116,6 +116,8 @@ def all_queries():
         "char_entropy", "kmv_distinct", "gopher_rules", "dsir_weights",
         "containment_pairs", "tfidf_top_terms", "pagerank_scores",
         "crawl_schedule", "crawl_diff", "length_quantiles",
+        "token_budget_sample", "ccnet_buckets", "bloom_url_seen",
+        "inverted_index",
     )
     order = [n for n in front if n in queries] + [
         n for n in queries if n not in front]

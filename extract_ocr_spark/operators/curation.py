@@ -907,3 +907,68 @@ FROM r GROUP BY source ORDER BY source
 
 QUERIES["length_quantiles"] = length_quantiles
 ORACLES["length_quantiles"] = LENGTH_QUANTILES_SQL
+
+
+# -- Per-source token-budget sampling ------------------------------------------
+
+# Per-source token budget for mixture construction. At sf0.01 the source
+# totals span 1136-1553 tokens, so 1200 leaves some sources fully kept
+# and most truncated mid-stream — both branches of the rule are
+# exercised by the oracle row set.
+TOKEN_BUDGET = 1200
+
+
+def token_budget_sample_df(docs: DataFrame, *,
+                           ordered: bool = True) -> DataFrame:
+    """Deterministic per-source token-budget selection: order each
+    source's documents by md5(doc_id) (a stable, seedless shuffle), take
+    the running token total, and keep documents while the cumulative
+    count stays within TOKEN_BUDGET. This is the budgeted-mixture step a
+    training-corpus assembly runs per source/domain (cf. the reference's
+    max_pages cap O1 — same semantics, token-denominated and per-group).
+
+    Scale shape: one shuffle on source for the window; the cumulative
+    sum is a single ordered pass within each source partition, and all
+    arithmetic is exact integers (token counts, running totals — no
+    float weights to reconcile). Sources are the parallelism axis at
+    corpus scale; a pathologically large single source is the same skew
+    problem as any window and would be salted upstream (the budget rule
+    composes: sub-budgets per salt summing to the source budget)."""
+    from pyspark.sql.window import Window
+
+    t = docs.select(
+        "doc_id", "source",
+        F.size(tok_array(F.col("text"))).cast("long").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"))
+    w = (Window.partitionBy("source").orderBy("h", "doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = (t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+           .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+           .select("doc_id", "source", "n_tokens", "cum_tokens"))
+    return out.orderBy("doc_id") if ordered else out
+
+
+def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_budget_sample_df(_docs(spark, sf_dir))
+
+
+TOKEN_BUDGET_SAMPLE_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(regexp_split_to_array(lower(text),
+              '{WS_RE}+'), x -> x != '')) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, source, n_tokens, cum_tokens
+FROM c WHERE cum_tokens <= {TOKEN_BUDGET}
+ORDER BY doc_id
+"""
+
+QUERIES["token_budget_sample"] = token_budget_sample
+ORACLES["token_budget_sample"] = TOKEN_BUDGET_SAMPLE_SQL

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import md5_long
 from ..kernels.htmlkit import extract_links
 
 _LINKS_SCHEMA = T.StructType(
@@ -543,3 +544,137 @@ ORDER BY doc_id
 
 QUERIES["crawl_diff"] = crawl_diff_query
 ORACLES["crawl_diff"] = CRAWL_DIFF_SQL
+
+
+# -- Bloom-filter frontier membership -----------------------------------------
+
+BLOOM_K = 3            # hash functions per key
+BLOOM_BITS_PER_KEY = 4  # m = 4n: deliberately tight so the false-positive
+#                         channel carries measurable signal at EVERY scale
+#                         factor (fill ~0.53, FP ~ 0.53^3 ~ 15%); a
+#                         production filter uses ~10-14 bits/key and the
+#                         construction below is unchanged by that constant
+BLOOM_SEEN_MOD = 3     # docs with doc_id % 3 != 0 form the already-crawled set
+BLOOM_WORD_BITS = 32   # bits packed per BIGINT word (32 keeps every
+#                        shifted mask far from the sign bit on both engines)
+
+
+def _bloom_url():
+    return F.concat(F.lit("https://h"),
+                    (F.col("doc_id") % N_HOSTS).cast("string"),
+                    F.lit(".example/page/"),
+                    F.col("doc_id").cast("string"))
+
+
+def bloom_url_seen_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter URL-seen membership — the frontier primitive a
+    10^12-page crawl needs: 'have we fetched this URL' answered from a
+    compact bitmap instead of a join against the full crawl history
+    (the distributed analog of the reference's done/failed skip-set P8).
+
+    Build: the seen set (doc_id % BLOOM_SEEN_MOD != 0) hashes each URL
+    into BLOOM_K positions of an m = BLOOM_BITS_PER_KEY * n bit space
+    (md5-derived, engine-invariant); positions pack into m/32 BIGINT
+    words via bit_or. Probe: every candidate URL re-derives its
+    positions and is 'maybe seen' iff all K probed bits are set; the
+    truly-unseen rows that still hit all K bits are the measured
+    false-positive channel.
+
+    Scale shape: the packed filter is O(m/32) rows — bounded by the
+    BITS_PER_KEY budget, NOT the corpus row width — so the probe side
+    is a broadcast join however large the candidate stream gets; the
+    build is one explode + one groupBy(word_idx). All arithmetic is
+    integer (md5-long positions, shifts, bitwise or/and)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    seen = docs.filter(F.col("doc_id") % BLOOM_SEEN_MOD != 0) \
+        .select(_bloom_url().alias("url"))
+    m = seen.agg((F.count("*") * BLOOM_BITS_PER_KEY).alias("m"))
+
+    ks = F.explode(F.array(*[F.lit(i) for i in range(BLOOM_K)])).alias("i")
+    bits = (seen.crossJoin(F.broadcast(m))
+            .select("url", "m", ks)
+            .select((md5_long(F.concat(F.col("url"), F.lit("#"),
+                                       F.col("i").cast("string")))
+                     % F.col("m")).alias("pos")))
+    words = (bits
+             .select(F.expr(f"pos DIV {BLOOM_WORD_BITS}").alias("word_idx"),
+                     F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                            f"CAST(pos % {BLOOM_WORD_BITS} AS INT))")
+                     .alias("mask"))
+             .groupBy("word_idx").agg(F.bit_or("mask").alias("word")))
+
+    cand = docs.select(
+        "doc_id",
+        (F.col("doc_id") % BLOOM_SEEN_MOD != 0).alias("truly_seen"),
+        _bloom_url().alias("url"))
+    probe = (cand.crossJoin(F.broadcast(m))
+             .select("doc_id", "truly_seen", "url", "m", ks)
+             .select("doc_id", "truly_seen",
+                     (md5_long(F.concat(F.col("url"), F.lit("#"),
+                                        F.col("i").cast("string")))
+                      % F.col("m")).alias("pos"))
+             .select("doc_id", "truly_seen",
+                     F.expr(f"pos DIV {BLOOM_WORD_BITS}").alias("word_idx"),
+                     F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                            f"CAST(pos % {BLOOM_WORD_BITS} AS INT))")
+                     .alias("mask"))
+             .join(F.broadcast(words), "word_idx", "left")
+             .select("doc_id", "truly_seen",
+                     (F.coalesce(F.col("word"), F.lit(0).cast("long"))
+                      .bitwiseAND(F.col("mask")) != 0).alias("hit")))
+    return (probe.groupBy("doc_id", "truly_seen")
+            .agg((F.sum(F.col("hit").cast("int")) == BLOOM_K)
+                 .alias("maybe_seen"))
+            .select("doc_id", "truly_seen", "maybe_seen",
+                    (F.col("maybe_seen") & ~F.col("truly_seen"))
+                    .alias("false_pos"))
+            .orderBy("doc_id"))
+
+
+_BLOOM_URL_SQL = (f"'https://h' || (doc_id % {N_HOSTS}) || "
+                  f"'.example/page/' || doc_id")
+_BLOOM_POS_SQL = ("('0x' || substring(md5(url || '#' || i), 1, 15))::BIGINT"
+                  " % m")
+
+_BLOOM_KS = ", ".join(str(i) for i in range(BLOOM_K))
+
+BLOOM_URL_SEEN_SQL = f"""
+WITH seen AS (
+  SELECT {_BLOOM_URL_SQL} AS url
+  FROM documents WHERE doc_id % {BLOOM_SEEN_MOD} != 0
+), mm AS (
+  SELECT {BLOOM_BITS_PER_KEY} * count(*) AS m FROM seen
+), bits AS (
+  SELECT {_BLOOM_POS_SQL} AS pos
+  FROM seen, mm, unnest([{_BLOOM_KS}]) AS t(i)
+), words AS (
+  SELECT pos // {BLOOM_WORD_BITS} AS word_idx,
+         bit_or(1::BIGINT << CAST(pos % {BLOOM_WORD_BITS} AS INTEGER))
+           AS word
+  FROM bits GROUP BY pos // {BLOOM_WORD_BITS}
+), cand AS (
+  SELECT doc_id, doc_id % {BLOOM_SEEN_MOD} != 0 AS truly_seen,
+         {_BLOOM_URL_SQL} AS url
+  FROM documents
+), cpos AS (
+  SELECT doc_id, truly_seen, {_BLOOM_POS_SQL} AS pos
+  FROM cand, mm, unnest([{_BLOOM_KS}]) AS t(i)
+), hits AS (
+  SELECT c.doc_id, c.truly_seen,
+         (coalesce(w.word, 0)
+          & (1::BIGINT << CAST(c.pos % {BLOOM_WORD_BITS} AS INTEGER)))
+         != 0 AS hit
+  FROM cpos c LEFT JOIN words w ON w.word_idx = c.pos // {BLOOM_WORD_BITS}
+), agg AS (
+  SELECT doc_id, truly_seen,
+         sum(CASE WHEN hit THEN 1 ELSE 0 END) = {BLOOM_K} AS maybe_seen
+  FROM hits GROUP BY doc_id, truly_seen
+)
+SELECT doc_id, truly_seen, maybe_seen,
+       maybe_seen AND NOT truly_seen AS false_pos
+FROM agg ORDER BY doc_id
+"""
+
+QUERIES["bloom_url_seen"] = bloom_url_seen_query
+ORACLES["bloom_url_seen"] = BLOOM_URL_SEEN_SQL

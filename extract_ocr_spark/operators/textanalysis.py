@@ -1092,3 +1092,147 @@ ORDER BY doc_id, term
 
 QUERIES["tfidf_top_terms"] = tfidf_top_terms
 ORACLES["tfidf_top_terms"] = TFIDF_TOP_TERMS_SQL
+
+
+# --- CCNet perplexity bucketing -----------------------------------------------
+
+CCNET_BUCKETS = ("head", "middle", "tail")
+
+
+def ccnet_buckets_df(docs: DataFrame) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): within each
+    language, rank documents by their LM score (``lm_nll_scores_df`` —
+    the corpus bigram LM standing in for CCNet's KenLM) and split the
+    ranking into head / middle / tail terciles. head = the best-scoring
+    third, the slice CCNet feeds to training first.
+
+    The tercile rule is exact integer arithmetic on the rank: bucket =
+    head iff 3*rank <= n, middle iff 3*rank <= 2*n — no float quantile
+    whose boundary could flip between engines. Ties on the (4-dp
+    rounded) score break by doc_id, so the ordering is total and both
+    engines rank identically (score parity itself is the already-proven
+    lm_nll_scores invariant).
+
+    Scale shape: the LM scoring dominates (characterized separately);
+    bucketing adds ONE window partitioned by language — languages are
+    the parallelism axis, and a giant language partition is the standard
+    window-skew case (rank via two-pass partial sort if a single lang
+    outgrows a partition at 10^12 docs; semantics unchanged)."""
+    from pyspark.sql.window import Window
+
+    nll = lm_nll_scores_df(docs)
+    w = Window.partitionBy("lang").orderBy("avg_nll", "doc_id")
+    wn = Window.partitionBy("lang")
+    return (nll.join(docs.select("doc_id", "lang"), "doc_id")
+            .withColumn("r", F.row_number().over(w))
+            .withColumn("n", F.count("*").over(wn))
+            .withColumn(
+                "bucket",
+                F.when(3 * F.col("r") <= F.col("n"), "head")
+                .when(3 * F.col("r") <= 2 * F.col("n"), "middle")
+                .otherwise("tail"))
+            .select("doc_id", "lang", "avg_nll", "bucket")
+            .orderBy("doc_id"))
+
+
+def ccnet_buckets(spark, sf_dir):
+    return ccnet_buckets_df(_docs(spark, sf_dir))
+
+
+CCNET_BUCKETS_SQL = f"""
+WITH nll AS ({LM_NLL_SCORES_SQL}),
+j AS (
+  SELECT nll.doc_id, d.lang, nll.avg_nll
+  FROM nll JOIN documents d USING (doc_id)
+), r AS (
+  SELECT doc_id, lang, avg_nll,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY avg_nll, doc_id) AS r,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM j
+)
+SELECT doc_id, lang, avg_nll,
+       CASE WHEN 3 * r <= n THEN 'head'
+            WHEN 3 * r <= 2 * n THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM r ORDER BY doc_id
+"""
+
+QUERIES["ccnet_buckets"] = ccnet_buckets
+ORACLES["ccnet_buckets"] = CCNET_BUCKETS_SQL
+
+
+# --- Inverted-index construction ----------------------------------------------
+
+IDX_DF_MIN = 2    # singleton terms index nothing worth joining on
+IDX_DF_CAP = 30   # stop-term posting lists are the classic skew killer
+
+
+def inverted_index_df(docs: DataFrame) -> DataFrame:
+    """Materialized inverted index: bigram phrase -> (df, sorted posting
+    list) for phrases with IDX_DF_MIN <= df <= IDX_DF_CAP — the
+    retrieval artifact behind bm25_search (which scores on the fly) and
+    the shape an index-shard export job writes at corpus scale. Bigrams
+    (the shared ``bigram_array``) rather than unigrams: phrase postings
+    are what positional/phrase retrieval shards, and their df spectrum
+    has the long tail an index cap is designed for.
+
+    Scale shape: two phases on purpose. Phase 1 computes df alone
+    (count aggregate — partial map-side combine, tiny rows); the cap
+    filter then prunes stop phrases BEFORE any posting list exists, so
+    the classic skew killer (collecting 10^11 doc_ids for one hot term)
+    can never materialize. Phase 2 re-shuffles only the surviving
+    (term, doc_id) pairs into sorted postings. The df table is
+    vocabulary-sized, which Heaps' law makes unbroadcastable at corpus
+    scale — the join is left to AQE (broadcasts while small), the
+    tfidf_top_terms lesson. Postings sort numerically, then render as a
+    string so both engines hash one canonical form."""
+    from . import bigram_array
+
+    pairs = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(bigram_array(tok_array(F.col("text")))))
+        .alias("term"))
+    df_tab = (pairs.groupBy("term").agg(F.count("*").alias("df"))
+              .filter((F.col("df") >= IDX_DF_MIN)
+                      & (F.col("df") <= IDX_DF_CAP)))
+    return (pairs.join(df_tab, "term")
+            .groupBy("term", "df")
+            .agg(F.array_join(
+                F.transform(F.sort_array(F.collect_list("doc_id")),
+                            lambda x: x.cast("string")), ",")
+                .alias("postings"))
+            .select("term", "df", "postings")
+            .orderBy("term"))
+
+
+def inverted_index(spark, sf_dir):
+    return inverted_index_df(_docs(spark, sf_dir))
+
+
+INVERTED_INDEX_SQL = rf"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{WS_RE}+'),
+                     x -> x != '') AS toks
+  FROM documents
+), pairs AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] AS term
+  FROM w, unnest(range(1, len(toks))) AS t(i)
+  WHERE len(toks) >= 2
+), df_tab AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df
+  FROM pairs GROUP BY term
+  HAVING count(*) BETWEEN {IDX_DF_MIN} AND {IDX_DF_CAP}
+)
+SELECT p.term, d.df,
+       array_to_string(list_transform(list_sort(list(p.doc_id)),
+                                      x -> CAST(x AS VARCHAR)), ',')
+         AS postings
+FROM pairs p JOIN df_tab d USING (term)
+GROUP BY p.term, d.df
+ORDER BY p.term
+"""
+
+QUERIES["inverted_index"] = inverted_index
+ORACLES["inverted_index"] = INVERTED_INDEX_SQL

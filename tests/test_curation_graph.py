@@ -450,3 +450,71 @@ def test_length_quantiles_exact_ranks(spark, tmp_path):
     assert r["p50_tokens"] == math.ceil(0.5 * 10)    # rank 5 -> 5 tokens
     assert r["p90_tokens"] == math.ceil(0.9 * 10)    # rank 9 -> 9 tokens
     assert r["p99_tokens"] == math.ceil(0.99 * 10)   # rank 10 -> 10 tokens
+
+
+def test_token_budget_sample_matches_python_oracle(spark):
+    """Kept set == the python replay: md5(doc_id)-ordered cumulative
+    token counts per source, kept while the running total stays within
+    TOKEN_BUDGET. Also pins the budget rule's two branches: a source
+    whose total fits keeps every doc; an over-budget source truncates."""
+    import hashlib
+
+    from extract_ocr_spark.operators.curation import (
+        TOKEN_BUDGET,
+        token_budget_sample_df,
+    )
+
+    # small source: 10 docs x 50 tokens = 500 <= 1200, all kept;
+    # big source: 30 docs x 100 tokens = 3000 > 1200, truncated
+    rows = [(i, " ".join(f"w{j}" for j in range(50)), "en", "small", 0)
+            for i in range(10)]
+    rows += [(100 + i, " ".join(f"w{j}" for j in range(100)), "en", "big", 0)
+             for i in range(30)]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long")
+
+    got = {(r["doc_id"]): (r["source"], r["n_tokens"], r["cum_tokens"])
+           for r in token_budget_sample_df(docs).collect()}
+
+    expected = {}
+    for src, ids, ntok in (("small", range(10), 50),
+                           ("big", [100 + i for i in range(30)], 100)):
+        order = sorted(ids, key=lambda d: (
+            hashlib.md5(str(d).encode()).hexdigest(), d))
+        cum = 0
+        for d in order:
+            cum += ntok
+            if cum <= TOKEN_BUDGET:
+                expected[d] = (src, ntok, cum)
+    assert got == expected
+    assert sum(1 for s, _, _ in got.values() if s == "small") == 10
+    assert sum(1 for s, _, _ in got.values() if s == "big") == 12
+
+
+def test_ccnet_buckets_tercile_counts_and_ordering(spark):
+    """Per-language bucket sizes follow the integer tercile rule
+    (head = floor(n/3), middle = floor(2n/3) - floor(n/3)) and the
+    buckets are ordered: every head score <= every middle score <=
+    every tail score within a language."""
+    from extract_ocr_spark.operators.textanalysis import ccnet_buckets
+
+    rows = ccnet_buckets(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        n = len(rs)
+        counts = {"head": 0, "middle": 0, "tail": 0}
+        for r in rs:
+            counts[r["bucket"]] += 1
+        assert counts["head"] == n // 3, (lang, counts, n)
+        assert counts["middle"] == 2 * n // 3 - n // 3, (lang, counts, n)
+        assert counts["tail"] == n - 2 * n // 3, (lang, counts, n)
+        if counts["head"] and counts["middle"]:
+            assert max(r["avg_nll"] for r in rs if r["bucket"] == "head") \
+                <= min(r["avg_nll"] for r in rs if r["bucket"] == "middle")
+        if counts["middle"] and counts["tail"]:
+            assert max(r["avg_nll"] for r in rs if r["bucket"] == "middle") \
+                <= min(r["avg_nll"] for r in rs if r["bucket"] == "tail")

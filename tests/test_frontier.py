@@ -204,3 +204,33 @@ def test_crawl_diff_covers_all_statuses(spark):
     assert by[7] == "changed"      # %7==0, in both snapshots
     assert by[1] == "unchanged"
     assert 0 not in by             # %10==0 AND %13==0: in neither snapshot
+
+
+def test_bloom_url_seen_invariants(spark, tmp_path):
+    """Bloom membership over a corpus sized so false positives are
+    statistically certain (~15% rate on 100 unseen keys; P(zero) ~ 1e-7):
+    no false negatives ever (every truly-seen URL is maybe-seen), a
+    nonzero but minority false-positive channel, and false_pos ==
+    maybe_seen AND NOT truly_seen row-wise."""
+    from extract_ocr_spark.operators.links import bloom_url_seen_query
+
+    rows = [(i, "x", "en", "s", 1) for i in range(300)]
+    d = tmp_path / "documents.parquet"
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d))
+
+    out = bloom_url_seen_query(spark, str(tmp_path)).collect()
+    assert len(out) == 300
+    fps = 0
+    unseen = 0
+    for r in out:
+        assert r["false_pos"] == (r["maybe_seen"] and not r["truly_seen"])
+        if r["truly_seen"]:
+            assert r["maybe_seen"], r  # a bloom filter has no false negatives
+        else:
+            unseen += 1
+            fps += bool(r["maybe_seen"])
+    assert unseen == 100
+    assert 0 < fps < 50, fps

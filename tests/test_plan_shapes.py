@@ -198,3 +198,67 @@ def test_crawl_diff_plan_single_shuffle_join_no_python(spark):
     for py in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
                "MapInPandas"):
         assert py not in plan, plan
+
+
+def test_token_budget_sample_plan_one_source_window_no_python(spark):
+    """One hash exchange (the per-source running total) and zero Python
+    evals — sources are the parallelism axis, all arithmetic integer."""
+    from extract_ocr_spark.operators.curation import token_budget_sample_df
+
+    plan = _plan(token_budget_sample_df(_docs(spark), ordered=False))
+    assert plan.count("Exchange") == 1, plan
+    assert "hashpartitioning(source" in plan, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+               "MapInPandas"):
+        assert py not in plan, plan
+
+
+def test_ccnet_buckets_plan_lang_window_no_python(spark):
+    """Downstream of the (separately characterized, checkpointed) LM
+    scoring, bucketing adds one lang-partitioned window and stays
+    JVM-side: no Python evals, no cartesian."""
+    from extract_ocr_spark.operators.textanalysis import ccnet_buckets_df
+
+    plan = _plan(ccnet_buckets_df(_docs(spark)))
+    assert "hashpartitioning(lang" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+               "MapInPandas"):
+        assert py not in plan, plan
+
+
+def test_bloom_url_seen_plan_broadcast_probe_no_python(spark, tmp_path):
+    """The probe joins the packed filter by BROADCAST (the bitmap is
+    O(bits/32) rows — bounded by the sizing budget, not the corpus), the
+    only nested-loop joins are the single-row m scalar, and the whole
+    operator is JVM-native."""
+    from extract_ocr_spark.operators.links import bloom_url_seen_query
+
+    rows = [(i, "x", "en", "s", 1) for i in range(50)]
+    d = tmp_path / "documents.parquet"
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d))
+
+    plan = _plan(bloom_url_seen_query(spark, str(tmp_path)))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+               "MapInPandas"):
+        assert py not in plan, plan
+
+
+def test_inverted_index_plan_jvm_native_no_cartesian(spark):
+    """The index build stays JVM-side end-to-end; the df-cap join never
+    degrades to a cartesian. (The doc scan legitimately appears twice —
+    re-tokenizing is one extra codegen pass, cheaper at corpus scale
+    than shuffle-materializing the exploded pairs.)"""
+    from extract_ocr_spark.operators.textanalysis import inverted_index_df
+
+    plan = _plan(inverted_index_df(_docs(spark)))
+    assert "CartesianProduct" not in plan, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+               "MapInPandas"):
+        assert py not in plan, plan

@@ -324,3 +324,29 @@ def test_tfidf_top_terms_surface_distinctive_words(spark, tmp_path):
     assert by_doc[0] == {"special0", "unique0", "rare0"}
     assert by_doc[3] == {"special3", "unique3", "rare3"}
     assert all(r["tfidf"] > 0 for r in out)
+
+
+def test_inverted_index_postings_and_cap(spark):
+    """Posting lists match a hand replay; a phrase hotter than
+    IDX_DF_CAP never surfaces (pruned before any posting materializes)
+    and singletons are dropped."""
+    from extract_ocr_spark.operators.textanalysis import (
+        IDX_DF_CAP,
+        inverted_index_df,
+    )
+
+    rows = [(i, "alpha beta gamma", "en", "s", 0) for i in range(5)]
+    rows += [(100 + i, "hot hot extra", "en", "s", 0)
+             for i in range(IDX_DF_CAP + 5)]
+    rows += [(900, "lonely phrase here", "en", "s", 0)]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long")
+
+    got = {r["term"]: (r["df"], r["postings"])
+           for r in inverted_index_df(docs).collect()}
+    assert got["alpha beta"] == (5, "0,1,2,3,4")
+    assert got["beta gamma"] == (5, "0,1,2,3,4")
+    assert "hot hot" not in got       # df = 35 > cap, pruned pre-postings
+    assert "hot extra" not in got     # df = 35 > cap as well
+    assert "lonely phrase" not in got  # df = 1 < min

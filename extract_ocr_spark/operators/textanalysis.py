@@ -420,11 +420,24 @@ def lm_nll_scores_df(docs: DataFrame) -> DataFrame:
             .withColumn("nll", -(F.log(F.col("c2") + k)
                                  - F.log(F.col("c1") + k * F.col("v"))))
         )
+        # Ordered fold (the char_entropy pattern): both engines sum the
+        # per-(w1, w2) float terms in (w1, w2)-sorted order, so the
+        # accumulation order — not just the term multiset — is
+        # identical, and the 4th rounded decimal can never flip on an
+        # ulp at a .00005 boundary. n is integer, so its sum needs no
+        # ordering; only the float term sum is folded.
         result = (
-            scored.groupBy("doc_id")
-            .agg(F.round(F.sum(F.col("n") * F.col("nll")) / F.sum("n"), 4)
-                 .alias("avg_nll"),
-                 F.sum("n").alias("n_bigrams"))
+            scored.withColumn("term", F.col("n") * F.col("nll"))
+            .groupBy("doc_id")
+            .agg(F.sum("n").alias("n_bigrams"),
+                 F.array_sort(F.collect_list(F.struct("w1", "w2", "term")))
+                 .alias("terms"))
+            .select(
+                "doc_id",
+                F.round(F.aggregate("terms", F.lit(0.0),
+                                    lambda a, x: a + x["term"])
+                        / F.col("n_bigrams"), 4).alias("avg_nll"),
+                "n_bigrams")
             .localCheckpoint(eager=True)
         )
     finally:
@@ -461,14 +474,22 @@ WITH w AS (
 ), v AS (
   SELECT count(*) AS v FROM c1
 )
-SELECT occ.doc_id,
-       round(sum(occ.n * -(ln(c2.c2 + {LM_ADD_K})
-                           - ln(c1.c1 + {LM_ADD_K} * v.v)))
-             / CAST(sum(occ.n) AS DOUBLE), 4) AS avg_nll,
-       CAST(sum(occ.n) AS BIGINT) AS n_bigrams
-FROM occ JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
-GROUP BY occ.doc_id
-ORDER BY occ.doc_id
+, terms AS (
+  SELECT occ.doc_id, occ.w1, occ.w2, occ.n,
+         occ.n * -(ln(c2.c2 + {LM_ADD_K})
+                   - ln(c1.c1 + {LM_ADD_K} * v.v)) AS term
+  FROM occ JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+)
+-- fold the (w1, w2)-sorted term list: identical additions in identical
+-- order to the Spark F.aggregate (the char_entropy pattern)
+SELECT doc_id,
+       round(list_reduce(list_prepend(0.0, list(term ORDER BY w1, w2)),
+                         (a, b) -> a + b)
+             / CAST(sum(n) AS DOUBLE), 4) AS avg_nll,
+       CAST(sum(n) AS BIGINT) AS n_bigrams
+FROM terms
+GROUP BY doc_id
+ORDER BY doc_id
 """
 
 QUERIES["lm_nll_scores"] = lm_nll_scores

@@ -280,3 +280,59 @@ def test_simhash_kernel_and_native_keys_identical(spark):
         h = simhash60(toks)
         assert h == native[i][0], f"fingerprint mismatch doc {i}"
         assert simhash_bands(h) == native[i][1], f"band keys mismatch doc {i}"
+
+
+def test_minhash_est_pairs_python_replay(spark):
+    """The signature-estimate stage vs a from-scratch python replay of
+    the md5-derived universal family: identical est_jaccard for the
+    planted near-dup pair, no unrelated pair crosses the threshold, and
+    the estimate sits close to the exact Jaccard it stands in for."""
+    import hashlib
+
+    from extract_ocr_spark.operators.dedup import (
+        EST_BASE_MOD,
+        EST_HASH_MOD,
+        EST_N_PERM,
+        EST_PRIME,
+        EST_THRESHOLD,
+        _EST_A,
+        _EST_B,
+        minhash_est_pairs_df,
+    )
+
+    base_a = ("the quick brown fox jumps over the lazy dog near the "
+              "river bank every single morning before the sun rises")
+    near_b = base_a.replace("lazy", "sleepy")
+    other = ("completely different content about spark physical plans "
+             "and shuffle partitions with zero overlapping phrases here")
+    rows = [(1, base_a, "en", "s", len(base_a)),
+            (2, near_b, "en", "s", len(near_b)),
+            (3, other, "en", "s", len(other))]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long")
+
+    out = {(r["a_id"], r["b_id"]): r
+           for r in minhash_est_pairs_df(docs).collect()}
+    assert set(out) == {(1, 2)}, out
+
+    def shingles(text):
+        import re
+        words = re.sub(r"[^a-z0-9]+", " ", text.lower()).split()
+        return list(dict.fromkeys(
+            " ".join(words[i:i + 3]) for i in range(len(words) - 2)))
+
+    def sig(sh):
+        bases = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                 % EST_BASE_MOD for s in sh]
+        return [min((a * x + b) % EST_PRIME % EST_HASH_MOD for x in bases)
+                for a, b in zip(_EST_A, _EST_B)]
+
+    sa, sb = sig(shingles(base_a)), sig(shingles(near_b))
+    est = sum(x == y for x, y in zip(sa, sb)) / EST_N_PERM
+    got = out[(1, 2)]
+    assert got["est_jaccard"] == est
+    assert est >= EST_THRESHOLD
+    # the estimator is close to the truth it approximates (K=128 ->
+    # s.e. ~0.04 at J~0.8; 0.15 is a >3-sigma band)
+    assert abs(got["est_jaccard"] - got["jaccard"]) < 0.15, got

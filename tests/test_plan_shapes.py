@@ -262,3 +262,36 @@ def test_inverted_index_plan_jvm_native_no_cartesian(spark):
     for py in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
                "MapInPandas"):
         assert py not in plan, plan
+
+
+def test_minhash_est_pairs_plan_broadcast_perms_no_python(spark):
+    """Signature build: the 128-row perm table joins by broadcast
+    (nested-loop — a cross product by design), signature minima
+    partial-aggregate map-side. Final pair plan: no cartesian, and the
+    numpy minhash kernel is NOT on this query's path (JVM-native)."""
+    from extract_ocr_spark.operators.dedup import (
+        _est_signatures_df,
+        minhash_est_pairs_df,
+    )
+
+    rows = [(i, f"common words run {i % 4} over and over again plus "
+                f"suffix {i}", "en", "s", 40) for i in range(12)]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long")
+    pys = ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+           "MapInPandas")
+
+    sig_plan = _plan(_est_signatures_df(docs))
+    assert "BroadcastNestedLoopJoin" in sig_plan, sig_plan
+    assert "partial_min" in sig_plan, sig_plan
+    for py in pys:
+        assert py not in sig_plan, sig_plan
+
+    # the signature table is checkpointed before the pair joins, so the
+    # only cartesian anywhere was the broadcast perm expansion above —
+    # the final plan must have none (never a doc-pair cross product)
+    plan = _plan(minhash_est_pairs_df(docs))
+    assert "CartesianProduct" not in plan, plan
+    for py in pys:
+        assert py not in plan, plan

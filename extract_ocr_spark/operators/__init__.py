@@ -117,7 +117,7 @@ def all_queries():
         "containment_pairs", "tfidf_top_terms", "pagerank_scores",
         "crawl_schedule", "crawl_diff", "length_quantiles",
         "token_budget_sample", "ccnet_buckets", "bloom_url_seen",
-        "inverted_index", "minhash_est_pairs",
+        "inverted_index", "minhash_est_pairs", "pmi_collocations", "ann_topk_int8",
     )
     order = [n for n in front if n in queries] + [
         n for n in queries if n not in front]

@@ -532,3 +532,110 @@ BM25_SEARCH_SQL = _bm25_sql()
 
 QUERIES["bm25_search"] = bm25_search
 ORACLES["bm25_search"] = BM25_SEARCH_SQL
+
+
+# -- int8-quantized ANN ----------------------------------------------------------
+
+INT8_LEVELS = 127
+
+
+def _quantize_py(vec: list[float]) -> tuple[list[int], int]:
+    """Driver-side twin of the in-engine quantizer (query vector only):
+    symmetric per-vector int8, q_i = floor(v_i / (max|v|/127) + 0.5).
+    Returns (q, sum of q_i^2) — both exact integers."""
+    import math
+
+    m = max(abs(x) for x in vec)
+    if m == 0:
+        q = [0] * len(vec)
+    else:
+        s = m / float(INT8_LEVELS)
+        q = [math.floor(x / s + 0.5) for x in vec]
+    return q, sum(v * v for v in q)
+
+
+def ann_topk_int8(spark, sf_dir):
+    """Exact-arithmetic int8-quantized cosine top-10 — the memory-
+    bandwidth scale path for brute scans: at 10^9+ vectors the working
+    set is 4× smaller than float32 (16× vs the float64 compute type)
+    and the inner loop is integer multiply-accumulate, which is how
+    production vector engines (faiss SQ8 et al.) run exhaustive and
+    IVF-refine scans. Quantization is symmetric per-vector
+    (q = floor(v/(max|v|/127) + 0.5)), so the two scale factors cancel
+    in the cosine and the score needs NO dequantization:
+    cos_q = int_dot(qa, qb) / (sqrt(int |qa|²) · sqrt(int |qb|²)).
+
+    Parity by construction: every quantity up to the final expression
+    is an exact integer; the only float ops are the quantizer's
+    fixed-order scalar chain and two sqrts + one divide, identical on
+    both engines — ranking uses the UNROUNDED double, ties broken by
+    vec_id, rounding once after the top-K cut. recall@10 vs the exact
+    float scan is 10/10 at sf0.01 (pinned by test at small scale).
+
+    Scale shape: one scan, per-row constant work against a literal
+    query vector, TakeOrdered top-K (per-partition heaps). Composes
+    with the IVF cells (``ann_topk_ivf``) the way faiss composes
+    IVF+SQ8: probe pruning is orthogonal to scan quantization."""
+    emb = _emb(spark, sf_dir)
+    _guard_brute(emb, "ann_topk_int8")
+    qv, nq2 = _quantize_py(_query_vector(spark, sf_dir))
+    qlit = F.array(*[F.lit(int(v)) for v in qv])
+
+    m = F.array_max(F.transform("emb", lambda x: F.abs(x)))
+    quant = F.when(
+        m == 0,
+        F.transform("emb", lambda x: F.lit(0).cast("long"))
+    ).otherwise(
+        F.transform(
+            "emb",
+            lambda x: F.floor(x / (m / INT8_LEVELS) + F.lit(0.5))
+            .cast("long")))
+    dot = F.aggregate(F.zip_with("q", qlit, lambda x, y: x * y),
+                      F.lit(0).cast("long"), lambda a, v: a + v)
+    n2 = F.aggregate(F.transform("q", lambda x: x * x),
+                     F.lit(0).cast("long"), lambda a, v: a + v)
+    cos_q = (dot.cast("double")
+             / (F.sqrt(n2.cast("double"))
+                * F.sqrt(F.lit(float(nq2)))))
+    return (emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+            .withColumn("q", quant)
+            .withColumn("cos_q", cos_q)
+            .orderBy(F.desc("cos_q"), "vec_id").limit(TOP_K)
+            .select("vec_id", "label",
+                    F.round("cos_q", 6).alias("cosine_q"))
+            .orderBy(F.desc("cos_q"), "vec_id"))
+
+
+ANN_TOPK_INT8_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+), mm AS (
+  SELECT vec_id, label, emb,
+         list_max(list_transform(emb, x -> abs(x))) AS m
+  FROM e
+), qz AS (
+  SELECT vec_id, label,
+         CASE WHEN m = 0
+              THEN list_transform(emb, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(emb,
+                   x -> CAST(floor(x / (m / {INT8_LEVELS}.0) + 0.5)
+                             AS BIGINT))
+         END AS q
+  FROM mm
+), qq AS (
+  SELECT q FROM qz WHERE vec_id = {QUERY_VEC_ID}
+), scored AS (
+  SELECT z.vec_id, z.label,
+         CAST(list_dot_product(z.q, qq.q) AS DOUBLE)
+         / (sqrt(CAST(list_dot_product(z.q, z.q) AS DOUBLE))
+            * sqrt(CAST(list_dot_product(qq.q, qq.q) AS DOUBLE))) AS cos_q
+  FROM qz z, qq WHERE z.vec_id != {QUERY_VEC_ID}
+), top AS (
+  SELECT * FROM scored ORDER BY cos_q DESC, vec_id LIMIT {TOP_K}
+)
+SELECT vec_id, label, round(cos_q, 6) AS cosine_q FROM top
+ORDER BY cos_q DESC, vec_id
+"""
+
+QUERIES["ann_topk_int8"] = ann_topk_int8
+ORACLES["ann_topk_int8"] = ANN_TOPK_INT8_SQL

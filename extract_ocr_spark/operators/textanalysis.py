@@ -1257,3 +1257,95 @@ ORDER BY p.term
 
 QUERIES["inverted_index"] = inverted_index
 ORACLES["inverted_index"] = INVERTED_INDEX_SQL
+
+
+# --- PMI collocations -----------------------------------------------------------
+
+PMI_MIN_COUNT = 5   # singleton/noise pairs have unstable PMI
+PMI_TOP_K = 20
+
+
+def pmi_collocations_df(docs: DataFrame) -> DataFrame:
+    """Top-K collocations by pointwise mutual information over adjacent
+    token bigrams — the phrase-mining step a tokenizer-vocabulary or
+    merged-token pipeline runs over the corpus (Mikolov et al. 2013's
+    phrase score is this with a discount). PMI = ln(p(w1,w2) /
+    (p(w1·)·p(·w2))) with positional marginals (w1 counted as bigram
+    head, w2 as tail) so every count derives from the ONE bigram table.
+
+    Float parity: pmi = ln(c2)+ln(N)-ln(cs)-ln(ce) — a fixed-order
+    scalar expression (no float aggregate exists to reorder), overflow-
+    free where c2*N would blow past 2^63 at corpus scale. Ranking uses
+    the UNROUNDED double (bit-identical on both engines), ties broken
+    by (w1, w2); rounding happens once, after the top-K cut.
+
+    Scale shape: one explode → bigram-keyed count (map-side combine);
+    the marginals are rollups of that count table, joined WITHOUT a
+    broadcast hint (vocabulary-sized — Heaps' law, the tfidf lesson;
+    AQE broadcasts while small); N is a broadcast single row. The
+    global top-K is TakeOrdered — per-partition heaps, no full sort."""
+    from . import bigram_array, tok_array
+
+    c2 = (docs.select(F.explode(bigram_array(tok_array(F.col("text"))))
+                      .alias("bg"))
+          .groupBy("bg").agg(F.count("*").alias("c2"))
+          .select(F.split("bg", " ").getItem(0).alias("w1"),
+                  F.split("bg", " ").getItem(1).alias("w2"),
+                  "c2"))
+    cs = c2.groupBy("w1").agg(F.sum("c2").alias("cs"))
+    ce = c2.groupBy("w2").agg(F.sum("c2").alias("ce"))
+    nn = c2.agg(F.sum("c2").alias("n"))
+    scored = (c2.filter(F.col("c2") >= PMI_MIN_COUNT)
+              .join(cs, "w1").join(ce, "w2")
+              .crossJoin(F.broadcast(nn))
+              .withColumn(
+                  "pmi",
+                  F.log(F.col("c2").cast("double"))
+                  + F.log(F.col("n").cast("double"))
+                  - F.log(F.col("cs").cast("double"))
+                  - F.log(F.col("ce").cast("double"))))
+    return (scored
+            .orderBy(F.desc("pmi"), "w1", "w2").limit(PMI_TOP_K)
+            .select("w1", "w2", F.col("c2").alias("n_pair"),
+                    F.round("pmi", 6).alias("pmi"))
+            .orderBy(F.desc("pmi"), "w1", "w2"))
+
+
+def pmi_collocations(spark, sf_dir):
+    return pmi_collocations_df(_docs(spark, sf_dir))
+
+
+PMI_COLLOCATIONS_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '{WS_RE}+'),
+                             x -> x != '') AS toks
+  FROM documents
+), bg AS (
+  SELECT toks[i] || ' ' || toks[i+1] AS bg
+  FROM t, unnest(range(1, len(toks))) AS u(i)
+  WHERE len(toks) >= 2
+), c2 AS (
+  SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+         CAST(count(*) AS BIGINT) AS c2
+  FROM bg GROUP BY bg
+), cs AS (
+  SELECT w1, CAST(sum(c2) AS BIGINT) AS cs FROM c2 GROUP BY w1
+), ce AS (
+  SELECT w2, CAST(sum(c2) AS BIGINT) AS ce FROM c2 GROUP BY w2
+), nn AS (
+  SELECT CAST(sum(c2) AS BIGINT) AS n FROM c2
+), scored AS (
+  SELECT c2.w1, c2.w2, c2.c2,
+         ln(CAST(c2.c2 AS DOUBLE)) + ln(CAST(nn.n AS DOUBLE))
+         - ln(CAST(cs.cs AS DOUBLE)) - ln(CAST(ce.ce AS DOUBLE)) AS pmi
+  FROM c2 JOIN cs USING (w1) JOIN ce USING (w2) CROSS JOIN nn
+  WHERE c2.c2 >= {PMI_MIN_COUNT}
+), top AS (
+  SELECT * FROM scored ORDER BY pmi DESC, w1, w2 LIMIT {PMI_TOP_K}
+)
+SELECT w1, w2, c2 AS n_pair, round(pmi, 6) AS pmi
+FROM top ORDER BY pmi DESC, w1, w2
+"""
+
+QUERIES["pmi_collocations"] = pmi_collocations
+ORACLES["pmi_collocations"] = PMI_COLLOCATIONS_SQL

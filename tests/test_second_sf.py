@@ -30,6 +30,12 @@ SUBSET = [
     "lm_nll_scores", "sitemap_discovery",
     # r5 addition: iterative BFS frontier vs recursive-CTE oracle
     "bfs_frontier",
+    # r5 additions: budget window, bloom membership, signature estimate,
+    # PMI top-k, int8 ANN (threshold/tie/top-k boundaries all differ at
+    # this sf)
+    "token_budget_sample", "ccnet_buckets", "bloom_url_seen",
+    "inverted_index", "minhash_est_pairs", "pmi_collocations",
+    "ann_topk_int8",
 ]
 
 
@@ -52,3 +58,17 @@ def test_query_matches_oracle_sf001(spark, duck001, name):
     a = _normalize(spark_rows, sdf.columns)
     b = _normalize(duck_rows, list(res.columns))
     assert a == b, f"{name}: value mismatch at sf0.001"
+
+
+def test_ann_topk_int8_recall_vs_exact(spark):
+    """The quantized scan must recover (nearly) the exact float top-10:
+    int8 keeps ~2.4 decimal digits per component, which at _DIM=64
+    perturbs cosines by ~1e-3 — far under the neighbor gaps here.
+    recall@10 >= 9 guards the quantizer against sign/rounding bugs that
+    an internally-consistent oracle pair would not catch."""
+    from extract_ocr_spark.operators.similarity import ann_topk, ann_topk_int8
+
+    exact = {r["vec_id"] for r in ann_topk(spark, SF_DIR).collect()}
+    quant = {r["vec_id"] for r in ann_topk_int8(spark, SF_DIR).collect()}
+    assert len(quant) == 10
+    assert len(exact & quant) >= 9, (exact, quant)

@@ -350,3 +350,60 @@ def test_inverted_index_postings_and_cap(spark):
     assert "hot hot" not in got       # df = 35 > cap, pruned pre-postings
     assert "hot extra" not in got     # df = 35 > cap as well
     assert "lonely phrase" not in got  # df = 1 < min
+
+
+def test_pmi_collocations_ranks_planted_phrase_first(spark):
+    """A phrase whose halves ONLY occur together ("bona fide") must
+    out-PMI pairs of independently frequent words, even when the latter
+    co-occur more often in absolute count; pairs under PMI_MIN_COUNT
+    never appear."""
+    from extract_ocr_spark.operators.textanalysis import (
+        PMI_MIN_COUNT,
+        pmi_collocations_df,
+    )
+
+    words = "alpha beta gamma delta epsilon zeta eta theta".split()
+    rows = []
+    for i in range(10):
+        # "bona fide" appears 10x, its words never apart; the filler
+        # words are frequent but their ADJACENCIES vary per doc (stride
+        # permutation, stride coprime to 8), so no filler pair is
+        # predictive
+        stride = (1, 3, 5, 7)[i % 4]
+        # the +i offset varies the START word too, else "fide <start>"
+        # would itself be perfectly predictive
+        filler = " ".join(words[(j * stride + i) % 8] for j in range(8))
+        rows.append((i, f"{filler} bona fide {filler}", "en", "s", 80))
+    rows.append((10, "rare pair " * (PMI_MIN_COUNT - 1), "en", "s", 40))
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long")
+
+    out = pmi_collocations_df(docs).collect()
+    assert out, "no collocations found"
+    assert (out[0]["w1"], out[0]["w2"]) == ("bona", "fide"), out[:3]
+    # "rare pair" occurs only PMI_MIN_COUNT-1 times -> filtered
+    assert not any(r["w1"] == "rare" for r in out), out
+    # pmi must strictly dominate every other surviving pair
+    other_best = max((r["pmi"] for r in out[1:]), default=None)
+    assert other_best is None or out[0]["pmi"] > other_best
+
+
+def test_pmi_collocations_plan_no_python_no_cartesian_pairs(spark):
+    """JVM-native end-to-end; the only nested-loop is the broadcast of
+    the single-row total — never a vocabulary cross product; top-K is
+    TakeOrdered, not a global sort."""
+    from extract_ocr_spark.operators.textanalysis import pmi_collocations_df
+
+    rows = [(i, f"word{i % 7} word{(i + 1) % 7} and some more text here",
+             "en", "s", 40) for i in range(30)]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long")
+    plan = pmi_collocations_df(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+               "MapInPandas"):
+        assert py not in plan, plan

@@ -118,6 +118,7 @@ def all_queries():
         "crawl_schedule", "crawl_diff", "length_quantiles",
         "token_budget_sample", "ccnet_buckets", "bloom_url_seen",
         "inverted_index", "minhash_est_pairs", "pmi_collocations", "ann_topk_int8",
+        "vocab_coverage", "ngram_novelty", "source_overlap",
     )
     order = [n for n in front if n in queries] + [
         n for n in queries if n not in front]

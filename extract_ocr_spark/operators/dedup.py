@@ -860,3 +860,146 @@ ORDER BY a_id, b_id
 
 QUERIES["minhash_est_pairs"] = minhash_est_pairs
 ORACLES["minhash_est_pairs"] = MINHASH_EST_PAIRS_SQL
+
+
+# -- Per-doc n-gram novelty --------------------------------------------------------
+
+def ngram_novelty_df(docs: DataFrame) -> DataFrame:
+    """Ingestion-order novelty: for each document, the fraction of its
+    distinct word-3-gram shingles whose FIRST corpus appearance (min
+    doc_id) is this document — the memorization/freshness signal a
+    curriculum or dedup-audit pass reads per shard (1.0 = all-new
+    content, ~0 = fully boilerplate). Reuses the exact shingle
+    machinery of the pair-dedup operators (``_with_shingles`` /
+    ``_SHINGLE_CTE``), so 'novel' means the same thing everywhere.
+
+    Scale shape: one explode → min-agg keyed on gram (partial combine —
+    a boilerplate gram collapses map-side, the classic hot key never
+    fans out because min is the only payload), one join carrying |doc
+    grams| rows, one doc-keyed count agg. All-integer until the final
+    division of two exact counts."""
+    sh = _with_shingles(docs).select(
+        "doc_id", F.explode("shingles").alias("gram"))
+    fs = sh.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
+                  .otherwise(0)).cast("long")
+    return (sh.join(fs, "gram")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_grams"), novel.alias("n_novel"))
+            .select("doc_id", "n_grams", "n_novel",
+                    F.round(F.col("n_novel").cast("double")
+                            / F.col("n_grams"), 6).alias("novelty"))
+            .orderBy("doc_id"))
+
+
+def ngram_novelty(spark, sf_dir):
+    return ngram_novelty_df(_docs(spark, sf_dir))
+
+
+NGRAM_NOVELTY_SQL = _SHINGLE_CTE + """
+, d AS (
+  SELECT doc_id, unnest(shingles) AS gram FROM sh
+), fs AS (
+  SELECT gram, min(doc_id) AS first_doc FROM d GROUP BY gram
+)
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN fs.first_doc = d.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       round(CAST(sum(CASE WHEN fs.first_doc = d.doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS novelty
+FROM d JOIN fs USING (gram)
+GROUP BY d.doc_id ORDER BY d.doc_id
+"""
+
+QUERIES["ngram_novelty"] = ngram_novelty
+ORACLES["ngram_novelty"] = NGRAM_NOVELTY_SQL
+
+
+# -- Cross-source content overlap ----------------------------------------------
+
+# Shingles present in more than this many SOURCES are dropped before pair
+# generation (the source-level twin of SHINGLE_DF_CAP): ubiquitous
+# boilerplate would otherwise contribute cap-free O(|sources|^2) pair rows
+# per shingle. Mirrored in the oracle; the (documented) recall cost is
+# overlap carried ONLY by such ubiquitous shingles.
+SRC_OVERLAP_CAP = 16
+
+
+def source_overlap_df(docs: DataFrame) -> DataFrame:
+    """Cross-source duplication audit: for every source pair, how many
+    distinct word-3-gram shingles they share, plus the overlap
+    coefficient vs the smaller source — the mirror/syndication detector
+    a corpus-governance pass runs before mixing sources (a pair at
+    overlap ~1.0 is the same feed twice; weighting both up double-counts
+    the content). Shingles via the shared ``_with_shingles``.
+
+    Scale shape: aggregation-only — NO self-join. The (source, shingle)
+    distinct table groups by shingle into a sorted source list (capped
+    at SRC_OVERLAP_CAP, so local pair generation is ≤ cap²/2 rows per
+    shingle), pairs explode from the list, and one groupBy counts them.
+    All integers until the final coefficient division."""
+    sh = _with_shingles(docs).select(
+        "source", F.explode("shingles").alias("shingle")).distinct()
+    tot = sh.groupBy("source").agg(F.count("*").alias("n_sh"))
+    grp = (sh.groupBy("shingle")
+           .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+           .filter((F.size("srcs") >= 2)
+                   & (F.size("srcs") <= SRC_OVERLAP_CAP)))
+    pairs = (grp.select(F.explode(F.expr(
+        "flatten(transform(srcs, (a, i) -> transform("
+        "slice(srcs, i + 2, size(srcs)), "
+        "b -> named_struct('src_a', a, 'src_b', b))))")).alias("p"))
+        .select("p.src_a", "p.src_b"))
+    agg = pairs.groupBy("src_a", "src_b").agg(F.count("*").alias("shared"))
+    ta = tot.select(F.col("source").alias("src_a"),
+                    F.col("n_sh").alias("na"))
+    tb = tot.select(F.col("source").alias("src_b"),
+                    F.col("n_sh").alias("nb"))
+    return (agg.join(ta, "src_a").join(tb, "src_b")
+            .select("src_a", "src_b", "shared",
+                    F.round(F.col("shared").cast("double")
+                            / F.least("na", "nb"), 6).alias("overlap"))
+            .orderBy("src_a", "src_b"))
+
+
+def source_overlap(spark, sf_dir):
+    return source_overlap_df(_docs(spark, sf_dir))
+
+
+SOURCE_OVERLAP_SQL = rf"""
+WITH w AS (
+  SELECT source,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+  FROM documents
+), sh AS (
+  SELECT DISTINCT source,
+         words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+  FROM w, unnest(range(1, len(words) - 1)) AS t(i)
+  WHERE len(words) >= 3
+), tot AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY source
+), grp AS (
+  SELECT shingle, list_sort(list(DISTINCT source)) AS srcs
+  FROM sh GROUP BY shingle
+  HAVING count(DISTINCT source) BETWEEN 2 AND {SRC_OVERLAP_CAP}
+), pairs AS (
+  SELECT srcs[i] AS src_a, srcs[j] AS src_b
+  FROM grp,
+       unnest(range(1, len(srcs) + 1)) AS t(i),
+       unnest(range(1, len(srcs) + 1)) AS u(j)
+  WHERE i < j
+), agg AS (
+  SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS shared
+  FROM pairs GROUP BY src_a, src_b
+)
+SELECT agg.src_a, agg.src_b, agg.shared,
+       round(CAST(agg.shared AS DOUBLE) / least(ta.n_sh, tb.n_sh), 6)
+         AS overlap
+FROM agg JOIN tot ta ON ta.source = agg.src_a
+         JOIN tot tb ON tb.source = agg.src_b
+ORDER BY src_a, src_b
+"""
+
+QUERIES["source_overlap"] = source_overlap
+ORACLES["source_overlap"] = SOURCE_OVERLAP_SQL

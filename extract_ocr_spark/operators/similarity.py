@@ -581,15 +581,19 @@ def ann_topk_int8(spark, sf_dir):
     qv, nq2 = _quantize_py(_query_vector(spark, sf_dir))
     qlit = F.array(*[F.lit(int(v)) for v in qv])
 
-    m = F.array_max(F.transform("emb", lambda x: F.abs(x)))
+    # the scale denominator is STAGED as its own column: referenced once
+    # per element inside the transform lambda, an inline array_max would
+    # re-scan the vector per component (O(dim^2)/row — the gopher
+    # staged-projection lesson)
+    s = (F.array_max(F.transform("emb", lambda x: F.abs(x)))
+         / INT8_LEVELS)
     quant = F.when(
-        m == 0,
+        F.col("s") == 0,
         F.transform("emb", lambda x: F.lit(0).cast("long"))
     ).otherwise(
         F.transform(
             "emb",
-            lambda x: F.floor(x / (m / INT8_LEVELS) + F.lit(0.5))
-            .cast("long")))
+            lambda x: F.floor(x / F.col("s") + F.lit(0.5)).cast("long")))
     dot = F.aggregate(F.zip_with("q", qlit, lambda x, y: x * y),
                       F.lit(0).cast("long"), lambda a, v: a + v)
     n2 = F.aggregate(F.transform("q", lambda x: x * x),
@@ -598,6 +602,7 @@ def ann_topk_int8(spark, sf_dir):
              / (F.sqrt(n2.cast("double"))
                 * F.sqrt(F.lit(float(nq2)))))
     return (emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+            .withColumn("s", s)
             .withColumn("q", quant)
             .withColumn("cos_q", cos_q)
             .orderBy(F.desc("cos_q"), "vec_id").limit(TOP_K)

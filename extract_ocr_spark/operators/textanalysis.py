@@ -1349,3 +1349,79 @@ FROM top ORDER BY pmi DESC, w1, w2
 
 QUERIES["pmi_collocations"] = pmi_collocations
 ORACLES["pmi_collocations"] = PMI_COLLOCATIONS_SQL
+
+
+# --- Vocabulary coverage --------------------------------------------------------
+
+VOCAB_TOP_K = 50
+
+
+def vocab_coverage_df(docs: DataFrame) -> DataFrame:
+    """Tokenizer-vocabulary construction: the top-K words by corpus
+    frequency with each prefix's cumulative coverage of all token
+    occurrences — the curve a vocab-size decision (BPE budget, stopword
+    cutoff) is read off.
+
+    Scale shape: the full vocabulary is NEVER globally sorted — top-K
+    comes from TakeOrdered (per-partition heaps over the word-count
+    aggregate), and the rank/cumsum window runs over exactly K rows,
+    which is legal because a descending-frequency prefix sum only needs
+    the rows above the cutoff. The total is a broadcast single row.
+    coverage = cum/total divides two exact integers — one correctly-
+    rounded float op, identical on both engines."""
+    from pyspark.sql.window import Window
+
+    from . import tok_array
+
+    c = (docs.select(F.explode(tok_array(F.col("text"))).alias("word"))
+         .groupBy("word").agg(F.count("*").alias("tf")))
+    tot = c.agg(F.sum("tf").alias("n"))
+    topk = c.orderBy(F.desc("tf"), "word").limit(VOCAB_TOP_K)
+    order = Window.orderBy(F.desc("tf"), "word")
+    cum = Window.orderBy(F.desc("tf"), "word").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return (topk
+            .withColumn("rank", F.row_number().over(order))
+            .withColumn("cum", F.sum("tf").over(cum))
+            .crossJoin(F.broadcast(tot))
+            .select("rank", "word", "tf",
+                    F.round(F.col("cum").cast("double") / F.col("n"), 6)
+                    .alias("coverage"))
+            .orderBy("rank"))
+
+
+def vocab_coverage(spark, sf_dir):
+    return vocab_coverage_df(_docs(spark, sf_dir))
+
+
+VOCAB_COVERAGE_SQL = rf"""
+WITH t AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '{WS_RE}+'),
+                     x -> x != '') AS toks
+  FROM documents
+), w AS (
+  SELECT unnest(toks) AS word FROM t
+), c AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY word
+), tot AS (
+  SELECT CAST(sum(tf) AS BIGINT) AS n FROM c
+), topk AS (
+  SELECT word, tf FROM c ORDER BY tf DESC, word LIMIT {VOCAB_TOP_K}
+), r AS (
+  -- rank/cumsum over ONLY the top-K rows: a descending-frequency
+  -- prefix sum needs nothing below the cutoff (mirrors the Spark
+  -- TakeOrdered-then-window shape)
+  SELECT word, tf,
+         row_number() OVER (ORDER BY tf DESC, word) AS rank,
+         CAST(sum(tf) OVER (ORDER BY tf DESC, word
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM topk
+)
+SELECT r.rank, r.word, r.tf,
+       round(CAST(r.cum AS DOUBLE) / tot.n, 6) AS coverage
+FROM r CROSS JOIN tot
+ORDER BY r.rank
+"""
+
+QUERIES["vocab_coverage"] = vocab_coverage
+ORACLES["vocab_coverage"] = VOCAB_COVERAGE_SQL

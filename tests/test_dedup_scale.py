@@ -336,3 +336,49 @@ def test_minhash_est_pairs_python_replay(spark):
     # the estimator is close to the truth it approximates (K=128 ->
     # s.e. ~0.04 at J~0.8; 0.15 is a >3-sigma band)
     assert abs(got["est_jaccard"] - got["jaccard"]) < 0.15, got
+
+
+def test_ngram_novelty_ordering_semantics(spark):
+    """First copy of a text scores 1.0, its exact duplicate 0.0 (every
+    gram first appeared in the lower doc_id), and a half-overlapping
+    doc lands strictly between; doc-id order — not row order — defines
+    'first'."""
+    from extract_ocr_spark.operators.dedup import ngram_novelty_df
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    half = ("alpha beta gamma delta epsilon nu xi omicron pi rho "
+            "sigma tau")
+    # deliberately insert the duplicate FIRST in row order with the
+    # higher doc_id: min(doc_id) must still win
+    rows = [(5, base, "en", "s", 60),
+            (1, base, "en", "s", 60),
+            (9, half, "en", "s", 60)]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long")
+    out = {r["doc_id"]: r for r in ngram_novelty_df(docs).collect()}
+    assert out[1]["novelty"] == 1.0
+    assert out[5]["novelty"] == 0.0
+    assert 0.0 < out[9]["novelty"] < 1.0
+    # the half doc shares exactly its first 3 trigrams with base
+    assert out[9]["n_novel"] == out[9]["n_grams"] - 3
+
+
+def test_source_overlap_detects_mirror(spark):
+    """A source that mirrors another must show overlap 1.0 against it;
+    an unrelated source shares nothing; shingles present in more than
+    SRC_OVERLAP_CAP sources are excluded from the shared counts."""
+    from extract_ocr_spark.operators.dedup import source_overlap_df
+
+    feed = "breaking news about spark shuffles hitting the memory wall"
+    other = "totally unrelated recipe for slow cooked barley stew tonight"
+    rows = ([(i, feed, "en", "wire", 60) for i in range(3)]
+            + [(10 + i, feed, "en", "mirror", 60) for i in range(3)]
+            + [(20, other, "en", "indie", 60)])
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long")
+    out = {(r["src_a"], r["src_b"]): r
+           for r in source_overlap_df(docs).collect()}
+    assert set(out) == {("mirror", "wire")}
+    assert out[("mirror", "wire")]["overlap"] == 1.0

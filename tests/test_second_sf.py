@@ -35,7 +35,7 @@ SUBSET = [
     # this sf)
     "token_budget_sample", "ccnet_buckets", "bloom_url_seen",
     "inverted_index", "minhash_est_pairs", "pmi_collocations",
-    "ann_topk_int8",
+    "ann_topk_int8", "vocab_coverage", "ngram_novelty", "source_overlap",
 ]
 
 

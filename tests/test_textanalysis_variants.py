@@ -407,3 +407,42 @@ def test_pmi_collocations_plan_no_python_no_cartesian_pairs(spark):
     for py in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
                "MapInPandas"):
         assert py not in plan, plan
+
+
+def test_vocab_coverage_monotone_and_complete(spark):
+    """Ranks order by frequency (ties alphabetic), coverage is strictly
+    increasing, and when the whole vocabulary fits in the top-K window
+    the last prefix covers exactly 1.0 of all occurrences."""
+    from extract_ocr_spark.operators.textanalysis import vocab_coverage_df
+
+    rows = [(i, "zeta zeta zeta beta beta alpha", "en", "s", 30)
+            for i in range(4)]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long")
+    out = vocab_coverage_df(docs).collect()
+    assert [r["word"] for r in out] == ["zeta", "beta", "alpha"]
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    assert [r["tf"] for r in out] == [12, 8, 4]
+    covs = [r["coverage"] for r in out]
+    assert covs == sorted(covs) and covs[-1] == 1.0
+    assert covs[0] == 0.5  # 12 of 24
+
+
+def test_vocab_coverage_plan_takeordered_no_python(spark):
+    """The full vocabulary is never globally sorted: top-K comes from
+    TakeOrderedAndProject (per-partition heaps); the rank window then
+    touches only K rows. JVM-native throughout."""
+    from extract_ocr_spark.operators.textanalysis import vocab_coverage_df
+
+    rows = [(i, f"word{i % 9} filler text number {i}", "en", "s", 30)
+            for i in range(40)]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long")
+    plan = vocab_coverage_df(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+               "MapInPandas"):
+        assert py not in plan, plan

@@ -119,6 +119,7 @@ def all_queries():
         "token_budget_sample", "ccnet_buckets", "bloom_url_seen",
         "inverted_index", "minhash_est_pairs", "pmi_collocations", "ann_topk_int8",
         "vocab_coverage", "ngram_novelty", "source_overlap",
+        "cluster_canonical",
     )
     order = [n for n in front if n in queries] + [
         n for n in queries if n not in front]

@@ -1003,3 +1003,72 @@ ORDER BY src_a, src_b
 
 QUERIES["source_overlap"] = source_overlap
 ORACLES["source_overlap"] = SOURCE_OVERLAP_SQL
+
+
+# -- Near-dup survivorship ------------------------------------------------------
+
+def cluster_canonical_df(docs: DataFrame) -> DataFrame:
+    """Survivorship policy over the near-dup clusters: for every
+    multi-member cluster, pick the canonical copy to KEEP — longest
+    document (whitespace tokens) first, doc_id as the deterministic
+    tie-break. This is the step between clustering and deletion in a
+    production dedup pipeline (keeping an arbitrary member throws away
+    the best extraction when mirrors differ in truncation/boilerplate;
+    CCNet and RefinedWeb both keep by quality, not by chance).
+
+    Scale shape: the clustering is ``neardup_clusters_df`` (pointer-
+    jumping components, characterized there); the policy itself adds
+    one doc_id-keyed join against a two-column token-count projection
+    and one cluster-partitioned window (rank + member count ride the
+    same partitioning, one shuffle). Singleton clusters are dropped
+    AFTER the window — no second aggregation pass."""
+    from pyspark.sql.window import Window
+
+    from . import tok_array
+
+    clusters = neardup_clusters_df(docs)
+    toks = docs.select(
+        "doc_id",
+        F.size(tok_array(F.col("text"))).cast("long").alias("n_tokens"))
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("n_tokens"), "doc_id")
+    wc = Window.partitionBy("cluster")
+    return (clusters.join(toks, "doc_id")
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn("n_members", F.count("*").over(wc))
+            .filter((F.col("rn") == 1) & (F.col("n_members") >= 2))
+            .select("cluster",
+                    F.col("doc_id").alias("keep_doc_id"),
+                    F.col("n_tokens").alias("keep_tokens"),
+                    F.col("n_members").cast("long").alias("n_members"))
+            .orderBy("cluster"))
+
+
+def cluster_canonical(spark, sf_dir):
+    return cluster_canonical_df(_docs(spark, sf_dir))
+
+
+CLUSTER_CANONICAL_SQL = rf"""
+WITH cl AS ({NEARDUP_CLUSTERS_SQL}),
+t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(lower(text),
+              '{WS_RE}+'), x -> x != '')) AS BIGINT) AS n_tokens
+  FROM documents
+), j AS (
+  SELECT cl.cluster, cl.doc_id, t.n_tokens FROM cl JOIN t USING (doc_id)
+), r AS (
+  SELECT cluster, doc_id, n_tokens,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY n_tokens DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY cluster) AS n_members
+  FROM j
+)
+SELECT cluster, doc_id AS keep_doc_id, n_tokens AS keep_tokens,
+       CAST(n_members AS BIGINT) AS n_members
+FROM r WHERE rn = 1 AND n_members >= 2
+ORDER BY cluster
+"""
+
+QUERIES["cluster_canonical"] = cluster_canonical
+ORACLES["cluster_canonical"] = CLUSTER_CANONICAL_SQL

@@ -382,3 +382,28 @@ def test_source_overlap_detects_mirror(spark):
            for r in source_overlap_df(docs).collect()}
     assert set(out) == {("mirror", "wire")}
     assert out[("mirror", "wire")]["overlap"] == 1.0
+
+
+def test_cluster_canonical_keeps_longest(spark):
+    """Survivorship must keep the LONGEST member of each near-dup
+    cluster (not the lowest doc_id), count members correctly, and drop
+    singleton clusters entirely."""
+    from extract_ocr_spark.operators.dedup import cluster_canonical_df
+
+    base = ("the quick brown fox jumps over the lazy dog near the river "
+            "bank every single morning before the golden sun rises")
+    longer = base + " and rests"  # 2 extra words: J = 18/20 = 0.9 >= 0.8
+    unrelated = ("completely different content about catalyst plans and "
+                 "adaptive query execution stages in modern spark engines")
+    rows = [(1, base, "en", "s", len(base)),
+            (2, longer, "en", "s", len(longer)),   # near-dup of 1, longer
+            (3, unrelated, "en", "s", len(unrelated))]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long")
+    out = cluster_canonical_df(docs).collect()
+    assert len(out) == 1, out
+    r = out[0]
+    assert r["keep_doc_id"] == 2          # longest wins, not min id
+    assert r["cluster"] == 1              # component root is the min id
+    assert r["n_members"] == 2

@@ -36,6 +36,7 @@ SUBSET = [
     "token_budget_sample", "ccnet_buckets", "bloom_url_seen",
     "inverted_index", "minhash_est_pairs", "pmi_collocations",
     "ann_topk_int8", "vocab_coverage", "ngram_novelty", "source_overlap",
+    "cluster_canonical",
 ]
 
 

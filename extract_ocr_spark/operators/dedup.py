@@ -1007,26 +1007,28 @@ ORACLES["source_overlap"] = SOURCE_OVERLAP_SQL
 
 # -- Near-dup survivorship ------------------------------------------------------
 
-def cluster_canonical_df(docs: DataFrame) -> DataFrame:
-    """Survivorship policy over the near-dup clusters: for every
-    multi-member cluster, pick the canonical copy to KEEP — longest
-    document (whitespace tokens) first, doc_id as the deterministic
-    tie-break. This is the step between clustering and deletion in a
-    production dedup pipeline (keeping an arbitrary member throws away
-    the best extraction when mirrors differ in truncation/boilerplate;
-    CCNet and RefinedWeb both keep by quality, not by chance).
+def cluster_canonical_from(clusters: DataFrame,
+                           docs: DataFrame) -> DataFrame:
+    """Survivorship policy over precomputed near-dup ``clusters``
+    ((doc_id, cluster) rows): for every multi-member cluster, pick the
+    canonical copy to KEEP — longest document (whitespace tokens)
+    first, doc_id as the deterministic tie-break. This is the step
+    between clustering and deletion in a production dedup pipeline
+    (keeping an arbitrary member throws away the best extraction when
+    mirrors differ in truncation/boilerplate; CCNet and RefinedWeb both
+    keep by quality, not by chance). Factored over the cluster frame so
+    ``curate_job --fuzzy-dedup`` applies the policy without running the
+    LSH clustering twice.
 
-    Scale shape: the clustering is ``neardup_clusters_df`` (pointer-
-    jumping components, characterized there); the policy itself adds
-    one doc_id-keyed join against a two-column token-count projection
-    and one cluster-partitioned window (rank + member count ride the
-    same partitioning, one shuffle). Singleton clusters are dropped
-    AFTER the window — no second aggregation pass."""
+    Scale shape: the policy adds one doc_id-keyed join against a
+    two-column token-count projection and one cluster-partitioned
+    window (rank + member count ride the same partitioning, one
+    shuffle). Singleton clusters are dropped AFTER the window — no
+    second aggregation pass."""
     from pyspark.sql.window import Window
 
     from . import tok_array
 
-    clusters = neardup_clusters_df(docs)
     toks = docs.select(
         "doc_id",
         F.size(tok_array(F.col("text"))).cast("long").alias("n_tokens"))
@@ -1042,6 +1044,12 @@ def cluster_canonical_df(docs: DataFrame) -> DataFrame:
                     F.col("n_tokens").alias("keep_tokens"),
                     F.col("n_members").cast("long").alias("n_members"))
             .orderBy("cluster"))
+
+
+def cluster_canonical_df(docs: DataFrame) -> DataFrame:
+    """Registry composition: ``neardup_clusters_df`` (pointer-jumping
+    components, characterized there) + the survivorship policy."""
+    return cluster_canonical_from(neardup_clusters_df(docs), docs)
 
 
 def cluster_canonical(spark, sf_dir):

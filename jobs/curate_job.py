@@ -102,18 +102,29 @@ def run(spark, docs, output: str, *, eval_ids=(0, 1, 2, 3, 4),
     base_flags = flags
 
     # 1b (optional): fuzzy dedup — MinHash near-dup clusters over the
-    # exact-dedup + quality survivors; every non-canonical cluster member
-    # (doc_id != min doc_id of its component) is flagged. The standard
-    # pipeline order: exact dedup first (cheap hash) shrinks the input
-    # the LSH pass shingles.
+    # exact-dedup + quality survivors; in every multi-member cluster the
+    # SURVIVORSHIP policy keeps the longest member (doc_id tie-break —
+    # cluster_canonical_from), and every other member is flagged.
+    # Keeping the min-doc_id root (the previous rule) threw away the
+    # best extraction whenever a later mirror was more complete. The
+    # standard pipeline order: exact dedup first (cheap hash) shrinks
+    # the input the LSH pass shingles.
     if fuzzy_dedup:
-        from extract_ocr_spark.operators.dedup import neardup_clusters_df
+        from extract_ocr_spark.operators.dedup import (
+            cluster_canonical_from,
+            neardup_clusters_df,
+        )
 
+        fd_in = flags.filter(F.col("_canonical") & F.col("_quality")) \
+            .select("doc_id", "text")
+        # the cluster frame feeds both the winner pick and the loser
+        # flags — checkpoint so the LSH clustering runs once
+        clusters = neardup_clusters_df(fd_in).localCheckpoint(eager=True)
+        keep = cluster_canonical_from(clusters, fd_in) \
+            .select("cluster", "keep_doc_id")
         fd_losers = (
-            neardup_clusters_df(
-                flags.filter(F.col("_canonical") & F.col("_quality"))
-                .select("doc_id", "text"))
-            .filter(F.col("doc_id") != F.col("cluster"))
+            clusters.join(keep, "cluster")  # multi-member clusters only
+            .filter(F.col("doc_id") != F.col("keep_doc_id"))
             .select("doc_id", F.lit(True).alias("_fuzzy_dup"))
         )
         flags = flags.join(fd_losers, "doc_id", "left") \

@@ -149,8 +149,10 @@ def test_repetition_metrics_flags_repetitive_docs(spark, tmp_path):
 
 def test_curate_run_fuzzy_dedup_drops_near_dups(spark, tmp_path):
     """--fuzzy-dedup composes MinHash clustering into the job: a pair of
-    near-identical (but not byte-identical) docs collapses to its min
-    doc_id; unique docs survive; stats record the fuzzy drop."""
+    near-identical (but not byte-identical) docs collapses to the
+    SURVIVORSHIP pick — the longest member, not the min doc_id (the
+    mirror with more complete text wins); unique docs survive; stats
+    record the fuzzy drop."""
     from jobs.curate_job import run
 
     base = ("the quick brown fox jumps over the lazy dog and then "
@@ -159,8 +161,10 @@ def test_curate_run_fuzzy_dedup_drops_near_dups(spark, tmp_path):
                 f"content words alpha{i} beta{i} gamma{i} delta{i} "
                 f"epsilon{i} zeta{i} eta{i} theta{i}", "en", "s", 120)
             for i in range(10, 30)]
+    # 51 is the LONGER near-dup (J = 18/21 ≈ 0.857): survivorship must
+    # keep it over the lower-id 50
     rows += [(50, base + " end", "en", "s", 120),
-             (51, base + " fin", "en", "s", 120)]  # near-dup of 50
+             (51, base + " fin extra", "en", "s", 120)]
     docs = spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long")
 
@@ -169,7 +173,7 @@ def test_curate_run_fuzzy_dedup_drops_near_dups(spark, tmp_path):
     assert stats["fuzzy_dropped"] == 1
     kept = {r["doc_id"] for r in spark.read.parquet(
         str(tmp_path / "fz" / "corpus")).select("doc_id").collect()}
-    assert 50 in kept and 51 not in kept
+    assert 51 in kept and 50 not in kept  # longest wins, not min id
 
     # without the flag both survive (exact dedup does not catch them)
     stats2 = run(spark, docs, str(tmp_path / "nz"), eval_ids=[])

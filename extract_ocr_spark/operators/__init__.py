@@ -74,6 +74,7 @@ def all_queries():
         dedup,
         export,
         extraction,
+        interleave,
         links,
         relational,
         reporting,
@@ -85,7 +86,7 @@ def all_queries():
     queries = {}
     oracles = {}
     for mod in (relational, extraction, dedup, similarity, textanalysis,
-                reporting, export, robots, links, curation):
+                reporting, export, robots, links, curation, interleave):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     queries["media_features"] = multimodal.media_features_query
@@ -119,7 +120,8 @@ def all_queries():
         "token_budget_sample", "ccnet_buckets", "bloom_url_seen",
         "inverted_index", "minhash_est_pairs", "pmi_collocations", "ann_topk_int8",
         "vocab_coverage", "ngram_novelty", "source_overlap",
-        "cluster_canonical",
+        "cluster_canonical", "caption_pairs", "interleave_stats",
+        "embedding_norm_outliers", "host_reputation",
     )
     order = [n for n in front if n in queries] + [
         n for n in queries if n not in front]

@@ -678,3 +678,60 @@ FROM agg ORDER BY doc_id
 
 QUERIES["bloom_url_seen"] = bloom_url_seen_query
 ORACLES["bloom_url_seen"] = BLOOM_URL_SEEN_SQL
+
+
+# -- Host reputation rollup ----------------------------------------------------
+
+# Reuses the crawl_schedule host assignment (doc_id % N_HOSTS). A doc is
+# "short" below this char count; a host whose non-short fraction clears
+# REP_ALLOW_SCORE keeps its crawl budget, the rest are queued for review.
+REP_SHORT_CHARS = 300
+REP_ALLOW_SCORE = 52
+
+
+def host_reputation_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host reputation rollup + crawl-budget verdict: the host-level
+    twin of the per-doc quality gates (reference analog: the per-endpoint
+    report S12/O3 aggregates by source; a polite crawler allocates its
+    refetch budget by host, not by page). Score is integer-exact
+    (100 - short_docs*100 // docs) so the oracle needs no float
+    reconciliation.
+
+    Scale shape: one groupBy on host with map-side partial aggregation —
+    hosts are the natural, high-cardinality, well-balanced web-scale key;
+    no window, no join, one shuffle of O(hosts) partial rows."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "n_chars")
+    h = (docs.select(
+            F.concat(F.lit("h"), F.col("doc_id") % N_HOSTS).alias("host"),
+            F.when(F.col("n_chars") < REP_SHORT_CHARS, 1).otherwise(0)
+            .alias("short"))
+         .groupBy("host")
+         .agg(F.count("*").alias("n_docs"),
+              F.sum("short").alias("n_short")))
+    score = (F.lit(100)
+             - F.floor(F.col("n_short") * 100 / F.col("n_docs")))
+    return (h.select("host", "n_docs", "n_short",
+                     score.alias("rep_score"),
+                     F.when(score >= REP_ALLOW_SCORE, "allow")
+                     .otherwise("review").alias("verdict"))
+            .orderBy("host"))
+
+
+HOST_REPUTATION_SQL = f"""
+WITH h AS (
+  SELECT 'h' || (doc_id % {N_HOSTS}) AS host,
+    count(*) AS n_docs,
+    CAST(sum(CASE WHEN n_chars < {REP_SHORT_CHARS} THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_short
+  FROM documents GROUP BY 1
+)
+SELECT host, n_docs, n_short,
+  100 - (n_short * 100) // n_docs AS rep_score,
+  CASE WHEN 100 - (n_short * 100) // n_docs >= {REP_ALLOW_SCORE}
+       THEN 'allow' ELSE 'review' END AS verdict
+FROM h ORDER BY host
+"""
+
+QUERIES["host_reputation"] = host_reputation_query
+ORACLES["host_reputation"] = HOST_REPUTATION_SQL

@@ -644,3 +644,73 @@ ORDER BY cos_q DESC, vec_id
 
 QUERIES["ann_topk_int8"] = ann_topk_int8
 ORACLES["ann_topk_int8"] = ANN_TOPK_INT8_SQL
+
+
+# -- Embedding-norm outlier tagging -------------------------------------------
+
+# Exact rank-based tails per label group: the bottom/top ceil(n/10) by L2
+# norm. Degenerate embeddings (truncated vectors, all-zero rows, scale
+# blow-ups from a bad encoder shard) land in the tails; at curation time
+# these rows are quarantined before any cosine-based stage trusts them.
+NORM_TAIL_PCT = 10
+
+
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tag each vector 'low' / 'high' / 'mid' by exact per-label norm rank.
+
+    The norm is an ORDERED left fold over the element array (the
+    char_entropy pattern), so Spark and the oracle sum the identical
+    float sequence and the rank order — ties broken by vec_id — is
+    engine-invariant with no tolerance needed.
+
+    Scale shape: one window partitioned by label (the embarrassingly
+    parallel axis — labels/shards are many and balanced); rank-in-group
+    over a numeric, no global sort, no self-join. The exact-rank tail is
+    the oracle-checkable twin of an approx-quantile gate (the
+    length_quantiles precedent)."""
+    from pyspark.sql.window import Window
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    norm = F.sqrt(F.aggregate(
+        F.col("embedding"), F.lit(0.0),
+        lambda a, x: a + x.cast("double") * x.cast("double")))
+    w = Window.partitionBy("label").orderBy("norm", "vec_id")
+    wn = Window.partitionBy("label")
+    # ceil(n/10) — Column `/` is DOUBLE division, so floor it back to an
+    # exact integer (operands are small positive ints; floor(a/b) == a//b)
+    tail = F.floor((F.col("n") + NORM_TAIL_PCT - 1) / NORM_TAIL_PCT)
+    return (emb.select("vec_id", "label", norm.alias("norm"))
+            .select("vec_id", "label", "norm",
+                    F.row_number().over(w).alias("rk"),
+                    F.count("*").over(wn).alias("n"))
+            .select(
+                "vec_id", "label", F.round("norm", 6).alias("norm"),
+                F.when(F.col("rk") <= tail, "low")
+                .when(F.col("rk") > F.col("n") - tail, "high")
+                .otherwise("mid").alias("tag"))
+            .orderBy("vec_id"))
+
+
+EMBEDDING_NORM_OUTLIERS_SQL = f"""
+WITH n AS (
+  SELECT vec_id, label,
+    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      (a, b) -> a + b)) AS norm
+  FROM embeddings
+), r AS (
+  SELECT vec_id, label, norm,
+    row_number() OVER (PARTITION BY label ORDER BY norm, vec_id) AS rk,
+    count(*) OVER (PARTITION BY label) AS cnt
+  FROM n
+)
+SELECT vec_id, label, round(norm, 6) AS norm,
+  CASE WHEN rk <= (cnt + {NORM_TAIL_PCT} - 1) // {NORM_TAIL_PCT} THEN 'low'
+       WHEN rk > cnt - (cnt + {NORM_TAIL_PCT} - 1) // {NORM_TAIL_PCT}
+       THEN 'high'
+       ELSE 'mid' END AS tag
+FROM r ORDER BY vec_id
+"""
+
+QUERIES["embedding_norm_outliers"] = embedding_norm_outliers
+ORACLES["embedding_norm_outliers"] = EMBEDDING_NORM_OUTLIERS_SQL

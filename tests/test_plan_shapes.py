@@ -295,3 +295,62 @@ def test_minhash_est_pairs_plan_broadcast_perms_no_python(spark):
     assert "CartesianProduct" not in plan, plan
     for py in pys:
         assert py not in plan, plan
+
+
+def test_caption_pairs_plan_one_doc_window_no_python(spark):
+    """Caption alignment is ONE window pass partitioned by doc_id (both
+    IGNORE NULLS frames share the partitioning, so one hash exchange
+    plus the presentation orderBy) — no join, no Python, no pair blowup."""
+    from extract_ocr_spark.operators.interleave import caption_pairs_query
+
+    plan = _plan(caption_pairs_query(spark, "/root/testdata/sf0.001"))
+    assert plan.count("hashpartitioning(doc_id") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+               "MapInPandas"):
+        assert py not in plan, plan
+
+
+def test_interleave_stats_plan_jvm_native_no_cartesian(spark):
+    """The structure report stays JVM-side: lag + gaps-and-islands
+    windows, one doc-keyed aggregate, one doc-keyed join — never a
+    cartesian, never Python."""
+    from extract_ocr_spark.operators.interleave import interleave_stats_query
+
+    plan = _plan(interleave_stats_query(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") \
+        + plan.count("BroadcastHashJoin") == 1, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+               "MapInPandas"):
+        assert py not in plan, plan
+
+
+def test_embedding_norm_outliers_plan_one_label_window_no_python(spark):
+    """The norm fold is a codegen-side higher-order aggregate and the
+    rank/count pair shares ONE label-partitioned exchange — labels are
+    the parallelism axis, no global sort before the presentation
+    orderBy, no Python."""
+    from extract_ocr_spark.operators.similarity import embedding_norm_outliers
+
+    plan = _plan(embedding_norm_outliers(spark, "/root/testdata/sf0.001"))
+    assert plan.count("hashpartitioning(label") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+               "MapInPandas"):
+        assert py not in plan, plan
+
+
+def test_host_reputation_plan_partial_agg_no_python(spark):
+    """One host-keyed aggregate with map-side partial aggregation (the
+    shuffle carries O(hosts) partial rows, not O(docs)) — no window, no
+    join, no Python."""
+    from extract_ocr_spark.operators.links import host_reputation_query
+
+    plan = _plan(host_reputation_query(spark, "/root/testdata/sf0.001"))
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert plan.count("hashpartitioning(host") == 1, plan
+    assert "Join" not in plan, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+               "MapInPandas"):
+        assert py not in plan, plan

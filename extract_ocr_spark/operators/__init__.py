@@ -76,6 +76,7 @@ def all_queries():
         extraction,
         interleave,
         links,
+        temporal,
         relational,
         reporting,
         robots,
@@ -86,7 +87,8 @@ def all_queries():
     queries = {}
     oracles = {}
     for mod in (relational, extraction, dedup, similarity, textanalysis,
-                reporting, export, robots, links, curation, interleave):
+                reporting, export, robots, links, curation, interleave,
+                temporal):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     queries["media_features"] = multimodal.media_features_query
@@ -121,7 +123,8 @@ def all_queries():
         "inverted_index", "minhash_est_pairs", "pmi_collocations", "ann_topk_int8",
         "vocab_coverage", "ngram_novelty", "source_overlap",
         "cluster_canonical", "caption_pairs", "interleave_stats",
-        "embedding_norm_outliers", "host_reputation",
+        "embedding_norm_outliers", "host_reputation", "asof_join",
+        "range_join_bins", "hypertable_rollup",
     )
     order = [n for n in front if n in queries] + [
         n for n in queries if n not in front]

@@ -1,0 +1,185 @@
+"""Temporal operators over the events table — the three custom join/rollup
+shapes the brief names as "operators Spark lacks", each expressed as a
+composition of built-in DataFrame ops (never a Python UDF, never a
+nested-loop join):
+
+- ``asof_join``: for every click, the most recent view by the same user at
+  or before the click (trade/quote-style point-in-time join). Spark has no
+  ASOF JOIN; the scalable form is ONE union + ONE user-partitioned window
+  (last IGNORE NULLS over the preceding frame) — no per-row probe, no
+  range-condition join that would degrade to BroadcastNestedLoop. The
+  oracle is the same window in DuckDB, and a unit test cross-checks it
+  against DuckDB's *native* ``ASOF LEFT JOIN`` for independent semantics.
+- ``range_join_bins``: join events to OVERLAPPING value tiers. A naive
+  range-predicate join is a nested-loop scan (O(rows × tiers) everywhere);
+  the scale path bins both sides (bucket = floor(value/BIN_W), tiers
+  explode to the buckets they overlap) so the planner runs an EQUI join on
+  the bucket key with the range residual as a post-filter — the standard
+  bin-and-prune range join. The oracle is DuckDB's plain range-predicate
+  join (its IEJoin), so the binning is verified against independent
+  semantics, not a twin of itself.
+- ``hypertable_rollup``: continuous-aggregate-style multi-granularity
+  rollup (per event_type at day AND day+hour in one pass) via GROUPING
+  SETS — one scan, one expand, one aggregate. Money sums are exact BIGINT
+  cents, so no float-accumulation-order reconciliation is needed.
+
+Scale shape: all three shuffle exactly once on their natural key (user,
+bucket, group key); the tier table is O(tiers × buckets-per-tier) rows and
+broadcasts; nothing is driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+# -- As-of join (point-in-time) ------------------------------------------------
+
+ASOF_LEFT = "click"   # probe side: each of these...
+ASOF_RIGHT = "view"   # ...matches the latest preceding one of these
+
+
+def asof_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("event_id", "ts", "user_id",
+                                       "event_type")
+    vc = ev.filter(F.col("event_type").isin(ASOF_LEFT, ASOF_RIGHT))
+    # at equal ts the view sorts before the click (ASOF is <=); event_id
+    # makes the order total so ties can never flip between engines
+    is_right = F.col("event_type") == ASOF_RIGHT
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts", F.when(is_right, 0).otherwise(1), "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    view_id = F.last(F.when(is_right, F.col("event_id")),
+                     ignorenulls=True).over(w)
+    view_ts = F.last(F.when(is_right, F.col("ts")),
+                     ignorenulls=True).over(w)
+    return (vc.select("event_id", "ts", "user_id", "event_type",
+                      view_id.alias("view_id"), view_ts.alias("view_ts"))
+            .filter(F.col("event_type") == ASOF_LEFT)
+            .select(F.col("event_id").alias("click_id"), "user_id",
+                    F.col("ts").alias("click_ts"), "view_id", "view_ts",
+                    # timestampdiff works on TIMESTAMP_NTZ (the parquet
+                    # type here); unix_micros would force a tz cast
+                    F.expr("timestampdiff(MICROSECOND, view_ts, ts)")
+                    .alias("gap_us"))
+            .orderBy("click_id"))
+
+
+ASOF_JOIN_SQL = f"""
+WITH vc AS (
+  SELECT event_id, ts, user_id, event_type FROM events
+  WHERE event_type IN ('{ASOF_RIGHT}', '{ASOF_LEFT}')
+), u AS (
+  SELECT event_id, ts, user_id, event_type,
+    last_value(CASE WHEN event_type = '{ASOF_RIGHT}' THEN event_id END
+               IGNORE NULLS) OVER w AS view_id,
+    last_value(CASE WHEN event_type = '{ASOF_RIGHT}' THEN ts END
+               IGNORE NULLS) OVER w AS view_ts
+  FROM vc
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY ts,
+                        CASE WHEN event_type = '{ASOF_RIGHT}' THEN 0
+                             ELSE 1 END,
+                        event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id AS click_id, user_id, ts AS click_ts, view_id, view_ts,
+       CASE WHEN view_ts IS NULL THEN NULL
+            ELSE date_diff('microsecond', view_ts, ts) END AS gap_us
+FROM u WHERE event_type = '{ASOF_LEFT}' ORDER BY click_id
+"""
+
+QUERIES["asof_join"] = asof_join_query
+ORACLES["asof_join"] = ASOF_JOIN_SQL
+
+
+# -- Range join via binning ----------------------------------------------------
+
+N_TIERS = 12
+TIER_STEP = 40    # tier i covers [i*40, i*40+60): neighbors overlap by 20,
+TIER_WIDTH = 60   # so a value can land in 1-2 tiers (a REAL range join,
+#                   not a disguised CASE bucketing)
+BIN_W = 20        # bucket width; each tier spans 3 buckets
+
+
+def _tiers():
+    return [(i, i * TIER_STEP, i * TIER_STEP + TIER_WIDTH)
+            for i in range(N_TIERS)]
+
+
+def range_join_bins_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("event_id", "value")
+    tiers = spark.createDataFrame(_tiers(), "tier_id int, lo int, hi int")
+    # explode each tier to the integer buckets its [lo, hi) range overlaps
+    tb = tiers.select(
+        "tier_id", "lo", "hi",
+        F.explode(F.sequence(
+            (F.col("lo") / BIN_W).cast("long"),
+            ((F.col("hi") - 1) / BIN_W).cast("long"))).alias("b"))
+    eb = ev.select("event_id", "value",
+                   F.floor(F.col("value") / BIN_W).alias("b"))
+    return (eb.join(F.broadcast(tb), "b")
+            .filter((F.col("value") >= F.col("lo"))
+                    & (F.col("value") < F.col("hi")))
+            .select("event_id", "tier_id")
+            .orderBy("event_id", "tier_id"))
+
+
+_TIER_VALUES = ", ".join(f"({i}, {lo}, {hi})" for i, lo, hi in _tiers())
+
+RANGE_JOIN_BINS_SQL = f"""
+WITH tiers(tier_id, lo, hi) AS (VALUES {_TIER_VALUES})
+SELECT e.event_id, t.tier_id
+FROM events e JOIN tiers t
+  ON e.value >= t.lo AND e.value < t.hi
+ORDER BY e.event_id, t.tier_id
+"""
+
+QUERIES["range_join_bins"] = range_join_bins_query
+ORACLES["range_join_bins"] = RANGE_JOIN_BINS_SQL
+
+
+# -- Hypertable-style multi-granularity rollup ----------------------------------
+
+def hypertable_rollup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    return (ev.groupingSets(
+                [["event_type", "day"], ["event_type", "day", "hour"]],
+                "event_type", "day", "hour")
+            .agg(F.count("*").alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.sum("cents").alias("cents"))
+            .orderBy("event_type", "day", "hour"))
+
+
+HYPERTABLE_ROLLUP_SQL = """
+SELECT event_type,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       date_trunc('hour', ts) AS hour,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events
+GROUP BY GROUPING SETS
+  ((event_type, CAST(date_trunc('day', ts) AS TIMESTAMP)),
+   (event_type, CAST(date_trunc('day', ts) AS TIMESTAMP),
+    date_trunc('hour', ts)))
+ORDER BY event_type, day, hour
+"""
+
+QUERIES["hypertable_rollup"] = hypertable_rollup_query
+ORACLES["hypertable_rollup"] = HYPERTABLE_ROLLUP_SQL

@@ -354,3 +354,47 @@ def test_host_reputation_plan_partial_agg_no_python(spark):
     for py in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
                "MapInPandas"):
         assert py not in plan, plan
+
+
+def test_asof_join_plan_one_user_window_no_join_no_python(spark):
+    """The as-of join is union-tagging + ONE user-partitioned window —
+    never a join operator at all (a range-condition join would degrade
+    to BroadcastNestedLoop), never Python."""
+    from extract_ocr_spark.operators.temporal import asof_join_query
+
+    plan = _plan(asof_join_query(spark, "/root/testdata/sf0.001"))
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+    assert "Join" not in plan, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+               "MapInPandas"):
+        assert py not in plan, plan
+
+
+def test_range_join_bins_plan_equi_join_not_nested_loop(spark):
+    """The bin-and-prune rewrite turns the range predicate into an EQUI
+    join on the bucket key: the plan must carry a BroadcastHashJoin and
+    must NOT fall back to the nested-loop/cartesian shape a raw range
+    condition produces."""
+    from extract_ocr_spark.operators.temporal import range_join_bins_query
+
+    plan = _plan(range_join_bins_query(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+               "MapInPandas"):
+        assert py not in plan, plan
+
+
+def test_hypertable_rollup_plan_single_scan_expand(spark):
+    """Both granularities come out of ONE scan via the grouping-sets
+    Expand — not two aggregation passes over the input — and the whole
+    rollup is JVM-side."""
+    from extract_ocr_spark.operators.temporal import hypertable_rollup_query
+
+    plan = _plan(hypertable_rollup_query(spark, "/root/testdata/sf0.001"))
+    assert "Expand" in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+               "MapInPandas"):
+        assert py not in plan, plan

@@ -1,0 +1,99 @@
+"""Semantics tests for the temporal operators: the as-of join against
+DuckDB's NATIVE ``ASOF LEFT JOIN`` (independent implementation, not the
+window oracle), the binned range join against a brute-force Python scan,
+and the rollup's day/hour consistency invariant."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_asof_join_matches_duckdb_native_asof(spark):
+    from extract_ocr_spark.operators.temporal import asof_join_query
+
+    got = [(r["click_id"], r["view_id"])
+           for r in asof_join_query(spark, SF).collect()]
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    native = con.sql("""
+        WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+             v AS (SELECT * FROM events WHERE event_type = 'view')
+        SELECT c.event_id, v.event_id
+        FROM c ASOF LEFT JOIN v
+          ON c.user_id = v.user_id AND v.ts <= c.ts
+        ORDER BY c.event_id
+    """).fetchall()
+    assert got == native
+
+
+def test_asof_join_equal_ts_matches_and_other_types_ignored(spark, tmp_path):
+    from extract_ocr_spark.operators.temporal import asof_join_query
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: view at t0, click at the SAME instant -> matches (<=)
+        (0, t0, 1, "view"), (1, t0, 1, "click"),
+        # user 2: only an 'error' precedes the click -> no match
+        (2, t0, 2, "error"), (3, t0 + dt.timedelta(seconds=5), 2, "click"),
+        # user 3: two views; the LATER one wins
+        (4, t0, 3, "view"), (5, t0 + dt.timedelta(seconds=1), 3, "view"),
+        (6, t0 + dt.timedelta(seconds=2), 3, "click"),
+        # user 4: view strictly AFTER the click -> no match
+        (7, t0 + dt.timedelta(seconds=9), 4, "view"),
+        (8, t0, 4, "click"),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, k, 1.0, "{}") for i, ts, u, k in rows],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string")
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {r["click_id"]: (r["view_id"], r["gap_us"])
+           for r in asof_join_query(spark, str(tmp_path)).collect()}
+    assert got == {1: (0, 0), 3: (None, None), 6: (5, 1_000_000),
+                   8: (None, None)}
+
+
+def test_range_join_bins_matches_bruteforce(spark):
+    from extract_ocr_spark.operators.temporal import (
+        _tiers,
+        range_join_bins_query,
+    )
+
+    got = sorted((r["event_id"], r["tier_id"])
+                 for r in range_join_bins_query(spark, SF).collect())
+    con = duckdb.connect()
+    vals = con.sql(
+        f"SELECT event_id, value FROM '{SF}/events.parquet'").fetchall()
+    expect = sorted((e, t) for e, v in vals
+                    for t, lo, hi in _tiers() if lo <= v < hi)
+    assert got == expect
+    # the overlap is real: some events land in two tiers
+    from collections import Counter
+    per_event = Counter(e for e, _ in got)
+    assert max(per_event.values()) == 2
+
+
+def test_hypertable_rollup_day_rows_roll_up_hours(spark):
+    from extract_ocr_spark.operators.temporal import hypertable_rollup_query
+
+    df = hypertable_rollup_query(spark, SF).collect()
+    days = {(r["event_type"], r["day"]): r for r in df if r["hour"] is None}
+    hours = [r for r in df if r["hour"] is not None]
+    assert days and hours
+    # events and cents are additive hour->day; n_users is NOT (distinct)
+    from collections import defaultdict
+    agg = defaultdict(lambda: [0, 0])
+    for r in hours:
+        k = (r["event_type"], r["day"])
+        agg[k][0] += r["n_events"]
+        agg[k][1] += r["cents"]
+    for k, (n, c) in agg.items():
+        assert days[k]["n_events"] == n
+        assert days[k]["cents"] == c
+        assert days[k]["n_users"] <= n

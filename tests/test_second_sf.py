@@ -37,6 +37,11 @@ SUBSET = [
     "inverted_index", "minhash_est_pairs", "pmi_collocations",
     "ann_topk_int8", "vocab_coverage", "ngram_novelty", "source_overlap",
     "cluster_canonical",
+    # r5 tenth session: interleaved structure, norm tails, host rollup,
+    # and the three custom temporal joins (tie/branch behavior is
+    # data-dependent, so both scales matter)
+    "caption_pairs", "interleave_stats", "embedding_norm_outliers",
+    "host_reputation", "asof_join", "range_join_bins", "hypertable_rollup",
 ]
 
 

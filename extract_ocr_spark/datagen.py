@@ -249,3 +249,43 @@ def synthetic_flat_documents_df(spark: SparkSession, n_docs: int,
         )
         .withColumn("n_chars", F.length("text"))
     )
+
+
+def synthetic_events_df(spark: SparkSession, n_events: int,
+                        partitions: int | None = None,
+                        n_users: int = 0) -> DataFrame:
+    """Deterministic events(event_id, ts, user_id, event_type, value,
+    props) corpus, native expressions only (no Python in the path) —
+    the big-events input for bench_temporal.py. Shape mirrors the
+    driver's events.parquet: timestamps spread over ~30 days in event_id
+    order (so per-user as-of scans have realistic time locality),
+    user_id / event_type / value drawn by xxhash64, value in [0, 490].
+    n_users defaults to n_events // 67 (the driver table's ~150 users
+    per 10k events)."""
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+    users = n_users or max(1, n_events // 67)
+    kinds = F.array(*[F.lit(k) for k in
+                      ("click", "error", "purchase", "signup", "view")])
+    step_us = (30 * 24 * 3600 * 1_000_000) // max(1, n_events)
+    ts = F.timestamp_micros(
+        F.lit(1704067200000000)  # 2024-01-01T00:00:00Z as epoch micros
+        + F.col("id") * step_us
+        + F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(step_us)))
+    return (
+        spark.range(0, n_events, 1, parts)
+        .select(
+            F.col("id").alias("event_id"),
+            ts.cast("timestamp_ntz").alias("ts"),
+            F.pmod(F.xxhash64(F.col("id"), F.lit(2)),
+                   F.lit(users)).alias("user_id"),
+            F.element_at(
+                kinds,
+                (F.pmod(F.xxhash64(F.col("id"), F.lit(3)), F.lit(5)) + 1)
+                .cast("int")).alias("event_type"),
+            (F.pmod(F.xxhash64(F.col("id"), F.lit(4)), F.lit(49000))
+             .cast("double") / 100.0).alias("value"),
+            F.concat(F.lit('{"k": '),
+                     F.pmod(F.xxhash64(F.col("id"), F.lit(5)), F.lit(100)),
+                     F.lit("}")).alias("props"),
+        )
+    )

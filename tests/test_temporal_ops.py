@@ -97,3 +97,23 @@ def test_hypertable_rollup_day_rows_roll_up_hours(spark):
         assert days[k]["n_events"] == n
         assert days[k]["cents"] == c
         assert days[k]["n_users"] <= n
+
+
+def test_synthetic_events_df_deterministic_shape(spark):
+    from extract_ocr_spark.datagen import synthetic_events_df
+
+    df = synthetic_events_df(spark, 1000, partitions=4)
+    rows = df.collect()
+    assert len(rows) == 1000
+    assert df.columns == ["event_id", "ts", "user_id", "event_type",
+                          "value", "props"]
+    kinds = {r["event_type"] for r in rows}
+    assert kinds == {"click", "error", "purchase", "signup", "view"}
+    assert all(0 <= r["value"] < 490 for r in rows)
+    assert all(0 <= r["user_id"] < 1000 // 67 for r in rows)
+    # event_id order implies ts order (30-day spread, jitter < step)
+    ts = [r["ts"] for r in sorted(rows, key=lambda r: r["event_id"])]
+    assert ts == sorted(ts)
+    # deterministic: same rows on a second build
+    again = synthetic_events_df(spark, 1000, partitions=8).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

@@ -124,7 +124,7 @@ def all_queries():
         "vocab_coverage", "ngram_novelty", "source_overlap",
         "cluster_canonical", "caption_pairs", "interleave_stats",
         "embedding_norm_outliers", "host_reputation", "asof_join",
-        "range_join_bins", "hypertable_rollup",
+        "range_join_bins", "hypertable_rollup", "event_funnel",
     )
     order = [n for n in front if n in queries] + [
         n for n in queries if n not in front]

@@ -183,3 +183,113 @@ ORDER BY event_type, day, hour
 
 QUERIES["hypertable_rollup"] = hypertable_rollup_query
 ORACLES["hypertable_rollup"] = HYPERTABLE_ROLLUP_SQL
+
+
+# -- Windowed conversion funnel --------------------------------------------------
+
+FUNNEL_WINDOW_US = 6 * 3600 * 1_000_000  # each stage must follow within 6h
+# event_type -> funnel stage code (everything else is a non-funnel event)
+_FUNNEL_CODES = {"view": 1, "click": 2, "purchase": 3}
+
+
+def event_funnel_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user windowed conversion funnel (view → click → purchase, each
+    stage within FUNNEL_WINDOW_US of the previous; a later view restarts
+    the attempt window). Custom *sequential* per-key logic — the kind of
+    operator that tempts a Python UDF — expressed instead as an ORDERED
+    FOLD over the user's event sequence (the char_entropy pattern):
+    array_sort(collect_list(struct(ts, event_id, ...))) then F.aggregate
+    with a (stage, boundary) struct accumulator, entirely JVM-side.
+
+    Scale shape: ONE user-keyed aggregation; per-user sequences are
+    bounded (events/user, not corpus size) and the fold is linear.
+
+    The oracle is an INDEPENDENT window-based derivation, not a fold
+    twin: the fold's stage is monotone (transitions only raise it), so
+    stage>=2 iff some click follows its most-recent prior view within
+    the window, and stage 3 iff a purchase follows the FIRST qualifying
+    click (the fold pins the boundary there — later clicks can't move
+    it) within the window. A list_reduce twin is also IMPOSSIBLE here:
+    DuckDB 1.0.0's list_reduce mis-evaluates conditional-passthrough
+    lambdas (CASE ... ELSE a) when several rows fold in one vectorized
+    chunk — per-row results are correct, multi-row chunks contaminate
+    accumulators across rows (verified against a Python fold over
+    DuckDB's own list() output; both over- and under-shoots observed)."""
+    code = (F.when(F.col("event_type") == "view", 1)
+            .when(F.col("event_type") == "click", 2)
+            .when(F.col("event_type") == "purchase", 3)
+            .otherwise(0))
+    tus = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP'1970-01-01 00:00:00', ts)")
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.struct(F.col("ts"), F.col("event_id"), code.alias("c"),
+                 tus.alias("t")).alias("e"))
+    seq = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list("e")).alias("evs"))
+
+    w = F.lit(FUNNEL_WINDOW_US)
+
+    def _mk(c, t):
+        return F.struct(F.lit(c).alias("c"), t.alias("t"))
+
+    def step(a, x):
+        return (
+            F.when((x["c"] == 1) & (a["c"] <= 1), _mk(1, x["t"]))
+            .when((x["c"] == 2) & (a["c"] == 1)
+                  & (x["t"] - a["t"] <= w), _mk(2, x["t"]))
+            .when((x["c"] == 3) & (a["c"] == 2)
+                  & (x["t"] - a["t"] <= w), _mk(3, x["t"]))
+            .otherwise(a))
+
+    init = F.struct(F.lit(0).alias("c"), F.lit(0).cast("long").alias("t"))
+    return (seq.select(
+                "user_id",
+                F.aggregate("evs", init, step)["c"].alias("funnel_stage"))
+            .orderBy("user_id"))
+
+
+EVENT_FUNNEL_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_id AS eid,
+         date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS t,
+         CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                         WHEN 'purchase' THEN 3 ELSE 0 END AS c
+  FROM events
+),
+with_view AS (
+  SELECT *,
+    max(CASE WHEN c = 1 THEN t END) OVER (
+      PARTITION BY user_id ORDER BY t, eid
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_t
+  FROM ev
+),
+qclick AS (
+  SELECT user_id, min(struct_pack(t := t, eid := eid)) AS fq
+  FROM with_view
+  WHERE c = 2 AND last_view_t IS NOT NULL
+    AND t - last_view_t <= {FUNNEL_WINDOW_US}
+  GROUP BY user_id
+),
+qpurchase AS (
+  SELECT DISTINCT w.user_id
+  FROM with_view w JOIN qclick q ON w.user_id = q.user_id
+  WHERE w.c = 3 AND (w.t, w.eid) > (q.fq.t, q.fq.eid)
+    AND w.t - q.fq.t <= {FUNNEL_WINDOW_US}
+),
+base AS (
+  SELECT user_id, max(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS has_view
+  FROM ev GROUP BY user_id
+)
+SELECT b.user_id,
+  CASE WHEN p.user_id IS NOT NULL THEN 3
+       WHEN q.user_id IS NOT NULL THEN 2
+       WHEN b.has_view = 1 THEN 1 ELSE 0 END AS funnel_stage
+FROM base b
+LEFT JOIN qclick q ON b.user_id = q.user_id
+LEFT JOIN qpurchase p ON b.user_id = p.user_id
+ORDER BY b.user_id
+"""
+
+QUERIES["event_funnel"] = event_funnel_query
+ORACLES["event_funnel"] = EVENT_FUNNEL_SQL

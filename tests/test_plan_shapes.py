@@ -398,3 +398,17 @@ def test_hypertable_rollup_plan_single_scan_expand(spark):
     for py in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
                "MapInPandas"):
         assert py not in plan, plan
+
+
+def test_event_funnel_plan_one_user_aggregate_no_join_no_python(spark):
+    """The funnel is ONE user-keyed collect_list + a JVM-side ordered
+    fold: exactly one exchange on user_id, no join, no window, and no
+    Python evaluation anywhere."""
+    from extract_ocr_spark.operators.temporal import event_funnel_query
+
+    plan = _plan(event_funnel_query(spark, "/root/testdata/sf0.001"))
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+    assert "Join" not in plan, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+               "MapInPandas"):
+        assert py not in plan, plan

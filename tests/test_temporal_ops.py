@@ -117,3 +117,82 @@ def test_synthetic_events_df_deterministic_shape(spark):
     # deterministic: same rows on a second build
     again = synthetic_events_df(spark, 1000, partitions=8).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_event_funnel_branch_edges(spark, tmp_path):
+    """Pins every fold transition the funnel can take, including the case
+    that separates the fold from a naive 'any view<click<purchase chain'
+    reading: the stage-2 boundary is the FIRST qualifying click, so a
+    later click cannot re-open the purchase window."""
+    from extract_ocr_spark.operators.temporal import (
+        FUNNEL_WINDOW_US, event_funnel_query)
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    W = dt.timedelta(microseconds=FUNNEL_WINDOW_US)
+    eps = dt.timedelta(seconds=1)
+    rows = [
+        # user 1: full chain inside the windows -> 3
+        (0, t0, 1, "view"), (1, t0 + eps, 1, "click"),
+        (2, t0 + 2 * eps, 1, "purchase"),
+        # user 2: click arrives after the view window expired -> 1
+        (3, t0, 2, "view"), (4, t0 + W + eps, 2, "click"),
+        # user 3: a LATER view restarts the window; click then lands -> 2
+        (5, t0, 3, "view"), (6, t0 + W, 3, "view"),
+        (7, t0 + W + eps, 3, "click"),
+        # user 4: purchase ties to the FIRST qualifying click; the second
+        # click cannot move the boundary -> 2 (naive chain logic says 3)
+        (8, t0, 4, "view"), (9, t0 + eps, 4, "click"),
+        (10, t0 + 2 * eps, 4, "click"),
+        (11, t0 + eps + W + eps, 4, "purchase"),
+        # user 5: click/purchase with no prior view -> 0
+        (12, t0, 5, "click"), (13, t0 + eps, 5, "purchase"),
+        # user 6: stage 3 then another view cannot lower it -> 3
+        (14, t0, 6, "view"), (15, t0 + eps, 6, "click"),
+        (16, t0 + 2 * eps, 6, "purchase"), (17, t0 + 3 * eps, 6, "view"),
+        # user 7: purchase BEFORE the click in sequence -> 2
+        (18, t0, 7, "view"), (19, t0 + eps, 7, "purchase"),
+        (20, t0 + 2 * eps, 7, "click"),
+        # user 8: purchase exactly AT the window edge (<=) -> 3
+        (21, t0, 8, "view"), (22, t0 + eps, 8, "click"),
+        (23, t0 + eps + W, 8, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, k, 1.0, "{}") for i, ts, u, k in rows],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string")
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {r["user_id"]: r["funnel_stage"]
+           for r in event_funnel_query(spark, str(tmp_path)).collect()}
+    assert got == {1: 3, 2: 1, 3: 2, 4: 2, 5: 0, 6: 3, 7: 2, 8: 3}
+
+
+def test_event_funnel_matches_python_fold_on_real_events(spark):
+    """Cross-checks the Spark fold against a plain Python simulation over
+    the real sf0.001 events (the oracle is a window-based derivation, so
+    this closes the triangle: fold == simulation == window form)."""
+    from extract_ocr_spark.operators.temporal import (
+        FUNNEL_WINDOW_US, event_funnel_query)
+
+    got = {r["user_id"]: r["funnel_stage"]
+           for r in event_funnel_query(spark, SF).collect()}
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    rows = con.sql("SELECT user_id, ts, event_id, event_type FROM events "
+                   "ORDER BY user_id, ts, event_id").fetchall()
+    code = {"view": 1, "click": 2, "purchase": 3}
+    epoch = dt.datetime(1970, 1, 1)
+    acc = {}
+    for uid, ts, eid, et in rows:
+        t = int((ts - epoch).total_seconds() * 1_000_000)
+        c = code.get(et, 0)
+        a = acc.get(uid, (0, 0))
+        if c == 1 and a[0] <= 1:
+            a = (1, t)
+        elif c == 2 and a[0] == 1 and t - a[1] <= FUNNEL_WINDOW_US:
+            a = (2, t)
+        elif c == 3 and a[0] == 2 and t - a[1] <= FUNNEL_WINDOW_US:
+            a = (3, t)
+        acc[uid] = a
+    assert got == {u: a[0] for u, a in acc.items()}

@@ -480,6 +480,32 @@ def extract_links(html: str, *, page_url: str) -> list[str]:
     return out
 
 
+def extract_anchors(html: str, *, page_url: str) -> list[tuple[str, str]]:
+    """(url, anchor_text) pairs for every a[href], with the same base-href
+    resolution and link hygiene as :func:`extract_links` (reference
+    crawl.py:588-620); anchor text is the flattened, whitespace-normalized
+    text content of the <a> subtree. Links whose anchor text is empty
+    after normalization (image-only anchors) are skipped — the training
+    use (anchor -> target pairing) has no signal without text."""
+    root = parse_html(html)
+    base = root.find_first(lambda n: n.tag == "base")
+    effective_base = page_url
+    if base is not None:
+        href = (base.attrs.get("href") or "").strip()
+        if href:
+            effective_base = urljoin(page_url, href)
+    out: list[tuple[str, str]] = []
+    for a in root.find_all("a"):
+        href = (a.attrs.get("href") or "").strip()
+        if not href or href.startswith("#") or href.lower().startswith("mailto:"):
+            continue
+        text = " ".join(get_text(a, " ").split())
+        if not text:
+            continue
+        out.append((normalize_url(urljoin(effective_base, href)), text))
+    return out
+
+
 _TOC_HREF_RE = re.compile(r"\.(?:htm|html)(?:\?|$)", re.IGNORECASE)
 
 

@@ -735,3 +735,98 @@ FROM h ORDER BY host
 
 QUERIES["host_reputation"] = host_reputation_query
 ORACLES["host_reputation"] = HOST_REPUTATION_SQL
+
+
+# -- Anchor-text aggregation (web-graph in-link rollup) -----------------------
+
+_ANCHOR_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("anchor", T.StringType()),
+    ]
+)
+
+
+def anchor_text_agg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level anchor-text aggregation: every (target url, anchor
+    text) pair across the corpus — extracted by the real HTML kernel
+    (``htmlkit.extract_anchors``: base-href resolution, link hygiene,
+    whitespace-flattened anchor text, image-only anchors skipped) — rolled
+    up per target into in-link count, distinct-anchor count, and the top
+    anchor by (count desc, text asc). This is the classic web-corpus
+    in-link rollup that feeds query->document training pairs and
+    title/summary generation.
+
+    The page templates are closed-form over doc_id (cross-document target
+    collisions via doc_id % 37, anchor variation via % 5 / % 3, one
+    corpus-wide hot target) so the oracle re-derives the pairs in SQL.
+
+    Scale shape: Arrow-batched kernel extraction, then TWO two-phase
+    aggregations — (url, anchor) counts first (partial combine absorbs
+    the per-page duplication), then the per-url rollup where the top
+    anchor is an arg-min over struct(-count, anchor) — no window over the
+    pair table, no join. The corpus-wide hot target ('/shared', one key
+    with O(corpus) occurrences) is exactly the skew the first partial
+    aggregation flattens: each task emits ONE partial row for it."""
+    from ..kernels.htmlkit import extract_anchors
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    html = F.concat(
+        F.lit("<html><head><base href='https://EX.com/Sub/'></head><body>"
+              "<a href='page-"), (F.col("doc_id") % 37).cast("string"),
+        F.lit(".html'><b>Guide</b>\n  g"), (F.col("doc_id") % 5).cast("string"),
+        F.lit("</a><a href='/shared'>Home</a>"
+              "<a href='/shared'><img src='x.png'/></a>"
+              "<a href='#frag'>skip</a>"
+              "<a href='mailto:a@b.c'>skip</a>"
+              "<a href='HTTPS://Other.COM/Top#x'>Top   "),
+        (F.col("doc_id") % 3).cast("string"), F.lit("</a></body></html>"),
+    )
+    pages = docs.select("doc_id", html.alias("html"))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls: list[str] = []
+            anchors: list[str] = []
+            for d, h in zip(pdf["doc_id"], pdf["html"]):
+                for u, t in extract_anchors(
+                        h, page_url=f"https://ex.com/start/{d}"):
+                    urls.append(u)
+                    anchors.append(t)
+            yield pd.DataFrame({"url": urls, "anchor": anchors})
+
+    pairs = pages.mapInPandas(fn, schema=_ANCHOR_SCHEMA)
+    counts = pairs.groupBy("url", "anchor").agg(F.count("*").alias("c"))
+    best = F.min(F.struct((-F.col("c")).alias("nc"),
+                          F.col("anchor").alias("a")))
+    return (counts.groupBy("url")
+            .agg(F.sum("c").alias("inlinks"),
+                 F.count("*").alias("n_anchors"),
+                 best.alias("b"))
+            .select("url", "inlinks", "n_anchors",
+                    F.col("b.a").alias("top_anchor"),
+                    (-F.col("b.nc")).alias("top_count"))
+            .orderBy("url"))
+
+
+ANCHOR_TEXT_AGG_SQL = """
+WITH pairs AS (
+  SELECT 'https://ex.com/Sub/page-' || (doc_id % 37) || '.html' AS url,
+         'Guide g' || (doc_id % 5) AS anchor
+  FROM documents
+  UNION ALL
+  SELECT 'https://ex.com/shared', 'Home' FROM documents
+  UNION ALL
+  SELECT 'https://other.com/Top', 'Top ' || (doc_id % 3) FROM documents
+),
+cnt AS (SELECT url, anchor, count(*) AS c FROM pairs GROUP BY url, anchor)
+SELECT url,
+  CAST(sum(c) AS BIGINT) AS inlinks,
+  CAST(count(*) AS BIGINT) AS n_anchors,
+  min(struct_pack(nc := -c, a := anchor)).a AS top_anchor,
+  CAST(-(min(struct_pack(nc := -c, a := anchor)).nc) AS BIGINT) AS top_count
+FROM cnt GROUP BY url ORDER BY url
+"""
+
+QUERIES["anchor_text_agg"] = anchor_text_agg_query
+ORACLES["anchor_text_agg"] = ANCHOR_TEXT_AGG_SQL

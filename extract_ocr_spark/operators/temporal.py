@@ -293,3 +293,28 @@ ORDER BY b.user_id
 
 QUERIES["event_funnel"] = event_funnel_query
 ORACLES["event_funnel"] = EVENT_FUNNEL_SQL
+
+
+def funnel_transitions(events, state=(0, 0), window_us=FUNNEL_WINDOW_US):
+    """Pure funnel fold over one user's IN-ORDER (code, t_us) events,
+    continuing from ``state`` = (stage, boundary_us). Returns
+    (transitions, new_state) where transitions lists every (stage, t_us)
+    at which the stage strictly INCREASED (a later view restarting the
+    attempt window updates the boundary without a transition). This is
+    the single source of truth the streaming operator
+    (``streaming.stream_funnel``) folds incrementally; the batch query
+    above expresses the identical step as a JVM-side F.aggregate."""
+    stage, bound = state
+    out = []
+    for c, t in events:
+        if c == 1 and stage <= 1:
+            if stage == 0:
+                out.append((1, t))
+            stage, bound = 1, t
+        elif c == 2 and stage == 1 and t - bound <= window_us:
+            stage, bound = 2, t
+            out.append((2, t))
+        elif c == 3 and stage == 2 and t - bound <= window_us:
+            stage, bound = 3, t
+            out.append((3, t))
+    return out, (stage, bound)

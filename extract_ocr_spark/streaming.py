@@ -212,6 +212,72 @@ def stream_sessionize(spark: SparkSession, input_dir: str) -> DataFrame:
     )
 
 
+# -- custom stateful operator: incremental conversion funnel --------------------
+
+_FUNNEL_OUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("stage", T.IntegerType()),
+    T.StructField("at", T.TimestampType()),
+])
+
+_FUNNEL_STATE_SCHEMA = T.StructType([
+    T.StructField("stage", T.IntegerType()),
+    T.StructField("bound_us", T.LongType()),
+])
+
+_FUNNEL_CODE = {"view": 1, "click": 2, "purchase": 3}
+
+
+def _funnel_fn(key: tuple, batches: Iterable[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+    from .operators.temporal import funnel_transitions
+
+    user_id = key[0]
+    evs: list[tuple[int, int, int]] = []
+    for pdf in batches:
+        for t, eid, et in zip(pd.to_datetime(pdf["ts"]), pdf["event_id"],
+                              pdf["event_type"]):
+            evs.append((int(t.value // 1000), int(eid),
+                        _FUNNEL_CODE.get(et, 0)))
+    evs.sort()  # (ts, event_id) order within the micro-batch
+
+    st = tuple(state.get) if state.exists else (0, 0)
+    trans, new_st = funnel_transitions(
+        [(c, t) for t, _eid, c in evs], state=st)
+    state.update((int(new_st[0]), int(new_st[1])))
+    if trans:
+        yield pd.DataFrame({
+            "user_id": [user_id] * len(trans),
+            "stage": [s for s, _ in trans],
+            "at": [pd.Timestamp(t, unit="us") for _, t in trans],
+        })
+
+
+def stream_funnel(spark: SparkSession, input_dir: str) -> DataFrame:
+    """Streaming twin of ``operators.temporal.event_funnel_query``: per-user
+    funnel-stage TRANSITIONS emitted as they happen, with the fold
+    accumulator (stage, boundary_us) in the state store so the funnel
+    spans micro-batches and restarts. Both sides fold with the same pure
+    function (``temporal.funnel_transitions``), so batch/stream parity is
+    by construction; the split-fold continuity the state store relies on
+    (fold(a ++ b) == fold(b) from fold(a)'s state) is pinned by a test.
+    Like ``stream_sessionize``, per-user events are assumed in order
+    across micro-batches (chronological file landing); no timeout is
+    needed because the funnel window is event-time arithmetic inside the
+    fold, not wall-clock state expiry."""
+    events = spark.readStream.schema(EVENTS_DDL).parquet(input_dir)
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_fn,
+            outputStructType=_FUNNEL_OUT_SCHEMA,
+            stateStructType=_FUNNEL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def _stream_identity(run, checkpoint_dir: str) -> str:
     """Read-or-create the stream identity recorded inside the checkpoint
     directory. Epoch ids restart at 0 with a fresh checkpoint, so "batch

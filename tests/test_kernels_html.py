@@ -164,3 +164,24 @@ def test_deterministic():
     a = html_to_markdown(PAGE, source_url="u")
     b = html_to_markdown(PAGE, source_url="u")
     assert a == b
+
+
+def test_extract_anchors_text_and_hygiene():
+    from extract_ocr_spark.kernels.htmlkit import extract_anchors
+
+    html = (
+        "<html><head><base href='https://EX.com/Sub/'></head><body>"
+        "<a href='page-5.html'><b>Guide</b>\n  g2</a>"       # nested + ws
+        "<a href='/shared'>Home</a>"
+        "<a href='/shared'><img src='x.png'/></a>"           # no text: skip
+        "<a href='#frag'>skip</a>"                           # fragment: skip
+        "<a href='mailto:a@b.c'>skip</a>"                    # mailto: skip
+        "<a href='HTTPS://Other.COM/Top#x'>Top   1</a>"      # normalize url
+        "<a href=''>empty href</a>"                          # empty: skip
+        "</body></html>")
+    got = extract_anchors(html, page_url="https://ex.com/start/1")
+    assert got == [
+        ("https://ex.com/Sub/page-5.html", "Guide g2"),
+        ("https://ex.com/shared", "Home"),
+        ("https://other.com/Top", "Top 1"),
+    ]

@@ -412,3 +412,17 @@ def test_event_funnel_plan_one_user_aggregate_no_join_no_python(spark):
     for py in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
                "MapInPandas"):
         assert py not in plan, plan
+
+
+def test_anchor_text_agg_plan_two_phase_aggs_no_join_no_window(spark):
+    """The anchor rollup is kernel extraction + two two-phase aggregates
+    ((url, anchor) counts, then the per-url arg-min rollup) — partial
+    aggregation must be present (it is what flattens the corpus-wide hot
+    '/shared' key), and there must be no join and no window."""
+    from extract_ocr_spark.operators.links import anchor_text_agg_query
+
+    plan = _plan(anchor_text_agg_query(spark, "/root/testdata/sf0.001"))
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert plan.count("MapInPandas") == 1, plan

@@ -1,6 +1,8 @@
 """Local HTML seed ingest (S5/EP2), robots kernel (P4), stateful streaming
 sessionization."""
 
+import os
+
 import pandas as pd
 
 from pyspark.sql import functions as F
@@ -152,3 +154,65 @@ def test_sitemap_kernel_discovery_and_parse():
     assert parse_sitemap_urls(xml) == [
         "https://ex.com/p1", "https://ex.com/p2"]
     assert parse_sitemap_urls(None) == []
+
+
+def test_funnel_transitions_split_fold_continuity():
+    """The state-store contract: folding a sequence in two halves, the
+    second continuing from the first's state, must equal one fold —
+    transitions included. Exercised at every split point of a sequence
+    that hits all transitions plus a restart and a window expiry."""
+    from extract_ocr_spark.operators.temporal import funnel_transitions
+
+    W = 6 * 3600 * 1_000_000
+    sec = 1_000_000
+    evs = [(1, 0), (2, W + sec), (1, W + 2 * sec), (0, W + 3 * sec),
+           (2, W + 4 * sec), (1, W + 5 * sec), (3, 2 * W + 3 * sec),
+           (3, 2 * W + 4 * sec)]
+    full_tr, full_st = funnel_transitions(evs)
+    assert [s for s, _ in full_tr] == [1, 2, 3]
+    for cut in range(len(evs) + 1):
+        t1, s1 = funnel_transitions(evs[:cut])
+        t2, s2 = funnel_transitions(evs[cut:], state=s1)
+        assert t1 + t2 == full_tr and s2 == full_st, cut
+
+
+def test_stream_funnel_state_spans_restarts(spark, tmp_path):
+    """Chronologically split the real events into two landings; the
+    streaming funnel must carry per-user fold state across the restart so
+    the final stage per user equals the batch event_funnel query."""
+    from extract_ocr_spark.operators.temporal import event_funnel_query
+    from extract_ocr_spark.streaming import stream_funnel
+
+    in_dir = str(tmp_path / "ev")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    sf = "/root/testdata/sf0.001"
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    cut = events.approxQuantile("event_id", [0.5], 0.0)[0]
+
+    def run_landing(pred):
+        events.filter(pred).write.mode("append").parquet(in_dir)
+        before = {(r["user_id"], r["stage"])
+                  for r in spark.read.parquet(out_dir).collect()} \
+            if os.path.exists(out_dir) else set()
+        q = (stream_funnel(spark, in_dir)
+             .writeStream.format("parquet").option("path", out_dir)
+             .outputMode("append").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        after = spark.read.parquet(out_dir).collect()
+        return [r for r in after if (r["user_id"], r["stage"]) not in before]
+
+    t1 = run_landing(F.col("event_id") <= cut)
+    t2 = run_landing(F.col("event_id") > cut)
+
+    # transitions only ever raise the stage, so final stage = max emitted
+    final = {}
+    for r in list(t1) + list(t2):
+        final[r["user_id"]] = max(final.get(r["user_id"], 0), r["stage"])
+    batch = {r["user_id"]: r["funnel_stage"]
+             for r in event_funnel_query(spark, sf).collect()}
+    assert final == {u: s for u, s in batch.items() if s > 0}
+    # the restart only proves state carry if some user progressed in BOTH
+    # landings
+    assert {r["user_id"] for r in t1} & {r["user_id"] for r in t2}

@@ -714,3 +714,129 @@ FROM r ORDER BY vec_id
 
 QUERIES["embedding_norm_outliers"] = embedding_norm_outliers
 ORACLES["embedding_norm_outliers"] = EMBEDDING_NORM_OUTLIERS_SQL
+
+
+# -- trained k-means (Lloyd's) over exact integer arithmetic ---------------------
+
+_KMEANS_K = 8
+_KMEANS_ITERS = 2
+_KMEANS_SCALE = 1_000_000
+
+
+def _trunc_div(s: int, n: int) -> int:
+    """Truncate-toward-zero integer division — the semantics BOTH engines
+    share for BIGINT (Spark `div`, DuckDB `//`); python's // floors, so
+    negatives need the sign dance."""
+    return s // n if s >= 0 else -((-s) // n)
+
+
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained k-means (Lloyd's algorithm, K=8, 2 iterations) over the
+    embeddings table — the real version of the seeded-random centroids the
+    IVF index stands in for (``ann_topk_ivf``). Returns each vector's
+    final cluster and exact squared distance to its centroid.
+
+    Every number is EXACT BIGINT: vectors are quantized once
+    (q = floor(x·1e6 + 0.5), computed in DOUBLE — engine-invariant), so
+    distances, centroid sums, and the truncating centroid mean are all
+    integer arithmetic. That makes an iterative, float-native algorithm
+    hash-exact-oracle-checkable AND partitioning-independent: integer
+    sums commute, so the result cannot depend on task order — the
+    property float k-means loses at scale.
+
+    Scale shape (the canonical Lloyd-on-Spark pattern): each assignment
+    is MAP-ONLY — the K centroids are plan literals (K·dim ≈ 512 values),
+    so no join and no shuffle; the centroid update is ONE partial-agg
+    shuffle carrying at most K·dim cells per task; driver traffic is
+    K·(dim+1) numbers per iteration. Empty clusters keep their previous
+    centroid (mirrored by the oracle's coalesce). Init = the K lowest
+    vec_ids' vectors, deterministic and SQL-expressible."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * F.lit(float(_KMEANS_SCALE))
+                          + F.lit(0.5)).cast("long"))
+    qv = emb.select("vec_id", q.alias("q")).persist()
+    try:
+        init = {int(r["vec_id"]): [int(v) for v in r["q"]]
+                for r in qv.filter(F.col("vec_id") < _KMEANS_K).collect()}
+        cents = [init[i] for i in range(_KMEANS_K)]
+        dim = len(cents[0])
+
+        def best_of(centroids):
+            structs = []
+            for cid, c in enumerate(centroids):
+                lit = F.array(*[F.lit(v).cast("long") for v in c])
+                d2 = F.aggregate(
+                    F.zip_with("q", lit, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0).cast("long"), lambda acc, x: acc + x)
+                # named_struct: .alias inside F.struct does not survive
+                # complex (higher-order-function) children in Spark 4
+                structs.append(F.named_struct(
+                    F.lit("d"), d2, F.lit("cid"), F.lit(cid)))
+            return F.array_min(F.array(*structs))
+
+        for _ in range(_KMEANS_ITERS - 1):
+            sums = (qv.select(best_of(cents)["cid"].alias("cid"),
+                              F.posexplode("q").alias("dim", "v"))
+                    .groupBy("cid", "dim")
+                    .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+                    .collect())  # bounded: K*dim rows
+            newc: dict[int, list[int]] = {}
+            for r in sums:
+                newc.setdefault(int(r["cid"]), [0] * dim)[int(r["dim"])] = \
+                    _trunc_div(int(r["s"]), int(r["n"]))
+            cents = [newc.get(i, cents[i]) for i in range(_KMEANS_K)]
+
+        return qv.select("vec_id", best_of(cents).alias("b")).select(
+            "vec_id", F.col("b.cid").alias("cluster"),
+            F.col("b.d").alias("dist2")).orderBy("vec_id")
+    finally:
+        # the persist only serves the per-iteration jobs above; the final
+        # (lazy) assignment recomputes the map-only scan+quantize, which
+        # keeps the returned plan honest and leaks no cache
+        qv.unpersist()
+
+
+_KM_DIST = ("CAST(list_sum(list_transform(list_zip({a}, {b}), "
+            "s -> (s[1] - s[2]) * (s[1] - s[2]))) AS BIGINT)")
+
+KMEANS_CLUSTERS_SQL = f"""
+WITH qv AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(floor(
+      CAST(x AS DOUBLE) * {_KMEANS_SCALE} + CAST('0.5' AS DOUBLE)
+    ) AS BIGINT)) AS q
+  FROM embeddings
+),
+cent0 AS (SELECT vec_id AS cid, q AS c FROM qv WHERE vec_id < {_KMEANS_K}),
+asg1 AS (
+  SELECT v.vec_id, v.q,
+    min(struct_pack(d := {_KM_DIST.format(a='v.q', b='c.c')},
+                    cid := c.cid)).cid AS cid
+  FROM qv v, cent0 c GROUP BY v.vec_id, v.q
+),
+sums1 AS (
+  SELECT a.cid, t.i AS dim,
+    CAST(sum(a.q[t.i]) AS BIGINT) // CAST(count(*) AS BIGINT) AS val
+  FROM asg1 a, generate_series(1, {_DIM}) t(i)
+  GROUP BY a.cid, t.i
+),
+cent1 AS (
+  SELECT c0.cid, coalesce(n.c, c0.c) AS c
+  FROM cent0 c0 LEFT JOIN
+    (SELECT cid, list(val ORDER BY dim) AS c FROM sums1 GROUP BY cid) n
+    USING (cid)
+),
+asg2 AS (
+  SELECT v.vec_id,
+    min(struct_pack(d := {_KM_DIST.format(a='v.q', b='c.c')},
+                    cid := c.cid)) AS b
+  FROM qv v, cent1 c GROUP BY v.vec_id
+)
+SELECT vec_id, CAST(b.cid AS INT) AS cluster, b.d AS dist2
+FROM asg2 ORDER BY vec_id
+"""
+
+QUERIES["kmeans_clusters"] = kmeans_clusters
+ORACLES["kmeans_clusters"] = KMEANS_CLUSTERS_SQL

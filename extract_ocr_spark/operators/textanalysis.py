@@ -1425,3 +1425,66 @@ ORDER BY r.rank
 
 QUERIES["vocab_coverage"] = vocab_coverage
 ORACLES["vocab_coverage"] = VOCAB_COVERAGE_SQL
+
+
+# -- skip-gram co-occurrence pairs ------------------------------------------------
+
+SKIPGRAM_MAX_DIST = 2
+SKIPGRAM_MIN_COUNT = 3
+
+
+def skipgram_pairs(spark, sf_dir):
+    """word2vec-style windowed co-occurrence counts: every forward token
+    pair (w1, w2) at distance d ∈ 1..SKIPGRAM_MAX_DIST across the corpus,
+    kept when its corpus count reaches SKIPGRAM_MIN_COUNT. This is the
+    co-occurrence matrix feeding embedding pre-training and collocation
+    mining (pmi_collocations ranks ADJACENT pairs; this one keeps the
+    distance dimension).
+
+    Scale shape: pair construction is MAP-ONLY — for each distance the
+    shifted token array is zip_with'd against itself (two bounded slices,
+    no self-join, no window), concatenated, and exploded once; the single
+    shuffle is the two-phase (w1, w2, d) count, whose partial aggregation
+    absorbs hot pairs (stopword-stopword pairs are exactly the skew).
+    The count filter runs post-aggregation on the reduced key space."""
+    docs = _docs(spark, sf_dir)
+    t = tok_array(F.col("text"))
+    base = docs.select(t.alias("t"))
+    n = F.size("t")
+
+    def pairs_at(d: int):
+        ln = F.greatest(n - d, F.lit(0))
+        return F.zip_with(
+            F.slice("t", 1, ln), F.slice("t", d + 1, ln),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2"),
+                                  F.lit(d).alias("d")))
+
+    allp = F.concat(*[pairs_at(d) for d in range(1, SKIPGRAM_MAX_DIST + 1)])
+    return (base.select(F.explode(allp).alias("p"))
+            .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"),
+                     F.col("p.d").alias("d"))
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") >= SKIPGRAM_MIN_COUNT)
+            .orderBy("w1", "w2", "d"))
+
+
+SKIPGRAM_PAIRS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '{WS_RE}+'),
+                x -> x <> '') AS t
+  FROM documents
+),
+pairs AS (
+  SELECT t[i] AS w1, t[i + d] AS w2, d
+  FROM toks,
+       (VALUES {", ".join(f"({d})" for d in range(1, SKIPGRAM_MAX_DIST + 1))}) dd(d),
+       unnest(range(1, len(t) - d + 1)) AS r(i)
+)
+SELECT w1, w2, CAST(d AS INT) AS d, CAST(count(*) AS BIGINT) AS c
+FROM pairs GROUP BY w1, w2, d HAVING count(*) >= {SKIPGRAM_MIN_COUNT}
+ORDER BY w1, w2, d
+"""
+
+QUERIES["skipgram_pairs"] = skipgram_pairs
+ORACLES["skipgram_pairs"] = SKIPGRAM_PAIRS_SQL

@@ -426,3 +426,31 @@ def test_anchor_text_agg_plan_two_phase_aggs_no_join_no_window(spark):
     assert "Join" not in plan, plan
     assert "Window" not in plan, plan
     assert plan.count("MapInPandas") == 1, plan
+
+
+def test_kmeans_final_plan_map_only_no_join_no_python(spark):
+    """Lloyd's on Spark: the centroids are plan LITERALS, so the returned
+    assignment must be map-only — no join, no window, no Python eval;
+    the only exchange is the presentation orderBy."""
+    from extract_ocr_spark.operators.similarity import kmeans_clusters
+
+    plan = _plan(kmeans_clusters(spark, "/root/testdata/sf0.001"))
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+               "MapInPandas"):
+        assert py not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_skipgram_pairs_plan_map_only_pairs_one_agg(spark):
+    """Pair construction must be slice/zip_with map work — no self-join,
+    no window — with partial aggregation absorbing hot stopword pairs."""
+    from extract_ocr_spark.operators.textanalysis import skipgram_pairs
+
+    plan = _plan(skipgram_pairs(spark, "/root/testdata/sf0.001"))
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "partial_count" in plan, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan, plan

@@ -42,7 +42,8 @@ SUBSET = [
     # data-dependent, so both scales matter)
     "caption_pairs", "interleave_stats", "embedding_norm_outliers",
     "host_reputation", "asof_join", "range_join_bins", "hypertable_rollup",
-    "event_funnel", "anchor_text_agg",
+    "event_funnel", "anchor_text_agg", "kmeans_clusters",
+    "skipgram_pairs",
 ]
 
 

@@ -116,3 +116,68 @@ def test_semdedup_refuses_oversized_fixed_cell_input(spark):
         "id AS vec_id", "array(1.0d, 2.0d) AS emb")
     with pytest.raises(ValueError, match="quadratic in cell size"):
         S.semdedup_df(emb)
+
+
+# -- trained k-means --------------------------------------------------------------
+
+
+def _lloyd_mirror(emb_rows, k, iters, scale):
+    """Exact python-int Lloyd's: quantize, assign to argmin (dist2, cid),
+    truncating integer centroid mean, empty clusters keep their centroid."""
+    import math
+
+    from extract_ocr_spark.operators.similarity import _trunc_div
+
+    q = {int(vid): [int(math.floor(float(x) * scale + 0.5)) for x in vec]
+         for vid, vec in emb_rows}
+    dim = len(next(iter(q.values())))
+    cent = {i: q[i][:] for i in range(k)}
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    asg = {}
+    for it in range(iters):
+        asg = {v: min((d2(qq, c), cid) for cid, c in cent.items())
+               for v, qq in q.items()}
+        if it == iters - 1:
+            break
+        members: dict[int, list[list[int]]] = {}
+        for v, (_, cid) in asg.items():
+            members.setdefault(cid, []).append(q[v])
+        for cid, ms in members.items():
+            cent[cid] = [_trunc_div(sum(m[j] for m in ms), len(ms))
+                         for j in range(dim)]
+    return asg, cent
+
+
+def test_kmeans_matches_python_lloyd(spark):
+    """Every (cluster, dist2) at sf0.001 equals the exact python-int
+    Lloyd's mirror — bit-for-bit, because every number is BIGINT."""
+    from extract_ocr_spark.operators.similarity import (
+        _KMEANS_ITERS,
+        _KMEANS_K,
+        _KMEANS_SCALE,
+        kmeans_clusters,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+    asg, cent = _lloyd_mirror(
+        [(r["vec_id"], r["embedding"]) for r in emb],
+        _KMEANS_K, _KMEANS_ITERS, _KMEANS_SCALE)
+
+    got = {int(r["vec_id"]): (int(r["cluster"]), int(r["dist2"]))
+           for r in kmeans_clusters(spark, sf).collect()}
+    want = {v: (cid, d) for v, (d, cid) in asg.items()}
+    assert got == want
+
+    # the iteration is load-bearing: trained centroids must differ from
+    # the init (vec_id < K) and some vector must have switched cluster
+    # relative to the nearest-init assignment
+    asg0, cent0 = _lloyd_mirror(
+        [(r["vec_id"], r["embedding"]) for r in emb],
+        _KMEANS_K, 1, _KMEANS_SCALE)
+    assert cent != cent0
+    assert any(asg[v][1] != asg0[v][1] for v in asg)
+    assert len({cid for _, cid in asg.values()}) > 1

@@ -758,9 +758,11 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                           + F.lit(0.5)).cast("long"))
     qv = emb.select("vec_id", q.alias("q")).persist()
     try:
-        init = {int(r["vec_id"]): [int(v) for v in r["q"]]
-                for r in qv.filter(F.col("vec_id") < _KMEANS_K).collect()}
-        cents = [init[i] for i in range(_KMEANS_K)]
+        # init = the K lowest vec_ids' vectors, renumbered 0..K-1 in
+        # vec_id order — robust to id gaps (a `vec_id < K` filter would
+        # under-fill on a gapped table); TakeOrdered, never a full sort
+        cents = [[int(v) for v in r["q"]]
+                 for r in qv.orderBy("vec_id").limit(_KMEANS_K).collect()]
         dim = len(cents[0])
 
         def best_of(centroids):
@@ -809,7 +811,10 @@ WITH qv AS (
     ) AS BIGINT)) AS q
   FROM embeddings
 ),
-cent0 AS (SELECT vec_id AS cid, q AS c FROM qv WHERE vec_id < {_KMEANS_K}),
+cent0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS c
+  FROM (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT {_KMEANS_K})
+),
 asg1 AS (
   SELECT v.vec_id, v.q,
     min(struct_pack(d := {_KM_DIST.format(a='v.q', b='c.c')},

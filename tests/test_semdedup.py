@@ -131,7 +131,8 @@ def _lloyd_mirror(emb_rows, k, iters, scale):
     q = {int(vid): [int(math.floor(float(x) * scale + 0.5)) for x in vec]
          for vid, vec in emb_rows}
     dim = len(next(iter(q.values())))
-    cent = {i: q[i][:] for i in range(k)}
+    cent = {i: q[vid][:]
+            for i, vid in enumerate(sorted(q)[:k])}  # K lowest vec_ids
 
     def d2(a, b):
         return sum((x - y) * (x - y) for x, y in zip(a, b))
@@ -181,3 +182,32 @@ def test_kmeans_matches_python_lloyd(spark):
     assert cent != cent0
     assert any(asg[v][1] != asg0[v][1] for v in asg)
     assert len({cid for _, cid in asg.values()}) > 1
+
+
+def test_kmeans_init_robust_to_gapped_vec_ids(spark, tmp_path):
+    """Init is the K LOWEST vec_ids, not `vec_id < K`: a table whose ids
+    start above K must still train and match the mirror."""
+    import numpy as np
+
+    from extract_ocr_spark.operators.similarity import (
+        _KMEANS_ITERS,
+        _KMEANS_K,
+        _KMEANS_SCALE,
+        kmeans_clusters,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [(int(100 + 3 * i),
+             [float(x) for x in rng.normal(0, 0.15, 64).astype(np.float32)],
+             int(i % 4))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    got = {int(r["vec_id"]): (int(r["cluster"]), int(r["dist2"]))
+           for r in kmeans_clusters(spark, str(tmp_path)).collect()}
+    emb = spark.read.parquet(str(tmp_path / "embeddings.parquet")).collect()
+    asg, _ = _lloyd_mirror([(r["vec_id"], r["embedding"]) for r in emb],
+                           _KMEANS_K, _KMEANS_ITERS, _KMEANS_SCALE)
+    assert got == {v: (cid, d) for v, (d, cid) in asg.items()}
+    assert len(got) == 60

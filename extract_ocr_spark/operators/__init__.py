@@ -125,6 +125,9 @@ def all_queries():
         "cluster_canonical", "caption_pairs", "interleave_stats",
         "embedding_norm_outliers", "host_reputation", "asof_join",
         "range_join_bins", "hypertable_rollup", "event_funnel",
+        "anchor_text_agg", "kmeans_clusters", "skipgram_pairs",
+        "triangle_count", "label_propagation", "hll_distinct",
+        "cms_heavy_hitters",
     )
     order = [n for n in front if n in queries] + [
         n for n in queries if n not in front]

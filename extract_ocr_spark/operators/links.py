@@ -830,3 +830,217 @@ FROM cnt GROUP BY url ORDER BY url
 
 QUERIES["anchor_text_agg"] = anchor_text_agg_query
 ORACLES["anchor_text_agg"] = ANCHOR_TEXT_AGG_SQL
+
+
+# -- Community-structure graph (shared by triangle_count / label_propagation) -
+
+BLOCK = 10          # intra-block chord width for the synthetic community graph
+BRIDGE_MUL = 7      # sparse inter-block bridge: doc_id*7+3 mod n, every 10th
+BRIDGE_ADD = 3
+
+
+def _block_edges(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
+    """Canonical (a < b) undirected edge set of a deterministic
+    block-community graph over the documents table: chords i->i+1 and
+    i->i+2 inside every block of BLOCK consecutive ids, plus one bridge
+    (i*7+3 mod n) from each block head. Unlike the bfs/pagerank mod-graph
+    (whose linear maps almost never close 3-cycles), triangles here scale
+    with n — every in-block consecutive triple closes one — and blocks
+    give label propagation real communities to find."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    n = docs.count()
+    did = F.col("doc_id")
+    same_block = lambda d: F.expr(f"(doc_id + {d}) div {BLOCK}") \
+        == F.expr(f"doc_id div {BLOCK}")  # noqa: E731
+    e1 = docs.filter((did + 1 < n) & same_block(1)) \
+        .select(did.alias("a"), (did + 1).alias("b"))
+    e2 = docs.filter((did + 2 < n) & same_block(2)) \
+        .select(did.alias("a"), (did + 2).alias("b"))
+    dst = (did * BRIDGE_MUL + BRIDGE_ADD) % n
+    e3 = (docs.filter((did % BLOCK == 0) & (dst != did))
+          .select(F.least(did, dst).alias("a"),
+                  F.greatest(did, dst).alias("b")))
+    return e1.unionByName(e2).unionByName(e3).distinct(), n
+
+
+_BLOCK_EDGES_CTE = f"""n AS (SELECT count(*) AS c FROM documents),
+raw AS (
+  SELECT doc_id AS a, doc_id + 1 AS b FROM documents, n
+  WHERE doc_id + 1 < c AND (doc_id + 1) // {BLOCK} = doc_id // {BLOCK}
+  UNION ALL
+  SELECT doc_id, doc_id + 2 FROM documents, n
+  WHERE doc_id + 2 < c AND (doc_id + 2) // {BLOCK} = doc_id // {BLOCK}
+  UNION ALL
+  SELECT least(doc_id, (doc_id*{BRIDGE_MUL}+{BRIDGE_ADD}) % c),
+         greatest(doc_id, (doc_id*{BRIDGE_MUL}+{BRIDGE_ADD}) % c)
+  FROM documents, n
+  WHERE doc_id % {BLOCK} = 0 AND (doc_id*{BRIDGE_MUL}+{BRIDGE_ADD}) % c <> doc_id
+),
+edges AS (SELECT DISTINCT a, b FROM raw)"""
+
+
+def triangle_count_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation over the block-community graph —
+    the web-graph cohesion signal (link-farm detection, community
+    density) next to pagerank_scores' centrality. Canonical a<b<c
+    enumeration: edges(a,b) ⋈ edges(b,c) ⋈ edges(a,c), each triangle
+    counted once, then exploded to its three corners; every node reports
+    (degree, triangles), zeros included. All integers — parity by
+    construction.
+
+    Scale shape: the standard two-join closure over a canonically
+    oriented edge list. Ordering every edge low-id->high-id is the
+    textbook skew cut (each triangle is generated exactly once, and a
+    hub's wedge count is split by direction); the edge table is persisted
+    and reused across both joins and the degree rollup. At web scale the
+    orientation key would be degree rather than id (cuts the max wedge
+    fan-out from deg² to out-deg²) — id-orientation keeps the oracle
+    twin in plain SQL."""
+    edges, _ = _block_edges(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    edges = edges.persist()
+    try:
+        out = triangle_count_df(docs, edges).localCheckpoint(eager=True)
+    finally:
+        edges.unpersist()
+    return out
+
+
+def triangle_count_df(docs: DataFrame, edges: DataFrame) -> DataFrame:
+    """Lazy per-node (degree, triangles) rollup over a canonical (a < b)
+    edge list (see triangle_count_query for the scale argument; split out
+    so the physical plan is pin-testable before the query's persist +
+    localCheckpoint hide it)."""
+    e1 = edges.select(F.col("a"), F.col("b"))
+    e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c3"))
+    e3 = edges.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    tris = (e1.join(e2, "b")
+            .join(e3, (F.col("a") == F.col("ta"))
+                  & (F.col("c3") == F.col("tc")))
+            .select("a", "b", "c3"))
+    node_tri = (tris.select(F.col("a").alias("v"))
+                .unionAll(tris.select(F.col("b").alias("v")))
+                .unionAll(tris.select(F.col("c3").alias("v")))
+                .groupBy("v").agg(F.count("*").alias("triangles")))
+    deg = (edges.select(F.col("a").alias("v"))
+           .unionAll(edges.select(F.col("b").alias("v")))
+           .groupBy("v").agg(F.count("*").alias("degree")))
+    return (docs.join(deg, docs["doc_id"] == deg["v"], "left").drop("v")
+            .join(node_tri, docs["doc_id"] == node_tri["v"], "left")
+            .select("doc_id",
+                    F.coalesce("degree", F.lit(0)).alias("degree"),
+                    F.coalesce("triangles", F.lit(0)).alias("triangles"))
+            .orderBy("doc_id"))
+
+
+TRIANGLE_COUNT_SQL = f"""
+WITH {_BLOCK_EDGES_CTE},
+tris AS (
+  SELECT e1.a, e1.b, e2.b AS c3
+  FROM edges e1 JOIN edges e2 ON e2.a = e1.b
+  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+node_tri AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS triangles FROM (
+    SELECT a AS v FROM tris UNION ALL SELECT b FROM tris
+    UNION ALL SELECT c3 FROM tris
+  ) GROUP BY v
+),
+deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT a AS v FROM edges UNION ALL SELECT b FROM edges) GROUP BY v
+)
+SELECT d.doc_id, coalesce(deg.degree, 0) AS degree,
+       coalesce(nt.triangles, 0) AS triangles
+FROM documents d LEFT JOIN deg ON deg.v = d.doc_id
+LEFT JOIN node_tri nt ON nt.v = d.doc_id
+ORDER BY doc_id
+"""
+
+QUERIES["triangle_count"] = triangle_count_query
+ORACLES["triangle_count"] = TRIANGLE_COUNT_SQL
+
+
+LPA_ITERS = 3
+
+
+def label_propagation_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over the
+    block-community graph: labels start as doc_id; each iteration every
+    node adopts its neighbors' most frequent label, ties broken by the
+    smallest label (min over struct(-count, label)); nodes without
+    neighbors keep their label. Three synchronous iterations with a
+    deterministic tie-break make the usually-stochastic algorithm exact,
+    so the community assignment — and each community's size — is
+    hash-checkable. The near-dup clustering twin of this shape is
+    neardup_clusters (pointer-jumping components); LPA is the DENSITY
+    community detector web graphs use for link-farm / template-cluster
+    discovery.
+
+    Scale shape: per iteration, one join of the label table onto the
+    symmetrized adjacency (shuffle on nbr == v), one (node, label) count
+    with map-side partial aggregation, one arg-min rollup, one left join
+    back to the node set; each iteration localCheckpoints so the plan
+    stays flat (the kmeans/pagerank discipline). Label skew (a community
+    absorbing most of the graph) lands in the COUNT's partial aggregate,
+    not the join."""
+    edges, _ = _block_edges(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    adj = (edges.select(F.col("a").alias("v"), F.col("b").alias("nbr"))
+           .unionByName(
+               edges.select(F.col("b").alias("v"), F.col("a").alias("nbr")))
+           .persist())
+    try:
+        labels = docs.select(F.col("doc_id").alias("v"),
+                             F.col("doc_id").alias("lbl"))
+        for _ in range(LPA_ITERS):
+            got = (adj.join(labels.withColumnRenamed("v", "pv"),
+                            F.col("nbr") == F.col("pv"))
+                   .groupBy("v", "lbl").agg(F.count("*").alias("cnt")))
+            best = (got.groupBy("v")
+                    .agg(F.min(F.struct((-F.col("cnt")).alias("nc"),
+                                        F.col("lbl").alias("l")))
+                         .alias("m"))
+                    .select("v", F.col("m.l").alias("new_lbl")))
+            labels = (docs.select(F.col("doc_id").alias("v"))
+                      .join(best, "v", "left")
+                      .select("v", F.coalesce("new_lbl", F.col("v"))
+                              .alias("lbl"))
+                      .localCheckpoint(eager=True))
+    finally:
+        adj.unpersist()
+    from pyspark.sql.window import Window
+
+    return (labels.select(F.col("v").alias("doc_id"),
+                          F.col("lbl").alias("label"))
+            .withColumn("community_size",
+                        F.count("*").over(Window.partitionBy("label")))
+            .orderBy("doc_id"))
+
+
+def _lpa_iter_sql(prev: str, cur: str) -> str:
+    return f"""{cur} AS (
+  SELECT d.doc_id AS v, coalesce(m.lbl, d.doc_id) AS lbl
+  FROM documents d LEFT JOIN (
+    SELECT v, (min(struct_pack(nc := -cnt, lbl := lbl))).lbl AS lbl
+    FROM (SELECT a.v, p.lbl, CAST(count(*) AS BIGINT) AS cnt
+          FROM adj a JOIN {prev} p ON p.v = a.nbr
+          GROUP BY a.v, p.lbl) g(v, lbl, cnt)
+    GROUP BY v) m ON m.v = d.doc_id
+)"""
+
+
+LABEL_PROPAGATION_SQL = (
+    f"WITH {_BLOCK_EDGES_CTE},\n"
+    "adj AS (SELECT a AS v, b AS nbr FROM edges "
+    "UNION ALL SELECT b, a FROM edges),\n"
+    "l0 AS (SELECT doc_id AS v, doc_id AS lbl FROM documents),\n"
+    + ",\n".join(_lpa_iter_sql(f"l{i}", f"l{i+1}") for i in range(LPA_ITERS))
+    + f"""
+SELECT v AS doc_id, lbl AS label,
+       CAST(count(*) OVER (PARTITION BY lbl) AS BIGINT) AS community_size
+FROM l{LPA_ITERS} ORDER BY doc_id
+""")
+
+QUERIES["label_propagation"] = label_propagation_query
+ORACLES["label_propagation"] = LABEL_PROPAGATION_SQL

@@ -1488,3 +1488,229 @@ ORDER BY w1, w2, d
 
 QUERIES["skipgram_pairs"] = skipgram_pairs
 ORACLES["skipgram_pairs"] = SKIPGRAM_PAIRS_SQL
+
+
+# --- HyperLogLog distinct-count sketch --------------------------------------
+
+HLL_M = 64                    # registers (p = 6 index bits off the low end)
+_HLL_REST_BITS = 54           # 60-bit md5 hash minus the 6 index bits
+_HLL_ALPHA = 0.709            # Flajolet et al. 2007 bias constant for m=64
+_HLL_LC_CUT = 2.5 * HLL_M     # small-range (linear counting) switchover
+
+
+def hll_distinct_df(docs: "DataFrame") -> "DataFrame":
+    """HyperLogLog cardinality sketch (Flajolet et al. 2007) over each
+    source's distinct token bigrams — the same domain as kmv_distinct, so
+    the two estimators are directly comparable in one corpus report. The
+    60-bit md5 hash splits into a 6-bit register index (low bits) and a
+    54-bit suffix whose leading-zero rank updates the register; the raw
+    estimate is alpha * m^2 / sum(2^-M_j), switching to linear counting
+    m * ln(m / empty) below 2.5m when registers remain empty.
+
+    Unlike Spark's built-in approx_count_distinct (whose HLL++ register
+    layout is not reproducible outside the JVM), this one is
+    oracle-checkable: register indices, ranks (via length(bin(x)) — both
+    engines print minimal binary), and the register fold are exact
+    integers / exact binary fractions. The fold sums 2^-M_j in register
+    order on both sides (char_entropy discipline: 64 terms spanning up to
+    2^61 in scale do NOT commute exactly in doubles), so the estimate is
+    bit-identical by induction; ln only runs on the linear-counting
+    branch, whose condition both engines derive from the same doubles.
+
+    Scale shape: registers are a two-phase aggregate — (source, idx)
+    max(rank) partials absorb the token firehose map-side, then 64 rows
+    per source fold driver-free into one estimate row. This is THE
+    mergeable-sketch pattern: per-partition register vectors union by
+    max, so a 100 TB corpus pays one narrow shuffle of
+    O(sources * 64) rows."""
+    from . import bigram_array, md5_long
+
+    base = (docs.select("source", tok_array(F.col("text")).alias("toks"))
+            .filter(F.size("toks") >= 2))
+    grams = base.select(
+        "source",
+        F.explode(bigram_array(F.col("toks"))).alias("bg")).distinct()
+    h = grams.select("source", md5_long(F.col("bg")).alias("h"))
+    hashed = h.select(
+        "source", (F.col("h") % HLL_M).alias("idx"),
+        F.expr(f"h div {HLL_M}").alias("rest"))
+    rank = (F.when(F.col("rest") == 0, F.lit(_HLL_REST_BITS + 1))
+            .otherwise(F.lit(_HLL_REST_BITS + 1)
+                       - F.length(F.bin(F.col("rest")))))
+    # hashed has ONE row per distinct (source, bigram), so counting rows
+    # inside the register rollup yields exact_distinct for free — the
+    # whole operator is a single pass (no second scan, no join back)
+    regs = (hashed.select("source", "idx", rank.alias("rank"))
+            .groupBy("source", "idx").agg(F.max("rank").alias("m"),
+                                          F.count("*").alias("cnt")))
+    # the register's exact binary fraction 2^-m, computed while m is a
+    # real column (integer shift then one exact-double division)
+    term = F.lit(1.0) / F.expr(
+        "CAST(shiftleft(CAST(1 AS BIGINT), CAST(m AS INT)) AS DOUBLE)")
+    folded = (regs.select("source", "idx", "cnt", term.alias("term"))
+              .groupBy("source").agg(
+                  F.count("*").alias("hit"),
+                  F.sum("cnt").alias("exact_distinct"),
+                  F.aggregate(
+                      F.array_sort(F.collect_list(F.struct("idx", "term"))),
+                      F.lit(0.0), lambda a, x: a + x["term"])
+                  .alias("fold")))
+    raw = ((F.lit(_HLL_ALPHA) * F.lit(float(HLL_M * HLL_M)))
+           / (F.col("fold") + (F.lit(HLL_M) - F.col("hit")).cast("double")))
+    est = (F.when((raw <= F.lit(_HLL_LC_CUT)) & (F.col("hit") < HLL_M),
+                  F.lit(float(HLL_M))
+                  * F.log(F.lit(float(HLL_M))
+                          / (F.lit(HLL_M) - F.col("hit")).cast("double")))
+           .otherwise(raw))
+    return folded.select("source", "exact_distinct",
+                         F.col("hit").alias("registers_hit"),
+                         F.round(est, 4).alias("hll_estimate"))
+
+
+def hll_distinct(spark, sf_dir):
+    return hll_distinct_df(_docs(spark, sf_dir)).orderBy("source")
+
+
+HLL_DISTINCT_SQL = rf"""
+WITH t AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(lower(text), '{WS_RE}+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT DISTINCT source,
+         array_to_string(toks[r.i+1 : r.i+2], ' ') AS bg
+  FROM t, unnest(range(0, len(toks) - 1)) AS r(i)
+  WHERE len(toks) >= 2
+), h AS (
+  SELECT source, ('0x' || substring(md5(bg), 1, 15))::BIGINT AS h FROM g
+), regs AS (
+  SELECT source, h % {HLL_M} AS idx,
+         max(CASE WHEN h // {HLL_M} = 0 THEN {_HLL_REST_BITS + 1}
+                  ELSE {_HLL_REST_BITS + 1} - length(bin(h // {HLL_M}))
+             END) AS m
+  FROM h GROUP BY source, h % {HLL_M}
+), s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS hit,
+         list_reduce(list_prepend(0.0, list(
+             1.0 / CAST(CAST(1 AS BIGINT) << m AS DOUBLE) ORDER BY idx)),
+           (a, b) -> a + b) AS fold
+  FROM regs GROUP BY source
+), e AS (
+  SELECT source, hit,
+         (CAST('{_HLL_ALPHA!r}' AS DOUBLE) * {float(HLL_M * HLL_M)!r})
+           / (fold + CAST({HLL_M} - hit AS DOUBLE)) AS raw
+  FROM s
+), x AS (
+  SELECT source, hit,
+         CASE WHEN raw <= {_HLL_LC_CUT!r} AND hit < {HLL_M}
+              THEN {float(HLL_M)!r}
+                   * ln({float(HLL_M)!r} / CAST({HLL_M} - hit AS DOUBLE))
+              ELSE raw END AS est
+  FROM e
+), ex AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS exact_distinct
+  FROM g GROUP BY source
+)
+SELECT ex.source, ex.exact_distinct, x.hit AS registers_hit,
+       round(x.est, 4) AS hll_estimate
+FROM ex JOIN x USING (source) ORDER BY source
+"""
+
+QUERIES["hll_distinct"] = hll_distinct
+ORACLES["hll_distinct"] = HLL_DISTINCT_SQL
+
+
+# --- Count-min sketch heavy hitters ------------------------------------------
+
+CMS_W = 16          # deliberately narrow: vocab ~31 >> 16 buckets, so the
+CMS_D = 4           # overestimate channel (min over 4 rows) is EXERCISED
+CMS_HEAVY_DEN = 32  # heavy iff est * 32 >= total tokens (>= 3.125%)
+
+
+def cms_heavy_hitters_df(docs: "DataFrame") -> "DataFrame":
+    """Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005) over
+    the corpus token stream: d=4 salted md5 rows x w=16 buckets, estimate
+    = min over rows of the bucket totals, heavy iff the estimate clears
+    CMS_HEAVY_DEN^-1 of all tokens. Every token reports (true_count,
+    cms_estimate, is_heavy) so the sketch's one-sided error (estimate >=
+    truth, overshoot only from collisions) is visible in the output — w
+    is deliberately far below the vocabulary so collisions actually
+    happen at test scale, the same forced-error design as bloom_url_seen's
+    m=4n.
+
+    Scale shape: the sketch is built from the TOKEN COUNTS table, not the
+    raw stream — bucket totals are a sum over distinct tokens (vocab-
+    bounded, Heaps' law), so the corpus-sized explode happens exactly
+    once (the same count table serves truth and sketch). All integers:
+    parity by construction. The d*w = 64-cell sketch itself is the
+    mergeable map-side structure a streaming variant would keep."""
+    toks = docs.select(F.explode(tok_array(F.col("text"))).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("true_count"))
+    counts = counts.persist()
+    try:
+        total = counts.agg(F.sum("true_count").alias("n")) \
+            .collect()[0]["n"]
+        out = _cms_estimates(counts, int(total)).localCheckpoint(eager=True)
+    finally:
+        counts.unpersist()
+    return out
+
+
+def _cms_estimates(counts: "DataFrame", total: int) -> "DataFrame":
+    """Lazy sketch-build + probe over a (tok, true_count) table (split
+    out so the plan is pin-testable before the persist/localCheckpoint
+    in cms_heavy_hitters_df hides it)."""
+    from . import md5_long
+
+    salted = counts.select(
+        "tok", "true_count",
+        F.explode(F.array(*[F.lit(str(j)) for j in range(CMS_D)]))
+        .alias("j"))
+    hashed = salted.select(
+        "tok", "true_count", "j",
+        (md5_long(F.concat(F.col("j"), F.lit(":"), F.col("tok")))
+         % CMS_W).alias("b"))
+    bc = hashed.groupBy("j", "b").agg(
+        F.sum("true_count").alias("cnt"))
+    est = (hashed.join(bc, ["j", "b"])
+           .groupBy("tok", "true_count")
+           .agg(F.min("cnt").alias("cms_estimate")))
+    return (est.select(
+        F.col("tok").alias("token"), "true_count", "cms_estimate",
+        (F.col("cms_estimate") * CMS_HEAVY_DEN >= F.lit(total))
+        .alias("is_heavy"))
+        .orderBy("token"))
+
+
+def cms_heavy_hitters(spark, sf_dir):
+    return cms_heavy_hitters_df(_docs(spark, sf_dir))
+
+
+CMS_HEAVY_HITTERS_SQL = rf"""
+WITH t AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '{WS_RE}+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), c AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS true_count FROM t GROUP BY tok
+), tot AS (SELECT CAST(sum(true_count) AS BIGINT) AS n FROM c),
+buck AS (
+  SELECT u.j, tok, true_count,
+         ('0x' || substring(md5(u.j || ':' || tok), 1, 15))::BIGINT
+           % {CMS_W} AS b
+  FROM c, unnest([{", ".join(repr(str(j)) for j in range(CMS_D))}]) AS u(j)
+), bc AS (
+  SELECT j, b, CAST(sum(true_count) AS BIGINT) AS cnt FROM buck GROUP BY j, b
+), est AS (
+  SELECT buck.tok, buck.true_count, min(bc.cnt) AS cms_estimate
+  FROM buck JOIN bc ON bc.j = buck.j AND bc.b = buck.b
+  GROUP BY buck.tok, buck.true_count
+)
+SELECT tok AS token, true_count, cms_estimate,
+       cms_estimate * {CMS_HEAVY_DEN} >= (SELECT n FROM tot) AS is_heavy
+FROM est ORDER BY token
+"""
+
+QUERIES["cms_heavy_hitters"] = cms_heavy_hitters
+ORACLES["cms_heavy_hitters"] = CMS_HEAVY_HITTERS_SQL

@@ -454,3 +454,66 @@ def test_skipgram_pairs_plan_map_only_pairs_one_agg(spark):
     assert "partial_count" in plan, plan
     for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py not in plan, plan
+
+
+def test_triangle_count_plan_shuffle_joins_no_cartesian_no_python(spark):
+    """The triangle closure must run as key-equi joins over the oriented
+    edge list — never a nested-loop/cartesian pair space — and stay
+    JVM-side with partial aggregation on the corner counts."""
+    from extract_ocr_spark.operators.links import (_block_edges,
+                                                   triangle_count_df)
+
+    edges, _ = _block_edges(spark, "/root/testdata/sf0.001")
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id")
+    plan = _plan(triangle_count_df(docs, edges))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "partial_count" in plan, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan, plan
+
+
+def test_label_propagation_final_plan_one_window_no_python(spark):
+    """Each LPA iteration localCheckpoints, so the returned plan is the
+    community-size window over the final label table: exactly one window,
+    one label exchange, no join, no Python."""
+    from extract_ocr_spark.operators.links import label_propagation_query
+
+    plan = _plan(label_propagation_query(spark, "/root/testdata/sf0.001"))
+    assert plan.count("Window") == 1, plan
+    assert "Join" not in plan, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan, plan
+
+
+def test_hll_distinct_plan_two_phase_registers_no_python(spark):
+    """The register build must partial-aggregate (per-partition register
+    vectors merge by max before the shuffle — the mergeable-sketch
+    property) and the whole sketch stays JVM-side."""
+    from extract_ocr_spark.operators.textanalysis import hll_distinct_df
+
+    plan = _plan(hll_distinct_df(_docs(spark)))
+    assert "partial_max" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan, plan
+
+
+def test_cms_estimates_plan_vocab_join_partial_agg_no_python(spark):
+    """Sketch build + probe runs over the token-counts table (vocab-
+    bounded), with partial aggregation on the bucket sums and an equi
+    join (never nested-loop) for the probe."""
+    from pyspark.sql import functions as F
+
+    from extract_ocr_spark.operators.textanalysis import _cms_estimates
+
+    counts = _docs(spark).selectExpr("lower(text) AS t").selectExpr(
+        "explode(split(t, ' ')) AS tok").groupBy("tok").agg(
+            F.count("*").alias("true_count"))
+    plan = _plan(_cms_estimates(counts, 1000))
+    assert "partial_sum" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan, plan

@@ -44,6 +44,11 @@ SUBSET = [
     "host_reputation", "asof_join", "range_join_bins", "hypertable_rollup",
     "event_funnel", "anchor_text_agg", "kmeans_clusters",
     "skipgram_pairs",
+    # r5 thirteenth session: graph cohesion/community + the two classic
+    # mergeable sketches (register/bucket layouts are hash-layout-
+    # sensitive, so both scales matter)
+    "triangle_count", "label_propagation", "hll_distinct",
+    "cms_heavy_hitters",
 ]
 
 

@@ -446,3 +446,40 @@ def test_vocab_coverage_plan_takeordered_no_python(spark):
     for py in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
                "MapInPandas"):
         assert py not in plan, plan
+
+
+def test_hll_linear_counting_branch_matches_oracle(spark, tmp_path):
+    """The linear-counting branch (registers not saturated, raw estimate
+    under 2.5m) is DEAD at both driver scales — every testdata source
+    fills all 64 registers — so its cross-engine parity (JVM Math.log vs
+    DuckDB std::log inside round(4)) is pinned here on a corpus of small
+    sources, alongside one saturated source taking the raw branch."""
+    import duckdb
+
+    from extract_ocr_spark.operators.textanalysis import (
+        HLL_DISTINCT_SQL,
+        HLL_M,
+        hll_distinct,
+    )
+
+    rows = []
+    # small sources: 4..14 distinct bigrams each -> hit << 64 -> LC branch
+    for s in range(8):
+        text = " ".join(f"s{s}w{i}" for i in range(5 + s))
+        rows.append((s, text, "en", f"small{s}", len(text)))
+    # one saturated source (the raw-estimator branch stays covered here)
+    big = " ".join(f"b{i} c{i}" for i in range(300))
+    rows.append((100, big, "en", "big", len(big)))
+    d = tmp_path / "documents.parquet"
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d))
+
+    got = {r["source"]: tuple(r) for r in hll_distinct(spark, str(tmp_path)).collect()}
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{d}/*.parquet'")
+    want = {r[0]: tuple(r) for r in con.sql(HLL_DISTINCT_SQL).fetchall()}
+    assert got == want
+    # the fixture must actually exercise both branches
+    assert any(r[2] < HLL_M for r in got.values()), got
+    assert got["big"][2] == HLL_M, got

@@ -127,7 +127,7 @@ def all_queries():
         "range_join_bins", "hypertable_rollup", "event_funnel",
         "anchor_text_agg", "kmeans_clusters", "skipgram_pairs",
         "triangle_count", "label_propagation", "hll_distinct",
-        "cms_heavy_hitters",
+        "cms_heavy_hitters", "pca_top_component", "contamination_embedding",
     )
     order = [n for n in front if n in queries] + [
         n for n in queries if n not in front]

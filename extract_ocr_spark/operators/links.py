@@ -839,7 +839,7 @@ BRIDGE_MUL = 7      # sparse inter-block bridge: doc_id*7+3 mod n, every 10th
 BRIDGE_ADD = 3
 
 
-def _block_edges(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
+def _block_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical (a < b) undirected edge set of a deterministic
     block-community graph over the documents table: chords i->i+1 and
     i->i+2 inside every block of BLOCK consecutive ids, plus one bridge
@@ -860,7 +860,7 @@ def _block_edges(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
     e3 = (docs.filter((did % BLOCK == 0) & (dst != did))
           .select(F.least(did, dst).alias("a"),
                   F.greatest(did, dst).alias("b")))
-    return e1.unionByName(e2).unionByName(e3).distinct(), n
+    return e1.unionByName(e2).unionByName(e3).distinct()
 
 
 _BLOCK_EDGES_CTE = f"""n AS (SELECT count(*) AS c FROM documents),
@@ -896,7 +896,7 @@ def triangle_count_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     orientation key would be degree rather than id (cuts the max wedge
     fan-out from deg² to out-deg²) — id-orientation keeps the oracle
     twin in plain SQL."""
-    edges, _ = _block_edges(spark, sf_dir)
+    edges = _block_edges(spark, sf_dir)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     edges = edges.persist()
     try:
@@ -984,7 +984,7 @@ def label_propagation_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays flat (the kmeans/pagerank discipline). Label skew (a community
     absorbing most of the graph) lands in the COUNT's partial aggregate,
     not the join."""
-    edges, _ = _block_edges(spark, sf_dir)
+    edges = _block_edges(spark, sf_dir)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     adj = (edges.select(F.col("a").alias("v"), F.col("b").alias("nbr"))
            .unionByName(

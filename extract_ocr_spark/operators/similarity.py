@@ -723,6 +723,25 @@ _KMEANS_ITERS = 2
 _KMEANS_SCALE = 1_000_000
 
 
+def _quantize_expr(col):
+    """The ONE engine-invariant embedding quantizer (q = floor(x*scale
+    + 0.5) computed in DOUBLE, then BIGINT) shared by kmeans_clusters
+    and pca_top_component — a second hand-rolled copy is exactly the
+    lockstep-edit drift bigram_array exists to prevent."""
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * F.lit(float(_KMEANS_SCALE))
+                               + F.lit(0.5)).cast("long"))
+
+
+# the SQL twin of _quantize_expr, shared by both oracles
+_QUANTIZE_CTE = f"""qv AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(floor(
+    CAST(x AS DOUBLE) * {_KMEANS_SCALE} + CAST('0.5' AS DOUBLE)
+  ) AS BIGINT)) AS q
+  FROM embeddings
+)"""
+
+
 def _trunc_div(s: int, n: int) -> int:
     """Truncate-toward-zero integer division — the semantics BOTH engines
     share for BIGINT (Spark `div`, DuckDB `//`); python's // floors, so
@@ -752,11 +771,8 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid (mirrored by the oracle's coalesce). Init = the K lowest
     vec_ids' vectors, deterministic and SQL-expressible."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    q = F.transform(
-        "embedding",
-        lambda x: F.floor(x.cast("double") * F.lit(float(_KMEANS_SCALE))
-                          + F.lit(0.5)).cast("long"))
-    qv = emb.select("vec_id", q.alias("q")).persist()
+    qv = emb.select(
+        "vec_id", _quantize_expr("embedding").alias("q")).persist()
     try:
         # init = the K lowest vec_ids' vectors, renumbered 0..K-1 in
         # vec_id order — robust to id gaps (a `vec_id < K` filter would
@@ -804,13 +820,7 @@ _KM_DIST = ("CAST(list_sum(list_transform(list_zip({a}, {b}), "
             "s -> (s[1] - s[2]) * (s[1] - s[2]))) AS BIGINT)")
 
 KMEANS_CLUSTERS_SQL = f"""
-WITH qv AS (
-  SELECT vec_id,
-    list_transform(embedding, x -> CAST(floor(
-      CAST(x AS DOUBLE) * {_KMEANS_SCALE} + CAST('0.5' AS DOUBLE)
-    ) AS BIGINT)) AS q
-  FROM embeddings
-),
+WITH {_QUANTIZE_CTE},
 cent0 AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS c
   FROM (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT {_KMEANS_K})
@@ -845,3 +855,227 @@ FROM asg2 ORDER BY vec_id
 
 QUERIES["kmeans_clusters"] = kmeans_clusters
 ORACLES["kmeans_clusters"] = KMEANS_CLUSTERS_SQL
+
+
+# --- Top principal component via power iteration -----------------------------
+
+_PCA_ITERS = 40   # the gram spectrum of near-random embeddings is flat
+#                  (lam1/lam2 ~ 1.02-1.07 on the testdata), so convergence
+#                  needs tens of iterations; 40 reaches >=0.92 alignment
+#                  with the true eigenvector at both test scales
+_PCA_SCALE = _KMEANS_SCALE
+
+
+def pca_gram_df(emb: DataFrame) -> DataFrame:
+    """Lazy exact-BIGINT gram matrix (i, j, s) of the quantized
+    embedding column — the corpus-sized stage of pca_top_component,
+    split out so the physical plan is pin-testable on the production
+    code path."""
+    qv = emb.select(_quantize_expr("embedding").alias("q"))
+    ex = qv.select(F.posexplode("q").alias("i", "qi"), F.col("q"))
+    cells = ex.select("i", "qi", F.posexplode("q").alias("j", "qj"))
+    return (cells.groupBy("i", "j")
+            .agg(F.sum(F.col("qi") * F.col("qj")).alias("s")))
+
+
+def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the (uncentered) embedding gram matrix
+    X^T X by power iteration — the spectral core of PCA whitening /
+    dimensionality-reduction passes over an embedding corpus. Returns
+    one row per dimension: the unit top-eigenvector loading and the
+    eigenvalue estimate ||A v_{k-1}|| (v normalized each step, v0 = 1).
+
+    Exactness: vectors quantize once to BIGINT (the kmeans rule), so the
+    gram matrix is EXACT integer arithmetic — commutative, partition-
+    order-independent — and its int64->double cast is IEEE-identical in
+    both engines. Each matvec then folds a_ij * v_j in ascending-j order
+    and the norm folds m_i^2 in ascending-i order (the char_entropy
+    ordered-fold discipline), with sqrt and division exactly rounded per
+    IEEE 754 — so 40 iterations stay bit-identical by induction, and the
+    oracle (40 unrolled MATERIALIZED CTEs) matches hash-exact.
+
+    Scale shape: the corpus-sized work is the gram matrix — a
+    posexplode^2 to (i, j, q_i*q_j) cells whose groupBy partial-aggregate
+    compresses every task to at most dim^2 = 4096 partial rows before the
+    one shuffle (symmetry could halve this; kept full for the SQL twin).
+    The 64x64 result is driver-bounded (the kmeans K*dim collect
+    precedent), so the 40 matvec iterations are driver float work —
+    exactly how a production job should treat a dense matrix ~10^6x
+    smaller than the corpus. Uncentered by design: exact centering would
+    need (n*q - S) products overflowing int64; for ~zero-mean embedding
+    corpora the top singular direction is the PCA direction."""
+    import math
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # overflow guard: Spark's BIGINT sum wraps SILENTLY, so bound
+    # n * max(q)^2 < 2^63 with the table's ACTUAL extremes (one tiny
+    # aggregate) instead of trusting an assumed |x| <= 1
+    ext = emb.select(_quantize_expr("embedding").alias("q")).agg(
+        F.count("*").alias("n"),
+        F.max(F.array_max(F.transform("q", F.abs))).alias("qmax")).first()
+    if int(ext["n"]) * int(ext["qmax"]) ** 2 >= 2 ** 63:
+        raise ValueError(
+            f"pca_top_component gram cells would overflow int64 "
+            f"(n={ext['n']}, max|q|={ext['qmax']}); lower the quantize "
+            f"scale or pre-aggregate per shard.")
+    gram = pca_gram_df(emb)
+    af = [[0.0] * _DIM for _ in range(_DIM)]
+    for r in gram.collect():  # bounded: dim^2 = 4096 rows
+        af[int(r["i"])][int(r["j"])] = float(int(r["s"]))
+    v = [1.0] * _DIM
+    nrm = 0.0
+    for _ in range(_PCA_ITERS):
+        m = []
+        for i in range(_DIM):
+            acc = 0.0
+            row = af[i]
+            for j in range(_DIM):       # ascending j: the oracle's order
+                acc += row[j] * v[j]
+            m.append(acc)
+        s = 0.0
+        for x in m:                      # ascending i
+            s += x * x
+        nrm = math.sqrt(s)
+        v = [x / nrm for x in m]
+    out = spark.createDataFrame(
+        [(i, v[i], nrm) for i in range(_DIM)],
+        "dim int, loading double, eigenvalue double")
+    # round in Spark (HALF_UP, matching DuckDB round), never python round
+    return out.select("dim", F.round("loading", 6).alias("loading"),
+                      F.round("eigenvalue", 6).alias("eigenvalue")) \
+        .orderBy("dim")
+
+
+def _pca_iter_sql(prev_v: str, m: str, n: str, v: str) -> str:
+    return f"""{m} AS MATERIALIZED (
+  SELECT a.i, list_reduce(list_prepend(0.0, list(a.a * p.val ORDER BY a.j)),
+                          (x, y) -> x + y) AS m
+  FROM a JOIN {prev_v} p ON p.j = a.j GROUP BY a.i
+), {n} AS MATERIALIZED (
+  SELECT sqrt(list_reduce(list_prepend(0.0, list(m * m ORDER BY i)),
+                          (x, y) -> x + y)) AS nrm FROM {m}
+), {v} AS MATERIALIZED (
+  SELECT {m}.i AS j, {m}.m / n.nrm AS val FROM {m}, {n} n
+)"""
+
+
+# MATERIALIZED is load-bearing twice over: DuckDB otherwise re-inlines
+# the parquet scan once per CTE reference (40 iterations -> 'Too many
+# open files') and re-evaluates the whole prefix chain per iteration.
+PCA_TOP_COMPONENT_SQL = f"""
+WITH {_QUANTIZE_CTE},
+cell AS (
+  SELECT ti.i - 1 AS i, tj.j - 1 AS j,
+         CAST(sum(q[ti.i] * q[tj.j]) AS BIGINT) AS s
+  FROM qv, generate_series(1, {_DIM}) ti(i), generate_series(1, {_DIM}) tj(j)
+  GROUP BY ti.i, tj.j
+),
+a AS MATERIALIZED (SELECT i, j, CAST(s AS DOUBLE) AS a FROM cell),
+v0 AS (SELECT i - 1 AS j, 1.0 AS val FROM generate_series(1, {_DIM}) t(i)),
+""" + ",\n".join(
+    _pca_iter_sql(f"v{k}", f"m{k+1}", f"n{k+1}", f"v{k+1}")
+    for k in range(_PCA_ITERS)
+) + f"""
+SELECT v{_PCA_ITERS}.j AS dim, round(v{_PCA_ITERS}.val, 6) AS loading,
+       round(n{_PCA_ITERS}.nrm, 6) AS eigenvalue
+FROM v{_PCA_ITERS}, n{_PCA_ITERS} ORDER BY dim
+"""
+
+QUERIES["pca_top_component"] = pca_top_component
+ORACLES["pca_top_component"] = PCA_TOP_COMPONENT_SQL
+
+
+# --- Embedding-space eval-set decontamination --------------------------------
+
+CONTAM_EVAL_MOD = 100   # eval set = vec_id % 100 == 0 (deterministic twin
+#                         of contamination_check's doc-id eval window)
+CONTAM_TAU = 0.35       # flag threshold (max corpus-vs-eval cosine ~0.45
+#                         on testdata, so both flag values occur)
+MAX_EVAL_LITERALS = 512
+
+
+def contamination_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: every corpus vector scored by its
+    best cosine against the eval/benchmark set, flagged when it clears
+    CONTAM_TAU — the semantic complement of contamination_check (n-gram
+    overlap misses paraphrased eval leakage; embedding similarity
+    catches it). Emits ALL corpus rows with (best eval id, cosine, flag)
+    so the decision margin is auditable, not just the positives.
+
+    Parity: the cosine is the SAME ordered fold on both sides (dot and
+    norms fold in dimension order; the oracle mirrors the fold rather
+    than using list_cosine_similarity so the argmax over near-ties can
+    never split on a last-ulp difference), and the best-eval pick is a
+    max over struct(cosine, -eval_id).
+
+    Scale shape: the eval set is tiny by nature (a benchmark), so it
+    rides into the plan as LITERALS — the scan is MAP-ONLY: no join, no
+    shuffle beyond the presentation sort, each corpus partition scored
+    independently (the broadcast-eval-side discipline of
+    contamination_check). Guarded at MAX_EVAL_LITERALS: a larger eval
+    set should switch to a broadcast join, not a longer plan."""
+    import math
+
+    emb = _emb(spark, sf_dir)
+    evs = (emb.filter(F.col("vec_id") % CONTAM_EVAL_MOD == 0)
+           .select("vec_id", "emb").collect())
+    if not evs:
+        raise ValueError(
+            "contamination_embedding: eval set is empty (no vec_id "
+            f"divisible by {CONTAM_EVAL_MOD}); nothing to screen against.")
+    if len(evs) > MAX_EVAL_LITERALS:
+        raise ValueError(
+            f"contamination_embedding inlines the eval set as literals; "
+            f"refusing {len(evs)} eval vectors (> {MAX_EVAL_LITERALS}). "
+            f"Use a broadcast join for large eval sets.")
+    corpus = emb.filter(F.col("vec_id") % CONTAM_EVAL_MOD != 0)
+    na = F.sqrt(F.aggregate(F.transform("emb", lambda x: x * x),
+                            F.lit(0.0), lambda a, x: a + x))
+    structs = []
+    for r in evs:
+        ev = [float(x) for x in r["emb"]]
+        nb_acc = 0.0
+        for y in ev:                    # ascending dim: the oracle's order
+            nb_acc += y * y
+        nb = math.sqrt(nb_acc)
+        lit = F.array(*[F.lit(x) for x in ev])
+        dot = F.aggregate(F.zip_with("emb", lit, lambda x, y: x * y),
+                          F.lit(0.0), lambda a, x: a + x)
+        c = dot / (na * F.lit(nb))
+        structs.append(F.named_struct(
+            F.lit("c"), c, F.lit("ni"), F.lit(-int(r["vec_id"])).cast("long")))
+    best = F.array_max(F.array(*structs))
+    return (corpus.select("vec_id", best.alias("b"))
+            .select("vec_id",
+                    (-F.col("b.ni")).alias("best_eval_id"),
+                    F.round("b.c", 6).alias("cosine"),
+                    (F.col("b.c") >= F.lit(CONTAM_TAU)).alias("contaminated"))
+            .orderBy("vec_id"))
+
+
+CONTAMINATION_EMBEDDING_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+ev AS (SELECT vec_id AS eval_id, emb FROM e WHERE vec_id % {CONTAM_EVAL_MOD} = 0),
+co AS (SELECT vec_id, emb FROM e WHERE vec_id % {CONTAM_EVAL_MOD} <> 0),
+pairs AS (
+  SELECT co.vec_id, ev.eval_id,
+    list_reduce(list_prepend(0.0, list_transform(list_zip(co.emb, ev.emb),
+      s -> s[1] * s[2])), (x, y) -> x + y)
+    / (sqrt(list_reduce(list_prepend(0.0, list_transform(co.emb, x -> x * x)),
+            (x, y) -> x + y))
+       * sqrt(list_reduce(list_prepend(0.0, list_transform(ev.emb, x -> x * x)),
+              (x, y) -> x + y))) AS c
+  FROM co, ev
+),
+best AS (
+  SELECT vec_id, max(struct_pack(c := c, ni := -eval_id)) AS b
+  FROM pairs GROUP BY vec_id
+)
+SELECT vec_id, CAST(-(b.ni) AS BIGINT) AS best_eval_id,
+       round(b.c, 6) AS cosine,
+       b.c >= CAST('{CONTAM_TAU!r}' AS DOUBLE) AS contaminated
+FROM best ORDER BY vec_id
+"""
+
+QUERIES["contamination_embedding"] = contamination_embedding
+ORACLES["contamination_embedding"] = CONTAMINATION_EMBEDDING_SQL

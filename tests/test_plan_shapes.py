@@ -463,7 +463,7 @@ def test_triangle_count_plan_shuffle_joins_no_cartesian_no_python(spark):
     from extract_ocr_spark.operators.links import (_block_edges,
                                                    triangle_count_df)
 
-    edges, _ = _block_edges(spark, "/root/testdata/sf0.001")
+    edges = _block_edges(spark, "/root/testdata/sf0.001")
     docs = spark.read.parquet(
         "/root/testdata/sf0.001/documents.parquet").select("doc_id")
     plan = _plan(triangle_count_df(docs, edges))
@@ -515,5 +515,36 @@ def test_cms_estimates_plan_vocab_join_partial_agg_no_python(spark):
     assert "partial_sum" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan, plan
+
+
+def test_pca_gram_matrix_plan_partial_agg_no_python(spark):
+    """The corpus-sized stage of pca_top_component is the gram matrix:
+    its groupBy must partial-aggregate (each task compresses to <= dim^2
+    cells before the one shuffle) with no join and no Python eval. Pins
+    the PRODUCTION stage (pca_gram_df), not a copy."""
+    from extract_ocr_spark.operators.similarity import pca_gram_df
+
+    emb = spark.range(50).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(1, 8), x -> cast(x AS double) / 10) AS embedding")
+    plan = _plan(pca_gram_df(emb))
+    assert "partial_sum" in plan, plan
+    assert "Join" not in plan, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan, plan
+
+
+def test_contamination_embedding_plan_map_only_no_join_no_python(spark):
+    """The eval set rides as literals, so scoring must be MAP-ONLY: no
+    join, no window, no Python; the only exchange is the presentation
+    orderBy."""
+    from extract_ocr_spark.operators.similarity import contamination_embedding
+
+    plan = _plan(contamination_embedding(spark, "/root/testdata/sf0.001"))
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
     for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py not in plan, plan

@@ -49,6 +49,9 @@ SUBSET = [
     # sensitive, so both scales matter)
     "triangle_count", "label_propagation", "hll_distinct",
     "cms_heavy_hitters",
+    # iterative linear algebra + embedding decontamination (fold-order
+    # and argmax-near-tie behavior are data-dependent)
+    "pca_top_component", "contamination_embedding",
 ]
 
 

@@ -211,3 +211,57 @@ def test_kmeans_init_robust_to_gapped_vec_ids(spark, tmp_path):
                            _KMEANS_K, _KMEANS_ITERS, _KMEANS_SCALE)
     assert got == {v: (cid, d) for v, (d, cid) in asg.items()}
     assert len(got) == 60
+
+
+def test_pca_top_component_aligns_with_true_eigenvector(spark):
+    """External-truth guard: an internally-consistent oracle pair could
+    still compute the wrong matrix or a non-converging iteration. The
+    returned direction must align with numpy's top eigenvector of the
+    same quantized gram matrix (>= 0.9 after 40 iterations on this
+    flat-spectrum corpus) and the eigenvalue estimate must be within 2%
+    of numpy's lambda_1."""
+    import math
+
+    import numpy as np
+
+    from extract_ocr_spark.operators.similarity import (
+        _PCA_SCALE,
+        pca_top_component,
+    )
+
+    out = pca_top_component(spark, "/root/testdata/sf0.001").collect()
+    v = np.array([r["loading"] for r in sorted(out, key=lambda r: r["dim"])])
+    lam = out[0]["eigenvalue"]
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").collect()
+    qs = np.array([[math.floor(float(x) * _PCA_SCALE + 0.5)
+                    for x in r["embedding"]] for r in emb], dtype=float)
+    gram = qs.T @ qs
+    w, vecs = np.linalg.eigh(gram)
+    assert abs(float(np.dot(vecs[:, -1], v))) >= 0.9
+    assert abs(lam - w[-1]) / w[-1] <= 0.02
+    assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-6
+
+
+def test_contamination_embedding_flags_and_margins(spark):
+    """The flag channel must be non-degenerate at test scale (some rows
+    flagged, most not), eval vectors must be excluded from the corpus
+    side, and every flagged cosine must clear the threshold that every
+    unflagged cosine stays under."""
+    from extract_ocr_spark.operators.similarity import (
+        CONTAM_EVAL_MOD,
+        CONTAM_TAU,
+        contamination_embedding,
+    )
+
+    rows = contamination_embedding(spark, "/root/testdata/sf0.001").collect()
+    assert all(r["vec_id"] % CONTAM_EVAL_MOD != 0 for r in rows)
+    assert all(r["best_eval_id"] % CONTAM_EVAL_MOD == 0 for r in rows)
+    flagged = [r for r in rows if r["contaminated"]]
+    assert 0 < len(flagged) < len(rows)
+    # the cosine column is rounded to 6 decimals while the flag uses the
+    # raw value, so boundary comparisons need a half-ulp-of-rounding slack
+    assert all(r["cosine"] >= CONTAM_TAU - 5e-7 for r in flagged)
+    assert all(r["cosine"] < CONTAM_TAU + 5e-7
+               for r in rows if not r["contaminated"])

@@ -879,6 +879,15 @@ raw AS (
 edges AS (SELECT DISTINCT a, b FROM raw)"""
 
 
+
+def _sym_adj(edges: DataFrame) -> DataFrame:
+    """Symmetrized (v, nbr) adjacency of a canonical (a < b) edge list —
+    the ONE definition label_propagation and link_prediction share."""
+    return (edges.select(F.col("a").alias("v"), F.col("b").alias("nbr"))
+            .unionByName(edges.select(F.col("b").alias("v"),
+                                      F.col("a").alias("nbr"))))
+
+
 def triangle_count_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle participation over the block-community graph —
     the web-graph cohesion signal (link-farm detection, community
@@ -986,10 +995,7 @@ def label_propagation_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     not the join."""
     edges = _block_edges(spark, sf_dir)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
-    adj = (edges.select(F.col("a").alias("v"), F.col("b").alias("nbr"))
-           .unionByName(
-               edges.select(F.col("b").alias("v"), F.col("a").alias("nbr")))
-           .persist())
+    adj = _sym_adj(edges).persist()
     try:
         labels = docs.select(F.col("doc_id").alias("v"),
                              F.col("doc_id").alias("lbl"))
@@ -1044,3 +1050,78 @@ FROM l{LPA_ITERS} ORDER BY doc_id
 
 QUERIES["label_propagation"] = label_propagation_query
 ORACLES["label_propagation"] = LABEL_PROPAGATION_SQL
+
+
+LP_TOP_K = 50
+
+
+def link_prediction_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction over the block-community graph —
+    the graph-ML training-pair miner (recommend/"related pages"
+    candidates): for every NON-adjacent pair sharing at least one
+    neighbor, the common-neighbor count and the neighborhood union size
+    (the exact-integer pieces of Jaccard — the float ratio is left to
+    the consumer), top LP_TOP_K by (common desc, a, b).
+
+    Scale shape: wedge enumeration is ONE self-join of the symmetrized
+    adjacency on the middle vertex — a hub of degree d fans out d^2
+    wedge pairs, which is the real-world reason production systems
+    degree-cap hubs first (this graph's max degree is ~5, so no cap
+    stage here); existing edges leave via a left-anti join, degrees
+    join back per endpoint, and the top-K is a TakeOrdered, never a
+    global sort."""
+    edges = _block_edges(spark, sf_dir).persist()
+    try:
+        out = link_prediction_df(edges).localCheckpoint(eager=True)
+    finally:
+        edges.unpersist()
+    return out
+
+
+def link_prediction_df(edges: DataFrame) -> DataFrame:
+    """Lazy candidate ranking over a canonical (a < b) edge list (split
+    out so the plan is pin-testable before the query's persist +
+    localCheckpoint hide it)."""
+    adj = _sym_adj(edges)
+    deg = adj.groupBy("v").agg(F.count("*").alias("d"))
+    x = adj.select(F.col("v").alias("wa"), F.col("nbr").alias("w"))
+    y = adj.select(F.col("v").alias("wb"), F.col("nbr").alias("w"))
+    wedge = (x.join(y, "w")
+             .filter(F.col("wa") < F.col("wb"))
+             .groupBy("wa", "wb").agg(F.count("*").alias("common")))
+    cand = wedge.join(
+        edges, (wedge["wa"] == edges["a"]) & (wedge["wb"] == edges["b"]),
+        "left_anti")
+    da = deg.select(F.col("v").alias("wa"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("wb"), F.col("d").alias("db"))
+    return (cand.join(da, "wa").join(db, "wb")
+            .select(F.col("wa").alias("a"), F.col("wb").alias("b"),
+                    "common",
+                    (F.col("da") + F.col("db") - F.col("common"))
+                    .alias("union_size"))
+            .orderBy(F.desc("common"), "a", "b")
+            .limit(LP_TOP_K))
+
+
+LINK_PREDICTION_SQL = f"""
+WITH {_BLOCK_EDGES_CTE},
+adj AS (SELECT a AS v, b AS nbr FROM edges UNION ALL SELECT b, a FROM edges),
+deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY v),
+wedge AS (
+  SELECT x.v AS a, y.v AS b, CAST(count(*) AS BIGINT) AS common
+  FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.v < y.v
+  GROUP BY x.v, y.v
+),
+cand AS (
+  SELECT w.a, w.b, w.common
+  FROM wedge w ANTI JOIN edges e ON e.a = w.a AND e.b = w.b
+)
+SELECT c.a, c.b, c.common,
+       da.d + db.d - c.common AS union_size
+FROM cand c JOIN deg da ON da.v = c.a JOIN deg db ON db.v = c.b
+ORDER BY c.common DESC, c.a, c.b
+LIMIT {LP_TOP_K}
+"""
+
+QUERIES["link_prediction"] = link_prediction_query
+ORACLES["link_prediction"] = LINK_PREDICTION_SQL

@@ -907,17 +907,26 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    # overflow guard: Spark's BIGINT sum wraps SILENTLY, so bound
-    # n * max(q)^2 < 2^63 with the table's ACTUAL extremes (one tiny
-    # aggregate) instead of trusting an assumed |x| <= 1
+    # overflow guard with the table's ACTUAL extremes (one tiny
+    # aggregate), not an assumed |x| <= 1: a too-large corpus would
+    # wrap the BIGINT gram sums silently on non-ANSI deployments, and
+    # die mid-job with an opaque ARITHMETIC_OVERFLOW under ANSI —
+    # refuse up front with a message either way
     ext = emb.select(_quantize_expr("embedding").alias("q")).agg(
         F.count("*").alias("n"),
         F.max(F.array_max(F.transform("q", F.abs))).alias("qmax")).first()
+    if int(ext["n"]) == 0:
+        raise ValueError("pca_top_component: embeddings table is empty.")
     if int(ext["n"]) * int(ext["qmax"]) ** 2 >= 2 ** 63:
         raise ValueError(
             f"pca_top_component gram cells would overflow int64 "
             f"(n={ext['n']}, max|q|={ext['qmax']}); lower the quantize "
             f"scale or pre-aggregate per shard.")
+    if int(ext["qmax"]) == 0:
+        raise ValueError(
+            "pca_top_component: every embedding quantizes to zero "
+            "(all-zero corpus or scale far too small) — the gram matrix "
+            "is degenerate and power iteration cannot normalize.")
     gram = pca_gram_df(emb)
     af = [[0.0] * _DIM for _ in range(_DIM)]
     for r in gram.collect():  # bounded: dim^2 = 4096 rows
@@ -936,6 +945,11 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         for x in m:                      # ascending i
             s += x * x
         nrm = math.sqrt(s)
+        if nrm == 0.0:                   # A v vanished (exact cancellation)
+            raise ValueError(
+                "pca_top_component: power iteration hit a zero vector "
+                "(A v = 0); the all-ones start lies in the null space — "
+                "perturb the start vector or center the data.")
         v = [x / nrm for x in m]
     out = spark.createDataFrame(
         [(i, v[i], nrm) for i in range(_DIM)],
@@ -1029,8 +1043,17 @@ def contamination_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"refusing {len(evs)} eval vectors (> {MAX_EVAL_LITERALS}). "
             f"Use a broadcast join for large eval sets.")
     corpus = emb.filter(F.col("vec_id") % CONTAM_EVAL_MOD != 0)
-    na = F.sqrt(F.aggregate(F.transform("emb", lambda x: x * x),
-                            F.lit(0.0), lambda a, x: a + x))
+    # zero-norm refusal: under ANSI mode a zero na would kill the job
+    # with an opaque DIVIDE_BY_ZERO deep in a task (and return NULLs on
+    # non-ANSI) — assert per-row with a message instead; the eval side
+    # is checked driver-side below
+    raw_na = F.aggregate(F.transform("emb", lambda x: x * x),
+                         F.lit(0.0), lambda a, x: a + x)
+    na = (F.when(raw_na > 0, F.sqrt(raw_na))
+          .otherwise(F.raise_error(F.lit(
+              "contamination_embedding: zero-norm corpus vector — "
+              "quarantine degenerate embeddings first "
+              "(see embedding_norm_outliers)"))))
     structs = []
     for r in evs:
         ev = [float(x) for x in r["emb"]]
@@ -1038,6 +1061,10 @@ def contamination_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         for y in ev:                    # ascending dim: the oracle's order
             nb_acc += y * y
         nb = math.sqrt(nb_acc)
+        if nb == 0.0:
+            raise ValueError(
+                f"contamination_embedding: eval vector "
+                f"{int(r['vec_id'])} has zero norm — fix the eval set.")
         lit = F.array(*[F.lit(x) for x in ev])
         dot = F.aggregate(F.zip_with("emb", lit, lambda x, y: x * y),
                           F.lit(0.0), lambda a, x: a + x)

@@ -318,3 +318,92 @@ def funnel_transitions(events, state=(0, 0), window_us=FUNNEL_WINDOW_US):
             stage, bound = 3, t
             out.append((3, t))
     return out, (stage, bound)
+
+
+# -- Cohort retention ---------------------------------------------------------
+
+RETENTION_EVENT = "purchase"   # activity definition: converted that day
+RETENTION_BP = 10_000          # retention reported in exact basis points
+
+
+def cohort_retention_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention — the standard product-analytics rollup:
+    users cohorted by first-event day, a cohort-day x day-offset grid of
+    how many converted (RETENTION_EVENT) k days later, with retention in
+    exact basis points (active * 10000 div cohort_size — all integers,
+    parity by construction). Day granularity with purchase-activity is
+    deliberate: on this corpus every user fires SOME event every week,
+    so weekly any-event retention saturates at 100% and the curve
+    carries no signal.
+
+    Scale shape: one user-keyed aggregate for first-seen, one user-keyed
+    join to tag events with their cohort (the inherent shuffle — both
+    sides corpus-sized), a (cohort, day) distinct + count that partial-
+    aggregates, and a broadcast-sized cohort-size table joined back.
+    At web scale the cohort table is exactly the kind of skew-free key
+    (bounded by days x users/day) this plan leaves to AQE."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select("user_id", "ts", "event_type")
+    # fw feeds BOTH the cohort join and the cohort-size rollup; without
+    # the persist Spark builds the corpus-wide first-seen aggregate twice
+    # (the pushed-filter difference defeats ReusedExchange) — the exact
+    # re-derivation pattern the curate_job rewrite fixed
+    fw = _first_seen_df(ev).persist()
+    try:
+        out = cohort_retention_df(ev, fw).localCheckpoint(eager=True)
+    finally:
+        fw.unpersist()
+    return out
+
+
+def _first_seen_df(ev: DataFrame) -> DataFrame:
+    return (ev.groupBy("user_id")
+            .agg(F.min("ts").alias("first_ts"))
+            .select("user_id", F.to_date("first_ts").alias("cohort_day")))
+
+
+def cohort_retention_df(ev: DataFrame, fw: DataFrame) -> DataFrame:
+    """Lazy cohort grid over events + a (user_id, cohort_day) first-seen
+    table (split out so the plan is pin-testable before the query's
+    persist + localCheckpoint hide it)."""
+    act = (ev.filter(F.col("event_type") == RETENTION_EVENT)
+           .join(fw, "user_id")
+           .select("user_id", "cohort_day",
+                   F.datediff(F.to_date("ts"), F.col("cohort_day"))
+                   .alias("day_k"))
+           .distinct())
+    cs = fw.groupBy("cohort_day").agg(F.count("*").alias("cohort_size"))
+    return (act.groupBy("cohort_day", "day_k")
+            .agg(F.count("*").alias("active_users"))
+            .join(cs, "cohort_day")
+            .select("cohort_day", F.col("day_k").cast("int").alias("day_k"),
+                    "active_users", "cohort_size",
+                    F.expr(f"active_users * {RETENTION_BP} div cohort_size")
+                    .alias("retention_bp"))
+            .orderBy("cohort_day", "day_k"))
+
+
+COHORT_RETENTION_SQL = f"""
+WITH fw AS (
+  SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+  FROM events GROUP BY user_id
+), act AS (
+  SELECT DISTINCT e.user_id, f.cohort_day,
+         datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_k
+  FROM events e JOIN fw f USING (user_id)
+  WHERE e.event_type = '{RETENTION_EVENT}'
+), cs AS (
+  SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+  FROM fw GROUP BY cohort_day
+)
+SELECT a.cohort_day, CAST(a.day_k AS INT) AS day_k,
+       CAST(count(*) AS BIGINT) AS active_users, cs.cohort_size,
+       CAST(count(*) AS BIGINT) * {RETENTION_BP} // cs.cohort_size
+         AS retention_bp
+FROM act a JOIN cs USING (cohort_day)
+GROUP BY a.cohort_day, a.day_k, cs.cohort_size
+ORDER BY cohort_day, day_k
+"""
+
+QUERIES["cohort_retention"] = cohort_retention_query
+ORACLES["cohort_retention"] = COHORT_RETENTION_SQL

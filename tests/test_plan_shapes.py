@@ -548,3 +548,36 @@ def test_contamination_embedding_plan_map_only_no_join_no_python(spark):
     assert plan.count("Exchange") == 1, plan
     for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py not in plan, plan
+
+
+def test_cohort_retention_plan_partial_agg_no_python(spark):
+    """One user-keyed aggregate + one user-keyed join is the inherent
+    cost; the (cohort, day) rollup must partial-aggregate and nothing
+    drops to Python or a cartesian. Pins the PRODUCTION lazy stage
+    (cohort_retention_df), pre-checkpoint."""
+    from extract_ocr_spark.operators.temporal import (_first_seen_df,
+                                                      cohort_retention_df)
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .select("user_id", "ts", "event_type")
+    plan = _plan(cohort_retention_df(ev, _first_seen_df(ev)))
+    assert "partial_count" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan, plan
+
+
+def test_link_prediction_uses_takeordered_and_anti_join(spark):
+    """The top-K must be a TakeOrdered (never a global sort of the wedge
+    table) and existing edges must leave via a left-anti join. Pins the
+    PRODUCTION lazy stage (link_prediction_df), pre-checkpoint."""
+    from extract_ocr_spark.operators.links import (_block_edges,
+                                                   link_prediction_df)
+
+    edges = _block_edges(spark, "/root/testdata/sf0.001")
+    plan = _plan(link_prediction_df(edges))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "LeftAnti" in plan or "left_anti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan, plan

@@ -52,6 +52,8 @@ SUBSET = [
     # iterative linear algebra + embedding decontamination (fold-order
     # and argmax-near-tie behavior are data-dependent)
     "pca_top_component", "contamination_embedding",
+    # cohort grid and wedge-join candidates shift with the data
+    "cohort_retention", "link_prediction",
 ]
 
 

@@ -241,7 +241,9 @@ def test_pca_top_component_aligns_with_true_eigenvector(spark):
     w, vecs = np.linalg.eigh(gram)
     assert abs(float(np.dot(vecs[:, -1], v))) >= 0.9
     assert abs(lam - w[-1]) / w[-1] <= 0.02
-    assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-6
+    # 64 loadings each rounded to 6 decimals can deflect the norm by up
+    # to ~sqrt(64)*5e-7 = 4e-6 first-order; 5e-6 matches the guarantee
+    assert abs(float(np.linalg.norm(v)) - 1.0) < 5e-6
 
 
 def test_contamination_embedding_flags_and_margins(spark):

@@ -128,7 +128,8 @@ def all_queries():
         "anchor_text_agg", "kmeans_clusters", "skipgram_pairs",
         "triangle_count", "label_propagation", "hll_distinct",
         "cms_heavy_hitters", "pca_top_component", "contamination_embedding",
-        "cohort_retention", "link_prediction",
+        "cohort_retention", "link_prediction", "markov_transitions",
+        "dwell_times",
     )
     order = [n for n in front if n in queries] + [
         n for n in queries if n not in front]

@@ -407,3 +407,120 @@ ORDER BY cohort_day, day_k
 
 QUERIES["cohort_retention"] = cohort_retention_query
 ORACLES["cohort_retention"] = COHORT_RETENTION_SQL
+
+
+# -- Clickstream transition matrix -------------------------------------------
+
+MARKOV_BP = 10_000
+
+
+
+def _user_seq(spark: SparkSession, sf_dir: str):
+    """The (events projection, user-ordered window) pair markov_transitions
+    and dwell_times share — the (ts, event_id) total tie order is the
+    asof_join contract and must be defined once."""
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "ts",
+                                       "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev, w
+
+
+def markov_transitions_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    stream — the behavioral-sequence statistic that feeds next-action
+    models and anomaly scoring: counts and exact basis-point
+    probabilities for every (from_type, to_type) adjacency, ordered by
+    (ts, event_id) within user (the asof_join tie rule).
+
+    Scale shape: ONE user-partitioned window (lead) — the inherent
+    shuffle — then a two-phase (from, to) count whose partial aggregate
+    absorbs the per-user stream length. The row total is a WINDOW over
+    the (|types|^2)-row pair table, not a self-join: a join of pairs
+    with its own aggregate recomputes the whole user-window chain per
+    side (differing pushed projections defeat ReusedExchange — the
+    cohort_retention/fw lesson), while the window costs one exchange of
+    an already-tiny table. All integers."""
+    ev, w = _user_seq(spark, sf_dir)
+    seq = ev.select("event_type",
+                    F.lead("event_type").over(w).alias("next_type"))
+    pairs = (seq.filter(F.col("next_type").isNotNull())
+             .groupBy(F.col("event_type").alias("from_type"),
+                      F.col("next_type").alias("to_type"))
+             .agg(F.count("*").alias("n")))
+    t = F.sum("n").over(Window.partitionBy("from_type"))
+    return (pairs.withColumn("t", t)
+            .select("from_type", "to_type", "n",
+                    F.expr(f"n * {MARKOV_BP} div t").alias("prob_bp"))
+            .orderBy("from_type", "to_type"))
+
+
+MARKOV_TRANSITIONS_SQL = f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+), pairs AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+), tot AS (
+  SELECT from_type, CAST(sum(n) AS BIGINT) AS t FROM pairs GROUP BY from_type
+)
+SELECT p.from_type, p.to_type, p.n,
+       p.n * {MARKOV_BP} // t.t AS prob_bp
+FROM pairs p JOIN tot t USING (from_type)
+ORDER BY from_type, to_type
+"""
+
+QUERIES["markov_transitions"] = markov_transitions_query
+ORACLES["markov_transitions"] = MARKOV_TRANSITIONS_SQL
+
+
+# -- Inter-event dwell times ---------------------------------------------------
+
+def dwell_times_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type dwell: the exact-microsecond gap from each event to
+    the same user's next event (any type), rolled up to count / total /
+    truncating average — the time-on-page analytics primitive.
+    Microseconds stay INTEGER end-to-end (events.ts is TIMESTAMP_NTZ:
+    timestampdiff(MICROSECOND, ...) here == epoch_us subtraction in the
+    oracle; unix_micros would reject the NTZ type).
+
+    Scale shape: the same one-window-one-agg plan as markov_transitions;
+    the rollup key (event_type) is low-cardinality but the partial
+    aggregate reduces each task to |types| rows before the shuffle."""
+    ev, w = _user_seq(spark, sf_dir)
+    seq = ev.select("event_type", "ts",
+                    F.lead("ts").over(w).alias("nts"))
+    d = (seq.filter(F.col("nts").isNotNull())
+         .select("event_type",
+                 F.expr("timestampdiff(MICROSECOND, ts, nts)")
+                 .alias("dwell_us")))
+    return (d.groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum("dwell_us").alias("total_dwell_us"))
+            .select("event_type", "n", "total_dwell_us",
+                    F.expr("total_dwell_us div n").alias("avg_dwell_us"))
+            .orderBy("event_type"))
+
+
+DWELL_TIMES_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type, ts,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nts
+  FROM events
+), d AS (
+  SELECT event_type, epoch_us(nts) - epoch_us(ts) AS dwell_us
+  FROM seq WHERE nts IS NOT NULL
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(dwell_us) AS BIGINT) AS total_dwell_us,
+       CAST(sum(dwell_us) AS BIGINT) // CAST(count(*) AS BIGINT)
+         AS avg_dwell_us
+FROM d GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["dwell_times"] = dwell_times_query
+ORACLES["dwell_times"] = DWELL_TIMES_SQL

@@ -581,3 +581,28 @@ def test_link_prediction_uses_takeordered_and_anti_join(spark):
     assert "CartesianProduct" not in plan, plan
     for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py not in plan, plan
+
+
+def test_markov_transitions_plan_one_user_window_no_python(spark):
+    """ONE user-keyed window shuffle is the inherent cost; the pair count
+    partial-aggregates and the row-total join never goes nested-loop."""
+    from extract_ocr_spark.operators.temporal import markov_transitions_query
+
+    plan = _plan(markov_transitions_query(spark, "/root/testdata/sf0.001"))
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+    assert "partial_count" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan, plan
+
+
+def test_dwell_times_plan_one_user_window_no_python(spark):
+    """Same single-window shape as markov_transitions; the microsecond
+    arithmetic is a JVM expression, never Python."""
+    from extract_ocr_spark.operators.temporal import dwell_times_query
+
+    plan = _plan(dwell_times_query(spark, "/root/testdata/sf0.001"))
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+    assert "Join" not in plan, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan, plan

@@ -54,6 +54,9 @@ SUBSET = [
     "pca_top_component", "contamination_embedding",
     # cohort grid and wedge-join candidates shift with the data
     "cohort_retention", "link_prediction",
+    # lag-window adjacency stats: tie order and gap values are
+    # timestamp-resolution-dependent
+    "markov_transitions", "dwell_times",
 ]
 
 

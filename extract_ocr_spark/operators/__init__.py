@@ -129,7 +129,7 @@ def all_queries():
         "triangle_count", "label_propagation", "hll_distinct",
         "cms_heavy_hitters", "pca_top_component", "contamination_embedding",
         "cohort_retention", "link_prediction", "markov_transitions",
-        "dwell_times",
+        "dwell_times", "top_orders_revenue", "churn_labels",
     )
     order = [n for n in front if n in queries] + [
         n for n in queries if n not in front]

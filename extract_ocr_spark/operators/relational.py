@@ -477,3 +477,69 @@ ORACLES = {
     "windowed_event_counts": WINDOWED_EVENT_COUNTS_SQL,
     "session_counts": SESSION_COUNTS_SQL,
 }
+
+
+# -- TPC-H Q3-style shipping-priority revenue ---------------------------------
+
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = "1998-06-01"   # mid-range of the synthetic order/ship dates
+Q3_TOP = 10
+
+
+def top_orders_revenue_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 re-expressed exact: top unshipped-revenue orders for one
+    market segment (orders placed before the cutoff, revenue from line
+    items shipped after it). Revenue is integer 'cents-basis-points'
+    (round(price*100) * (10000 - round(discount*10000))) so the sum is
+    associative — the float l_extendedprice*(1-l_discount) sum of the
+    original is partition-order-dependent and could never hash-match.
+
+    Scale shape: the classic selective-join pyramid Catalyst handles —
+    segment filter pushes into the customer scan, the date filters push
+    into orders/lineitem scans (PushedFilters), customer⋈orders shuffles
+    on custkey, ⋈lineitem on orderkey, and the top-10 is a TakeOrdered,
+    never a global sort of the aggregate."""
+    _utc(spark)
+    cut = F.lit(Q3_CUTOFF).cast("timestamp")
+    cust = (_t(spark, sf_dir, "customer")
+            .filter(F.col("c_mktsegment") == Q3_SEGMENT)
+            .select("c_custkey"))
+    orders = (_t(spark, sf_dir, "orders")
+              .filter(F.col("o_orderdate") < cut)
+              .select("o_orderkey", "o_custkey", "o_orderdate",
+                      "o_orderpriority"))
+    rev = (F.round(F.col("l_extendedprice") * 100).cast("long")
+           * (F.lit(10000)
+              - F.round(F.col("l_discount") * 10000).cast("long")))
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_shipdate") > cut)
+          .select("l_orderkey", rev.alias("rev")))
+    return (orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+            .join(li, orders["o_orderkey"] == li["l_orderkey"])
+            .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.sum("rev").alias("revenue_cbp"))
+            .orderBy(F.desc("revenue_cbp"), "o_orderkey")
+            .limit(Q3_TOP))
+
+
+TOP_ORDERS_REVENUE_SQL = f"""
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(round(l_extendedprice*100) AS BIGINT)
+           * (10000 - CAST(round(l_discount*10000) AS BIGINT)) AS rev
+  FROM lineitem WHERE l_shipdate > TIMESTAMP '{Q3_CUTOFF}'
+)
+SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+       CAST(sum(li.rev) AS BIGINT) AS revenue_cbp
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN li ON li.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+  AND o.o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue_cbp DESC, o.o_orderkey
+LIMIT {Q3_TOP}
+"""
+
+QUERIES["top_orders_revenue"] = top_orders_revenue_query
+ORACLES["top_orders_revenue"] = TOP_ORDERS_REVENUE_SQL

@@ -524,3 +524,85 @@ FROM d GROUP BY event_type ORDER BY event_type
 
 QUERIES["dwell_times"] = dwell_times_query
 ORACLES["dwell_times"] = DWELL_TIMES_SQL
+
+
+# -- Churn / conversion label construction ------------------------------------
+
+CHURN_LABEL_DAYS = 2          # label window: the corpus's last 2 days
+CHURN_LABEL_EVENT = "purchase"  # converted iff this event occurs in it
+
+
+def churn_labels_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set construction for churn/propensity models: per-user
+    feature counts (all five event types) over the feature window (up to
+    the cut) and a churn label — no CHURN_LABEL_EVENT in the trailing
+    CHURN_LABEL_DAYS-day label window. The cut derives from max(ts), so
+    the split is reproducible from the data alone; the (2-day, purchase)
+    definition is calibrated to actually split the corpus (9/15 and
+    92/150 converters at the two test scales — an any-event window
+    saturates and every label is identical).
+
+    Scale shape: ONE user-keyed conditional aggregate — no join, no
+    window, no second scan; the cut is a collected scalar (one tiny agg,
+    the CMS-total precedent). The label-leakage rule is structural:
+    feature counts condition on ts < cut, the label on ts >= cut."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_type")
+    cut = ev.agg(
+        (F.max("ts") - F.expr(f"INTERVAL {CHURN_LABEL_DAYS} DAYS"))
+        .alias("c")).collect()[0]["c"]
+    # ts is TIMESTAMP_NTZ: the naive driver datetime must come back as an
+    # NTZ literal via a STRING cast — F.lit(naive_datetime) builds an LTZ
+    # literal in the PYTHON PROCESS's timezone, which shifts the cut by
+    # the host's UTC offset on any non-UTC machine (found by running the
+    # oracle test under TZ=America/New_York: feature counts off by the
+    # events inside the offset band)
+    cut_lit = F.lit(cut.strftime("%Y-%m-%d %H:%M:%S.%f")) \
+        .cast("timestamp_ntz")
+    before = F.col("ts") < cut_lit
+    counts = [
+        F.sum(F.when(before & (F.col("event_type") == t), 1).otherwise(0))
+        .alias(f"n_{t}")
+        for t in ("view", "click", "purchase", "signup", "error")
+    ]
+    after_label = F.sum(
+        F.when((~before) & (F.col("event_type") == CHURN_LABEL_EVENT), 1)
+        .otherwise(0))
+    agg = ev.groupBy("user_id").agg(*counts, after_label.alias("n_label"))
+    feat_total = sum(F.col(f"n_{t}") for t in
+                     ("view", "click", "purchase", "signup", "error"))
+    return (agg.filter(feat_total > 0)
+            .select("user_id", "n_view", "n_click", "n_purchase",
+                    "n_signup", "n_error",
+                    (F.col("n_label") == 0).alias("churned"))
+            .orderBy("user_id"))
+
+
+CHURN_LABELS_SQL = f"""
+WITH cut AS (
+  SELECT max(ts) - INTERVAL {CHURN_LABEL_DAYS} DAY AS c FROM events
+), agg AS (
+  SELECT user_id,
+    CAST(sum(CASE WHEN ts < cut.c AND event_type = 'view'
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+    CAST(sum(CASE WHEN ts < cut.c AND event_type = 'click'
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+    CAST(sum(CASE WHEN ts < cut.c AND event_type = 'purchase'
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+    CAST(sum(CASE WHEN ts < cut.c AND event_type = 'signup'
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+    CAST(sum(CASE WHEN ts < cut.c AND event_type = 'error'
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+    CAST(sum(CASE WHEN ts >= cut.c
+                  AND event_type = '{CHURN_LABEL_EVENT}'
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_label
+  FROM events, cut GROUP BY user_id
+)
+SELECT user_id, n_view, n_click, n_purchase, n_signup, n_error,
+       n_label = 0 AS churned
+FROM agg
+WHERE n_view + n_click + n_purchase + n_signup + n_error > 0
+ORDER BY user_id
+"""
+
+QUERIES["churn_labels"] = churn_labels_query
+ORACLES["churn_labels"] = CHURN_LABELS_SQL

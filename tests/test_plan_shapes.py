@@ -606,3 +606,66 @@ def test_dwell_times_plan_one_user_window_no_python(spark):
     assert "Join" not in plan, plan
     for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py not in plan, plan
+
+
+def test_top_orders_revenue_pushdown_and_takeordered(spark):
+    """The Q3 filters must reach the parquet scans (PushedFilters on
+    segment and both dates), the top-10 must be a TakeOrdered, and the
+    joins must never go nested-loop."""
+    from extract_ocr_spark.operators.relational import (
+        top_orders_revenue_query,
+    )
+
+    df = top_orders_revenue_query(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "EqualTo(c_mktsegment" in plan, plan
+    assert "LessThan(o_orderdate" in plan, plan
+    assert "GreaterThan(l_shipdate" in plan, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan, plan
+
+
+def test_churn_labels_plan_one_aggregate_no_join_no_python(spark):
+    """Feature counts and the label ride ONE user-keyed conditional
+    aggregate: exactly one hash exchange, no join, no window."""
+    from extract_ocr_spark.operators.temporal import churn_labels_query
+
+    plan = _plan(churn_labels_query(spark, "/root/testdata/sf0.001"))
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan, plan
+
+
+def test_churn_labels_splits_and_no_leakage(spark):
+    """The label channel must be non-degenerate (both labels occur at
+    test scale), and the feature counts must cover EXACTLY the events
+    before the cut — if the `before` predicate leaked label-window
+    events into the features, the global feature total would exceed the
+    independently computed pre-cut event count."""
+    from pyspark.sql import functions as F
+
+    from extract_ocr_spark.operators.temporal import (
+        CHURN_LABEL_DAYS,
+        churn_labels_query,
+    )
+
+    rows = churn_labels_query(spark, "/root/testdata/sf0.001").collect()
+    labels = {r["churned"] for r in rows}
+    assert labels == {True, False}, labels
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    cut = ev.agg(
+        (F.max("ts") - F.expr(f"INTERVAL {CHURN_LABEL_DAYS} DAYS"))
+        .alias("c")).collect()[0]["c"]
+    expected = ev.filter(
+        F.col("ts") < F.lit(cut.strftime("%Y-%m-%d %H:%M:%S.%f"))
+        .cast("timestamp_ntz")).count()
+    total_feats = sum(
+        r["n_view"] + r["n_click"] + r["n_purchase"] + r["n_signup"]
+        + r["n_error"] for r in rows)
+    assert total_feats == expected, (total_feats, expected)

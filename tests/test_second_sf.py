@@ -57,6 +57,9 @@ SUBSET = [
     # lag-window adjacency stats: tie order and gap values are
     # timestamp-resolution-dependent
     "markov_transitions", "dwell_times",
+    # float->exact-cents rounding boundaries and the data-derived label
+    # cut both shift with scale
+    "top_orders_revenue", "churn_labels",
 ]
 
 

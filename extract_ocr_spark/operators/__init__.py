@@ -130,6 +130,7 @@ def all_queries():
         "cms_heavy_hitters", "pca_top_component", "contamination_embedding",
         "cohort_retention", "link_prediction", "markov_transitions",
         "dwell_times", "top_orders_revenue", "churn_labels",
+        "regional_revenue", "promo_revenue_share", "daily_anomalies",
     )
     order = [n for n in front if n in queries] + [
         n for n in queries if n not in front]

@@ -479,6 +479,21 @@ ORACLES = {
 }
 
 
+
+def _rev_cbp():
+    """The ONE exact revenue definition (cents-basis-points:
+    round(price*100) * (10000 - round(discount*10000))) shared by every
+    TPC-H-flavored query — per the tok_array anti-drift convention."""
+    return (F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (F.lit(10000)
+               - F.round(F.col("l_discount") * 10000).cast("long")))
+
+
+# the SQL twin of _rev_cbp, interpolated into every oracle
+REV_CBP_SQL = ("CAST(round(l_extendedprice*100) AS BIGINT) "
+               "* (10000 - CAST(round(l_discount*10000) AS BIGINT))")
+
+
 # -- TPC-H Q3-style shipping-priority revenue ---------------------------------
 
 Q3_SEGMENT = "BUILDING"
@@ -508,9 +523,7 @@ def top_orders_revenue_query(spark: SparkSession, sf_dir: str) -> DataFrame:
               .filter(F.col("o_orderdate") < cut)
               .select("o_orderkey", "o_custkey", "o_orderdate",
                       "o_orderpriority"))
-    rev = (F.round(F.col("l_extendedprice") * 100).cast("long")
-           * (F.lit(10000)
-              - F.round(F.col("l_discount") * 10000).cast("long")))
+    rev = _rev_cbp()
     li = (_t(spark, sf_dir, "lineitem")
           .filter(F.col("l_shipdate") > cut)
           .select("l_orderkey", rev.alias("rev")))
@@ -525,8 +538,7 @@ def top_orders_revenue_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOP_ORDERS_REVENUE_SQL = f"""
 WITH li AS (
   SELECT l_orderkey,
-         CAST(round(l_extendedprice*100) AS BIGINT)
-           * (10000 - CAST(round(l_discount*10000) AS BIGINT)) AS rev
+         {REV_CBP_SQL} AS rev
   FROM lineitem WHERE l_shipdate > TIMESTAMP '{Q3_CUTOFF}'
 )
 SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
@@ -543,3 +555,111 @@ LIMIT {Q3_TOP}
 
 QUERIES["top_orders_revenue"] = top_orders_revenue_query
 ORACLES["top_orders_revenue"] = TOP_ORDERS_REVENUE_SQL
+
+
+# -- Regional revenue rollup (TPC-H Q5-flavored) ------------------------------
+
+def regional_revenue_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by customer region and order year — the Q5-flavored
+    dimensional rollup exercising the full region->nation->customer
+    snowflake (the canonical small-dim broadcast pyramid: region 5 rows,
+    nation 25, customer corpus-scaled). Revenue in exact integer
+    cents-basis-points (the top_orders_revenue rule).
+
+    Scale shape: region/nation broadcast into the customer scan, the
+    customer⋈orders shuffle is on custkey, lineitem⋈orders on orderkey;
+    the distinct order count rides the same aggregate via expand. The
+    (region, year) result is 35 rows at any corpus size."""
+    _utc(spark)
+    rev = _rev_cbp()
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey",
+                                              rev.alias("rev"))
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                           F.year("o_orderdate")
+                                           .cast("int").alias("order_year"))
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (o.join(c, o["o_custkey"] == c["c_custkey"])
+            .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+            .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+            .join(li, o["o_orderkey"] == li["l_orderkey"])
+            .groupBy("r_name", "order_year")
+            .agg(F.sum("rev").alias("revenue_cbp"),
+                 F.countDistinct("o_orderkey").alias("n_orders"))
+            .orderBy("r_name", "order_year"))
+
+
+REGIONAL_REVENUE_SQL = f"""
+WITH rev AS (
+  SELECT l_orderkey,
+         {REV_CBP_SQL} AS rev
+  FROM lineitem
+)
+SELECT r.r_name, CAST(year(o.o_orderdate) AS INT) AS order_year,
+       CAST(sum(rev.rev) AS BIGINT) AS revenue_cbp,
+       CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+JOIN rev ON rev.l_orderkey = o.o_orderkey
+GROUP BY r.r_name, year(o.o_orderdate)
+ORDER BY r_name, order_year
+"""
+
+QUERIES["regional_revenue"] = regional_revenue_query
+ORACLES["regional_revenue"] = REGIONAL_REVENUE_SQL
+
+
+# -- Promo revenue share (TPC-H Q14-flavored) ----------------------------------
+
+PROMO_TYPE = "PROMO"
+PROMO_BP = 10_000
+
+
+def promo_revenue_share_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly promo revenue share (TPC-H Q14 re-expressed exact): per
+    ship month, promo vs total revenue in cents-basis-points and the
+    share as an exact integer-bp division — Q14's 100*sum(CASE)/sum()
+    float form can't hash-match across engines; this can.
+
+    Scale shape: ONE lineitem⋈part equi join (partkey) feeding one
+    month-keyed conditional aggregate — both the promo and total sums
+    partial-combine; no second scan, no window."""
+    _utc(spark)
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", (F.col("p_type") == PROMO_TYPE).alias("promo"))
+    rev = _rev_cbp()
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", rev.alias("rev"),
+        F.to_date(F.date_trunc("month", "l_shipdate")).alias("month"))
+    return (li.join(p, li["l_partkey"] == p["p_partkey"])
+            .groupBy("month")
+            .agg(F.sum(F.when(F.col("promo"), F.col("rev")).otherwise(0))
+                 .alias("promo_cbp"),
+                 F.sum("rev").alias("total_cbp"))
+            .select("month", "promo_cbp", "total_cbp",
+                    F.expr(f"promo_cbp * {PROMO_BP} div total_cbp")
+                    .alias("promo_share_bp"))
+            .orderBy("month"))
+
+
+PROMO_REVENUE_SHARE_SQL = f"""
+WITH lp AS (
+  SELECT date_trunc('month', l.l_shipdate) AS month,
+         {REV_CBP_SQL} AS rev,
+         p.p_type = '{PROMO_TYPE}' AS promo
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+)
+SELECT CAST(month AS DATE) AS month,
+       CAST(sum(CASE WHEN promo THEN rev ELSE 0 END) AS BIGINT)
+         AS promo_cbp,
+       CAST(sum(rev) AS BIGINT) AS total_cbp,
+       CAST(sum(CASE WHEN promo THEN rev ELSE 0 END) AS BIGINT)
+         * {PROMO_BP} // CAST(sum(rev) AS BIGINT) AS promo_share_bp
+FROM lp GROUP BY month ORDER BY month
+"""
+
+QUERIES["promo_revenue_share"] = promo_revenue_share_query
+ORACLES["promo_revenue_share"] = PROMO_REVENUE_SHARE_SQL

@@ -606,3 +606,63 @@ ORDER BY user_id
 
 QUERIES["churn_labels"] = churn_labels_query
 ORACLES["churn_labels"] = CHURN_LABELS_SQL
+
+
+# -- Daily volume anomalies ----------------------------------------------------
+
+ANOM_NUM = 50   # anomaly iff n*ANOM_DEN > trail_avg*ANOM_NUM... i.e. >2% above the
+ANOM_DEN = 51   # trailing-7-day mean) — calibrated so BOTH flag values
+#                 occur at test scale (the synthetic rate is near-uniform,
+#                 daily wobble ~±5% at sf0.001, ~±10% raw range at sf0.01)
+
+
+def daily_anomalies_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-volume anomaly flags: each day vs its trailing-7-day
+    mean, the threshold expressed as the exact integer cross-product
+    n * trailing_days * ANOM_NUM > trailing_sum * (ANOM_NUM+1) — no
+    float division anywhere. Days with no history (the first day) carry
+    a NULL flag, explicitly.
+
+    Scale shape: the corpus-sized work is the per-day count (one
+    partial-agg shuffle keyed on day); the trailing window then runs
+    over the DAYS table — bounded by the calendar, ~30 rows here — so
+    the unpartitioned ordered window is a deliberate post-aggregation
+    single-partition step over a provably tiny frame, not a corpus
+    sort."""
+    ev = _events(spark, sf_dir).select(F.to_date("ts").alias("day"))
+    d = ev.groupBy("day").agg(F.count("*").alias("n"))
+    w = Window.orderBy("day").rowsBetween(-7, -1)
+    trail = F.sum("n").over(w)
+    tdays = F.count("n").over(w)
+    flag = F.when(
+        tdays > 0,
+        F.col("n") * tdays * ANOM_NUM > trail * ANOM_DEN)
+    return (d.select("day", "n", trail.alias("t_raw"),
+                     tdays.alias("trailing_days"), flag.alias("anomaly_high"))
+            .select("day", "n",
+                    F.coalesce("t_raw", F.lit(0)).alias("trailing_sum"),
+                    "trailing_days", "anomaly_high")
+            .orderBy("day"))
+
+
+DAILY_ANOMALIES_SQL = f"""
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+), w AS (
+  SELECT day, n,
+         CAST(sum(n) OVER (ORDER BY day
+              ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS trail,
+         CAST(count(*) OVER (ORDER BY day
+              ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS tdays
+  FROM d
+)
+SELECT day, n, coalesce(trail, 0) AS trailing_sum, tdays AS trailing_days,
+       CASE WHEN tdays > 0
+            THEN n * tdays * {ANOM_NUM} > trail * {ANOM_DEN}
+            ELSE NULL END AS anomaly_high
+FROM w ORDER BY day
+"""
+
+QUERIES["daily_anomalies"] = daily_anomalies_query
+ORACLES["daily_anomalies"] = DAILY_ANOMALIES_SQL

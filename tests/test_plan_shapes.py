@@ -669,3 +669,46 @@ def test_churn_labels_splits_and_no_leakage(spark):
         r["n_view"] + r["n_click"] + r["n_purchase"] + r["n_signup"]
         + r["n_error"] for r in rows)
     assert total_feats == expected, (total_feats, expected)
+
+
+def test_regional_revenue_broadcasts_dims(spark):
+    """region/nation must ride broadcast joins (never shuffle the fact
+    side on a 5-row dim key); no nested-loop, no Python."""
+    from extract_ocr_spark.operators.relational import regional_revenue_query
+
+    plan = _plan(regional_revenue_query(spark, "/root/testdata/sf0.001"))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan, plan
+
+
+def test_promo_share_one_join_one_agg(spark):
+    """One lineitem⋈part equi join, one month-keyed aggregate with
+    partial combine; no window, no Python."""
+    from extract_ocr_spark.operators.relational import (
+        promo_revenue_share_query,
+    )
+
+    plan = _plan(promo_revenue_share_query(spark, "/root/testdata/sf0.001"))
+    assert "partial_sum" in plan, plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan, plan
+
+
+def test_daily_anomalies_window_after_aggregate(spark):
+    """The unpartitioned trailing window must sit ABOVE the day-keyed
+    aggregate (it runs over the ~30-row days table, never the raw
+    corpus): the plan's single-partition exchange feeds a Window whose
+    child contains the HashAggregate."""
+    from extract_ocr_spark.operators.temporal import daily_anomalies_query
+
+    plan = _plan(daily_anomalies_query(spark, "/root/testdata/sf0.001"))
+    assert "Window" in plan, plan
+    # the aggregate is below the window in the operator tree
+    assert plan.index("HashAggregate") > plan.index("Window"), plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan, plan

@@ -62,8 +62,11 @@ def test_bucketed_join_runs_with_zero_exchanges(spark, tmp_path,
              .format("parquet").saveAsTable(name))
         j = spark.table("t_docs_bkt").join(spark.table("t_meta_bkt"),
                                            "doc_id")
-        assert j.count() == 10_000
+        # execute THIS DataFrame's plan (count() finalizes a different
+        # query's adaptive plan — the skew test's lesson applies here too)
+        assert len(j.collect()) == 10_000
         plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=false" not in plan, plan
         assert plan.count("Exchange") == 0, plan
         assert "SortMergeJoin" in plan, plan
     finally:

@@ -60,6 +60,8 @@ SUBSET = [
     # float->exact-cents rounding boundaries and the data-derived label
     # cut both shift with scale
     "top_orders_revenue", "churn_labels",
+    # dim-join rollups and the calibrated anomaly threshold
+    "regional_revenue", "promo_revenue_share", "daily_anomalies",
 ]
 
 

@@ -131,6 +131,7 @@ def all_queries():
         "cohort_retention", "link_prediction", "markov_transitions",
         "dwell_times", "top_orders_revenue", "churn_labels",
         "regional_revenue", "promo_revenue_share", "daily_anomalies",
+        "trailing_hour_counts", "large_orders",
     )
     order = [n for n in front if n in queries] + [
         n for n in queries if n not in front]

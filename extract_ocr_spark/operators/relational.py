@@ -640,7 +640,17 @@ def promo_revenue_share_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("promo_cbp"),
                  F.sum("rev").alias("total_cbp"))
             .select("month", "promo_cbp", "total_cbp",
-                    F.expr(f"promo_cbp * {PROMO_BP} div total_cbp")
+                    # promo_cbp * 10000 is the one corpus-sized-aggregate
+                    # multiply in the repo: int64 wraps silently past
+                    # ~9.2e14 monthly cbp (≈ sf 0.2+), so refuse loudly
+                    # there instead of diverging from the oracle (which
+                    # sums in HUGEINT and would error, not wrap)
+                    F.when(F.col("promo_cbp") <= (2**63 - 1) // PROMO_BP,
+                           F.expr(f"promo_cbp * {PROMO_BP} div total_cbp"))
+                    .otherwise(F.raise_error(F.lit(
+                        "promo_revenue_share: monthly promo revenue "
+                        "overflows the bp multiply; switch the share to "
+                        "DECIMAL arithmetic at this scale")))
                     .alias("promo_share_bp"))
             .orderBy("month"))
 
@@ -663,3 +673,59 @@ FROM lp GROUP BY month ORDER BY month
 
 QUERIES["promo_revenue_share"] = promo_revenue_share_query
 ORACLES["promo_revenue_share"] = PROMO_REVENUE_SHARE_SQL
+
+
+# -- Large-volume customers (TPC-H Q18-flavored) -------------------------------
+
+Q18_QTY = 210
+Q18_TOP = 20
+
+
+def large_orders_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 re-expressed exact: the top orders whose total line
+    quantity clears Q18_QTY, with customer name and the order total in
+    exact cents. Quantities are whole numbers in this corpus, so
+    round->BIGINT sums are exact; the HAVING-over-aggregate becomes a
+    filter on the pre-aggregated per-order quantity table.
+
+    Scale shape: the qty rollup partial-aggregates per order BEFORE the
+    join (the aggregate-then-join form — joining first would carry every
+    line item through the customer join); the selective qty filter then
+    prunes the join input, and the top-20 is a TakeOrdered."""
+    _utc(spark)
+    oq = (_t(spark, sf_dir, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(F.sum(F.round("l_quantity").cast("long"))
+               .alias("total_qty"))
+          .filter(F.col("total_qty") > Q18_QTY))
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long")
+        .alias("totalprice_cents"))
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (o.join(oq, o["o_orderkey"] == oq["l_orderkey"])
+            .join(c, o["o_custkey"] == c["c_custkey"])
+            .select("c_name", "o_orderkey", "o_orderdate",
+                    "totalprice_cents", "total_qty")
+            .orderBy(F.desc("totalprice_cents"), "o_orderkey")
+            .limit(Q18_TOP))
+
+
+LARGE_ORDERS_SQL = f"""
+WITH oq AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING total_qty > {Q18_QTY}
+)
+SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+       CAST(round(o.o_totalprice*100) AS BIGINT) AS totalprice_cents,
+       oq.total_qty
+FROM orders o JOIN oq ON oq.l_orderkey = o.o_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY totalprice_cents DESC, o.o_orderkey
+LIMIT {Q18_TOP}
+"""
+
+QUERIES["large_orders"] = large_orders_query
+ORACLES["large_orders"] = LARGE_ORDERS_SQL

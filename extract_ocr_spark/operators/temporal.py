@@ -610,8 +610,9 @@ ORACLES["churn_labels"] = CHURN_LABELS_SQL
 
 # -- Daily volume anomalies ----------------------------------------------------
 
-ANOM_NUM = 50   # anomaly iff n*ANOM_DEN > trail_avg*ANOM_NUM... i.e. >2% above the
-ANOM_DEN = 51   # trailing-7-day mean) — calibrated so BOTH flag values
+ANOM_NUM = 50   # anomaly iff n * ANOM_NUM > trail_avg * ANOM_DEN, i.e.
+ANOM_DEN = 51   # n > (51/50)x the trailing-7-day mean (>2% above) —
+#                 calibrated so BOTH flag values
 #                 occur at test scale (the synthetic rate is near-uniform,
 #                 daily wobble ~±5% at sf0.001, ~±10% raw range at sf0.01)
 
@@ -666,3 +667,45 @@ FROM w ORDER BY day
 
 QUERIES["daily_anomalies"] = daily_anomalies_query
 ORACLES["daily_anomalies"] = DAILY_ANOMALIES_SQL
+
+
+# -- Trailing-hour activity features -------------------------------------------
+
+TRAIL_US = 3_600_000_000   # 1 hour in microseconds
+
+
+def trailing_hour_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-activity feature: how many events the same
+    user fired in the hour strictly before this one — the rate-limit /
+    burst-detection / ML-feature primitive. This is the repo's one
+    RANGE-frame window (every other window is ROWS- or partition-framed):
+    the frame is defined by the VALUE of the epoch-microsecond ordering
+    key, so equal-timestamp events are excluded by the -1 bound on both
+    engines and ties cannot flip the count.
+
+    The ordering key is timestampdiff(MICROSECOND, epoch, ts) on the
+    TIMESTAMP_NTZ column — timezone-free by construction (the
+    churn_labels lesson) and identical to DuckDB's epoch_us.
+
+    Scale shape: one user-keyed window, no join, no Python; the frame
+    scan is O(events in the hour) per row — bounded by per-user rate."""
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts")
+    epoch = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    w = (Window.partitionBy("user_id").orderBy(epoch.alias("us"))
+         .rangeBetween(-TRAIL_US, -1))
+    return (ev.select("event_id",
+                      F.count("*").over(w).alias("n_prev_hour"))
+            .orderBy("event_id"))
+
+
+TRAILING_HOUR_COUNTS_SQL = f"""
+SELECT event_id,
+       CAST(count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+            RANGE BETWEEN {TRAIL_US} PRECEDING AND 1 PRECEDING) AS BIGINT)
+         AS n_prev_hour
+FROM events ORDER BY event_id
+"""
+
+QUERIES["trailing_hour_counts"] = trailing_hour_counts_query
+ORACLES["trailing_hour_counts"] = TRAILING_HOUR_COUNTS_SQL

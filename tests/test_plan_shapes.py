@@ -712,3 +712,36 @@ def test_daily_anomalies_window_after_aggregate(spark):
     assert plan.index("HashAggregate") > plan.index("Window"), plan
     for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py not in plan, plan
+
+
+def test_trailing_hour_counts_range_frame_no_python(spark):
+    """The RANGE frame must survive into the physical window spec
+    (specifiedwindowframe(RangeFrame ...)) on ONE user-keyed exchange."""
+    from extract_ocr_spark.operators.temporal import (
+        trailing_hour_counts_query,
+    )
+
+    plan = _plan(trailing_hour_counts_query(spark, "/root/testdata/sf0.001"))
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+    assert "RangeFrame" in plan, plan
+    assert "Join" not in plan, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan, plan
+
+
+def test_large_orders_aggregates_before_join(spark):
+    """The qty rollup (and its HAVING cut) must sit BELOW the joins —
+    aggregate-then-join, so line items never ride through the customer
+    join — and the top-20 is a TakeOrdered."""
+    from extract_ocr_spark.operators.relational import large_orders_query
+
+    plan = _plan(large_orders_query(spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the aggregate appears deeper in the tree than the outermost join
+    first_join = min(i for i in (
+        plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"),
+        plan.find("ShuffledHashJoin")) if i >= 0)
+    assert plan.find("HashAggregate", first_join) > first_join, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan, plan

@@ -62,6 +62,8 @@ SUBSET = [
     "top_orders_revenue", "churn_labels",
     # dim-join rollups and the calibrated anomaly threshold
     "regional_revenue", "promo_revenue_share", "daily_anomalies",
+    # RANGE-frame boundary behavior and the qty HAVING cut
+    "trailing_hour_counts", "large_orders",
 ]
 
 

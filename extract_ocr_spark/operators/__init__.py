@@ -112,26 +112,31 @@ def all_queries():
         "filename_sanitize", "url_keys", "path_key_report", "ext_guess",
         "consolidated_index", "markdown_link_rewrite", "url_scope_filter",
         "export_counts_events", "robots_gate",
-        # queries new in r5 — never driver-checked yet
-        "bfs_frontier", "chunk_documents", "bm25_search",
-        "mixture_weights", "semdedup", "quality_classifier",
-        "corpus_report", "paragraph_dedup", "winnow_fingerprints",
-        "char_entropy", "kmv_distinct", "gopher_rules", "dsir_weights",
-        "containment_pairs", "tfidf_top_terms", "pagerank_scores",
-        "crawl_schedule", "crawl_diff", "length_quantiles",
-        "token_budget_sample", "ccnet_buckets", "bloom_url_seen",
-        "inverted_index", "minhash_est_pairs", "pmi_collocations", "ann_topk_int8",
-        "vocab_coverage", "ngram_novelty", "source_overlap",
-        "cluster_canonical", "caption_pairs", "interleave_stats",
-        "embedding_norm_outliers", "host_reputation", "asof_join",
-        "range_join_bins", "hypertable_rollup", "event_funnel",
-        "anchor_text_agg", "kmeans_clusters", "skipgram_pairs",
-        "triangle_count", "label_propagation", "hll_distinct",
-        "cms_heavy_hitters", "pca_top_component", "contamination_embedding",
-        "cohort_retention", "link_prediction", "markov_transitions",
-        "dwell_times", "top_orders_revenue", "churn_labels",
-        "regional_revenue", "promo_revenue_share", "daily_anomalies",
-        "trailing_hour_counts", "large_orders",
+        # queries new in r5 — never driver-checked yet; ordered NEWEST
+        # first so the driver's ~50-entry window lands on the operators
+        # with the least accumulated verification history (the oldest r5
+        # names below have been sweep-verified across many sessions and
+        # are the lowest-information picks for the external check)
+        "large_orders", "trailing_hour_counts", "daily_anomalies",
+        "promo_revenue_share", "regional_revenue", "churn_labels",
+        "top_orders_revenue", "dwell_times", "markov_transitions",
+        "link_prediction", "cohort_retention", "contamination_embedding",
+        "pca_top_component", "cms_heavy_hitters", "hll_distinct",
+        "label_propagation", "triangle_count",
+        "skipgram_pairs", "kmeans_clusters", "anchor_text_agg",
+        "event_funnel", "hypertable_rollup", "range_join_bins",
+        "asof_join", "host_reputation", "embedding_norm_outliers",
+        "interleave_stats", "caption_pairs", "cluster_canonical",
+        "source_overlap", "ngram_novelty", "vocab_coverage",
+        "ann_topk_int8", "pmi_collocations", "minhash_est_pairs",
+        "inverted_index", "bloom_url_seen", "ccnet_buckets",
+        "token_budget_sample", "length_quantiles", "crawl_diff",
+        "crawl_schedule", "pagerank_scores", "tfidf_top_terms",
+        "containment_pairs", "dsir_weights", "gopher_rules",
+        "kmv_distinct", "char_entropy", "winnow_fingerprints",
+        "paragraph_dedup", "corpus_report", "quality_classifier",
+        "semdedup", "mixture_weights", "bm25_search", "chunk_documents",
+        "bfs_frontier",
     )
     order = [n for n in front if n in queries] + [
         n for n in queries if n not in front]

@@ -848,7 +848,13 @@ def _block_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     with n — every in-block consecutive triple closes one — and blocks
     give label propagation real communities to find."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
-    n = docs.count()
+    return block_edges_of(docs, docs.count())
+
+
+def block_edges_of(docs: DataFrame, n: int) -> DataFrame:
+    """The block-community edge construction over any (doc_id) node
+    frame — the one closed form bench_graph.py and the sf_dir queries
+    share."""
     did = F.col("doc_id")
     same_block = lambda d: F.expr(f"(doc_id + {d}) div {BLOCK}") \
         == F.expr(f"doc_id div {BLOCK}")  # noqa: E731
@@ -995,11 +1001,26 @@ def label_propagation_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     not the join."""
     edges = _block_edges(spark, sf_dir)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    labels = label_propagation_df(docs, edges)
+    from pyspark.sql.window import Window
+
+    return (labels.select(F.col("v").alias("doc_id"),
+                          F.col("lbl").alias("label"))
+            .withColumn("community_size",
+                        F.count("*").over(Window.partitionBy("label")))
+            .orderBy("doc_id"))
+
+
+def label_propagation_df(docs: DataFrame, edges: DataFrame,
+                         iters: int = LPA_ITERS) -> DataFrame:
+    """The LPA iteration loop over any (doc_id) node frame + canonical
+    edge list; returns the final (v, lbl) table (localCheckpointed each
+    iteration). Shared by the sf_dir query and bench_graph.py."""
     adj = _sym_adj(edges).persist()
     try:
         labels = docs.select(F.col("doc_id").alias("v"),
                              F.col("doc_id").alias("lbl"))
-        for _ in range(LPA_ITERS):
+        for _ in range(iters):
             got = (adj.join(labels.withColumnRenamed("v", "pv"),
                             F.col("nbr") == F.col("pv"))
                    .groupBy("v", "lbl").agg(F.count("*").alias("cnt")))
@@ -1015,13 +1036,7 @@ def label_propagation_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .localCheckpoint(eager=True))
     finally:
         adj.unpersist()
-    from pyspark.sql.window import Window
-
-    return (labels.select(F.col("v").alias("doc_id"),
-                          F.col("lbl").alias("label"))
-            .withColumn("community_size",
-                        F.count("*").over(Window.partitionBy("label")))
-            .orderBy("doc_id"))
+    return labels
 
 
 def _lpa_iter_sql(prev: str, cur: str) -> str:

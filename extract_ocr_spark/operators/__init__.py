@@ -117,7 +117,8 @@ def all_queries():
         # with the least accumulated verification history (the oldest r5
         # names below have been sweep-verified across many sessions and
         # are the lowest-information picks for the external check)
-        "large_orders", "trailing_hour_counts", "daily_anomalies",
+        "prefix_filter_pairs", "large_orders", "trailing_hour_counts",
+        "daily_anomalies",
         "promo_revenue_share", "regional_revenue", "churn_labels",
         "top_orders_revenue", "dwell_times", "markov_transitions",
         "link_prediction", "cohort_retention", "contamination_embedding",

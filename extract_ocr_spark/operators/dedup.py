@@ -1080,3 +1080,100 @@ ORDER BY cluster
 
 QUERIES["cluster_canonical"] = cluster_canonical
 ORACLES["cluster_canonical"] = CLUSTER_CANONICAL_SQL
+
+
+# --- Prefix-filtering set-similarity join (PPJoin-style) --------------------
+
+PFX_NUM = 3   # jaccard threshold tau = PFX_NUM / PFX_DEN = 0.6
+PFX_DEN = 5
+
+
+def prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join via PREFIX FILTERING (Chaudhuri et
+    al. 2006 / PPJoin) — the third pair-pruning mechanism next to
+    MinHash banding (probabilistic) and the df-cap inverted index
+    (heuristic), and unlike both it is LOSSLESS: order every doc's
+    shingles by one global rarity order (df asc, shingle asc); two sets
+    with jaccard >= tau MUST share a token inside their first
+    s - ceil(tau*s) + 1 tokens, so the candidate join only touches
+    prefixes. Survivors are verified with an exact per-pair
+    array_intersect, all in integers (5*inter >= 3*union).
+
+    The oracle is the INDEPENDENT brute force (all-pairs inverted-index
+    jaccard, no prefix, no cap) — so the driver check also re-proves the
+    prefix theorem end-to-end on this corpus rather than mirroring the
+    optimization.
+
+    Scale shape: the df table is vocabulary-sized (NO broadcast hint —
+    the tfidf lesson; AQE may still choose broadcast when small), the
+    per-doc rarity window carries |shingles| rows per doc, and the
+    candidate equi-join touches only prefix tokens — which are the
+    RAREST by construction, so the hot-shingle fan-out that forces the
+    df-cap elsewhere cannot happen here. Verification joins the bounded
+    candidate set back to the shingle arrays (O(cand * s) map work)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = _with_shingles(docs).select("doc_id", "shingles").persist()
+    # the prefix table feeds BOTH sides of the candidate self-join: an
+    # unpersisted frame would run the explode + df-count + rarity window
+    # twice (the re-execution trap — pushed-projection diffs defeat
+    # ReusedExchange)
+    pref = _prefix_tokens_df(sh).persist()
+    try:
+        cand = (pref.select(F.col("doc_id").alias("a"), "sh")
+                .join(pref.select(F.col("doc_id").alias("b"), "sh"), "sh")
+                .filter(F.col("a") < F.col("b"))
+                .select("a", "b").distinct())
+        sa = sh.select(F.col("doc_id").alias("a"),
+                       F.col("shingles").alias("sha"))
+        sb = sh.select(F.col("doc_id").alias("b"),
+                       F.col("shingles").alias("shb"))
+        inter = F.size(F.array_intersect("sha", "shb"))
+        out = (cand.join(sa, "a").join(sb, "b")
+               .select("a", "b", inter.alias("inter_size"),
+                       (F.size("sha") + F.size("shb") - inter)
+                       .alias("union_size"))
+               .filter(F.col("inter_size") * PFX_DEN
+                       >= F.col("union_size") * PFX_NUM)
+               .orderBy("a", "b")
+               .localCheckpoint(eager=True))
+    finally:
+        pref.unpersist()
+        sh.unpersist()
+    return out
+
+
+def _prefix_tokens_df(sh: DataFrame) -> DataFrame:
+    """The rarity-ordered prefix tokens of each doc's shingle set (the
+    lossless candidate source; split out so the plan is pin-testable on
+    the production code path)."""
+    from pyspark.sql.window import Window
+
+    inv = sh.select("doc_id", F.size("shingles").alias("s"),
+                    F.explode("shingles").alias("sh"))
+    df_tab = inv.groupBy("sh").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "sh")
+    plen = (F.col("s")
+            - F.expr(f"({PFX_NUM}*s + {PFX_DEN - 1}) div {PFX_DEN}") + 1)
+    return (inv.join(df_tab, "sh")
+            .withColumn("pos", F.row_number().over(w))
+            .filter(F.col("pos") <= plen)
+            .select("doc_id", "sh"))
+
+
+PREFIX_FILTER_PAIRS_SQL = _SHINGLE_CTE + f"""
+, inv AS (
+  SELECT doc_id, len(shingles) AS s, unnest(shingles) AS shingle FROM sh
+), p AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, CAST(count(*) AS BIGINT) AS inter_size
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), sz AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS s FROM sh)
+SELECT p.a, p.b, p.inter_size,
+       sa.s + sb.s - p.inter_size AS union_size
+FROM p JOIN sz sa ON sa.doc_id = p.a JOIN sz sb ON sb.doc_id = p.b
+WHERE p.inter_size * {PFX_DEN} >= (sa.s + sb.s - p.inter_size) * {PFX_NUM}
+ORDER BY p.a, p.b
+"""
+
+QUERIES["prefix_filter_pairs"] = prefix_filter_pairs
+ORACLES["prefix_filter_pairs"] = PREFIX_FILTER_PAIRS_SQL

@@ -745,3 +745,25 @@ def test_large_orders_aggregates_before_join(spark):
     assert plan.find("HashAggregate", first_join) > first_join, plan
     for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py not in plan, plan
+
+
+def test_prefix_filter_pairs_pins(spark):
+    """Candidates must come from the per-doc rarity window (prefix
+    positions) + an equi join — never a cartesian. Pins the PRODUCTION
+    prefix stage (_prefix_tokens_df), pre-persist/checkpoint."""
+    from pyspark.sql import functions as F
+
+    from extract_ocr_spark.operators.dedup import (_prefix_tokens_df,
+                                                   _with_shingles)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sh = _with_shingles(docs).select("doc_id", "shingles")
+    pref = _prefix_tokens_df(sh)
+    cand = (pref.select(F.col("doc_id").alias("a"), "sh")
+            .join(pref.select(F.col("doc_id").alias("b"), "sh"), "sh")
+            .filter(F.col("a") < F.col("b")).select("a", "b").distinct())
+    plan = _plan(cand)
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" in plan, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan, plan

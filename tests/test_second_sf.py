@@ -64,6 +64,8 @@ SUBSET = [
     "regional_revenue", "promo_revenue_share", "daily_anomalies",
     # RANGE-frame boundary behavior and the qty HAVING cut
     "trailing_hour_counts", "large_orders",
+    # lossless prefix filtering must reproduce the brute force exactly
+    "prefix_filter_pairs",
 ]
 
 

@@ -1140,3 +1140,73 @@ LIMIT {LP_TOP_K}
 
 QUERIES["link_prediction"] = link_prediction_query
 ORACLES["link_prediction"] = LINK_PREDICTION_SQL
+
+
+K_CORE_K = 3      # keep nodes with >= 3 surviving neighbors
+K_CORE_ITERS = 6  # bounded synchronous peeling rounds (deterministic;
+#                   the fixpoint on this graph family needs SIX rounds —
+#                   survivors 450,400,350,300,250,200,200 at n=500 — and
+#                   a committed test pins round 6 == the python peeling
+#                   fixpoint; the bound keeps the oracle a finite chain)
+
+
+def k_core_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling over the block-community graph — the
+    degeneracy filter web-graph pipelines run before expensive analytics
+    (spam-farm cores, dense-community seeds): synchronously drop every
+    node with fewer than K surviving neighbors, K_CORE_ITERS rounds.
+    Unlike LPA/pagerank (fixed-size state per iteration) this is the
+    MONOTONE-SHRINKING iteration shape: the survivor set only loses
+    members, so each round's join inputs get cheaper.
+
+    Scale shape: adjacency persisted once; each round is survivor ⋈
+    adjacency ⋈ survivor (two semi-join-shaped equi joins), a counting
+    aggregate with map-side combine, and a localCheckpoint keeping the
+    plan flat. Output = every node with its in-core flag (the true
+    3-core: 200/500 at test scale, pinned against a run-to-fixpoint
+    python reference)."""
+    edges = _block_edges(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    adj = _sym_adj(edges).persist()
+    try:
+        surv = adj.select("v").distinct().localCheckpoint(eager=True)
+        for _ in range(K_CORE_ITERS):
+            surv = (adj.join(surv, "v")
+                    .join(surv.withColumnRenamed("v", "nbr"), "nbr")
+                    .groupBy("v").agg(F.count("*").alias("d"))
+                    .filter(F.col("d") >= K_CORE_K)
+                    .select("v")
+                    .localCheckpoint(eager=True))
+    finally:
+        adj.unpersist()
+    return (docs.join(surv.withColumn("flag", F.lit(True)),
+                      docs["doc_id"] == surv["v"], "left")
+            .select("doc_id",
+                    F.coalesce("flag", F.lit(False)).alias("in_core"))
+            .orderBy("doc_id"))
+
+
+def _kcore_iter_sql(prev: str, cur: str) -> str:
+    return f"""{cur} AS MATERIALIZED (
+  SELECT v FROM (
+    SELECT adj.v, count(*) AS d
+    FROM adj JOIN {prev} pa ON pa.v = adj.v
+    JOIN {prev} pb ON pb.v = adj.nbr
+    GROUP BY adj.v) t WHERE d >= {K_CORE_K}
+)"""
+
+
+K_CORE_SQL = (
+    f"WITH {_BLOCK_EDGES_CTE},\n"
+    "adj AS (SELECT a AS v, b AS nbr FROM edges "
+    "UNION ALL SELECT b, a FROM edges),\n"
+    "s0 AS MATERIALIZED (SELECT DISTINCT v FROM adj),\n"
+    + ",\n".join(_kcore_iter_sql(f"s{i}", f"s{i+1}")
+                 for i in range(K_CORE_ITERS))
+    + f"""
+SELECT d.doc_id, d.doc_id IN (SELECT v FROM s{K_CORE_ITERS}) AS in_core
+FROM documents d ORDER BY doc_id
+""")
+
+QUERIES["k_core"] = k_core_query
+ORACLES["k_core"] = K_CORE_SQL

@@ -709,3 +709,47 @@ FROM events ORDER BY event_id
 
 QUERIES["trailing_hour_counts"] = trailing_hour_counts_query
 ORACLES["trailing_hour_counts"] = TRAILING_HOUR_COUNTS_SQL
+
+
+# -- Clickstream path mining ---------------------------------------------------
+
+PATH_TOP = 20
+
+
+def path_trigrams_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-type trigram paths across user streams — order-3
+    sequence mining (behavior-model n-grams, funnel discovery), the
+    depth-3 companion to markov_transitions' order-1 matrix. Two leads
+    over the shared (ts, event_id) user window, one two-phase count,
+    TakeOrdered top-20 with a full deterministic tie order.
+
+    Scale shape: one user-keyed window shuffle (both leads ride the same
+    window), partial-agg on the |types|^3-bounded key space, never a
+    global sort."""
+    ev, w = _user_seq(spark, sf_dir)
+    seq = ev.select(F.col("event_type").alias("e1"),
+                    F.lead("event_type", 1).over(w).alias("e2"),
+                    F.lead("event_type", 2).over(w).alias("e3"))
+    return (seq.filter(F.col("e3").isNotNull())
+            .groupBy("e1", "e2", "e3").agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), "e1", "e2", "e3")
+            .limit(PATH_TOP))
+
+
+PATH_TRIGRAMS_SQL = f"""
+WITH seq AS (
+  SELECT user_id, event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+FROM seq WHERE e3 IS NOT NULL
+GROUP BY e1, e2, e3
+ORDER BY n DESC, e1, e2, e3
+LIMIT {PATH_TOP}
+"""
+
+QUERIES["path_trigrams"] = path_trigrams_query
+ORACLES["path_trigrams"] = PATH_TRIGRAMS_SQL

@@ -522,3 +522,41 @@ def test_ccnet_buckets_tercile_counts_and_ordering(spark):
         if counts["middle"] and counts["tail"]:
             assert max(r["avg_nll"] for r in rs if r["bucket"] == "middle") \
                 <= min(r["avg_nll"] for r in rs if r["bucket"] == "tail")
+
+
+def test_k_core_reaches_true_fixpoint(spark):
+    """k_core's bounded rounds must return the TRUE 3-core: compare
+    against a python peeling loop run to convergence (not to
+    K_CORE_ITERS). Both engines agreeing on a truncated iteration count
+    is exactly the failure an internally-consistent oracle pair cannot
+    see — this external reference can (it caught ITERS=5 stopping one
+    round short, flagging 50 non-core nodes)."""
+    from collections import defaultdict
+
+    from extract_ocr_spark.operators.links import k_core_query, K_CORE_K
+
+    rows = {r["doc_id"]: r["in_core"]
+            for r in k_core_query(spark, "/root/testdata/sf0.001").collect()}
+    n = len(rows)
+
+    und = set()
+    for i in range(n):
+        for d in (i + 1, i + 2):
+            if d < n and d // 10 == i // 10:
+                und.add((i, d))
+        if i % 10 == 0:
+            d = (i * 7 + 3) % n
+            if d != i:
+                und.add((min(i, d), max(i, d)))
+    adj = defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    surv = set(adj)
+    while True:
+        nxt = {v for v in surv if len(adj[v] & surv) >= K_CORE_K}
+        if nxt == surv:
+            break
+        surv = nxt
+    assert rows == {i: (i in surv) for i in range(n)}
+    assert 0 < len(surv) < n   # the flag channel is non-degenerate

@@ -767,3 +767,16 @@ def test_prefix_filter_pairs_pins(spark):
     assert "Window" in plan, plan
     for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py not in plan, plan
+
+
+def test_path_trigrams_one_window_takeordered(spark):
+    """Both leads ride ONE user window; the top-20 is a TakeOrdered over
+    the |types|^3-bounded count table."""
+    from extract_ocr_spark.operators.temporal import path_trigrams_query
+
+    plan = _plan(path_trigrams_query(spark, "/root/testdata/sf0.001"))
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Join" not in plan, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan, plan

@@ -66,6 +66,8 @@ SUBSET = [
     "trailing_hour_counts", "large_orders",
     # lossless prefix filtering must reproduce the brute force exactly
     "prefix_filter_pairs",
+    # peeling fixpoint membership and trigram tie order shift with data
+    "k_core", "path_trigrams",
 ]
 
 

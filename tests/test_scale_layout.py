@@ -98,3 +98,46 @@ def test_aqe_splits_skewed_join_partition(spark, restore_conf):
     plan = sj._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan, plan
     assert "skew=true" in plan, plan
+
+
+def test_partition_pruning_reaches_scan(spark, tmp_path):
+    """A filter on the partition column must prune at PLANNING time:
+    the scan's PartitionFilters carries the predicate and only the
+    matching partition directory is read (at 10^12 docs, day/source
+    partitioning is what turns full-corpus scans into single-digit
+    percents)."""
+    from pyspark.sql import functions as F
+
+    src = spark.range(10_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("day"),
+        F.sha2(F.col("id").cast("string"), 256).alias("payload"))
+    path = str(tmp_path / "parts")
+    src.write.partitionBy("day").parquet(path)
+    q = spark.read.parquet(path).filter(F.col("day") == 3)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    assert "(day" in plan.split("PartitionFilters", 1)[1][:120], plan
+    assert q.count() == 10_000 // 7 + (1 if 3 < 10_000 % 7 else 0)
+    # the data filter must NOT appear as a post-scan Filter on payload
+    assert q.count() == len(q.collect())
+
+
+def test_column_pruning_reaches_scan(spark, tmp_path):
+    """A two-column projection over a wide table must push column
+    pruning into the parquet ReadSchema — a scan that reads all columns
+    for a 2-column projection is wrong at any scale."""
+    from pyspark.sql import functions as F
+
+    src = spark.range(1_000).select(
+        F.col("id").alias("doc_id"),
+        F.sha2(F.col("id").cast("string"), 256).alias("text"),
+        (F.col("id") % 5).alias("lang"),
+        (F.col("id") % 9).alias("source"),
+        (F.col("id") * 3).alias("n_chars"))
+    path = str(tmp_path / "wide")
+    src.write.parquet(path)
+    q = spark.read.parquet(path).select("doc_id", "lang")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    rs = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "doc_id" in rs and "lang" in rs, rs
+    assert "text" not in rs and "n_chars" not in rs, rs

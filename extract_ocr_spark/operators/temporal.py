@@ -753,3 +753,48 @@ LIMIT {PATH_TOP}
 
 QUERIES["path_trigrams"] = path_trigrams_query
 ORACLES["path_trigrams"] = PATH_TRIGRAMS_SQL
+
+
+# -- Per-user event-type pivot --------------------------------------------------
+
+PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def user_event_pivot_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user wide feature matrix via the DataFrame ``pivot`` API —
+    the long->wide reshape every feature store runs. The pivot VALUES
+    are passed explicitly (PIVOT_TYPES): without them Spark launches an
+    extra distinct-values job and the output schema becomes
+    data-dependent — both wrong at corpus scale and unreviewable as an
+    oracle contract. Missing cells coalesce to 0, total rides the same
+    aggregate.
+
+    Scale shape (measured, not assumed): even with explicit values,
+    pivot compiles to TWO aggregates — a (user, type) count shuffle,
+    then a pivotfirst on user — so it costs one more exchange than the
+    hand-written conditional-CASE form (churn_labels' shape, one
+    shuffle). Pinned as such; the CASE form is the right choice in a
+    hot path, pivot buys API ergonomics on the long->wide reshape."""
+    ev = _events(spark, sf_dir).select("user_id", "event_type")
+    out = (ev.groupBy("user_id")
+           .pivot("event_type", list(PIVOT_TYPES))
+           .count())
+    total = None
+    for t in PIVOT_TYPES:
+        out = out.withColumn(t, F.coalesce(F.col(t), F.lit(0)))
+        total = F.col(t) if total is None else total + F.col(t)
+    return (out.withColumn("total", total)
+            .orderBy("user_id"))
+
+
+USER_EVENT_PIVOT_SQL = f"""
+SELECT user_id,
+  {", ".join(
+      f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+      f" AS {t}" for t in PIVOT_TYPES)},
+  CAST(count(*) AS BIGINT) AS total
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+QUERIES["user_event_pivot"] = user_event_pivot_query
+ORACLES["user_event_pivot"] = USER_EVENT_PIVOT_SQL

@@ -780,3 +780,20 @@ def test_path_trigrams_one_window_takeordered(spark):
     assert "Join" not in plan, plan
     for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py not in plan, plan
+
+
+def test_user_event_pivot_one_aggregate_no_python(spark):
+    """Explicit pivot values keep the schema a contract (no
+    distinct-values pre-job), but pivot still compiles to TWO
+    aggregates — a (user, type) count exchange then a pivotfirst on
+    user — one more shuffle than churn_labels' conditional-CASE form.
+    Pin the measured shape so the docstring's cost comparison stays
+    honest; no join, no Python either way."""
+    from extract_ocr_spark.operators.temporal import user_event_pivot_query
+
+    plan = _plan(user_event_pivot_query(spark, "/root/testdata/sf0.001"))
+    assert plan.count("hashpartitioning(user_id") == 2, plan
+    assert "pivotfirst" in plan, plan
+    assert "Join" not in plan, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan, plan

@@ -68,6 +68,8 @@ SUBSET = [
     "prefix_filter_pairs",
     # peeling fixpoint membership and trigram tie order shift with data
     "k_core", "path_trigrams",
+    # the pivot's explicit-values schema contract
+    "user_event_pivot",
 ]
 
 

@@ -798,3 +798,69 @@ FROM events GROUP BY user_id ORDER BY user_id
 
 QUERIES["user_event_pivot"] = user_event_pivot_query
 ORACLES["user_event_pivot"] = USER_EVENT_PIVOT_SQL
+
+
+# -- A/B experiment lift --------------------------------------------------------
+
+AB_CONV_N = 14   # converted iff >= this many purchase events (calibrated:
+#                  splits 5/8-vs-3/7 and 26/75-vs-43/75 across the two
+#                  test scales — a >=1 definition saturates at 100%)
+AB_BP = 10_000
+
+
+def ab_lift_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout: conversion rate per deterministic variant
+    (user_id % 2 — the hash-split every A/B platform uses) and each
+    variant's relative rate vs variant 0, all in exact integer basis
+    points. Conversion = at least AB_CONV_N purchases (calibrated so the
+    rates actually differ; a >=1 definition saturates at 100%).
+
+    Scale shape: one user-keyed conditional aggregate, one 2-row variant
+    rollup; the cross-variant comparison is a window over the 2-row
+    table (never a join back to its own aggregate — the markov/cohort
+    lesson)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select("user_id", "event_type")
+    u = (ev.groupBy("user_id")
+         .agg(F.sum(F.when(F.col("event_type") == "purchase", 1)
+                    .otherwise(0)).alias("p"))
+         .select((F.col("user_id") % 2).alias("variant"),
+                 (F.col("p") >= AB_CONV_N).cast("int").alias("conv")))
+    v = (u.groupBy("variant")
+         .agg(F.count("*").alias("users"),
+              F.sum("conv").alias("converters"))
+         .withColumn("conv_bp", F.expr(f"converters * {AB_BP} div users")))
+    base = F.max(F.when(F.col("variant") == 0, F.col("conv_bp"))) \
+        .over(Window.partitionBy())
+    return (v.withColumn("base_bp", base)
+            .select("variant", "users", "converters", "conv_bp",
+                    F.expr(f"conv_bp * {AB_BP} div base_bp")
+                    .alias("rel_rate_bp"))
+            .orderBy("variant"))
+
+
+AB_LIFT_SQL = f"""
+WITH u AS (
+  SELECT user_id % 2 AS variant,
+         CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                       THEN 1 ELSE 0 END) >= {AB_CONV_N}
+              THEN 1 ELSE 0 END AS conv
+  FROM events GROUP BY user_id
+), v AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS users,
+         CAST(sum(conv) AS BIGINT) AS converters
+  FROM u GROUP BY variant
+), r AS (
+  SELECT variant, users, converters,
+         converters * {AB_BP} // users AS conv_bp
+  FROM v
+)
+SELECT variant, users, converters, conv_bp,
+       conv_bp * {AB_BP}
+         // (max(CASE WHEN variant = 0 THEN conv_bp END) OVER ())
+         AS rel_rate_bp
+FROM r ORDER BY variant
+"""
+
+QUERIES["ab_lift"] = ab_lift_query
+ORACLES["ab_lift"] = AB_LIFT_SQL

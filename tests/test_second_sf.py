@@ -70,6 +70,8 @@ SUBSET = [
     "k_core", "path_trigrams",
     # the pivot's explicit-values schema contract
     "user_event_pivot",
+    # the calibrated conversion cut and 2-row lift window
+    "ab_lift",
 ]
 
 

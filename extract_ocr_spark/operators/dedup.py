@@ -1177,3 +1177,149 @@ ORDER BY p.a, p.b
 
 QUERIES["prefix_filter_pairs"] = prefix_filter_pairs
 ORACLES["prefix_filter_pairs"] = PREFIX_FILTER_PAIRS_SQL
+
+
+# --- Incremental (new-batch vs corpus-index) dedup ---------------------------
+
+INC_NEW_MOD = 10    # tonight's batch = doc_id % 10 == 0
+INC_REPOST = 20     # every 20th doc is an exact repost of its old neighbor
+INC_TAU_NUM = 1     # near-dup iff jaccard >= 1/2
+INC_TAU_DEN = 2
+
+
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NIGHTLY dedup shape: screen a small new batch against the
+    big existing corpus index instead of re-deduping everything — the
+    incremental form every production pipeline actually runs. The batch
+    derives deterministically (doc_id % 10 == 0 is new; every 20th new
+    doc carries its old neighbor's exact text, simulating a repost) so
+    all three outcomes occur and are oracle-checkable: 'exact_dup'
+    (md5 match against the index, lowest old id wins), 'near_dup'
+    (capped-shingle jaccard >= 1/2 against old docs only, best match by
+    (intersection desc, union asc, old id asc)), else 'unique' —
+    25/4/21 at both test scales.
+
+    Scale shape: the exact channel is a sha equi-join where the NEW
+    side is batch-sized (broadcastable in production); the near channel
+    joins the new batch's inverted index against the corpus index on
+    shingle with the standard SHINGLE_DF_CAP stop-shingle drop bounding
+    hot-key fan-out, and crucially produces only new x old pairs — no
+    old x old pair space, which is what makes incremental dedup
+    O(batch) instead of O(corpus^2). The effective-text frame is
+    persisted: it feeds both channels (the re-execution trap
+    otherwise)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    repl = docs.select((F.col("doc_id") - 1).alias("doc_id"),
+                       F.col("text").alias("rtext"))
+    eff = (docs.join(repl, "doc_id", "left")
+           .select("doc_id",
+                   F.when(F.col("doc_id") % INC_REPOST == 0,
+                          F.col("rtext")).otherwise(F.col("text"))
+                   .alias("text"),
+                   (F.col("doc_id") % INC_NEW_MOD == 0).alias("is_new"))
+           .persist())
+    try:
+        news = eff.filter(F.col("is_new")).select("doc_id", "text")
+        olds = eff.filter(~F.col("is_new")).select("doc_id", "text")
+        ex = (news.select("doc_id", F.md5("text").alias("h"))
+              .join(olds.select(F.col("doc_id").alias("o"),
+                                F.md5("text").alias("h")), "h")
+              .groupBy("doc_id").agg(F.min("o").alias("ex_match")))
+        sh = _with_shingles(eff).select("doc_id", "is_new", "shingles")
+        inv = sh.select("doc_id", "is_new",
+                        F.size("shingles").alias("s"),
+                        F.explode("shingles").alias("shingle"))
+        inv2 = _drop_hot_shingles(inv)
+        n_side = inv2.filter(F.col("is_new")).select(
+            F.col("doc_id").alias("new_id"), F.col("s").alias("sn"),
+            "shingle")
+        o_side = inv2.filter(~F.col("is_new")).select(
+            F.col("doc_id").alias("old_id"), F.col("s").alias("so"),
+            "shingle")
+        p = (n_side.join(o_side, "shingle")
+             .groupBy("new_id", "old_id")
+             .agg(F.count("*").alias("i"),
+                  (F.first("sn") + F.first("so") - F.count("*"))
+                  .alias("u")))
+        near = (p.filter(F.col("i") * INC_TAU_DEN
+                         >= F.col("u") * INC_TAU_NUM)
+                .groupBy("new_id")
+                .agg(F.min(F.struct((-F.col("i")).alias("ni"),
+                                    F.col("u").alias("u"),
+                                    F.col("old_id").alias("o")))
+                     .alias("b")))
+        status = (F.when(F.col("ex_match").isNotNull(), "exact_dup")
+                  .when(F.col("b").isNotNull(), "near_dup")
+                  .otherwise("unique"))
+        out = (news.select("doc_id")
+               .join(ex, "doc_id", "left")
+               .join(near, news["doc_id"] == near["new_id"], "left")
+               .select("doc_id", status.alias("status"),
+                       F.coalesce("ex_match", F.col("b.o"))
+                       .alias("match_doc"),
+                       F.when(F.col("ex_match").isNull(), -F.col("b.ni"))
+                       .alias("inter_size"),
+                       F.when(F.col("ex_match").isNull(), F.col("b.u"))
+                       .alias("union_size"))
+               .orderBy("doc_id")
+               .localCheckpoint(eager=True))
+    finally:
+        eff.unpersist()
+    return out
+
+
+INCREMENTAL_DEDUP_SQL = f"""
+WITH eff AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % {INC_REPOST} = 0 THEN r.text
+              ELSE d.text END AS text,
+         d.doc_id % {INC_NEW_MOD} = 0 AS is_new
+  FROM documents d LEFT JOIN documents r ON r.doc_id = d.doc_id + 1
+), news AS (SELECT doc_id, text FROM eff WHERE is_new),
+olds AS (SELECT doc_id, text FROM eff WHERE NOT is_new),
+ex AS (
+  SELECT n.doc_id, min(o.doc_id) AS match_doc
+  FROM news n JOIN olds o ON md5(n.text) = md5(o.text)
+  GROUP BY n.doc_id
+), w AS (
+  SELECT doc_id, is_new,
+         regexp_split_to_array(trim(regexp_replace(lower(text),
+           '[^a-z0-9]+', ' ', 'g')), ' ') AS words
+  FROM eff
+), sh AS (
+  SELECT doc_id, is_new,
+         list_distinct(list_transform(range(1, len(words) - 1),
+           i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+           AS shingles
+  FROM w WHERE len(words) >= 3
+), inv AS (
+  SELECT doc_id, is_new, len(shingles) AS s, unnest(shingles) AS g FROM sh
+), inv2 AS (
+  SELECT * FROM inv WHERE g NOT IN (
+    SELECT g FROM inv GROUP BY g HAVING count(*) > {SHINGLE_DF_CAP})
+), p AS (
+  SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+         CAST(count(*) AS BIGINT) AS i,
+         CAST(any_value(n.s) + any_value(o.s) - count(*) AS BIGINT) AS u
+  FROM inv2 n JOIN inv2 o ON n.g = o.g AND o.is_new = FALSE
+  WHERE n.is_new GROUP BY n.doc_id, o.doc_id
+), near AS (
+  SELECT new_id, min(struct_pack(ni := -i, u := u, o := old_id)) AS b
+  FROM p WHERE i * {INC_TAU_DEN} >= u * {INC_TAU_NUM} GROUP BY new_id
+)
+SELECT n.doc_id AS doc_id,
+       CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+            WHEN nr.new_id IS NOT NULL THEN 'near_dup'
+            ELSE 'unique' END AS status,
+       coalesce(ex.match_doc, (nr.b).o) AS match_doc,
+       CASE WHEN ex.doc_id IS NULL THEN -((nr.b).ni) END AS inter_size,
+       CASE WHEN ex.doc_id IS NULL THEN (nr.b).u END AS union_size
+FROM news n
+LEFT JOIN ex ON ex.doc_id = n.doc_id
+LEFT JOIN near nr ON nr.new_id = n.doc_id
+ORDER BY n.doc_id
+"""
+
+QUERIES["incremental_dedup"] = incremental_dedup
+ORACLES["incremental_dedup"] = INCREMENTAL_DEDUP_SQL

@@ -797,3 +797,33 @@ def test_user_event_pivot_one_aggregate_no_python(spark):
     assert "Join" not in plan, plan
     for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py not in plan, plan
+
+
+def test_incremental_dedup_capped_no_cartesian(spark):
+    """The near channel joins new-batch postings against the corpus
+    index with the stop-shingle anti-join bounding fan-out — never a
+    cartesian, never Python. (Output is localCheckpointed; pin on the
+    executed-plan string of the returned frame's lineage is impossible,
+    so pin the LIVE query pre-collect via a fresh build.)"""
+    from extract_ocr_spark.operators.dedup import (_drop_hot_shingles,
+                                                   _with_shingles)
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+    eff = docs.withColumn("is_new", F.col("doc_id") % 10 == 0)
+    inv = _with_shingles(eff).select(
+        "doc_id", "is_new", F.size("shingles").alias("s"),
+        F.explode("shingles").alias("shingle"))
+    inv2 = _drop_hot_shingles(inv)
+    n_side = inv2.filter(F.col("is_new")).select(
+        F.col("doc_id").alias("new_id"), "shingle")
+    o_side = inv2.filter(~F.col("is_new")).select(
+        F.col("doc_id").alias("old_id"), "shingle")
+    p = (n_side.join(o_side, "shingle")
+         .groupBy("new_id", "old_id").agg(F.count("*").alias("i")))
+    plan = _plan(p)
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftAnti" in plan or "left_anti" in plan, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan, plan

@@ -72,6 +72,8 @@ SUBSET = [
     "user_event_pivot",
     # the calibrated conversion cut and 2-row lift window
     "ab_lift",
+    # all three incremental-dedup statuses + cap boundary
+    "incremental_dedup",
 ]
 
 

@@ -729,3 +729,190 @@ LIMIT {Q18_TOP}
 
 QUERIES["large_orders"] = large_orders_query
 ORACLES["large_orders"] = LARGE_ORDERS_SQL
+
+
+# -- Late-shipment order priorities (TPC-H Q4-flavored semi join) --------------
+
+Q4_START = "1997-07-01"
+Q4_END = "1997-10-01"
+Q4_LATE_DAYS = 60
+
+
+def order_priority_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 adapted to this corpus (lineitem carries no
+    commit/receipt dates, so "late" = a line shipped more than
+    Q4_LATE_DAYS after the order date): per order priority, how many
+    orders in one quarter had at least one late line. The EXISTS
+    subquery is expressed as a LEFT SEMI join — the one join type the
+    registry didn't exercise yet — so each order is counted once no
+    matter how many of its lines were late.
+
+    Scale shape: the quarter filter pushes into the orders scan
+    (PushedFilters), the semi join shuffles both sides on orderkey and
+    emits AT MOST one row per order (never a multiplied join), and the
+    mixed equi + inequality condition stays JVM-side (the date
+    comparison rides the join as a post-condition, not a Python
+    filter). The 5-row result aggregates with map-side combine."""
+    _utc(spark)
+    o = (_t(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate") >= F.lit(Q4_START).cast("timestamp"))
+                 & (F.col("o_orderdate") < F.lit(Q4_END).cast("timestamp")))
+         .select("o_orderkey", "o_orderdate", "o_orderpriority"))
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"]
+           > o["o_orderdate"] + F.expr(f"INTERVAL {Q4_LATE_DAYS} DAYS"))
+    )
+    return (o.join(li, cond, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+ORDER_PRIORITY_COUNTS_SQL = f"""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '{Q4_START}'
+  AND o.o_orderdate <  TIMESTAMP '{Q4_END}'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL {Q4_LATE_DAYS} DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+QUERIES["order_priority_counts"] = order_priority_counts_query
+ORACLES["order_priority_counts"] = ORDER_PRIORITY_COUNTS_SQL
+
+
+# -- Disjunctive brand/size/quantity pricing (TPC-H Q19-flavored) --------------
+
+# (brand, size_lo, size_hi, qty_lo, qty_hi) — three OR'd branches, as in
+# Q19's shipping-container clauses
+Q19_BRANCHES = (
+    ("Brand#1", 1, 15, 1, 20),
+    ("Brand#2", 10, 30, 10, 35),
+    ("Brand#3", 20, 50, 20, 50),
+)
+
+
+def disjunctive_pricing_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 re-expressed exact: revenue from line items matching
+    any of three OR'd brand/size/quantity branches, reported per branch
+    (Q19's single scalar hides which clause fired; the per-branch rollup
+    is strictly more informative and still 3 rows at any scale).
+
+    Scale shape: a disjunction can't push down as-is, so the common
+    superset IS hoisted by hand — the part scan carries
+    ``p_brand IN (branch brands)`` (prunes ~22/25 of parts BEFORE the
+    join; Catalyst keeps it in PushedFilters) and the partkey equi join
+    runs on the pruned dim. Branch assignment is a JVM CASE on the
+    joined row; first matching branch wins (branches here are
+    brand-disjoint anyway). Revenue in exact cents-basis-points."""
+    _utc(spark)
+    brands = [b for b, *_ in Q19_BRANCHES]
+    p = (_t(spark, sf_dir, "part")
+         .filter(F.col("p_brand").isin(brands))
+         .select("p_partkey", "p_brand", "p_size"))
+    rev = _rev_cbp()
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.round("l_quantity").cast("long").alias("qty"),
+        rev.alias("rev"))
+    joined = li.join(p, li["l_partkey"] == p["p_partkey"])
+    branch = F.lit(None).cast("int")
+    for i, (b, slo, shi, qlo, qhi) in reversed(
+            list(enumerate(Q19_BRANCHES, start=1))):
+        branch = F.when(
+            (F.col("p_brand") == b)
+            & F.col("p_size").between(slo, shi)
+            & F.col("qty").between(qlo, qhi),
+            F.lit(i)).otherwise(branch)
+    return (joined.withColumn("branch", branch)
+            .filter(F.col("branch").isNotNull())
+            .groupBy("branch")
+            .agg(F.sum("rev").alias("revenue_cbp"),
+                 F.count("*").alias("n_lines"))
+            .orderBy("branch"))
+
+
+def _q19_case_sql() -> str:
+    whens = "\n    ".join(
+        f"WHEN p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi} "
+        f"AND qty BETWEEN {qlo} AND {qhi} THEN {i}"
+        for i, (b, slo, shi, qlo, qhi) in enumerate(Q19_BRANCHES, start=1))
+    return f"CASE\n    {whens}\n    END"
+
+
+DISJUNCTIVE_PRICING_SQL = f"""
+WITH lp AS (
+  SELECT p.p_brand, p.p_size,
+         CAST(round(l.l_quantity) AS BIGINT) AS qty,
+         {REV_CBP_SQL} AS rev
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_brand IN ({", ".join(f"'{b}'" for b, *_ in Q19_BRANCHES)})
+)
+SELECT branch, CAST(sum(rev) AS BIGINT) AS revenue_cbp,
+       count(*) AS n_lines
+FROM (SELECT {_q19_case_sql()} AS branch, rev FROM lp)
+WHERE branch IS NOT NULL
+GROUP BY branch ORDER BY branch
+"""
+
+QUERIES["disjunctive_pricing"] = disjunctive_pricing_query
+ORACLES["disjunctive_pricing"] = DISJUNCTIVE_PRICING_SQL
+
+
+# -- Salted skew join (hot-key fact ⋈ dim with explicit salt) ------------------
+
+SALT_BUCKETS = 16
+# per-returnflag handling fee in basis points — the 3-row dim
+SALT_DIM = (("A", 25), ("N", 5), ("R", 40))
+
+
+def salted_skew_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manual skew-salting pattern with a correctness proof: the
+    fact side (every line item) joins a per-returnflag dim on a key with
+    THREE distinct values — the worst-case hot-key shape, where a plain
+    shuffle join puts a third of the corpus in one task. The fact side
+    salts the key with ``l_orderkey % SALT_BUCKETS`` and the dim side
+    explodes each row into all SALT_BUCKETS salts, so the shuffle
+    spreads each hot key over SALT_BUCKETS tasks; the join result is
+    salt-invariant, which the plain-join oracle proves.
+
+    At THIS dim size you'd broadcast and be done — the pattern is for
+    the regime where the dim is too big to broadcast but the fact key is
+    Zipfian (per-host metadata against a crawl corpus); the salt column
+    and exploded dim are exactly what you'd ship there, and the plan
+    keeps the salt in the join key (pinned in test_plan_shapes)."""
+    _utc(spark)
+    rev = _rev_cbp()
+    fact = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", rev.alias("rev"),
+        (F.col("l_orderkey") % SALT_BUCKETS).alias("salt"))
+    dim = spark.createDataFrame(
+        list(SALT_DIM), ["flag", "fee_bp"]).withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(SALT_BUCKETS - 1)))
+    ).withColumn("salt", F.col("salt").cast("long"))
+    return (fact.join(dim, (fact["l_returnflag"] == dim["flag"])
+                      & (fact["salt"] == dim["salt"]))
+            .groupBy("flag", "fee_bp")
+            .agg(F.sum("rev").alias("revenue_cbp"),
+                 F.count("*").alias("n_lines"))
+            .orderBy("flag"))
+
+
+SALTED_SKEW_JOIN_SQL = f"""
+WITH dim(flag, fee_bp) AS (VALUES {", ".join(f"('{f}', {bp})"
+                                             for f, bp in SALT_DIM)})
+SELECT dim.flag, CAST(dim.fee_bp AS BIGINT) AS fee_bp,
+       CAST(sum({REV_CBP_SQL}) AS BIGINT) AS revenue_cbp,
+       count(*) AS n_lines
+FROM lineitem l JOIN dim ON dim.flag = l.l_returnflag
+GROUP BY dim.flag, dim.fee_bp
+ORDER BY dim.flag
+"""
+
+QUERIES["salted_skew_join"] = salted_skew_join_query
+ORACLES["salted_skew_join"] = SALTED_SKEW_JOIN_SQL

@@ -60,6 +60,9 @@ SUBSET = [
     # float->exact-cents rounding boundaries and the data-derived label
     # cut both shift with scale
     "top_orders_revenue", "churn_labels",
+    # r5 fourteenth session: semi-join existence, disjunctive branch
+    # ranges, and salt-invariance are all value-distribution-dependent
+    "order_priority_counts", "disjunctive_pricing", "salted_skew_join",
     # dim-join rollups and the calibrated anomaly threshold
     "regional_revenue", "promo_revenue_share", "daily_anomalies",
     # RANGE-frame boundary behavior and the qty HAVING cut

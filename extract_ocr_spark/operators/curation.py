@@ -972,3 +972,56 @@ ORDER BY doc_id
 
 QUERIES["token_budget_sample"] = token_budget_sample
 ORACLES["token_budget_sample"] = TOKEN_BUDGET_SAMPLE_SQL
+
+
+# -- Weighted sampling without replacement (A-Res / Efraimidis-Spirakis) -------
+
+WSAMPLE_K = 20
+# 52-bit md5 prefix → an exact dyadic uniform in (0, 0.5]; both endpoints
+# avoided so ln() is finite and never exactly 0
+_WSAMPLE_DENOM = float(2 ** 53)
+
+
+def weighted_sample_df(docs: DataFrame, k: int = WSAMPLE_K) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis A-Res): each doc gets key = ln(u)/w with u an md5-derived
+    uniform and w its char-length weight; the top-k keys are exactly a
+    weighted sample. No RNG state — the sample is a pure function of the
+    corpus, so it is reproducible across retries, engines and cluster
+    sizes (the property a 100-TB training-mix pipeline actually needs;
+    rand()-based sampling is partition-order-dependent under retries).
+
+    Scale shape: one codegen projection computes the keys, and the top-k
+    is a TakeOrderedAndProject (per-partition heaps + one driver merge of
+    k·P rows) — never a global sort."""
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13),
+               16, 10).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(_WSAMPLE_DENOM)
+    w = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    key = F.log(u) / w
+    return (docs.select("doc_id", "source", "n_chars",
+                        F.round(key, 6).alias("sample_key"))
+            .orderBy(F.col("sample_key").desc(), "doc_id")
+            .limit(k))
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return weighted_sample_df(_docs(spark, sf_dir))
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         round(
+           ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+               + 1) / {_WSAMPLE_DENOM!r})
+           / CAST(greatest(n_chars, 1) AS DOUBLE), 6) AS sample_key
+  FROM documents
+)
+SELECT * FROM keyed
+ORDER BY sample_key DESC, doc_id
+LIMIT {WSAMPLE_K}
+"""
+
+QUERIES["weighted_sample"] = weighted_sample
+ORACLES["weighted_sample"] = WEIGHTED_SAMPLE_SQL

@@ -916,3 +916,90 @@ ORDER BY dim.flag
 
 QUERIES["salted_skew_join"] = salted_skew_join_query
 ORACLES["salted_skew_join"] = SALTED_SKEW_JOIN_SQL
+
+
+# -- RFM customer segmentation (integer-tercile scoring) -----------------------
+
+RFM_BUCKETS = 3
+
+
+def _rfm_bucket(rank_col, n_col):
+    """Exact integer tercile: floor((rank-1)*B/n) + 1 — engine-invariant
+    by construction (ntile's remainder spread is also deterministic, but
+    this form is pure integer arithmetic both sides)."""
+    return ((rank_col - 1) * RFM_BUCKETS / n_col).cast("long") + 1
+
+
+def rfm_segments_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per customer, recency (days from last
+    order to the corpus max date), frequency (order count) and monetary
+    (exact cents) each score 1-3 by integer tercile rank, and the
+    output is the 27-cell segment rollup (count + total monetary).
+    Every step is integer-exact — datediff days, row_number ranks with
+    full custkey tiebreaks, tercile = floor((r-1)*3/n)+1 — so the
+    rollup hash-matches at any scale.
+
+    Scale shape: one orders scan → custkey-keyed aggregate; the three
+    rank windows run over the CUSTOMER-cardinality aggregate (not the
+    order rows), partitioned ONCE (no per-window reshuffle: all three
+    windows share the single-partition frame only at the rank step,
+    which at 10^9 customers would switch to the range-rank form used by
+    length_quantiles); final rollup is ≤27 rows."""
+    _utc(spark)
+    o = _t(spark, sf_dir, "orders")
+    corpus_max = o.agg(F.max("o_orderdate").alias("mx"))
+    per_cust = (o.groupBy("o_custkey")
+                .agg(F.max("o_orderdate").alias("last_order"),
+                     F.count("*").alias("n_orders"),
+                     F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                     .alias("cents")))
+    per_cust = per_cust.crossJoin(F.broadcast(corpus_max)).withColumn(
+        "recency_days", F.datediff("mx", "last_order").cast("long"))
+    wr = Window.orderBy("recency_days", "o_custkey")
+    wf = Window.orderBy(F.desc("n_orders"), "o_custkey")
+    wm = Window.orderBy(F.desc("cents"), "o_custkey")
+    n = Window.partitionBy()
+    scored = (per_cust
+              .withColumn("nn", F.count("*").over(n))
+              .withColumn("r_score",
+                          _rfm_bucket(F.row_number().over(wr), F.col("nn")))
+              .withColumn("f_score",
+                          _rfm_bucket(F.row_number().over(wf), F.col("nn")))
+              .withColumn("m_score",
+                          _rfm_bucket(F.row_number().over(wm), F.col("nn"))))
+    return (scored
+            .groupBy("r_score", "f_score", "m_score")
+            .agg(F.count("*").alias("n_customers"),
+                 F.sum("cents").alias("total_cents"))
+            .orderBy("r_score", "f_score", "m_score"))
+
+
+RFM_SEGMENTS_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         datediff('day', max(o_orderdate),
+                  (SELECT max(o_orderdate) FROM orders)) AS recency_days,
+         count(*) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey
+), scored AS (
+  SELECT *,
+         count(*) OVER () AS nn,
+         row_number() OVER (ORDER BY recency_days, o_custkey) AS rr,
+         row_number() OVER (ORDER BY n_orders DESC, o_custkey) AS rf,
+         row_number() OVER (ORDER BY cents DESC, o_custkey) AS rm
+  FROM per_cust
+)
+SELECT (rr-1)*{RFM_BUCKETS}//nn + 1 AS r_score,
+       (rf-1)*{RFM_BUCKETS}//nn + 1 AS f_score,
+       (rm-1)*{RFM_BUCKETS}//nn + 1 AS m_score,
+       count(*) AS n_customers,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM scored
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+QUERIES["rfm_segments"] = rfm_segments_query
+ORACLES["rfm_segments"] = RFM_SEGMENTS_SQL

@@ -881,3 +881,33 @@ def test_salted_skew_join_salt_in_join_key(spark):
     rows = {r["flag"]: r["n_lines"] for r in df.collect()}
     assert set(rows) == {f for f, _ in SALT_DIM}
     assert SALT_BUCKETS == 16
+
+
+def test_weighted_sample_takeordered_no_sort(spark):
+    """A-Res top-k must be a TakeOrderedAndProject (per-partition heaps),
+    never a global Sort, and the key math stays in codegen."""
+    from extract_ocr_spark.operators.curation import weighted_sample
+
+    plan = _plan(weighted_sample(spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan, plan
+
+
+def test_rfm_segments_aggregate_below_windows(spark):
+    """The custkey rollup must run BEFORE the rank windows (windows see
+    customer-cardinality rows, never raw orders), single scan, no
+    Python."""
+    from extract_ocr_spark.operators.relational import rfm_segments_query
+
+    plan = _plan(rfm_segments_query(spark, "/root/testdata/sf0.001"))
+    assert plan.count("Scan parquet") == 2 or plan.count(
+        "FileScan") == 2, plan  # orders scan + the broadcast max-date scan
+    first_window = plan.find("Window")
+    assert first_window >= 0, plan
+    # the per-customer aggregate (keyed on o_custkey) sits deeper than
+    # the windows
+    assert plan.find("o_custkey", first_window) > first_window, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan, plan

@@ -63,6 +63,8 @@ SUBSET = [
     # r5 fourteenth session: semi-join existence, disjunctive branch
     # ranges, and salt-invariance are all value-distribution-dependent
     "order_priority_counts", "disjunctive_pricing", "salted_skew_join",
+    # A-Res top-k boundary and RFM tercile cuts shift with corpus size
+    "weighted_sample", "rfm_segments",
     # dim-join rollups and the calibrated anomaly threshold
     "regional_revenue", "promo_revenue_share", "daily_anomalies",
     # RANGE-frame boundary behavior and the qty HAVING cut

@@ -1323,3 +1323,71 @@ ORDER BY n.doc_id
 
 QUERIES["incremental_dedup"] = incremental_dedup
 ORACLES["incremental_dedup"] = INCREMENTAL_DEDUP_SQL
+
+
+# -- Edit-distance screening over blocked candidate pairs ----------------------
+
+EDIT_PREFIX_CHARS = 80
+EDIT_LEN_BUCKET = 100
+
+
+def edit_distance_pairs_df(docs: DataFrame) -> DataFrame:
+    """Levenshtein screening with blocking: candidate pairs are ADJACENT
+    docs (by doc_id) within a (source, length-bucket) block — the
+    classic sorted-neighborhood form, O(n) pairs instead of O(n²) — and
+    each pair gets the exact edit distance of its ASCII-normalized
+    80-char prefixes. The ASCII fold is load-bearing for the oracle:
+    Spark's levenshtein counts CODEPOINTS while DuckDB's counts UTF-8
+    bytes, so the compared strings are restricted to printable ASCII
+    where the two definitions coincide (and where the synthetic corpus
+    lives anyway).
+
+    Scale shape: one window (the block-partitioned lead), one codegen
+    levenshtein per pair — the DP is O(80²) per row, JVM-side, no
+    Python; blocks are hash-partitioned so the shuffle carries slim
+    (ids, prefix) rows only."""
+    from pyspark.sql import Window
+
+    pfx = F.regexp_replace(
+        F.substring("text", 1, EDIT_PREFIX_CHARS), "[^ -~]", "")
+    slim = docs.select(
+        "doc_id", "source", pfx.alias("pfx"),
+        (F.col("n_chars") / EDIT_LEN_BUCKET).cast("long").alias("bucket"))
+    w = Window.partitionBy("source", "bucket").orderBy("doc_id")
+    return (slim
+            .withColumn("next_id", F.lead("doc_id").over(w))
+            .withColumn("next_pfx", F.lead("pfx").over(w))
+            .filter(F.col("next_id").isNotNull())
+            .select("source", "bucket",
+                    F.col("doc_id").alias("doc_id_a"),
+                    F.col("next_id").alias("doc_id_b"),
+                    F.levenshtein("pfx", "next_pfx").alias("edit_dist"))
+            .orderBy("source", "bucket", "doc_id_a"))
+
+
+def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return edit_distance_pairs_df(_docs(spark, sf_dir))
+
+
+EDIT_DISTANCE_PAIRS_SQL = f"""
+WITH slim AS (
+  SELECT doc_id, source,
+         regexp_replace(substring(text, 1, {EDIT_PREFIX_CHARS}),
+                        '[^ -~]', '', 'g') AS pfx,
+         n_chars // {EDIT_LEN_BUCKET} AS bucket
+  FROM documents
+), nbr AS (
+  SELECT source, bucket, doc_id AS doc_id_a,
+         lead(doc_id) OVER w AS doc_id_b,
+         pfx, lead(pfx) OVER w AS next_pfx
+  FROM slim
+  WINDOW w AS (PARTITION BY source, bucket ORDER BY doc_id)
+)
+SELECT source, bucket, doc_id_a, doc_id_b,
+       levenshtein(pfx, next_pfx) AS edit_dist
+FROM nbr WHERE doc_id_b IS NOT NULL
+ORDER BY source, bucket, doc_id_a
+"""
+
+QUERIES["edit_distance_pairs"] = edit_distance_pairs
+ORACLES["edit_distance_pairs"] = EDIT_DISTANCE_PAIRS_SQL

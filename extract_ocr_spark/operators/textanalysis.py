@@ -1714,3 +1714,128 @@ FROM est ORDER BY token
 
 QUERIES["cms_heavy_hitters"] = cms_heavy_hitters
 ORACLES["cms_heavy_hitters"] = CMS_HEAVY_HITTERS_SQL
+
+
+# --- Monroe weighted log-odds (distinctive terms per source) ------------
+
+LOGODDS_PRIOR = 10.0   # Dirichlet strength a0 (informative, corpus-scaled)
+LOGODDS_TOP = 5
+
+
+def log_odds_terms_df(docs: DataFrame) -> DataFrame:
+    """Monroe et al. (2008) weighted log-odds with an informative
+    Dirichlet prior: for each source, which terms are distinctively
+    frequent vs the REST of the corpus, scored by the z-statistic
+    delta/sqrt(var). The prior a_w = a0·c_w/N shrinks rare-term odds
+    toward the corpus distribution — the property that makes this the
+    standard "what words define this subcorpus" statistic rather than
+    raw log-ratio (which explodes on count-1 terms).
+
+    Float discipline: every score is a FIXED FORMULA over exact integer
+    counts (no float accumulation at all — the only sums are BIGINT),
+    parenthesized identically in the oracle so both engines run the
+    same IEEE op sequence; ln/sqrt are the only libm calls and the
+    output rounds at 4.
+
+    Scale shape: one tokenize+explode → (source, term) count, then two
+    BIGINT rollups (term totals, source totals) reuse that aggregate —
+    c2→c1 style, never a second corpus scan. The term-keyed join is
+    vocabulary-sized on BOTH sides (no broadcast hint — the tfidf
+    lesson), the source-totals join is tiny, and the top-5 per source
+    is a 20-partition window over the scored aggregate."""
+    from pyspark.sql import Window
+
+    from . import tok_array
+
+    csw = (docs.select("source",
+                       F.explode(tok_array(F.col("text"))).alias("term"))
+           .groupBy("source", "term").agg(F.count("*").alias("c_sw"))
+           .persist())
+    try:
+        result = _log_odds_ranked_df(csw).localCheckpoint(eager=True)
+    finally:
+        csw.unpersist()
+    return result.orderBy("source", F.desc("zscore"), "term")
+
+
+def _log_odds_ranked_df(csw: DataFrame) -> DataFrame:
+    """The lazy scoring stage over the (source, term) counts — split out
+    so plan pins can target the PRODUCTION frame (the checkpoint in the
+    wrapper hides subplans from executedPlan)."""
+    from pyspark.sql import Window
+
+    cw = csw.groupBy("term").agg(F.sum("c_sw").alias("c_w"))
+    ns = csw.groupBy("source").agg(F.sum("c_sw").alias("n_s"))
+    tot = cw.agg(F.sum("c_w").alias("n_tot"))
+
+    a0 = F.lit(LOGODDS_PRIOR)
+    one = F.lit(1.0)
+    j = (csw.join(cw, "term")
+         .join(ns, "source")
+         .crossJoin(F.broadcast(tot)))
+    aw = a0 * F.col("c_w") / F.col("n_tot")
+    c_rest = F.col("c_w") - F.col("c_sw")
+    n_rest = F.col("n_tot") - F.col("n_s")
+    delta = (F.log((F.col("c_sw") + aw)
+                   / (F.col("n_s") + a0 - F.col("c_sw") - aw))
+             - F.log((c_rest + aw)
+                     / (n_rest + a0 - c_rest - aw)))
+    var = one / (F.col("c_sw") + aw) + one / (c_rest + aw)
+    scored = j.withColumn("z", delta / F.sqrt(var))
+    w = Window.partitionBy("source").orderBy(F.desc("z"), "term")
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= LOGODDS_TOP)
+            .select("source", "term", "c_sw",
+                    F.round("z", 4).alias("zscore")))
+
+
+def log_odds_terms(spark, sf_dir):
+    return log_odds_terms_df(_docs(spark, sf_dir))
+
+
+# interpolated float constants go through quoted-string CASTs (strtod is
+# correctly rounded; a bare long decimal literal would re-round through
+# DuckDB DECIMAL — the pagerank lesson); 10.0/1.0 are exact anyway but
+# the rule is applied uniformly
+_A0_SQL = f"CAST('{LOGODDS_PRIOR!r}' AS DOUBLE)"
+
+LOG_ODDS_TERMS_SQL = f"""
+WITH toks AS (
+  SELECT source, unnest(list_filter(
+           regexp_split_to_array(lower(text), '{WS_RE}+'),
+           x -> x <> '')) AS term
+  FROM documents
+), csw AS (
+  SELECT source, term, count(*) AS c_sw FROM toks GROUP BY source, term
+), cw AS (
+  SELECT term, CAST(sum(c_sw) AS BIGINT) AS c_w FROM csw GROUP BY term
+), ns AS (
+  SELECT source, CAST(sum(c_sw) AS BIGINT) AS n_s FROM csw GROUP BY source
+), tot AS (
+  SELECT CAST(sum(c_w) AS BIGINT) AS n_tot FROM cw
+), scored AS (
+  SELECT csw.source, csw.term, csw.c_sw,
+         (ln((csw.c_sw + {_A0_SQL} * cw.c_w / tot.n_tot)
+             / (ns.n_s + {_A0_SQL} - csw.c_sw
+                - {_A0_SQL} * cw.c_w / tot.n_tot))
+          - ln(((cw.c_w - csw.c_sw) + {_A0_SQL} * cw.c_w / tot.n_tot)
+               / ((tot.n_tot - ns.n_s) + {_A0_SQL} - (cw.c_w - csw.c_sw)
+                  - {_A0_SQL} * cw.c_w / tot.n_tot)))
+         / sqrt(CAST('1.0' AS DOUBLE)
+                / (csw.c_sw + {_A0_SQL} * cw.c_w / tot.n_tot)
+                + CAST('1.0' AS DOUBLE)
+                / ((cw.c_w - csw.c_sw) + {_A0_SQL} * cw.c_w / tot.n_tot))
+           AS z
+  FROM csw JOIN cw USING (term) JOIN ns USING (source) CROSS JOIN tot
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY z DESC, term) AS rn
+  FROM scored
+)
+SELECT source, term, c_sw, round(z, 4) AS zscore
+FROM ranked WHERE rn <= {LOGODDS_TOP}
+ORDER BY source, zscore DESC, term
+"""
+
+QUERIES["log_odds_terms"] = log_odds_terms
+ORACLES["log_odds_terms"] = LOG_ODDS_TERMS_SQL

@@ -911,3 +911,49 @@ def test_rfm_segments_aggregate_below_windows(spark):
     assert plan.find("o_custkey", first_window) > first_window, plan
     for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py not in plan, plan
+
+
+def test_edit_distance_pairs_one_window_no_python(spark):
+    """Sorted-neighborhood blocking = ONE lead window over the blocked
+    slim projection; candidate pairs never go through a join (no pair
+    blowup), and the levenshtein DP stays JVM-side."""
+    from extract_ocr_spark.operators.dedup import edit_distance_pairs
+
+    plan = _plan(edit_distance_pairs(spark, "/root/testdata/sf0.001"))
+    assert plan.count("Window") == 1, plan
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+              "CartesianProduct"):
+        assert j not in plan, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan, plan
+
+
+def test_log_odds_terms_production_stage_pins(spark):
+    """Pins the PRODUCTION lazy scoring stage over the PERSISTED
+    (source,term) counts (exactly what log_odds_terms_df builds): every
+    consumer reads the cached aggregate (InMemoryTableScan), the corpus
+    is never re-tokenized (zero Generate explode above the cache), and
+    the top-5 cut is a rank window, all JVM-side."""
+    from pyspark.sql import functions as F
+
+    from extract_ocr_spark.operators import tok_array
+    from extract_ocr_spark.operators.textanalysis import _log_odds_ranked_df
+
+    docs = _docs(spark)
+    csw = (docs.select("source",
+                       F.explode(tok_array(F.col("text"))).alias("term"))
+           .groupBy("source", "term").agg(F.count("*").alias("c_sw"))
+           .persist())
+    try:
+        csw.count()
+        plan = _plan(_log_odds_ranked_df(csw))
+        assert "InMemoryTableScan" in plan, plan
+        # zero re-tokenizations above the cache: every explode sits in
+        # the cached relation's stored child plan, not the live tree
+        live = plan.split("InMemoryRelation", 1)[0]
+        assert "Generate explode" not in live, plan
+        assert "Window" in plan, plan
+        for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert py not in live, plan
+    finally:
+        csw.unpersist()

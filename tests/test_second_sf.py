@@ -65,6 +65,8 @@ SUBSET = [
     "order_priority_counts", "disjunctive_pricing", "salted_skew_join",
     # A-Res top-k boundary and RFM tercile cuts shift with corpus size
     "weighted_sample", "rfm_segments",
+    # log-odds top-5 boundary and the blocked pair set shift with scale
+    "log_odds_terms", "edit_distance_pairs",
     # dim-join rollups and the calibrated anomaly threshold
     "regional_revenue", "promo_revenue_share", "daily_anomalies",
     # RANGE-frame boundary behavior and the qty HAVING cut

@@ -117,6 +117,7 @@ def all_queries():
         # with the least accumulated verification history (the oldest r5
         # names below have been sweep-verified across many sessions and
         # are the lowest-information picks for the external check)
+        "span_corruption_plan", "metrics_unpivot",
         "log_odds_terms", "edit_distance_pairs",
         "weighted_sample", "rfm_segments",
         "order_priority_counts", "disjunctive_pricing", "salted_skew_join",

@@ -1025,3 +1025,108 @@ LIMIT {WSAMPLE_K}
 
 QUERIES["weighted_sample"] = weighted_sample
 ORACLES["weighted_sample"] = WEIGHTED_SAMPLE_SQL
+
+
+# -- T5-style span-corruption masking plan -------------------------------------
+
+SPAN_START_MOD = 7   # ~1/7 of positions seed a span
+SPAN_LEN_MOD = 3     # seeded span covers 1-3 tokens
+
+
+def span_corruption_plan_df(docs: DataFrame) -> DataFrame:
+    """Deterministic T5/UL2-style span-corruption PLAN: for every doc,
+    the merged token spans that a denoising objective would mask.
+    Span seeds and lengths come from an md5 hash of (doc_id, position)
+    — no RNG state, so the plan is identical across retries, engines
+    and cluster sizes (rand()-based masking re-rolls per task retry and
+    can never be oracle-checked). Overlapping/adjacent seeded spans
+    merge via gaps-and-islands, exactly like the substring-dedup
+    operator merges duplicate runs.
+
+    Scale shape: positions explode to one slim (doc_id, pos) row per
+    token, then TWO windows — a running max of seeded span ends (the
+    interval-merge trick: masked ⇔ cum_end ≥ pos) and the island
+    numbering — share ONE doc_id partitioning (a single exchange; both
+    sort within the same shuffle), and the final rollup is one
+    aggregate per island. Everything is integer arithmetic in
+    whole-stage codegen."""
+    from pyspark.sql import Window
+
+    from . import md5_long
+
+    n = F.size(F.split(F.trim(F.col("text")), WS_RE + "+"))
+    base = (docs.select("doc_id", n.alias("n_toks"))
+            .filter(F.col("n_toks") >= 1)
+            .select("doc_id", "n_toks",
+                    F.explode(F.sequence(F.lit(0), F.col("n_toks") - 1))
+                    .alias("pos")))
+    h = md5_long(F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                          F.col("pos").cast("string")))
+    seeded = base.withColumn(
+        "span_end",
+        F.when(h % SPAN_START_MOD == 0,
+               F.least(F.col("pos") + h % SPAN_LEN_MOD,
+                       F.col("n_toks") - 1))
+        .otherwise(F.lit(-1)))
+    w_cum = (Window.partitionBy("doc_id").orderBy("pos")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    masked = (seeded
+              .withColumn("cum_end", F.max("span_end").over(w_cum))
+              .filter(F.col("cum_end") >= F.col("pos")))
+    w_rn = Window.partitionBy("doc_id").orderBy("pos")
+    return (masked
+            .withColumn("island", F.col("pos")
+                        - F.row_number().over(w_rn))
+            .groupBy("doc_id", "island")
+            .agg(F.min("pos").alias("span_start"),
+                 F.max("pos").alias("span_end"),
+                 F.count("*").alias("span_len"))
+            .select("doc_id", "span_start", "span_end", "span_len")
+            .orderBy("doc_id", "span_start"))
+
+
+def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return span_corruption_plan_df(_docs(spark, sf_dir))
+
+
+SPAN_CORRUPTION_PLAN_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '{WS_RE}+')) AS n_toks
+  FROM documents
+  WHERE len(regexp_split_to_array(trim(text), '{WS_RE}+')) >= 1
+), pos AS (
+  SELECT doc_id, n_toks, CAST(p AS BIGINT) AS pos
+  FROM toks, unnest(range(0, n_toks)) AS t(p)
+), seeded AS (
+  SELECT doc_id, pos,
+         CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':'
+                    || CAST(pos AS VARCHAR)), 1, 15))::BIGINT
+                   % {SPAN_START_MOD} = 0
+              THEN least(pos + ('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                    || ':' || CAST(pos AS VARCHAR)), 1, 15))::BIGINT
+                    % {SPAN_LEN_MOD}, n_toks - 1)
+              ELSE -1 END AS span_end
+  FROM pos
+), masked AS (
+  SELECT doc_id, pos
+  FROM (SELECT doc_id, pos,
+               max(span_end) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum_end
+        FROM seeded)
+  WHERE cum_end >= pos
+), islands AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+           AS island
+  FROM masked
+)
+SELECT doc_id, min(pos) AS span_start, max(pos) AS span_end,
+       count(*) AS span_len
+FROM islands GROUP BY doc_id, island
+ORDER BY doc_id, span_start
+"""
+
+QUERIES["span_corruption_plan"] = span_corruption_plan
+ORACLES["span_corruption_plan"] = SPAN_CORRUPTION_PLAN_SQL

@@ -1839,3 +1839,54 @@ ORDER BY source, zscore DESC, term
 
 QUERIES["log_odds_terms"] = log_odds_terms
 ORACLES["log_odds_terms"] = LOG_ODDS_TERMS_SQL
+
+
+# --- Wide→long unpivot of per-doc metrics (the stack surface) -----------
+
+def metrics_unpivot_df(docs: DataFrame) -> DataFrame:
+    """Per-doc metric table in LONG form via stack() — the unpivot API
+    surface (the inverse of user_event_pivot's .pivot()): three integer
+    metrics per doc (chars, whitespace tokens, lines) become
+    (doc_id, metric, value) rows, the shape metric stores and
+    feature pipelines ingest.
+
+    Scale shape: stack is a pure projection (a Generate node — 3 output
+    rows per input row, zero shuffle, no Python); the metrics
+    themselves are codegen string ops."""
+    n_toks = F.size(F.split(F.trim(F.col("text")), WS_RE + "+"))
+    n_lines = F.size(F.split(F.col("text"), "\n"))
+    wide = docs.select(
+        "doc_id", F.col("n_chars").alias("m_chars"),
+        n_toks.cast("long").alias("m_tokens"),
+        n_lines.cast("long").alias("m_lines"))
+    return (wide.select(
+        "doc_id",
+        F.expr("stack(3, 'n_chars', m_chars, 'n_tokens', m_tokens, "
+               "'n_lines', m_lines) AS (metric, value)"))
+        .orderBy("doc_id", "metric"))
+
+
+def metrics_unpivot(spark, sf_dir):
+    return metrics_unpivot_df(_docs(spark, sf_dir))
+
+
+METRICS_UNPIVOT_SQL = rf"""
+WITH wide AS (
+  SELECT doc_id, n_chars AS m_chars,
+         CAST(len(regexp_split_to_array(trim(text), '{WS_RE}+'))
+              AS BIGINT) AS m_tokens,
+         CAST(len(string_split(text, chr(10))) AS BIGINT) AS m_lines
+  FROM documents
+)
+SELECT doc_id, metric, value FROM (
+  SELECT doc_id, 'n_chars' AS metric, m_chars AS value FROM wide
+  UNION ALL
+  SELECT doc_id, 'n_tokens', m_tokens FROM wide
+  UNION ALL
+  SELECT doc_id, 'n_lines', m_lines FROM wide
+)
+ORDER BY doc_id, metric
+"""
+
+QUERIES["metrics_unpivot"] = metrics_unpivot
+ORACLES["metrics_unpivot"] = METRICS_UNPIVOT_SQL

@@ -957,3 +957,34 @@ def test_log_odds_terms_production_stage_pins(spark):
             assert py not in live, plan
     finally:
         csw.unpersist()
+
+
+def test_span_corruption_plan_one_doc_partitioning(spark):
+    """Both windows (interval-merge cummax, island row_number) and the
+    island rollup must share ONE doc_id hash partitioning — a single
+    exchange below the presentation sort — and the whole plan is
+    integer codegen, no Python."""
+    from extract_ocr_spark.operators.curation import span_corruption_plan
+
+    plan = _plan(span_corruption_plan(spark, "/root/testdata/sf0.001"))
+    body = plan.split("rangepartitioning", 1)[-1]  # below the output sort
+    assert body.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Window") == 2, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan, plan
+
+
+def test_metrics_unpivot_is_expand_no_shuffle(spark):
+    """stack() must compile to a Generate projection — 3 rows per input
+    row with NO shuffle below the presentation sort, no join, no
+    Python."""
+    from extract_ocr_spark.operators.textanalysis import metrics_unpivot
+
+    plan = _plan(metrics_unpivot(spark, "/root/testdata/sf0.001"))
+    assert "Generate stack" in plan, plan
+    body = plan.split("rangepartitioning", 1)[-1]
+    assert "Exchange hashpartitioning" not in body, plan
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert j not in plan, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan, plan

@@ -67,6 +67,8 @@ SUBSET = [
     "weighted_sample", "rfm_segments",
     # log-odds top-5 boundary and the blocked pair set shift with scale
     "log_odds_terms", "edit_distance_pairs",
+    # hash-seeded mask spans and the unpivot row set follow the corpus
+    "span_corruption_plan", "metrics_unpivot",
     # dim-join rollups and the calibrated anomaly threshold
     "regional_revenue", "promo_revenue_share", "daily_anomalies",
     # RANGE-frame boundary behavior and the qty HAVING cut

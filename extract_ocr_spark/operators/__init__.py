@@ -117,6 +117,10 @@ def all_queries():
         # with the least accumulated verification history (the oldest r5
         # names below have been sweep-verified across many sessions and
         # are the lowest-information picks for the external check)
+        "hard_negatives", "data_quality_checks", "blocklist_filter",
+        "dormant_rich_customers", "late_only_supplier", "small_qty_revenue",
+        "nation_trade_volume", "returned_top_customers",
+        "cust_order_distribution",
         "span_corruption_plan", "metrics_unpivot",
         "log_odds_terms", "edit_distance_pairs",
         "weighted_sample", "rfm_segments",

@@ -1130,3 +1130,68 @@ ORDER BY doc_id, span_start
 
 QUERIES["span_corruption_plan"] = span_corruption_plan
 ORACLES["span_corruption_plan"] = SPAN_CORRUPTION_PLAN_SQL
+
+
+# -- Domain + term blocklist filter (RefinedWeb/UT1-style) ---------------------
+
+BLOCK_DOMAINS = ("src3", "src7", "src11")
+BLOCK_TERMS = ("slow", "hash")
+BLOCK_PCT = 8  # word-block when blocked tokens exceed 8% of the doc
+
+
+def blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist gate the big crawl curations run first (RefinedWeb's
+    UT1 domain blocklist + soft word-blocklist): a document is dropped
+    outright when its source domain is on the blocklist, else when
+    blocklisted terms exceed BLOCK_PCT of its tokens. Emits every doc
+    with (status, blocked_n, total_n) so the decision is auditable —
+    the fraction stays an exact integer pair, never a float.
+
+    Scale shape: MAP-ONLY — the domain set and term set are literal
+    IN-lists in one codegen projection (a real UT1 list at ~4M domains
+    would switch to a broadcast join on the registered-domain key; the
+    term scan stays a map-side array filter either way). No shuffle
+    but the presentation sort."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = (docs
+           .withColumn("toks", tok_array(F.col("text")))
+           .withColumn("total_n", F.size("toks").cast("long"))
+           .withColumn(
+               "blocked_n",
+               F.size(F.filter(
+                   "toks",
+                   lambda x: x.isin(list(BLOCK_TERMS)),
+               )).cast("long"))
+           .withColumn(
+               "status",
+               F.when(F.col("source").isin(list(BLOCK_DOMAINS)),
+                      F.lit("domain_blocked"))
+               .when(F.col("blocked_n") * 100
+                     > F.col("total_n") * BLOCK_PCT,
+                     F.lit("word_blocked"))
+               .otherwise(F.lit("kept"))))
+    return (out.select("doc_id", "source", "status",
+                       "blocked_n", "total_n")
+            .orderBy("doc_id"))
+
+
+BLOCKLIST_FILTER_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source,
+    CAST(len(list_filter(regexp_split_to_array(lower(text), '{WS_RE}+'),
+                         x -> x <> '')) AS BIGINT) AS total_n,
+    CAST(len(list_filter(regexp_split_to_array(lower(text), '{WS_RE}+'),
+      x -> x IN {BLOCK_TERMS})) AS BIGINT) AS blocked_n
+  FROM documents
+)
+SELECT doc_id, source,
+       CASE WHEN source IN {BLOCK_DOMAINS} THEN 'domain_blocked'
+            WHEN blocked_n * 100 > total_n * {BLOCK_PCT}
+              THEN 'word_blocked'
+            ELSE 'kept' END AS status,
+       blocked_n, total_n
+FROM t ORDER BY doc_id
+"""
+
+QUERIES["blocklist_filter"] = blocklist_filter
+ORACLES["blocklist_filter"] = BLOCKLIST_FILTER_SQL

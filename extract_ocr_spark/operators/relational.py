@@ -1003,3 +1003,519 @@ ORDER BY 1, 2, 3
 
 QUERIES["rfm_segments"] = rfm_segments_query
 ORACLES["rfm_segments"] = RFM_SEGMENTS_SQL
+
+
+# -- Customer order-count distribution (TPC-H Q13-flavored) --------------------
+
+Q13_PRIORITY = "1-URGENT"
+Q13_SINCE = "1999-01-01"
+
+
+def cust_order_distribution_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 re-expressed: distribution of per-customer counts of
+    qualifying orders (urgent orders placed since the cutoff), INCLUDING
+    the zero-order customers — the left-outer-join-preserves-zeros shape
+    the inner-join form silently drops (710 of 1500 customers land in
+    the zero bucket at sf0.01, so a dropped bucket cannot hash-match).
+
+    Scale shape: orders are aggregated to per-customer counts FIRST
+    (one custkey shuffle over the filtered fact, with the priority and
+    date predicates pushed into the scan), and only the slim
+    (custkey, n) aggregate joins customer — never customer attributes
+    through the fact join. The second aggregate runs over
+    customer-cardinality rows and the result is O(max orders/customer)
+    rows at any scale."""
+    _utc(spark)
+    oc = (_t(spark, sf_dir, "orders")
+          .filter((F.col("o_orderpriority") == Q13_PRIORITY)
+                  & (F.col("o_orderdate")
+                     >= F.lit(Q13_SINCE).cast("timestamp")))
+          .groupBy("o_custkey")
+          .agg(F.count("*").alias("n")))
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    return (cust.join(oc, cust["c_custkey"] == oc["o_custkey"], "left")
+            .select(F.coalesce(F.col("n"), F.lit(0)).alias("order_count"))
+            .groupBy("order_count")
+            .agg(F.count("*").alias("n_customers"))
+            .orderBy(F.desc("n_customers"), F.desc("order_count")))
+
+
+CUST_ORDER_DISTRIBUTION_SQL = f"""
+WITH oc AS (
+  SELECT o_custkey, count(*) AS n FROM orders
+  WHERE o_orderpriority = '{Q13_PRIORITY}'
+    AND o_orderdate >= TIMESTAMP '{Q13_SINCE}'
+  GROUP BY o_custkey
+)
+SELECT coalesce(oc.n, 0) AS order_count,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM customer c LEFT JOIN oc ON oc.o_custkey = c.c_custkey
+GROUP BY coalesce(oc.n, 0)
+ORDER BY n_customers DESC, order_count DESC
+"""
+
+QUERIES["cust_order_distribution"] = cust_order_distribution_query
+ORACLES["cust_order_distribution"] = CUST_ORDER_DISTRIBUTION_SQL
+
+
+# -- Returned-item top customers (TPC-H Q10-flavored) --------------------------
+
+Q10_QSTART = "1997-01-01"
+Q10_QEND = "1997-04-01"
+Q10_TOP = 20
+
+
+def returned_top_customers_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 re-expressed exact: top customers by revenue lost to
+    returned line items ('R' flag) on orders placed in one quarter.
+    Revenue is the shared cents-basis-points integer; acctbal renders
+    as exact cents so no float reaches the hash.
+
+    Scale shape: both selective predicates (quarter window on orders,
+    return flag on lineitem) push into their scans; the fact⋈fact join
+    shuffles on orderkey carrying only (orderkey, rev); customer joins
+    the already-small per-order slice on custkey; nation (25 rows)
+    broadcasts; the top-20 is a TakeOrdered over the per-customer
+    aggregate, never a global sort."""
+    _utc(spark)
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_returnflag") == "R")
+          .select("l_orderkey", _rev_cbp().alias("rev")))
+    o = (_t(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate") >= F.lit(Q10_QSTART).cast("timestamp"))
+                 & (F.col("o_orderdate") < F.lit(Q10_QEND).cast("timestamp")))
+         .select("o_orderkey", "o_custkey"))
+    c = (_t(spark, sf_dir, "customer")
+         .select("c_custkey", "c_name", "c_nationkey",
+                 F.round(F.col("c_acctbal") * 100).cast("long")
+                 .alias("acctbal_cents")))
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+            .join(c, o["o_custkey"] == c["c_custkey"])
+            .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+            .groupBy("c_custkey", "c_name", "n_name", "acctbal_cents")
+            .agg(F.sum("rev").alias("revenue_cbp"))
+            .orderBy(F.desc("revenue_cbp"), "c_custkey")
+            .limit(Q10_TOP))
+
+
+RETURNED_TOP_CUSTOMERS_SQL = f"""
+WITH li AS (
+  SELECT l_orderkey, {REV_CBP_SQL} AS rev
+  FROM lineitem WHERE l_returnflag = 'R'
+)
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(round(c.c_acctbal*100) AS BIGINT) AS acctbal_cents,
+       CAST(sum(li.rev) AS BIGINT) AS revenue_cbp
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN li ON li.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate >= TIMESTAMP '{Q10_QSTART}'
+  AND o.o_orderdate < TIMESTAMP '{Q10_QEND}'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue_cbp DESC, c.c_custkey
+LIMIT {Q10_TOP}
+"""
+
+QUERIES["returned_top_customers"] = returned_top_customers_query
+ORACLES["returned_top_customers"] = RETURNED_TOP_CUSTOMERS_SQL
+
+
+# -- Cross-nation trade volume (TPC-H Q7-flavored) -----------------------------
+
+Q7_START = "1997-01-01"
+Q7_END = "1999-01-01"
+
+
+def nation_trade_volume_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 re-expressed: shipped revenue between every DISTINCT
+    (supplier nation, customer nation) pair by ship year, over a
+    two-year window. Exercises the one dimension table playing two
+    roles (nation joins the flow twice under different keys) — the
+    aliasing trap Catalyst handles only if the two legs are genuinely
+    distinct plans.
+
+    Scale shape: the ship-date window pushes into the lineitem scan;
+    supplier⋈lineitem on suppkey (supplier is the small side — AQE
+    broadcasts it at test scale, at 10^8 suppliers it degrades to a
+    shuffle join on an already date-pruned fact); orders⋈lineitem on
+    orderkey; customer on custkey; both nation legs broadcast (25
+    rows). Output is bounded by nations² × years regardless of corpus
+    size."""
+    _utc(spark)
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= F.lit(Q7_START).cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit(Q7_END).cast("timestamp")))
+          .select("l_orderkey", "l_suppkey", _rev_cbp().alias("rev"),
+                  F.year("l_shipdate").cast("int").alias("ship_year")))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    ns = (_t(spark, sf_dir, "nation")
+          .select(F.col("n_nationkey").alias("ns_key"),
+                  F.col("n_name").alias("supp_nation")))
+    nc = (_t(spark, sf_dir, "nation")
+          .select(F.col("n_nationkey").alias("nc_key"),
+                  F.col("n_name").alias("cust_nation")))
+    return (li.join(s, li["l_suppkey"] == s["s_suppkey"])
+            .join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(c, o["o_custkey"] == c["c_custkey"])
+            .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+            .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+            .filter(F.col("ns_key") != F.col("nc_key"))
+            .groupBy("supp_nation", "cust_nation", "ship_year")
+            .agg(F.sum("rev").alias("volume_cbp"),
+                 F.count("*").alias("n_lines"))
+            .orderBy("supp_nation", "cust_nation", "ship_year"))
+
+
+NATION_TRADE_VOLUME_SQL = f"""
+WITH li AS (
+  SELECT l_orderkey, l_suppkey, {REV_CBP_SQL} AS rev,
+         CAST(year(l_shipdate) AS INT) AS ship_year
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q7_START}'
+    AND l_shipdate < TIMESTAMP '{Q7_END}'
+)
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation, li.ship_year,
+       CAST(sum(li.rev) AS BIGINT) AS volume_cbp,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM li
+JOIN supplier s ON s.s_suppkey = li.l_suppkey
+JOIN orders o ON o.o_orderkey = li.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+WHERE ns.n_nationkey <> nc.n_nationkey
+GROUP BY 1, 2, 3
+ORDER BY supp_nation, cust_nation, ship_year
+"""
+
+QUERIES["nation_trade_volume"] = nation_trade_volume_query
+ORACLES["nation_trade_volume"] = NATION_TRADE_VOLUME_SQL
+
+
+# -- Small-quantity revenue (TPC-H Q17-flavored) --------------------------------
+
+Q17_BRAND = "Brand#1"
+Q17_MAX_SIZE = 15
+
+
+def small_qty_revenue_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 re-expressed exact and single-scan: revenue from line
+    items whose quantity is under 0.4x the part's average quantity, for
+    one brand. The correlated avg(l_quantity) subquery becomes a window
+    over partkey, and the float threshold becomes the integer
+    cross-multiplication 5*qty*n < 2*sum(qty) (quantities are
+    integer-valued), so the filter is engine-exact.
+
+    Scale shape: the brand/size predicate reduces part to a tiny set
+    that BROADCASTS into the lineitem scan (a semi-join shape — only
+    qualifying parts' lines survive); the per-part count/sum then run
+    as ONE window over the already-reduced slice, never a second
+    lineitem scan like the textbook self-join form; the final aggregate
+    is a single row."""
+    _utc(spark)
+    p = (_t(spark, sf_dir, "part")
+         .filter((F.col("p_brand") == Q17_BRAND)
+                 & (F.col("p_size") <= Q17_MAX_SIZE))
+         .select("p_partkey", "p_brand"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .select("l_partkey",
+                  F.round("l_quantity").cast("long").alias("qty"),
+                  F.round(F.col("l_extendedprice") * 100).cast("long")
+                  .alias("price_cents")))
+    w = Window.partitionBy("l_partkey")
+    return (li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+            .withColumn("n", F.count("*").over(w))
+            .withColumn("sq", F.sum("qty").over(w))
+            .filter(F.lit(5) * F.col("qty") * F.col("n")
+                    < F.lit(2) * F.col("sq"))
+            .groupBy("p_brand")
+            .agg(F.count("*").alias("n_small_lines"),
+                 F.sum("price_cents").alias("revenue_cents")))
+
+
+SMALL_QTY_REVENUE_SQL = f"""
+WITH pl AS (
+  SELECT l.l_partkey, p.p_brand,
+         CAST(round(l.l_quantity) AS BIGINT) AS qty,
+         CAST(round(l.l_extendedprice*100) AS BIGINT) AS price_cents
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_brand = '{Q17_BRAND}' AND p.p_size <= {Q17_MAX_SIZE}
+), st AS (
+  SELECT *, count(*) OVER (PARTITION BY l_partkey) AS n,
+         sum(qty) OVER (PARTITION BY l_partkey) AS sq
+  FROM pl
+)
+SELECT p_brand, CAST(count(*) AS BIGINT) AS n_small_lines,
+       CAST(sum(price_cents) AS BIGINT) AS revenue_cents
+FROM st WHERE 5 * qty * n < 2 * sq
+GROUP BY p_brand
+"""
+
+QUERIES["small_qty_revenue"] = small_qty_revenue_query
+ORACLES["small_qty_revenue"] = SMALL_QTY_REVENUE_SQL
+
+
+# -- Only-late supplier on multi-supplier orders (TPC-H Q21-flavored) ----------
+
+Q21_LATE_DAYS = 150
+Q21_TOP = 25
+
+
+def late_only_supplier_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 re-expressed without self-joins: suppliers who were the
+    ONLY late supplier (shipped >150 days after the order date) on an
+    order involving at least two suppliers. The textbook EXISTS /
+    NOT-EXISTS pair of lineitem self-joins becomes one per-(order,
+    supplier) aggregate plus two windows over the order — the oracle
+    keeps the EXISTS form, so driver equality re-proves the rewrite.
+
+    Scale shape: lineitem⋈orders shuffles on orderkey carrying only
+    (orderkey, suppkey, late-flag); the per-(order,supplier) groupBy
+    and both windows share that same orderkey clustering (one
+    exchange); supplier names broadcast; the top-25 is a TakeOrdered
+    over the per-supplier aggregate."""
+    _utc(spark)
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    osl = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+           .groupBy("l_orderkey", "l_suppkey")
+           .agg(F.max(
+               (F.col("l_shipdate")
+                > F.col("o_orderdate")
+                + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAY"))
+               .cast("int")).alias("late")))
+    w = Window.partitionBy("l_orderkey")
+    flagged = (osl
+               .withColumn("n_supp", F.count("*").over(w))
+               .withColumn("n_late", F.sum("late").over(w)))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (flagged
+            .filter((F.col("late") == 1) & (F.col("n_supp") > 1)
+                    & (F.col("n_late") == 1))
+            .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+            .groupBy("s_name")
+            .agg(F.count("*").alias("numwait"))
+            .orderBy(F.desc("numwait"), "s_name")
+            .limit(Q21_TOP))
+
+
+LATE_ONLY_SUPPLIER_SQL = f"""
+WITH late AS (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_shipdate > o.o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY
+)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM late t JOIN supplier s ON s.s_suppkey = t.l_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = t.l_orderkey
+              AND l2.l_suppkey <> t.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late t2 WHERE t2.l_orderkey = t.l_orderkey
+                  AND t2.l_suppkey <> t.l_suppkey)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+LIMIT {Q21_TOP}
+"""
+
+QUERIES["late_only_supplier"] = late_only_supplier_query
+ORACLES["late_only_supplier"] = LATE_ONLY_SUPPLIER_SQL
+
+
+# -- Dormant above-average customers (TPC-H Q22-flavored) ----------------------
+
+Q22_CODES = (0, 2)
+Q22_MOD = 5
+Q22_DORMANT_SINCE = "2001-01-01"
+
+
+def dormant_rich_customers_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 re-expressed exact: customers in a nation-code subset
+    whose balance beats the subset's positive-balance average and who
+    placed NO order since the cutoff, rolled up per code. The scalar
+    avg subquery becomes the integer cross-multiplication
+    bal*n_pos > sum_pos (exact cents — no float average exists
+    anywhere), and the NOT EXISTS becomes a left-anti join against the
+    date-filtered orders.
+
+    Scale shape: the code predicate pushes into the customer scan; the
+    single-row positive-balance stats broadcast via crossJoin; the
+    anti-join's right side is only the orders AFTER the cutoff (the
+    date filter lands in the scan) keyed on custkey; output is one row
+    per code."""
+    _utc(spark)
+    eligible = (_t(spark, sf_dir, "customer")
+                .filter((F.col("c_nationkey") % Q22_MOD)
+                        .isin(list(Q22_CODES))
+                        & (F.col("c_acctbal") > 0))
+                .select("c_custkey",
+                        (F.col("c_nationkey") % Q22_MOD).alias("cntrycode"),
+                        F.round(F.col("c_acctbal") * 100).cast("long")
+                        .alias("bal_cents")))
+    stats = eligible.agg(F.count("*").alias("n_pos"),
+                         F.sum("bal_cents").alias("sum_pos"))
+    recent = (_t(spark, sf_dir, "orders")
+              .filter(F.col("o_orderdate")
+                      >= F.lit(Q22_DORMANT_SINCE).cast("timestamp"))
+              .select("o_custkey"))
+    return (eligible.crossJoin(F.broadcast(stats))
+            .filter(F.col("bal_cents") * F.col("n_pos") > F.col("sum_pos"))
+            .join(recent, eligible["c_custkey"] == recent["o_custkey"],
+                  "left_anti")
+            .groupBy("cntrycode")
+            .agg(F.count("*").alias("n_customers"),
+                 F.sum("bal_cents").alias("total_cents"))
+            .orderBy("cntrycode"))
+
+
+DORMANT_RICH_CUSTOMERS_SQL = f"""
+WITH eligible AS (
+  SELECT c_custkey, c_nationkey % {Q22_MOD} AS cntrycode,
+         CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents
+  FROM customer
+  WHERE c_nationkey % {Q22_MOD} IN {Q22_CODES} AND c_acctbal > 0
+), stats AS (
+  SELECT count(*) AS n_pos, sum(bal_cents) AS sum_pos FROM eligible
+)
+SELECT e.cntrycode, CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(e.bal_cents) AS BIGINT) AS total_cents
+FROM eligible e, stats
+WHERE e.bal_cents * stats.n_pos > stats.sum_pos
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = e.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '{Q22_DORMANT_SINCE}')
+GROUP BY e.cntrycode ORDER BY e.cntrycode
+"""
+
+QUERIES["dormant_rich_customers"] = dormant_rich_customers_query
+ORACLES["dormant_rich_customers"] = DORMANT_RICH_CUSTOMERS_SQL
+
+
+# -- Data-quality constraint suite (Deequ-style validation) --------------------
+
+DQ_MAX_QTY = 40
+
+
+def _dq_struct(tbl: str, check: str, violations, checked):
+    return F.struct(
+        F.lit(tbl).alias("tbl"), F.lit(check).alias("check_name"),
+        violations.cast("long").alias("violations"),
+        checked.cast("long").alias("checked"))
+
+
+def data_quality_checks_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative data-quality suite: uniqueness,
+    completeness, range, accepted-values and referential-integrity
+    constraints over three tables, emitted as one (table, check,
+    violations, checked, passed) report. The quantity<=40 check FAILS
+    by design so the report always exercises both verdicts.
+
+    Scale shape: every lineitem check INCLUDING the referential one
+    rides ONE fact scan — the fact left-joins the slim distinct orders
+    key column and a single aggregate computes all four violation
+    counts (orphan = null probe side), instead of the textbook
+    one-anti-join-per-constraint which re-scans the fact per check.
+    Orders and events each take one aggregate scan (conditional sums +
+    the distinct-count riding the same aggregate). The report is a
+    constant ~8 rows at any corpus size."""
+    _utc(spark)
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ev = _t(spark, sf_dir, "events")
+
+    def vio(cond):
+        return F.sum(cond.cast("long"))
+
+    o_row = o.agg(
+        F.count("*").alias("n"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("dup_keys"),
+        vio(F.col("o_custkey").isNull()).alias("null_cust"),
+        vio(F.col("o_totalprice") <= 0).alias("nonpos_price"))
+    o_checks = o_row.select(F.explode(F.array(
+        _dq_struct("orders", "o_custkey_complete",
+                   F.col("null_cust"), F.col("n")),
+        _dq_struct("orders", "o_orderkey_unique",
+                   F.col("dup_keys"), F.col("n")),
+        _dq_struct("orders", "o_totalprice_positive",
+                   F.col("nonpos_price"), F.col("n")),
+    )).alias("c"))
+
+    o_keys = o.select(F.col("o_orderkey").alias("ref_key")).distinct()
+    li_row = (li.join(o_keys, li["l_orderkey"] == o_keys["ref_key"], "left")
+              .agg(
+        F.count("*").alias("n"),
+        vio((F.col("l_discount") < 0) | (F.col("l_discount") > 1))
+        .alias("disc_out"),
+        vio(F.col("l_quantity") > DQ_MAX_QTY).alias("qty_over"),
+        vio(~F.col("l_returnflag").isin("A", "N", "R")).alias("bad_flag"),
+        vio(F.col("ref_key").isNull()).alias("orphans")))
+    li_checks = li_row.select(F.explode(F.array(
+        _dq_struct("lineitem", "l_discount_in_0_1",
+                   F.col("disc_out"), F.col("n")),
+        _dq_struct("lineitem", "l_orderkey_references_orders",
+                   F.col("orphans"), F.col("n")),
+        _dq_struct("lineitem", f"l_quantity_le_{DQ_MAX_QTY}",
+                   F.col("qty_over"), F.col("n")),
+        _dq_struct("lineitem", "l_returnflag_accepted",
+                   F.col("bad_flag"), F.col("n")),
+    )).alias("c"))
+
+    ev_checks = ev.agg(
+        F.count("*").alias("n"),
+        vio(F.col("ts").isNull()).alias("null_ts")).select(
+        F.explode(F.array(
+            _dq_struct("events", "ts_complete",
+                       F.col("null_ts"), F.col("n")),
+        )).alias("c"))
+
+    return (o_checks.unionByName(li_checks).unionByName(ev_checks)
+            .select("c.tbl", "c.check_name", "c.violations", "c.checked",
+                    (F.col("c.violations") == 0).alias("passed"))
+            .orderBy("tbl", "check_name"))
+
+
+DATA_QUALITY_CHECKS_SQL = f"""
+WITH checks AS (
+  SELECT 'orders' AS tbl, 'o_custkey_complete' AS check_name,
+         CAST(count(*) FILTER (o_custkey IS NULL) AS BIGINT) AS violations,
+         CAST(count(*) AS BIGINT) AS checked FROM orders
+  UNION ALL
+  SELECT 'orders', 'o_orderkey_unique',
+         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+         CAST(count(*) AS BIGINT) FROM orders
+  UNION ALL
+  SELECT 'orders', 'o_totalprice_positive',
+         CAST(count(*) FILTER (o_totalprice <= 0) AS BIGINT),
+         CAST(count(*) AS BIGINT) FROM orders
+  UNION ALL
+  SELECT 'lineitem', 'l_discount_in_0_1',
+         CAST(count(*) FILTER (l_discount < 0 OR l_discount > 1) AS BIGINT),
+         CAST(count(*) AS BIGINT) FROM lineitem
+  UNION ALL
+  SELECT 'lineitem', 'l_quantity_le_{DQ_MAX_QTY}',
+         CAST(count(*) FILTER (l_quantity > {DQ_MAX_QTY}) AS BIGINT),
+         CAST(count(*) AS BIGINT) FROM lineitem
+  UNION ALL
+  SELECT 'lineitem', 'l_returnflag_accepted',
+         CAST(count(*) FILTER (l_returnflag NOT IN ('A','N','R')) AS BIGINT),
+         CAST(count(*) AS BIGINT) FROM lineitem
+  UNION ALL
+  SELECT 'lineitem', 'l_orderkey_references_orders',
+         CAST(count(*) FILTER (NOT EXISTS (
+           SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+           AS BIGINT),
+         CAST(count(*) AS BIGINT) FROM lineitem l
+  UNION ALL
+  SELECT 'events', 'ts_complete',
+         CAST(count(*) FILTER (ts IS NULL) AS BIGINT),
+         CAST(count(*) AS BIGINT) FROM events
+)
+SELECT tbl, check_name, violations, checked,
+       violations = 0 AS passed
+FROM checks ORDER BY tbl, check_name
+"""
+
+QUERIES["data_quality_checks"] = data_quality_checks_query
+ORACLES["data_quality_checks"] = DATA_QUALITY_CHECKS_SQL

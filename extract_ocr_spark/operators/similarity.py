@@ -1106,3 +1106,80 @@ FROM best ORDER BY vec_id
 
 QUERIES["contamination_embedding"] = contamination_embedding
 ORACLES["contamination_embedding"] = CONTAMINATION_EMBEDDING_SQL
+
+
+# -- Hard-negative mining for retrieval training -------------------------------
+
+HN_QUERY_MOD = 50
+HN_K = 5
+
+_FOLD_DOT = ("list_reduce(list_prepend(0.0, list_transform("
+             "list_zip({a}, {b}), s -> s[1] * s[2])), (x, y) -> x + y)")
+_FOLD_NORM = ("sqrt(list_reduce(list_prepend(0.0, list_transform("
+              "{a}, x -> x * x)), (x, y) -> x + y))")
+
+
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (contrastive retrieval training prep): for
+    each query vector, the top-K most-similar vectors with a DIFFERENT
+    label — the near-misses a bi-encoder learns most from (positives
+    are same-label; the self row is excluded by the label test itself).
+
+    Parity: cosine is the ordered dimension fold on BOTH sides (the
+    contamination_embedding discipline — never list_cosine_similarity,
+    so a last-ulp difference can't flip a rank at the K boundary).
+
+    Scale shape: the query set broadcasts (mining always batches a
+    bounded query set — here vec_id % 50); the label-mismatch predicate
+    makes this a BroadcastNestedLoopJoin, ONE corpus scan regardless of
+    query count; the per-query top-K is a window over slim
+    (q_id, cand, cosine) rows keyed by q_id. With a big query batch the
+    q_id shuffle spreads; with few queries the reducer count is the
+    query count — chunk query batches upstream, never widen K."""
+    emb = _emb(spark, sf_dir)
+    q = (emb.filter(F.col("vec_id") % HN_QUERY_MOD == 0)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("emb").alias("q_emb"),
+                 F.col("label").alias("q_label")))
+    c = _pair_cosine(F.col("q_emb"), F.col("emb"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("q_id").orderBy(F.desc("c"), "neg_id")
+    return (emb.join(F.broadcast(q), emb["label"] != q["q_label"])
+            .select("q_id",
+                    F.col("vec_id").alias("neg_id"),
+                    F.col("label").alias("neg_label"),
+                    c.alias("c"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= HN_K)
+            .select("q_id", F.col("rank").cast("long").alias("rank"),
+                    "neg_id", "neg_label",
+                    F.round("c", 6).alias("cosine"))
+            .orderBy("q_id", "rank"))
+
+
+_HN_DOT = _FOLD_DOT.format(a="q.emb", b="c.emb")
+_HN_NQ = _FOLD_NORM.format(a="q.emb")
+_HN_NC = _FOLD_NORM.format(a="c.emb")
+
+HARD_NEGATIVES_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label
+           FROM embeddings),
+q AS (SELECT vec_id AS q_id, emb, label AS q_label FROM e
+      WHERE vec_id % {HN_QUERY_MOD} = 0),
+pairs AS (
+  SELECT q.q_id, c.vec_id AS neg_id, c.label AS neg_label,
+         {_HN_DOT} / ({_HN_NQ} * {_HN_NC}) AS c
+  FROM q JOIN e c ON c.label <> q.q_label
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY c DESC, neg_id) AS rank
+  FROM pairs
+)
+SELECT q_id, CAST(rank AS BIGINT) AS rank, neg_id, neg_label,
+       round(c, 6) AS cosine
+FROM ranked WHERE rank <= {HN_K}
+ORDER BY q_id, rank
+"""
+
+QUERIES["hard_negatives"] = hard_negatives
+ORACLES["hard_negatives"] = HARD_NEGATIVES_SQL

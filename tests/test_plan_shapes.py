@@ -988,3 +988,83 @@ def test_metrics_unpivot_is_expand_no_shuffle(spark):
         assert j not in plan, plan
     for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py not in plan, plan
+
+
+def test_small_qty_revenue_single_fact_scan_broadcast_part(spark):
+    """The Q17 rewrite's whole point: ONE lineitem scan (the correlated
+    avg is a window over the semi-reduced slice, never a second fact
+    read), the filtered part side broadcasts, and the brand predicate
+    reaches the part scan."""
+    from extract_ocr_spark.operators.relational import small_qty_revenue_query
+
+    plan = _plan(small_qty_revenue_query(spark, "/root/testdata/sf0.001"))
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    part_line = next(ln for ln in plan.splitlines()
+                     if "part.parquet" in ln)
+    assert "p_brand" in part_line, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan, plan
+
+
+def test_late_only_supplier_shares_orderkey_clustering(spark):
+    """The Q21 rewrite: the per-(order,supplier) aggregate and both
+    order-partitioned windows must REUSE the join's orderkey
+    clustering — no extra exchange between the join and the window
+    stack (hash exchanges: two join inputs + the per-supplier count;
+    a fourth would mean the window re-shuffled)."""
+    from extract_ocr_spark.operators.relational import late_only_supplier_query
+
+    plan = _plan(late_only_supplier_query(spark, "/root/testdata/sf0.001"))
+    hash_ex = plan.count("Exchange hashpartitioning")
+    assert hash_ex <= 3, f"hash exchanges = {hash_ex}\n{plan}"
+    assert "TakeOrderedAndProject" in plan, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan, plan
+
+
+def test_dormant_rich_customers_anti_join_pushdown(spark):
+    """The Q22 rewrite: the NOT EXISTS must compile to a LEFT ANTI join
+    whose right side is the date-FILTERED orders scan (the cutoff
+    predicate lands in PushedFilters), and the single-row stats side
+    broadcasts."""
+    from extract_ocr_spark.operators.relational import (
+        dormant_rich_customers_query)
+
+    plan = _plan(dormant_rich_customers_query(spark, "/root/testdata/sf0.001"))
+    assert "LeftAnti" in plan, plan
+    orders_line = next(ln for ln in plan.splitlines()
+                       if "orders.parquet" in ln)
+    assert "o_orderdate" in orders_line, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan, plan
+
+
+def test_data_quality_checks_one_lineitem_scan(spark):
+    """All four lineitem constraints (range, accepted-values, quantity
+    cap, referential integrity) must ride ONE fact scan — the RI check
+    joins the distinct orders key column into the same pass instead of
+    a per-constraint anti-join re-scan."""
+    from extract_ocr_spark.operators.relational import (
+        data_quality_checks_query)
+
+    plan = _plan(data_quality_checks_query(spark, "/root/testdata/sf0.001"))
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert plan.count("events.parquet") == 1, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan, plan
+
+
+def test_hard_negatives_broadcast_queries_one_corpus_pass(spark):
+    """The mining join must broadcast the bounded query side over ONE
+    corpus-side pass (BroadcastNestedLoopJoin on the label-mismatch
+    predicate — never a CartesianProduct shuffle), and the top-K is a
+    window over slim rows, fully JVM-side."""
+    from extract_ocr_spark.operators.similarity import hard_negatives
+
+    plan = _plan(hard_negatives(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan, plan

@@ -1426,7 +1426,10 @@ def data_quality_checks_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
 
     def vio(cond):
-        return F.sum(cond.cast("long"))
+        # coalesce: sum over ZERO rows is NULL, but the oracle's
+        # count(*) FILTER is 0 — an empty table must read "0 violations,
+        # passed", not NULL (a data-quality suite meets empty tables)
+        return F.coalesce(F.sum(cond.cast("long")), F.lit(0))
 
     o_row = o.agg(
         F.count("*").alias("n"),

@@ -214,6 +214,17 @@ ORDER BY a_id, b_id
 """
 
 
+# The ONE SQL twin of the ordered cosine fold (_cosine_to_lit /
+# _pair_cosine): dot and norms fold in ascending dimension order with a
+# 0.0 seed. Every fold-mirroring oracle interpolates these — a second
+# hand-rolled copy could drift by seed or zip order and reintroduce the
+# last-ulp rank-flip these folds exist to prevent.
+_FOLD_DOT = ("list_reduce(list_prepend(0.0, list_transform("
+             "list_zip({a}, {b}), s -> s[1] * s[2])), (x, y) -> x + y)")
+_FOLD_NORM = ("sqrt(list_reduce(list_prepend(0.0, list_transform("
+              "{a}, x -> x * x)), (x, y) -> x + y))")
+
+
 def _pair_cosine(a, b):
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                       F.lit(0.0), lambda acc, v: acc + v)
@@ -1086,12 +1097,9 @@ ev AS (SELECT vec_id AS eval_id, emb FROM e WHERE vec_id % {CONTAM_EVAL_MOD} = 0
 co AS (SELECT vec_id, emb FROM e WHERE vec_id % {CONTAM_EVAL_MOD} <> 0),
 pairs AS (
   SELECT co.vec_id, ev.eval_id,
-    list_reduce(list_prepend(0.0, list_transform(list_zip(co.emb, ev.emb),
-      s -> s[1] * s[2])), (x, y) -> x + y)
-    / (sqrt(list_reduce(list_prepend(0.0, list_transform(co.emb, x -> x * x)),
-            (x, y) -> x + y))
-       * sqrt(list_reduce(list_prepend(0.0, list_transform(ev.emb, x -> x * x)),
-              (x, y) -> x + y))) AS c
+    {_FOLD_DOT.format(a="co.emb", b="ev.emb")}
+    / ({_FOLD_NORM.format(a="co.emb")}
+       * {_FOLD_NORM.format(a="ev.emb")}) AS c
   FROM co, ev
 ),
 best AS (
@@ -1112,11 +1120,6 @@ ORACLES["contamination_embedding"] = CONTAMINATION_EMBEDDING_SQL
 
 HN_QUERY_MOD = 50
 HN_K = 5
-
-_FOLD_DOT = ("list_reduce(list_prepend(0.0, list_transform("
-             "list_zip({a}, {b}), s -> s[1] * s[2])), (x, y) -> x + y)")
-_FOLD_NORM = ("sqrt(list_reduce(list_prepend(0.0, list_transform("
-              "{a}, x -> x * x)), (x, y) -> x + y))")
 
 
 def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:

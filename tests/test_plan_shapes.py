@@ -1068,3 +1068,23 @@ def test_hard_negatives_broadcast_queries_one_corpus_pass(spark):
     assert "CartesianProduct" not in plan, plan
     for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py not in plan, plan
+
+
+def test_data_quality_checks_empty_tables_zero_not_null(spark, tmp_path):
+    """Over EMPTY tables every check must report 0 violations / passed
+    (sum over zero rows is NULL in Spark; the oracle's count FILTER is
+    0 — the coalesce in vio() is what keeps the two aligned)."""
+    from extract_ocr_spark.operators.relational import (
+        data_quality_checks_query)
+
+    src = "/root/testdata/sf0.001"
+    for t, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey"),
+                   ("events", "event_id")):
+        df = spark.read.parquet(f"{src}/{t}.parquet").filter("1 = 0")
+        df.write.parquet(str(tmp_path / f"{t}.parquet"))
+    out = data_quality_checks_query(spark, str(tmp_path)).collect()
+    assert len(out) == 8
+    for row in out:
+        assert row["violations"] == 0, row
+        assert row["checked"] == 0, row
+        assert row["passed"] is True, row

@@ -1522,3 +1522,83 @@ FROM checks ORDER BY tbl, check_name
 
 QUERIES["data_quality_checks"] = data_quality_checks_query
 ORACLES["data_quality_checks"] = DATA_QUALITY_CHECKS_SQL
+
+
+# -- Market share (TPC-H Q8-flavored) -------------------------------------------
+
+Q8_NATION = "NATION_0"
+Q8_REGION = "ASIA"
+
+
+def market_share_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 re-expressed exact: one supplier nation's share of the
+    revenue on orders from customers in one region, by order year. Both
+    numerator (conditional) and denominator sum in exact integer
+    cents-basis-points; the share is the ONE float op — a single
+    correctly-rounded division of two exact BIGINTs — so round(6) is
+    engine-invariant (no float accumulation order exists).
+
+    Scale shape: the region predicate prunes through the broadcast
+    region→nation→customer dimension chain before the custkey shuffle;
+    lineitem⋈orders on orderkey; the supplier-nation tag rides a
+    broadcast nation leg; numerator and denominator share ONE aggregate
+    (a conditional sum, never two plans over the fact)."""
+    _utc(spark)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", _rev_cbp().alias("rev"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    ns = (_t(spark, sf_dir, "nation")
+          .select(F.col("n_nationkey").alias("ns_key"),
+                  F.col("n_name").alias("supp_nation")))
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.year("o_orderdate").cast("int").alias("order_year"))
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nc = (_t(spark, sf_dir, "nation")
+          .select(F.col("n_nationkey").alias("nc_key"),
+                  F.col("n_regionkey").alias("nc_region")))
+    r = (_t(spark, sf_dir, "region")
+         .filter(F.col("r_name") == Q8_REGION).select("r_regionkey"))
+    nation_rev = F.sum(F.when(F.col("supp_nation") == Q8_NATION,
+                              F.col("rev")).otherwise(F.lit(0)))
+    return (li.join(s, li["l_suppkey"] == s["s_suppkey"])
+            .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+            .join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(c, o["o_custkey"] == c["c_custkey"])
+            .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+            .join(F.broadcast(r), F.col("nc_region") == F.col("r_regionkey"))
+            .groupBy("order_year")
+            .agg(nation_rev.alias("nation_cbp"),
+                 F.sum("rev").alias("total_cbp"))
+            .select("order_year", "nation_cbp", "total_cbp",
+                    F.round(F.col("nation_cbp").cast("double")
+                            / F.col("total_cbp").cast("double"), 6)
+                    .alias("share"))
+            .orderBy("order_year"))
+
+
+MARKET_SHARE_SQL = f"""
+WITH li AS (
+  SELECT l_orderkey, l_suppkey, {REV_CBP_SQL} AS rev
+  FROM lineitem
+)
+SELECT CAST(year(o.o_orderdate) AS INT) AS order_year,
+       CAST(sum(CASE WHEN ns.n_name = '{Q8_NATION}' THEN li.rev
+                     ELSE 0 END) AS BIGINT) AS nation_cbp,
+       CAST(sum(li.rev) AS BIGINT) AS total_cbp,
+       round(CAST(sum(CASE WHEN ns.n_name = '{Q8_NATION}' THEN li.rev
+                           ELSE 0 END) AS DOUBLE)
+             / CAST(sum(li.rev) AS DOUBLE), 6) AS share
+FROM li
+JOIN supplier s ON s.s_suppkey = li.l_suppkey
+JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = li.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = nc.n_regionkey
+WHERE r.r_name = '{Q8_REGION}'
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["market_share"] = market_share_query
+ORACLES["market_share"] = MARKET_SHARE_SQL

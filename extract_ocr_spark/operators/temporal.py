@@ -864,3 +864,72 @@ FROM r ORDER BY variant
 
 QUERIES["ab_lift"] = ab_lift_query
 ORACLES["ab_lift"] = AB_LIFT_SQL
+
+
+# -- Last-touch marketing attribution ------------------------------------------
+
+ATTR_TOUCH_TYPES = ("view", "click", "signup")
+ATTR_WINDOW_US = 6 * 3600 * 1_000_000  # 6h lookback
+
+
+def attribution_last_touch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase is credited to the user's
+    most recent touch event (view/click/signup) within a 6-hour
+    lookback, else 'direct'. The per-purchase "most recent prior touch"
+    is the event_funnel window trick — max over a CASE-gated
+    struct(ts, event_id, channel) on the UNBOUNDED-PRECEDING-to-1
+    frame — so no self-join and no per-row probe ever happens; the
+    recency test is integer epoch-microsecond arithmetic (ts ties break
+    on event_id identically in both engines).
+
+    Scale shape: ONE user-partitioned window over the events scan, then
+    a ≤4-row aggregate. At 10^12 events this is the same
+    shuffle-once-on-user shape as asof_join; the window frame is
+    running-max, O(1) per row."""
+    ev = _events(spark, sf_dir)
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    touch = F.max(
+        F.when(F.col("event_type").isin(*ATTR_TOUCH_TYPES),
+               F.struct(F.col("ts").alias("t"),
+                        F.col("event_id").alias("eid"),
+                        F.col("event_type").alias("ch")))).over(w)
+    seq = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        touch.alias("touch"))
+    age_us = F.expr("timestampdiff(MICROSECOND, touch.t, ts)")
+    channel = (F.when(F.col("touch").isNull()
+                      | (age_us > F.lit(ATTR_WINDOW_US)), F.lit("direct"))
+               .otherwise(F.col("touch.ch")))
+    return (seq.filter(F.col("event_type") == "purchase")
+            .select(channel.alias("channel"), "value_cents")
+            .groupBy("channel")
+            .agg(F.count("*").alias("n_purchases"),
+                 F.sum("value_cents").alias("revenue_cents"))
+            .orderBy("channel"))
+
+
+ATTRIBUTION_LAST_TOUCH_SQL = f"""
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(round(value*100) AS BIGINT) AS value_cents,
+         max(CASE WHEN event_type IN {ATTR_TOUCH_TYPES}
+                  THEN struct_pack(t := ts, eid := event_id,
+                                   ch := event_type) END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+  FROM events
+)
+SELECT CASE WHEN touch IS NULL
+              OR epoch_us(ts) - epoch_us(touch.t)
+                 > CAST({ATTR_WINDOW_US} AS BIGINT)
+            THEN 'direct' ELSE touch.ch END AS channel,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(value_cents) AS BIGINT) AS revenue_cents
+FROM seq WHERE event_type = 'purchase'
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["attribution_last_touch"] = attribution_last_touch_query
+ORACLES["attribution_last_touch"] = ATTRIBUTION_LAST_TOUCH_SQL

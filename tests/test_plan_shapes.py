@@ -1088,3 +1088,36 @@ def test_data_quality_checks_empty_tables_zero_not_null(spark, tmp_path):
         assert row["violations"] == 0, row
         assert row["checked"] == 0, row
         assert row["passed"] is True, row
+
+
+def test_attribution_last_touch_one_user_window_no_join(spark):
+    """The last-prior-touch lookup must be the window trick — ONE
+    user-partitioned window over one events scan, NO join operator
+    anywhere (the naive form self-joins purchases to touches), fully
+    JVM-side."""
+    from extract_ocr_spark.operators.temporal import (
+        attribution_last_touch_query)
+
+    plan = _plan(attribution_last_touch_query(spark, "/root/testdata/sf0.001"))
+    assert plan.count("events.parquet") == 1, plan
+    assert "Window" in plan, plan
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert j not in plan, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan, plan
+
+
+def test_market_share_one_fact_aggregate(spark):
+    """Numerator (conditional) and denominator must ride ONE aggregate
+    over ONE lineitem scan — the textbook Q8 form computes two plans
+    over the fact; the region filter must reach the region scan."""
+    from extract_ocr_spark.operators.relational import market_share_query
+
+    plan = _plan(market_share_query(spark, "/root/testdata/sf0.001"))
+    assert plan.count("lineitem.parquet") == 1, plan
+    region_line = next(ln for ln in plan.splitlines()
+                       if "region.parquet" in ln)
+    assert "r_name" in region_line, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan, plan

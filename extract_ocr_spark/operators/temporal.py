@@ -42,6 +42,18 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
+def _value_cents():
+    """The ONE exact money definition over events.value (the _rev_cbp
+    anti-drift discipline): round to cents, BIGINT — shared by every
+    events-money operator so the Spark and SQL twins can never diverge
+    in rounding mode or scale."""
+    return F.round(F.col("value") * 100).cast("long")
+
+
+# the SQL twin of _value_cents, interpolated into every events-money oracle
+VALUE_CENTS_SQL = "CAST(round(value*100) AS BIGINT)"
+
+
 # -- As-of join (point-in-time) ------------------------------------------------
 
 ASOF_LEFT = "click"   # probe side: each of these...
@@ -156,7 +168,7 @@ def hypertable_rollup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", "ts").alias("day"),
         F.date_trunc("hour", "ts").alias("hour"),
         "user_id",
-        F.round(F.col("value") * 100).cast("long").alias("cents"))
+        _value_cents().alias("cents"))
     return (ev.groupingSets(
                 [["event_type", "day"], ["event_type", "day", "hour"]],
                 "event_type", "day", "hour")
@@ -166,13 +178,13 @@ def hypertable_rollup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type", "day", "hour"))
 
 
-HYPERTABLE_ROLLUP_SQL = """
+HYPERTABLE_ROLLUP_SQL = f"""
 SELECT event_type,
        CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
        date_trunc('hour', ts) AS hour,
        count(*) AS n_events,
        count(DISTINCT user_id) AS n_users,
-       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+       CAST(sum({VALUE_CENTS_SQL}) AS BIGINT) AS cents
 FROM events
 GROUP BY GROUPING SETS
   ((event_type, CAST(date_trunc('day', ts) AS TIMESTAMP)),
@@ -896,7 +908,7 @@ def attribution_last_touch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("event_type").alias("ch")))).over(w)
     seq = ev.select(
         "user_id", "ts", "event_id", "event_type",
-        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        _value_cents().alias("value_cents"),
         touch.alias("touch"))
     age_us = F.expr("timestampdiff(MICROSECOND, touch.t, ts)")
     channel = (F.when(F.col("touch").isNull()
@@ -913,7 +925,7 @@ def attribution_last_touch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 ATTRIBUTION_LAST_TOUCH_SQL = f"""
 WITH seq AS (
   SELECT user_id, ts, event_id, event_type,
-         CAST(round(value*100) AS BIGINT) AS value_cents,
+         {VALUE_CENTS_SQL} AS value_cents,
          max(CASE WHEN event_type IN {ATTR_TOUCH_TYPES}
                   THEN struct_pack(t := ts, eid := event_id,
                                    ch := event_type) END)

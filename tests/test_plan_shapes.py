@@ -1119,5 +1119,17 @@ def test_market_share_one_fact_aggregate(spark):
     region_line = next(ln for ln in plan.splitlines()
                        if "region.parquet" in ln)
     assert "r_name" in region_line, plan
+    # the dimension pruning must sit BELOW the custkey join (on its
+    # customer input), not above it: between the custkey join line and
+    # the customer scan the nation+region broadcast joins must appear —
+    # if they sat above the join, 4/5 of the fact rows would ride the
+    # custkey shuffle only to be discarded afterwards
+    lines = plan.splitlines()
+    cust_join = next(i for i, ln in enumerate(lines)
+                     if "c_custkey" in ln and "Join" in ln)
+    cust_scan = next(i for i, ln in enumerate(lines)
+                     if "customer.parquet" in ln)
+    between = "\n".join(lines[cust_join:cust_scan])
+    assert between.count("BroadcastHashJoin") >= 2, plan
     for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py not in plan, plan

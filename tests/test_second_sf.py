@@ -83,6 +83,10 @@ SUBSET = [
     "ab_lift",
     # all three incremental-dedup statuses + cap boundary
     "incremental_dedup",
+    # 6h direct-vs-touch branch, struct-max tie-breaks, NULL first touch
+    "attribution_last_touch",
+    # conditional numerator must be non-degenerate at both scales
+    "market_share",
 ]
 
 

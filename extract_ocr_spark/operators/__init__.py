@@ -117,6 +117,7 @@ def all_queries():
         # with the least accumulated verification history (the oldest r5
         # names below have been sweep-verified across many sessions and
         # are the lowest-information picks for the external check)
+        "bpe_merges",
         "market_share", "attribution_last_touch",
         "hard_negatives", "data_quality_checks", "blocklist_filter",
         "dormant_rich_customers", "late_only_supplier", "small_qty_revenue",

@@ -1890,3 +1890,149 @@ ORDER BY doc_id, metric
 
 QUERIES["metrics_unpivot"] = metrics_unpivot
 ORACLES["metrics_unpivot"] = METRICS_UNPIVOT_SQL
+
+
+# -- BPE merge learning (byte-pair encoding vocabulary induction) ---------------
+
+BPE_N_MERGES = 3
+
+
+def bpe_merges_df(docs: DataFrame) -> DataFrame:
+    """Learn the first BPE_N_MERGES byte-pair-encoding merges (Sennrich
+    2016) over the corpus: iteratively count adjacent-symbol pairs
+    weighted by word frequency, take the most frequent pair (ties →
+    lexicographic smallest), and apply the merge greedily left-to-right
+    in every word. All counts are exact integers and the tie order is
+    total, so the normally-heuristic tokenizer-training loop is
+    hash-exact-checkable.
+
+    The greedy merge is a JVM ordered fold (append, or replace-last
+    when (last, current) == (a, b)); the fold equals the reference
+    scan-and-skip semantics because a merged symbol a||b can never
+    equal a (b is nonempty), so a fresh merge can't re-trigger. The
+    oracle applies the merge with the INDEPENDENT island-parity
+    formulation (consecutive match runs keep even offsets) — driver
+    equality re-proves the greedy semantics, and a python-reference
+    test pins both (the k_core lesson: iterative ops need an external
+    truth, not just the twin).
+
+    Scale shape: ONE corpus scan builds the word-frequency table; every
+    iteration then runs over the VOCABULARY (Heaps' law — sublinear in
+    corpus size): one partial-aggregatable pair count, a 1-row
+    TakeOrdered collect, one map-only merge, localCheckpoint to keep
+    the plan flat. This is exactly how production BPE trainers shard:
+    corpus → word counts once, then iterate on the counts."""
+    words = (docs
+             .select(F.explode(tok_array(F.col("text"))).alias("word"))
+             .groupBy("word")
+             .agg(F.count("*").alias("freq"))
+             .withColumn(
+                 "syms",
+                 F.transform(
+                     F.sequence(F.lit(1), F.length("word")),
+                     lambda i: F.col("word").substr(i.cast("int"),
+                                                    F.lit(1))))
+             .localCheckpoint(eager=True))
+    spark = docs.sparkSession
+    merges = []
+    for rank in range(1, BPE_N_MERGES + 1):
+        # guard: sequence(1, 0) DESCENDS for single-symbol words
+        pair_arr = F.when(
+            F.size("syms") > 1,
+            F.transform(
+                F.sequence(F.lit(1), F.size("syms") - 1),
+                lambda i: F.struct(
+                    F.element_at("syms", i.cast("int")).alias("a"),
+                    F.element_at("syms", i.cast("int") + 1).alias("b"))),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        best = (words
+                .select("freq", F.explode(pair_arr).alias("p"))
+                .groupBy("p.a", "p.b")
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.desc("cnt"), "a", "b")
+                .limit(1)
+                .collect()[0])
+        a, b, cnt = best["a"], best["b"], int(best["cnt"])
+        merges.append((rank, a, b, cnt))
+        merged = F.array(F.lit(a + b))
+        new_syms = F.aggregate(
+            "syms", F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), merged),
+            ).otherwise(F.concat(acc, F.array(x))))
+        words = (words.withColumn("syms", new_syms)
+                 .localCheckpoint(eager=True))
+    return spark.createDataFrame(
+        merges, "merge_rank int, left_sym string, right_sym string, "
+                "pair_count long")
+
+
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_merges_df(_docs(spark, sf_dir))
+
+
+def _bpe_iter_sql(k: int) -> str:
+    """One unrolled oracle iteration: pair counts from w{k-1}, best pair,
+    island-parity greedy merge into w{k}. pos/w are MATERIALIZED — each
+    is referenced twice, and without it DuckDB re-inlines the whole
+    upstream chain per reference (the pca/k_core lesson)."""
+    return f"""
+pairs_{k} AS (
+  SELECT w.syms[i] AS a, w.syms[i+1] AS b, CAST(sum(w.freq) AS BIGINT) AS cnt
+  FROM w{k - 1} w, unnest(range(1, len(w.syms))) AS t(i)
+  GROUP BY 1, 2
+),
+best_{k} AS (
+  SELECT a, b, cnt, {k} AS merge_rank FROM pairs_{k}
+  ORDER BY cnt DESC, a, b LIMIT 1
+),
+pos_{k} AS MATERIALIZED (
+  SELECT w.word, w.freq, i, w.syms[i] AS s,
+         CASE WHEN i < len(w.syms) THEN w.syms[i+1] END AS s_next,
+         (i < len(w.syms) AND w.syms[i] = bp.a AND w.syms[i+1] = bp.b) AS m
+  FROM w{k - 1} w CROSS JOIN best_{k} bp,
+       unnest(range(1, len(w.syms) + 1)) AS t(i)
+),
+isl_{k} AS (
+  SELECT word, i,
+         i - row_number() OVER (PARTITION BY word ORDER BY i) AS isl
+  FROM pos_{k} WHERE m
+),
+kept_{k} AS MATERIALIZED (
+  SELECT word, i,
+         (i - min(i) OVER (PARTITION BY word, isl)) % 2 = 0 AS kept
+  FROM isl_{k}
+),
+w{k} AS MATERIALIZED (
+  SELECT p.word, p.freq,
+         list(CASE WHEN coalesce(kk.kept, false) THEN p.s || p.s_next
+                   ELSE p.s END ORDER BY p.i) AS syms
+  FROM pos_{k} p
+  LEFT JOIN kept_{k} kk ON kk.word = p.word AND kk.i = p.i
+  LEFT JOIN kept_{k} kp ON kp.word = p.word AND kp.i = p.i - 1
+  WHERE NOT coalesce(kp.kept, false)
+  GROUP BY p.word, p.freq
+)"""
+
+
+BPE_MERGES_SQL = f"""
+WITH w0 AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+         list_transform(range(1, len(word) + 1),
+                        i -> substr(word, CAST(i AS INT), 1)) AS syms
+  FROM (
+    SELECT unnest(list_filter(
+      regexp_split_to_array(lower(text), '{WS_RE}+'), x -> x <> '')) AS word
+    FROM documents
+  ) GROUP BY word
+),{",".join(_bpe_iter_sql(k) for k in range(1, BPE_N_MERGES + 1))}
+SELECT merge_rank, a AS left_sym, b AS right_sym, cnt AS pair_count
+FROM ({" UNION ALL ".join(f"SELECT * FROM best_{k}"
+                          for k in range(1, BPE_N_MERGES + 1))})
+ORDER BY merge_rank
+"""
+
+QUERIES["bpe_merges"] = bpe_merges
+ORACLES["bpe_merges"] = BPE_MERGES_SQL

@@ -483,3 +483,86 @@ def test_hll_linear_counting_branch_matches_oracle(spark, tmp_path):
     # the fixture must actually exercise both branches
     assert any(r[2] < HLL_M for r in got.values()), got
     assert got["big"][2] == HLL_M, got
+
+
+# -- BPE merge learning: external python reference (the k_core lesson) --------
+
+def _bpe_reference(texts, n_merges):
+    import collections
+    import re
+
+    ws = re.compile(r"[ \t\n\x0B\f\r]+")
+    freq = collections.Counter()
+    for t in texts:
+        for w in ws.split(t.lower()):
+            if w:
+                freq[w] += 1
+    words = {w: list(w) for w in freq}
+
+    def best(words):
+        cnt = collections.Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                cnt[(syms[i], syms[i + 1])] += freq[w]
+        return min(cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+
+    def merge(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    merges = []
+    for r in range(1, n_merges + 1):
+        (a, b), c = best(words)
+        merges.append((r, a, b, c))
+        words = {w: merge(s, a, b) for w, s in words.items()}
+    return merges
+
+
+def _bpe_docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+
+
+def test_bpe_merges_matches_python_reference(spark):
+    from extract_ocr_spark.operators.textanalysis import (
+        BPE_N_MERGES,
+        bpe_merges_df,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+        "the rain in spain stays mainly in the plain",
+        "she sells sea shells by the sea shore",
+    ]
+    got = [tuple(r) for r in bpe_merges_df(_bpe_docs(spark, texts)).collect()]
+    assert got == _bpe_reference(texts, BPE_N_MERGES), got
+
+
+def test_bpe_merges_greedy_overlap_run(spark):
+    """A run of overlapping matches ('aaaa' under pair (a,a)) must merge
+    greedily left-to-right: [aa, aa], never [a, aa, a] or [aa, a, a] —
+    the island-parity rule the oracle uses and the fold's replace-last
+    must agree on odd AND even runs (aaaaa -> [aa, aa, a] leaves a
+    trailing singleton, so the NEXT round's (aa, aa) count tells the
+    two apart)."""
+    from extract_ocr_spark.operators.textanalysis import bpe_merges_df
+
+    # 'aaaa' x3, 'aaaaa' x2: merge 1 must be (a,a) cnt=3*3+2*4=17
+    # (pair count BEFORE merging: positions, not greedy pairs);
+    # after greedy merge: aaaa->[aa,aa], aaaaa->[aa,aa,a]
+    # merge 2: (aa,aa) cnt=3+2=5
+    texts = ["aaaa aaaa aaaa", "aaaaa aaaaa"]
+    got = [tuple(r) for r in bpe_merges_df(_bpe_docs(spark, texts)).collect()]
+    ref = _bpe_reference(texts, 3)
+    assert got == ref, (got, ref)
+    assert got[0][:3] == (1, "a", "a"), got
+    assert got[1][:3] == (2, "aa", "aa"), got

@@ -117,6 +117,12 @@ def all_queries():
         # with the least accumulated verification history (the oldest r5
         # names below have been sweep-verified across many sessions and
         # are the lowest-information picks for the external check)
+        "k_anonymity", "media_dedup_groups",
+        "mmr_rerank", "dictionary_encode",
+        "bpe_encode", "interleave_pack", "scd2_intervals",
+        "shortest_paths", "revenue_delta", "top_supplier",
+        "product_profit", "min_cost_supplier", "important_parts",
+        "parts_supplier_counts",
         "bpe_merges",
         "market_share", "attribution_last_touch",
         "hard_negatives", "data_quality_checks", "blocklist_filter",

@@ -1195,3 +1195,45 @@ FROM t ORDER BY doc_id
 
 QUERIES["blocklist_filter"] = blocklist_filter
 ORACLES["blocklist_filter"] = BLOCKLIST_FILTER_SQL
+
+
+# -- k_anonymity: quasi-identifier group-size audit ----------------------------
+
+K_ANON_K = 5
+K_ANON_CHAR_BUCKET = 100
+
+
+def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the release quasi-identifiers (lang,
+    source, length bucket): every equivalence class with fewer than
+    K_ANON_K members is a re-identification risk the privacy review of
+    a published training corpus must enumerate. Output: every class
+    with its size and an at_risk flag — all exact integers.
+
+    Scale shape: one partial-aggregatable groupBy on the class key;
+    the bucket floor-division keeps the key low-cardinality, so the
+    aggregate state is bounded by the class space, not the corpus."""
+    docs = _docs(spark, sf_dir)
+    bucket = (F.floor(F.col("n_chars") / K_ANON_CHAR_BUCKET)
+              .cast("long") * K_ANON_CHAR_BUCKET)
+    return (docs.groupBy(F.col("lang"), F.col("source"),
+                         bucket.alias("chars_bucket"))
+            .agg(F.count("*").alias("class_size"))
+            .select("lang", "source", "chars_bucket", "class_size",
+                    (F.col("class_size") < K_ANON_K).alias("at_risk"))
+            .orderBy("lang", "source", "chars_bucket"))
+
+
+K_ANONYMITY_SQL = f"""
+SELECT lang, source,
+       (n_chars // {K_ANON_CHAR_BUCKET}) * {K_ANON_CHAR_BUCKET}
+         AS chars_bucket,
+       CAST(count(*) AS BIGINT) AS class_size,
+       count(*) < {K_ANON_K} AS at_risk
+FROM documents
+GROUP BY 1, 2, 3
+ORDER BY lang, source, chars_bucket
+"""
+
+QUERIES["k_anonymity"] = k_anonymity
+ORACLES["k_anonymity"] = K_ANONYMITY_SQL

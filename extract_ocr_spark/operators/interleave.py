@@ -201,3 +201,190 @@ ORDER BY b.doc_id
 
 QUERIES["interleave_stats"] = interleave_stats_query
 ORACLES["interleave_stats"] = INTERLEAVE_STATS_SQL
+
+
+# -- interleave_pack: next-fit context-window packing, media atomic -----------
+
+PACK_CTX = 64          # context-window token budget
+PACK_MEDIA_BASE = 16   # media span cost = BASE + (doc_id % 3) * STEP
+PACK_MEDIA_STEP = 32   # → 16 / 48 / 80; 80 > CTX exercises oversized-atomic
+
+
+def interleave_pack_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack each interleaved document's spans, in order, into fixed
+    token-budget context windows (next-fit): a span never splits (media
+    atomicity — the packing constraint interleaved multimodal training
+    adds over plain text packing), a span that would overflow the open
+    window starts a new one, and an oversized span (cost > PACK_CTX)
+    occupies a window alone. Text cost = max(1, ceil(len/4)) tokens;
+    media cost = PACK_MEDIA_BASE + (doc_id % 3) * PACK_MEDIA_STEP, so
+    the oversized branch occurs on every doc_id ≡ 2 (mod 3).
+
+    Scale shape: ONE shuffle (groupBy doc_id collect), then the next-fit
+    state machine is a single JVM ordered fold whose accumulator carries
+    the open window's rolling (n_spans, n_media, used) and flushes a
+    window SUMMARY on rollover — the fold emits per-window aggregates
+    directly, so no second explode+groupBy shuffle is needed. Per-doc
+    span counts are small and bounded; the parallelism axis stays the
+    document. The oracle re-derives the same assignment with an
+    INDEPENDENT recursive-CTE state machine (never list_reduce — the
+    DuckDB 1.0 conditional-fold bug)."""
+    sp = _interleaved_spans(spark, sf_dir)
+    cost = F.when(
+        F.col("kind") == "media",
+        F.lit(PACK_MEDIA_BASE)
+        + (F.col("doc_id") % 3).cast("int") * PACK_MEDIA_STEP,
+    ).otherwise(
+        F.greatest(F.lit(1),
+                   F.expr("(length(text_span) + 3) div 4").cast("int"))
+    ).cast("int")
+    spans = sp.select(
+        "doc_id",
+        F.struct(
+            F.col("i").alias("i"),
+            cost.alias("cost"),
+            (F.col("kind") == "media").cast("int").alias("m")).alias("s"))
+    win_t = ("array<struct<win:int,n_spans:int,n_media:int,tokens:int>>")
+    zero = F.struct(
+        F.lit(1).cast("int").alias("win"),
+        F.lit(0).cast("int").alias("used"),
+        F.lit(0).cast("int").alias("ns"),
+        F.lit(0).cast("int").alias("nm"),
+        F.array().cast(win_t).alias("out"))
+
+    def step(acc, x):
+        is_new = (acc["used"] > 0) & (acc["used"] + x["cost"] > PACK_CTX)
+        summary = F.struct(
+            acc["win"].alias("win"), acc["ns"].alias("n_spans"),
+            acc["nm"].alias("n_media"), acc["used"].alias("tokens"))
+        return F.struct(
+            F.when(is_new, acc["win"] + 1).otherwise(acc["win"]).alias("win"),
+            F.when(is_new, x["cost"]).otherwise(acc["used"] + x["cost"])
+            .alias("used"),
+            F.when(is_new, F.lit(1)).otherwise(acc["ns"] + 1).alias("ns"),
+            (F.when(is_new, F.lit(0)).otherwise(acc["nm"]) + x["m"])
+            .alias("nm"),
+            F.when(is_new, F.concat(acc["out"], F.array(summary)))
+            .otherwise(acc["out"]).alias("out"))
+
+    def finish(acc):
+        summary = F.struct(
+            acc["win"].alias("win"), acc["ns"].alias("n_spans"),
+            acc["nm"].alias("n_media"), acc["used"].alias("tokens"))
+        return F.when(acc["used"] > 0,
+                      F.concat(acc["out"], F.array(summary))) \
+                .otherwise(acc["out"])
+
+    packed = (spans.groupBy("doc_id")
+              .agg(F.array_sort(F.collect_list("s")).alias("ss"))
+              .select("doc_id",
+                      F.explode(F.aggregate("ss", zero, step, finish))
+                      .alias("w")))
+    return packed.select(
+        "doc_id",
+        F.col("w.win").alias("win_id"),
+        F.col("w.n_spans").alias("n_spans"),
+        F.col("w.n_media").alias("n_media"),
+        F.col("w.tokens").alias("tokens"),
+    ).orderBy("doc_id", "win_id")
+
+
+INTERLEAVE_PACK_SQL = _SPAN_CTE.replace(
+    "WITH s AS", "WITH RECURSIVE s AS", 1) + f"""
+, spc AS MATERIALIZED (
+  SELECT doc_id, i,
+    CASE WHEN kind = 'media'
+         THEN {PACK_MEDIA_BASE} + CAST(doc_id % 3 AS INT) * {PACK_MEDIA_STEP}
+         ELSE greatest(1, CAST((length(text_span) + 3) // 4 AS INT))
+    END AS cost,
+    CASE WHEN kind = 'media' THEN 1 ELSE 0 END AS m
+  FROM sp
+), rec AS (
+  SELECT doc_id, i, cost, m, 1 AS win, cost AS used
+  FROM spc WHERE i = 0
+  UNION ALL
+  SELECT s.doc_id, s.i, s.cost, s.m,
+    CASE WHEN r.used + s.cost > {PACK_CTX} THEN r.win + 1 ELSE r.win END,
+    CASE WHEN r.used + s.cost > {PACK_CTX} THEN s.cost
+         ELSE r.used + s.cost END
+  FROM rec r JOIN spc s ON s.doc_id = r.doc_id AND s.i = r.i + 1
+)
+SELECT doc_id, win AS win_id,
+       CAST(count(*) AS INT) AS n_spans,
+       CAST(sum(m) AS INT) AS n_media,
+       CAST(sum(cost) AS INT) AS tokens
+FROM rec GROUP BY doc_id, win ORDER BY doc_id, win_id
+"""
+
+QUERIES["interleave_pack"] = interleave_pack_query
+ORACLES["interleave_pack"] = INTERLEAVE_PACK_SQL
+
+
+# -- media_dedup_groups: content-addressed media fingerprint dedup -------------
+
+ASSET_MOD = 50  # synthetic asset space: content key = f(doc_id % 50, i)
+
+
+def media_dedup_groups_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group interleaved documents by their media-asset multiset — the
+    media analog of sha_dedupe: two docs embedding exactly the same
+    asset sequence are layout duplicates even when their text differs
+    (mirrored galleries, re-hosted pages). Asset identity is a
+    content-addressed key — here derived deterministically as
+    md5(doc_id % ASSET_MOD, position) so the synthetic corpus contains
+    real collisions (docs d and d+350 share k, media pattern AND asset
+    keys) — in production it is the sha of the decoded media bytes.
+    Per doc: the multiset fingerprint (md5 of the sorted asset list),
+    group size, and a first-doc canonical flag; all-text docs form the
+    explicit '(none)' group rather than disappearing.
+
+    Scale shape: one doc-keyed collect + one fingerprint-keyed
+    aggregate join — the sha_dedupe two-shuffle layout; no pair join,
+    group stats via the same window pattern first_seen uses."""
+    sp = _interleaved_spans(spark, sf_dir)
+    asset = F.substring(
+        F.md5(F.concat((F.col("doc_id") % ASSET_MOD).cast("string"),
+                       F.lit(":"), F.col("i").cast("string"))),
+        1, REF_LEN)
+    per_doc = (sp.filter(F.col("kind") == "media")
+               .select("doc_id", asset.alias("asset"))
+               .groupBy("doc_id")
+               .agg(F.md5(F.concat_ws(
+                   ",", F.array_sort(F.collect_list("asset"))))
+                   .alias("media_fp")))
+    docs = sp.select("doc_id").distinct()
+    fp = (docs.join(per_doc, "doc_id", "left")
+          .select("doc_id",
+                  F.coalesce("media_fp", F.lit("(none)")).alias("media_fp")))
+    w = Window.partitionBy("media_fp")
+    return (fp.select(
+                "doc_id", "media_fp",
+                F.count("*").over(w).alias("group_size"),
+                (F.col("doc_id") == F.min("doc_id").over(w))
+                .alias("is_canonical"))
+            .orderBy("doc_id"))
+
+
+MEDIA_DEDUP_GROUPS_SQL = _SPAN_CTE + f"""
+, per_doc AS (
+  SELECT doc_id,
+         md5(string_agg(asset, ',' ORDER BY asset)) AS media_fp
+  FROM (
+    SELECT doc_id,
+           substring(md5((doc_id % {ASSET_MOD}) || ':' || i), 1, {REF_LEN})
+             AS asset
+    FROM sp WHERE kind = 'media'
+  ) GROUP BY doc_id
+), fp AS (
+  SELECT d.doc_id, coalesce(p.media_fp, '(none)') AS media_fp
+  FROM (SELECT DISTINCT doc_id FROM sp) d
+  LEFT JOIN per_doc p USING (doc_id)
+)
+SELECT doc_id, media_fp,
+       count(*) OVER (PARTITION BY media_fp) AS group_size,
+       doc_id = min(doc_id) OVER (PARTITION BY media_fp) AS is_canonical
+FROM fp ORDER BY doc_id
+"""
+
+QUERIES["media_dedup_groups"] = media_dedup_groups_query
+ORACLES["media_dedup_groups"] = MEDIA_DEDUP_GROUPS_SQL

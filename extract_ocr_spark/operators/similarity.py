@@ -1186,3 +1186,148 @@ ORDER BY q_id, rank
 
 QUERIES["hard_negatives"] = hard_negatives
 ORACLES["hard_negatives"] = HARD_NEGATIVES_SQL
+
+
+# -- mmr_rerank: maximal-marginal-relevance diversification --------------------
+
+MMR_K = 5
+MMR_C = 16
+# 0.3 is a SEPARATE constant, not 1-0.7: float64(1-0.7) is
+# 0.30000000000000004, one ulp off the 0.3 literal both engines parse.
+MMR_LAM = "0.7"
+MMR_OML = "0.3"
+
+
+def _fold_dot_py(a, b) -> float:
+    """Python twin of the ordered fold (_cosine_to_lit / _FOLD_DOT):
+    0.0 seed, products added in ascending dimension order — the same
+    IEEE addition sequence, so the driver-side MMR arithmetic is
+    bit-identical to the SQL oracle's."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998) of
+    the query's top-MMR_C cosine candidates: greedily pick MMR_K
+    results maximizing lam·rel − (1−lam)·max_sim_to_selected — the
+    diversification stage retrieval pipelines run between ANN recall
+    and the consumer. Relevance is quantized to 1e-6 (the ann_topk
+    rounding contract) before the cut so the candidate set is stable;
+    MMR arithmetic runs on those quantized rels and unrounded
+    fold-ordered pairwise sims.
+
+    Scale shape: the corpus-side stage is the candidate generation (the
+    guarded brute twin here; ann_topk_lsh/_ivf are the 10^9-vector
+    path — same contract, bucket-pruned). The rerank itself touches a
+    BOUNDED set (MMR_C rows) — that boundedness is the algorithm's
+    whole point, so the greedy selection runs driver-side on the
+    collected candidates (the pca_top_component precedent) with
+    fold-order-exact python arithmetic; the oracle re-derives the
+    selection with MMR_K unrolled argmax CTEs."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    emb = _emb(spark, sf_dir)
+    _guard_brute(emb, "mmr_rerank")
+    qvec = _query_vector(spark, sf_dir)
+    c = _cosine_to_lit(F.col("emb"), qvec)
+    cands = (emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+             .select("vec_id", "label", F.round(c, 6).alias("rel"), "emb")
+             .orderBy(F.desc("rel"), "vec_id")
+             .limit(MMR_C)
+             .collect())
+
+    def norm(a) -> float:
+        acc = 0.0
+        for x in a:
+            acc += x * x
+        return math.sqrt(acc)
+
+    def r6(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                                rounding=ROUND_HALF_UP))
+
+    lam, oml = float(MMR_LAM), float(MMR_OML)
+    embs = {r["vec_id"]: list(r["emb"]) for r in cands}
+    norms = {v: norm(e) for v, e in embs.items()}
+
+    def sim(i: int, j: int) -> float:
+        return (_fold_dot_py(embs[i], embs[j])
+                / (norms[i] * norms[j]))
+
+    remaining = [(r["vec_id"], r["label"], float(r["rel"])) for r in cands]
+    out, selected = [], []
+    for rank in range(1, MMR_K + 1):
+        if not remaining:
+            break
+        if rank == 1:
+            scored = [(rel, vid, lab, rel) for vid, lab, rel in remaining]
+        else:
+            scored = [
+                (lam * rel - oml * max(sim(vid, s) for s in selected),
+                 vid, lab, rel)
+                for vid, lab, rel in remaining]
+        score, vid, lab, rel = max(scored, key=lambda t: (t[0], -t[1]))
+        selected.append(vid)
+        remaining = [r for r in remaining if r[0] != vid]
+        out.append((rank, vid, lab, rel, r6(score)))
+    return spark.createDataFrame(
+        out, "rank int, vec_id long, label int, rel double,"
+             " mmr_score double")
+
+
+def _mmr_step_sql(t: int) -> str:
+    prev_union = " UNION ALL ".join(
+        f"SELECT vec_id, emb FROM s{i}" for i in range(1, t))
+    prev_ids = " UNION ALL ".join(
+        f"SELECT vec_id FROM s{i}" for i in range(1, t))
+    sim = (_FOLD_DOT.format(a="c.emb", b="s.emb")
+           + " / (" + _FOLD_NORM.format(a="c.emb") + " * "
+           + _FOLD_NORM.format(a="s.emb") + ")")
+    return f"""r{t} AS (
+  SELECT c.vec_id, c.label, c.rel, c.emb,
+         CAST('{MMR_LAM}' AS DOUBLE) * c.rel
+           - CAST('{MMR_OML}' AS DOUBLE) * max({sim}) AS score
+  FROM ce c, ({prev_union}) s
+  WHERE c.vec_id NOT IN ({prev_ids})
+  GROUP BY c.vec_id, c.label, c.rel, c.emb
+),
+s{t} AS MATERIALIZED (
+  SELECT vec_id, label, rel, emb, {t} AS rank, score
+  FROM r{t} ORDER BY score DESC, vec_id LIMIT 1
+)"""
+
+
+_MMR_REL = (_FOLD_DOT.format(a="e.emb", b="q.emb")
+            + " / (" + _FOLD_NORM.format(a="e.emb") + " * "
+            + _FOLD_NORM.format(a="q.emb") + ")")
+
+MMR_RERANK_SQL = (f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+           FROM embeddings),
+q AS (SELECT emb FROM e WHERE vec_id = {QUERY_VEC_ID}),
+cand AS MATERIALIZED (
+  SELECT e.vec_id, e.label, round({_MMR_REL}, 6) AS rel
+  FROM e, q WHERE e.vec_id != {QUERY_VEC_ID}
+  ORDER BY rel DESC, e.vec_id LIMIT {MMR_C}
+),
+ce AS MATERIALIZED (
+  SELECT c.vec_id, c.label, c.rel, e.emb
+  FROM cand c JOIN e USING (vec_id)
+),
+s1 AS MATERIALIZED (
+  SELECT vec_id, label, rel, emb, 1 AS rank, rel AS score
+  FROM ce ORDER BY rel DESC, vec_id LIMIT 1
+),
+""" + ",\n".join(_mmr_step_sql(t) for t in range(2, MMR_K + 1)) + f"""
+SELECT rank, vec_id, label, rel, round(score, 6) AS mmr_score
+FROM ({" UNION ALL ".join(f"SELECT * FROM s{t}"
+                          for t in range(1, MMR_K + 1))})
+ORDER BY rank
+""")
+
+QUERIES["mmr_rerank"] = mmr_rerank
+ORACLES["mmr_rerank"] = MMR_RERANK_SQL

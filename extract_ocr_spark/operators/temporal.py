@@ -945,3 +945,58 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["attribution_last_touch"] = attribution_last_touch_query
 ORACLES["attribution_last_touch"] = ATTRIBUTION_LAST_TOUCH_SQL
+
+
+# -- scd2_intervals: type-2 slowly-changing-dimension build -------------------
+
+def scd2_intervals_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a type-2 slowly-changing dimension from the per-user event
+    stream: each user's event_type is the tracked attribute; a new
+    version row opens whenever the value CHANGES (consecutive repeats
+    collapse), valid_from = the change timestamp, valid_to = the next
+    change (NULL on the open row), is_current flags it. This is the
+    standard warehouse change-capture → SCD2 materialization, expressed
+    as two window passes over one user-keyed shuffle.
+
+    Determinism: ordering is (ts, event_id) — event_id is unique, so
+    equal timestamps cannot flip versions between engines. Scale: both
+    windows share the user_id partitioning (one exchange); no self-join
+    against the change list, no driver state."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id",
+                                       "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = (ev.withColumn("prev", F.lag("event_type").over(w))
+          .filter(F.col("prev").isNull()
+                  | (F.col("prev") != F.col("event_type"))))
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (ch.select(
+                "user_id",
+                F.row_number().over(w2).alias("version"),
+                "event_type",
+                F.col("ts").alias("valid_from"),
+                F.lead("ts").over(w2).alias("valid_to"),
+                F.lead("ts").over(w2).isNull().alias("is_current"))
+            .orderBy("user_id", "version"))
+
+
+SCD2_INTERVALS_SQL = """
+WITH ch AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT user_id,
+       CAST(row_number() OVER w AS INT) AS version,
+       event_type,
+       ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       lead(ts) OVER w IS NULL AS is_current
+FROM ch
+WHERE prev IS NULL OR prev != event_type
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, version
+"""
+
+QUERIES["scd2_intervals"] = scd2_intervals_query
+ORACLES["scd2_intervals"] = SCD2_INTERVALS_SQL

@@ -1897,31 +1897,12 @@ ORACLES["metrics_unpivot"] = METRICS_UNPIVOT_SQL
 BPE_N_MERGES = 3
 
 
-def bpe_merges_df(docs: DataFrame) -> DataFrame:
-    """Learn the first BPE_N_MERGES byte-pair-encoding merges (Sennrich
-    2016) over the corpus: iteratively count adjacent-symbol pairs
-    weighted by word frequency, take the most frequent pair (ties →
-    lexicographic smallest), and apply the merge greedily left-to-right
-    in every word. All counts are exact integers and the tie order is
-    total, so the normally-heuristic tokenizer-training loop is
-    hash-exact-checkable.
-
-    The greedy merge is a JVM ordered fold (append, or replace-last
-    when (last, current) == (a, b)); the fold equals the reference
-    scan-and-skip semantics because a merged symbol a||b can never
-    equal a (b is nonempty), so a fresh merge can't re-trigger. The
-    oracle applies the merge with the INDEPENDENT island-parity
-    formulation (consecutive match runs keep even offsets) — driver
-    equality re-proves the greedy semantics, and a python-reference
-    test pins both (the k_core lesson: iterative ops need an external
-    truth, not just the twin).
-
-    Scale shape: ONE corpus scan builds the word-frequency table; every
-    iteration then runs over the VOCABULARY (Heaps' law — sublinear in
-    corpus size): one partial-aggregatable pair count, a 1-row
-    TakeOrdered collect, one map-only merge, localCheckpoint to keep
-    the plan flat. This is exactly how production BPE trainers shard:
-    corpus → word counts once, then iterate on the counts."""
+def _bpe_learn(docs: DataFrame) -> tuple[DataFrame, list]:
+    """Shared BPE learn loop: returns the vocabulary DataFrame with the
+    post-merge ``syms`` column (word, freq, syms) and the learned merge
+    list [(rank, a, b, count)]. See bpe_merges_df for semantics and the
+    scale argument; bpe_encode_df reuses the final vocabulary so the
+    encode stage never re-runs the per-rule passes over the corpus."""
     words = (docs
              .select(F.explode(tok_array(F.col("text"))).alias("word"))
              .groupBy("word")
@@ -1933,7 +1914,6 @@ def bpe_merges_df(docs: DataFrame) -> DataFrame:
                      lambda i: F.col("word").substr(i.cast("int"),
                                                     F.lit(1))))
              .localCheckpoint(eager=True))
-    spark = docs.sparkSession
     merges = []
     for rank in range(1, BPE_N_MERGES + 1):
         # guard: sequence(1, 0) DESCENDS for single-symbol words
@@ -1964,13 +1944,96 @@ def bpe_merges_df(docs: DataFrame) -> DataFrame:
             ).otherwise(F.concat(acc, F.array(x))))
         words = (words.withColumn("syms", new_syms)
                  .localCheckpoint(eager=True))
-    return spark.createDataFrame(
+    return words, merges
+
+
+def bpe_merges_df(docs: DataFrame) -> DataFrame:
+    """Learn the first BPE_N_MERGES byte-pair-encoding merges (Sennrich
+    2016) over the corpus: iteratively count adjacent-symbol pairs
+    weighted by word frequency, take the most frequent pair (ties →
+    lexicographic smallest), and apply the merge greedily left-to-right
+    in every word. All counts are exact integers and the tie order is
+    total, so the normally-heuristic tokenizer-training loop is
+    hash-exact-checkable.
+
+    The greedy merge is a JVM ordered fold (append, or replace-last
+    when (last, current) == (a, b)); the fold equals the reference
+    scan-and-skip semantics because a merged symbol a||b can never
+    equal a (b is nonempty), so a fresh merge can't re-trigger. The
+    oracle applies the merge with the INDEPENDENT island-parity
+    formulation (consecutive match runs keep even offsets) — driver
+    equality re-proves the greedy semantics, and a python-reference
+    test pins both (the k_core lesson: iterative ops need an external
+    truth, not just the twin).
+
+    Scale shape: ONE corpus scan builds the word-frequency table; every
+    iteration then runs over the VOCABULARY (Heaps' law — sublinear in
+    corpus size): one partial-aggregatable pair count, a 1-row
+    TakeOrdered collect, one map-only merge, localCheckpoint to keep
+    the plan flat. This is exactly how production BPE trainers shard:
+    corpus → word counts once, then iterate on the counts."""
+    _, merges = _bpe_learn(docs)
+    return docs.sparkSession.createDataFrame(
         merges, "merge_rank int, left_sym string, right_sym string, "
                 "pair_count long")
 
 
 def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges_df(_docs(spark, sf_dir))
+
+
+BPE_HEAD_TOKENS = 5
+
+
+def bpe_encode_df(docs: DataFrame) -> DataFrame:
+    """Encode every document with the learned BPE merges (the apply
+    stage of the tokenizer pair — bpe_merges learns the rules, this
+    tokenizes the corpus with them). Per doc: token count, total
+    post-merge symbol count, total character count (all exact integers)
+    plus the encoded form of the first BPE_HEAD_TOKENS tokens as a
+    visible-evidence string.
+
+    Scale shape (the production tokenizer-sharding layout): the merge
+    passes run over the VOCABULARY only (Heaps-sublinear, inside
+    _bpe_learn); the corpus is then encoded by a single equi-join
+    token→vocab — no per-rule pass ever touches the corpus. The vocab
+    side carries slim (word, syms) and is broadcast by AQE when small;
+    no manual hint because vocabulary grows with corpus size (the
+    tfidf_top_terms lesson). The head string collects only tok_pos ≤
+    BPE_HEAD_TOKENS structs per doc (null-skipping collect_list), never
+    the whole document."""
+    words, _ = _bpe_learn(docs)
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(tok_array(F.col("text"))).alias("p", "word"),
+    ).select("doc_id", "word", (F.col("p") + 1).alias("tok_pos"))
+    enc = toks.join(words.select("word", "syms"), "word")
+    head_struct = F.when(
+        F.col("tok_pos") <= BPE_HEAD_TOKENS,
+        F.struct(F.col("tok_pos").alias("tok_pos"),
+                 F.array_join("syms", " ").alias("enc")))
+    per = enc.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.size("syms")).cast("long").alias("n_syms"),
+        F.sum(F.length("word")).cast("long").alias("n_chars"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(head_struct)),
+                        lambda x: x["enc"]),
+            " | ").alias("head_encoded"))
+    return (docs.select("doc_id").join(per, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_tokens", F.lit(0).cast("long"))
+                 .alias("n_tokens"),
+                F.coalesce("n_syms", F.lit(0).cast("long")).alias("n_syms"),
+                F.coalesce("n_chars", F.lit(0).cast("long"))
+                 .alias("n_chars"),
+                F.coalesce("head_encoded", F.lit("")).alias("head_encoded"))
+            .orderBy("doc_id"))
+
+
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_encode_df(_docs(spark, sf_dir))
 
 
 def _bpe_iter_sql(k: int) -> str:
@@ -2017,8 +2080,7 @@ w{k} AS MATERIALIZED (
 )"""
 
 
-BPE_MERGES_SQL = f"""
-WITH w0 AS MATERIALIZED (
+_BPE_CHAIN_CTES = f"""w0 AS MATERIALIZED (
   SELECT word, CAST(count(*) AS BIGINT) AS freq,
          list_transform(range(1, len(word) + 1),
                         i -> substr(word, CAST(i AS INT), 1)) AS syms
@@ -2027,12 +2089,118 @@ WITH w0 AS MATERIALIZED (
       regexp_split_to_array(lower(text), '{WS_RE}+'), x -> x <> '')) AS word
     FROM documents
   ) GROUP BY word
-),{",".join(_bpe_iter_sql(k) for k in range(1, BPE_N_MERGES + 1))}
+),{",".join(_bpe_iter_sql(k) for k in range(1, BPE_N_MERGES + 1))}"""
+
+BPE_MERGES_SQL = f"""
+WITH {_BPE_CHAIN_CTES}
 SELECT merge_rank, a AS left_sym, b AS right_sym, cnt AS pair_count
 FROM ({" UNION ALL ".join(f"SELECT * FROM best_{k}"
                           for k in range(1, BPE_N_MERGES + 1))})
 ORDER BY merge_rank
 """
 
+# Encode oracle: same learn chain, then tokens join the final vocabulary
+# w{M} — one pass over the corpus, mirroring the Spark join layout.
+BPE_ENCODE_SQL = f"""
+WITH {_BPE_CHAIN_CTES},
+toks AS MATERIALIZED (
+  SELECT d.doc_id, d.ws[i] AS word, i AS tok_pos
+  FROM (
+    SELECT doc_id, list_filter(
+      regexp_split_to_array(lower(text), '{WS_RE}+'), x -> x <> '') AS ws
+    FROM documents
+  ) d, unnest(range(1, len(d.ws) + 1)) AS t(i)
+),
+enc AS MATERIALIZED (
+  SELECT t.doc_id, t.tok_pos, t.word, w.syms
+  FROM toks t JOIN w{BPE_N_MERGES} w ON w.word = t.word
+),
+per AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(len(syms)) AS BIGINT) AS n_syms,
+         CAST(sum(length(word)) AS BIGINT) AS n_chars,
+         string_agg(array_to_string(syms, ' '), ' | ' ORDER BY tok_pos)
+           FILTER (WHERE tok_pos <= {BPE_HEAD_TOKENS}) AS head_encoded
+  FROM enc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_tokens, 0) AS n_tokens,
+       coalesce(p.n_syms, 0) AS n_syms,
+       coalesce(p.n_chars, 0) AS n_chars,
+       coalesce(p.head_encoded, '') AS head_encoded
+FROM documents d LEFT JOIN per p USING (doc_id)
+ORDER BY doc_id
+"""
+
 QUERIES["bpe_merges"] = bpe_merges
 ORACLES["bpe_merges"] = BPE_MERGES_SQL
+QUERIES["bpe_encode"] = bpe_encode
+ORACLES["bpe_encode"] = BPE_ENCODE_SQL
+
+
+# -- dictionary_encode: global frequency-ordered vocab ids --------------------
+
+DICT_RANGE_PARTS = 8  # rank parallelism; scaled to the cluster in prod
+
+
+def dictionary_encode_df(docs: DataFrame) -> DataFrame:
+    """Assign dense global ids to the vocabulary in (freq DESC, word)
+    order — the id layout tokenizer vocabularies and dictionary-encoded
+    columns use — WITHOUT the naive global row_number (whose plan is an
+    Exchange SinglePartition funneling the whole vocabulary through one
+    task). Scale path: repartitionByRange on the full sort key, rank
+    locally per partition, then add broadcast per-partition offsets.
+    Because (freq, word) is a TOTAL order with no duplicate keys, the
+    local-rank + offset composition equals the global row_number exactly
+    regardless of where the range sampler places boundaries — so the
+    result is deterministic even though the boundaries aren't part of
+    the contract. The offset cumsum runs over DICT_RANGE_PARTS rows
+    (cluster-sized, not data-sized); the one single-partition window in
+    the plan is over that tiny frame. The pid re-hash exchange touches
+    only the VOCAB (Heaps-sublinear), never the corpus."""
+    from pyspark.sql.window import Window
+
+    vocab = (docs
+             .select(F.explode(tok_array(F.col("text"))).alias("word"))
+             .groupBy("word")
+             .agg(F.count("*").cast("long").alias("freq")))
+    ranked = (vocab
+              .repartitionByRange(DICT_RANGE_PARTS, F.desc("freq"), "word")
+              .withColumn("pid", F.spark_partition_id()))
+    w_local = Window.partitionBy("pid").orderBy(F.desc("freq"), "word")
+    ranked = ranked.withColumn(
+        "local_rank", F.row_number().over(w_local).cast("long"))
+    w_off = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, -1)
+    offsets = (ranked.groupBy("pid").agg(F.count("*").alias("c"))
+               .select("pid",
+                       F.coalesce(F.sum("c").over(w_off), F.lit(0))
+                       .cast("long").alias("off")))
+    return (ranked.join(F.broadcast(offsets), "pid")
+            .select((F.col("off") + F.col("local_rank")).alias("vocab_id"),
+                    "word", "freq")
+            .orderBy("vocab_id"))
+
+
+def dictionary_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dictionary_encode_df(_docs(spark, sf_dir))
+
+
+DICTIONARY_ENCODE_SQL = f"""
+WITH vocab AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (
+    SELECT unnest(list_filter(
+      regexp_split_to_array(lower(text), '{WS_RE}+'), x -> x <> '')) AS word
+    FROM documents
+  ) GROUP BY word
+)
+SELECT CAST(row_number() OVER (ORDER BY freq DESC, word) AS BIGINT)
+         AS vocab_id,
+       word, freq
+FROM vocab ORDER BY vocab_id
+"""
+
+QUERIES["dictionary_encode"] = dictionary_encode
+ORACLES["dictionary_encode"] = DICTIONARY_ENCODE_SQL

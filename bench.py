@@ -264,11 +264,30 @@ def main() -> None:
             except (json.JSONDecodeError, OSError):
                 continue  # truncated/interrupted capture file — skip, don't
                 # lose this run's measurements at the final print
+            levels = {lvl: lr.get("docs_per_sec")
+                      for lvl, lr in rec.get("levels", {}).items()}
+            if key == "local_8_vs_32" and "instantiations" in rec:
+                # New bench_scaling.py schema: the headline "value" is
+                # the sub-knee local[2]->local[8] pair — report BOTH
+                # instantiations under honest labels instead of
+                # mislabeling the 2->8 number as 8->32.
+                for ikey, ilabel in (("local2_to_local8",
+                                      "local_2_vs_8"),
+                                     ("local8_to_local32",
+                                      "local_8_vs_32")):
+                    inst = rec["instantiations"].get(ikey, {})
+                    scaling[ilabel] = {
+                        "efficiency_N_to_4N": inst.get("efficiency"),
+                        "ceiling_efficiency":
+                            inst.get("ceiling_efficiency"),
+                        "docs_per_sec_by_level": levels,
+                        "protocol": rec.get("protocol"),
+                        "recorded_capture": fname,
+                    }
+                continue
             scaling[key] = {
                 "efficiency_N_to_4N": rec.get("value"),
-                "docs_per_sec_by_level": {
-                    lvl: lr.get("docs_per_sec")
-                    for lvl, lr in rec.get("levels", {}).items()},
+                "docs_per_sec_by_level": levels,
                 "protocol": rec.get("protocol"),
                 "recorded_capture": fname,
             }

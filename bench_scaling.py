@@ -251,7 +251,16 @@ def main() -> None:
         "sparkfree_ceiling_efficiency_8_to_32": ceil_8_32,
         "spark_vs_ceiling_8_to_32": rel_8_32,
         "criterion": "north_rule: >= 0.8 from N to 4N",
-        "pass": eff_2_8 >= 0.8,
+        # Headline value is the sub-knee pair; the full-box pair is NOT
+        # demoted out of the machine-readable headline — "pass" carries
+        # BOTH instantiations so no consumer can read a bare PASS
+        # without seeing that local[8]->local[32] sits below 0.8 on
+        # this memory-bus-limited single box (see spark_vs_ceiling).
+        "headline_instantiation": "local2_to_local8",
+        "pass": {
+            "local2_to_local8": eff_2_8 >= 0.8,
+            "local8_to_local32": eff_8_32 >= 0.8,
+        },
     }
     print(json.dumps(summary))
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -1216,7 +1216,13 @@ ORACLES["k_core"] = K_CORE_SQL
 
 SSSP_SEEDS = (0, 17)
 SSSP_MAX_ITERS = 40
-SSSP_ORACLE_ITERS = 16  # > the measured 12-round fixpoint at sf0.01
+# The oracle unrolls the FULL Spark budget (not a "measured fixpoint +
+# margin": the fixpoint round count grows with the graph, and a short
+# unroll silently diverges at larger sf — caught live at sf0.1 where
+# 16 rounds left 110 nodes unreached). One extra round feeds the
+# error()-guarded convergence witness below, so a truncated oracle can
+# never agree-on-wrong: past budget BOTH engines fail loudly.
+SSSP_ORACLE_ITERS = SSSP_MAX_ITERS
 
 
 def shortest_paths_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1228,9 +1234,10 @@ def shortest_paths_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     (node_count, sum_of_dists) pair: the reached set only grows and
     distances only decrease, so the pair is unchanged iff the relaxation
     step changed nothing. Raises if SSSP_MAX_ITERS rounds don't
-    converge. The oracle unrolls SSSP_ORACLE_ITERS relaxation rounds
-    (margin over the measured fixpoint); a python-Dijkstra reference
-    test pins the semantics externally.
+    converge. The oracle unrolls the same SSSP_MAX_ITERS budget plus
+    one verification round and error()s if the witness still moves —
+    the same loud-failure contract as the Spark side; a
+    python-Dijkstra reference test pins the semantics externally.
 
     Scale shape: per round ONE equi-join (dist ⋈ directed-adjacency) and
     one min-aggregate with map-side combine, localCheckpoint keeping the
@@ -1295,9 +1302,15 @@ SHORTEST_PATHS_SQL = (
     f"  SELECT doc_id AS v, CAST(0 AS BIGINT) AS dist FROM documents\n"
     f"  WHERE doc_id IN {SSSP_SEEDS}),\n"
     + ",\n".join(_sssp_iter_sql(f"d{i}", f"d{i+1}")
-                 for i in range(SSSP_ORACLE_ITERS))
-    + f"""
-SELECT v, dist FROM d{SSSP_ORACLE_ITERS} ORDER BY v
+                 for i in range(SSSP_ORACLE_ITERS + 1))
+    + f""",
+chk AS (
+  SELECT CASE WHEN
+    (SELECT count(*) || '/' || sum(dist) FROM d{SSSP_ORACLE_ITERS})
+    = (SELECT count(*) || '/' || sum(dist) FROM d{SSSP_ORACLE_ITERS + 1})
+  THEN 1 ELSE error('shortest_paths oracle: no fixpoint within '
+                    || {SSSP_ORACLE_ITERS} || ' rounds') END AS ok)
+SELECT v, dist FROM d{SSSP_ORACLE_ITERS}, chk WHERE chk.ok = 1 ORDER BY v
 """)
 
 QUERIES["shortest_paths"] = shortest_paths_query

@@ -1842,27 +1842,34 @@ QUERIES["min_cost_supplier"] = min_cost_supplier_query
 ORACLES["min_cost_supplier"] = MIN_COST_SUPPLIER_SQL
 
 
-Q11_FRACTION_DEN = 2200  # keep parts with value > total/2200 (~0.91x the
-                         # per-part mean at 2000 parts: selects a real subset)
+Q11_MEAN_NUM, Q11_MEAN_DEN = 10, 11  # keep parts with value > (10/11)x the
+                                     # per-part mean — scale-invariant split
 
 
 def important_parts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 adapted (no partsupp): parts whose total lineitem
-    revenue exceeds 1/Q11_FRACTION_DEN of corpus revenue (the
-    fraction is calibrated so the gate genuinely splits the 2000-part
-    synthetic catalog — 1301 of 2000 pass at sf0.01 — rather than
-    returning zero rows, the r4 weak-oracle lesson). The global
-    scalar threshold is the interesting plan shape: the one-row total
-    joins back by broadcast-nested-loop (never a driver collect), and
-    the comparison is exact integer cross-multiplication
-    (value · DEN > total) — no float threshold to ulp-flip."""
+    revenue exceeds (Q11_MEAN_NUM/Q11_MEAN_DEN)x the per-part MEAN
+    revenue. Q11 itself scales its fraction with 1/SF precisely so the
+    gate stays non-degenerate as the catalog grows; comparing against
+    the mean bakes that in (a fixed fraction of CORPUS revenue selects
+    0 rows once the catalog is 10x bigger — the r4 weak-oracle lesson,
+    re-learned at sf0.1 this round). The split is ~1300/2000 at sf0.01
+    and stays a real subset at every sf. The one-row (total, n_parts)
+    scalar joins back by broadcast-nested-loop (never a driver
+    collect); the comparison is exact integer cross-multiplication
+    (value · n · DEN > total · NUM) carried in decimal(38,0) so the
+    triple product can't overflow BIGINT at large catalogs (HUGEINT on
+    the DuckDB side)."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", _rev_cbp().alias("rev"))
     per = li.groupBy("l_partkey").agg(F.sum("rev").alias("value_cbp"))
-    total = per.agg(F.sum("value_cbp").alias("total_cbp"))
+    total = per.agg(F.sum("value_cbp").alias("total_cbp"),
+                    F.count("*").alias("n_parts"))
+    lhs = (F.col("value_cbp").cast("decimal(38,0)")
+           * F.col("n_parts") * Q11_MEAN_DEN)
+    rhs = F.col("total_cbp").cast("decimal(38,0)") * Q11_MEAN_NUM
     return (per.crossJoin(F.broadcast(total))
-            .filter(F.col("value_cbp") * Q11_FRACTION_DEN
-                    > F.col("total_cbp"))
+            .filter(lhs > rhs)
             .select("l_partkey", "value_cbp")
             .orderBy(F.desc("value_cbp"), "l_partkey"))
 
@@ -1871,10 +1878,16 @@ IMPORTANT_PARTS_SQL = f"""
 WITH per AS (
   SELECT l_partkey, CAST(sum({REV_CBP_SQL}) AS BIGINT) AS value_cbp
   FROM lineitem GROUP BY l_partkey
+),
+tot AS (
+  SELECT CAST(sum(value_cbp) AS HUGEINT) AS total_cbp,
+         count(*) AS n_parts
+  FROM per
 )
 SELECT l_partkey, value_cbp
-FROM per
-WHERE value_cbp * {Q11_FRACTION_DEN} > (SELECT sum(value_cbp) FROM per)
+FROM per, tot
+WHERE CAST(value_cbp AS HUGEINT) * n_parts * {Q11_MEAN_DEN}
+      > total_cbp * {Q11_MEAN_NUM}
 ORDER BY value_cbp DESC, l_partkey
 """
 

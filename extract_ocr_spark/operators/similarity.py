@@ -20,6 +20,8 @@
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from pyspark.sql import DataFrame, SparkSession
@@ -48,7 +50,14 @@ def _cosine_to_lit(emb_col, qvec: list[float]):
                       F.lit(0.0), lambda acc, v: acc + v)
     ne = F.sqrt(F.aggregate(F.transform(emb_col, lambda x: x * x),
                             F.lit(0.0), lambda acc, v: acc + v))
-    nq = float(np.sqrt(np.dot(qvec, qvec)))
+    # Sequential left fold, NOT np.dot: numpy sums pairwise, the SQL
+    # twin (_FOLD_NORM) folds left-to-right — the same order here makes
+    # the query norm bit-identical across engines instead of
+    # last-ulp-close (a rel at a round(6) boundary must not flip).
+    acc = 0.0
+    for v in qvec:
+        acc += float(v) * float(v)
+    nq = math.sqrt(acc)
     return dot / (ne * F.lit(nq))
 
 

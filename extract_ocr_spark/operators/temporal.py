@@ -968,14 +968,13 @@ def scd2_intervals_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch = (ev.withColumn("prev", F.lag("event_type").over(w))
           .filter(F.col("prev").isNull()
                   | (F.col("prev") != F.col("event_type"))))
-    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (ch.select(
                 "user_id",
-                F.row_number().over(w2).alias("version"),
+                F.row_number().over(w).alias("version"),
                 "event_type",
                 F.col("ts").alias("valid_from"),
-                F.lead("ts").over(w2).alias("valid_to"),
-                F.lead("ts").over(w2).isNull().alias("is_current"))
+                F.lead("ts").over(w).alias("valid_to"),
+                F.lead("ts").over(w).isNull().alias("is_current"))
             .orderBy("user_id", "version"))
 
 

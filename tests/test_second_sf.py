@@ -87,6 +87,17 @@ SUBSET = [
     "attribution_last_touch",
     # conditional numerator must be non-degenerate at both scales
     "market_share",
+    # r5 fifteenth session: every op here is scale-calibrated — the
+    # packing's oversized-atomic branch, k-anonymity's risk split, the
+    # mean-relative Q11 gate, the SSSP fixpoint round count, BPE merge
+    # ranks, MMR's rounded candidate cut, SCD2 change collapse, vocab
+    # id layout, media fingerprint collision groups, and the TPC-H
+    # tie/threshold blocks all shift with corpus size
+    "bpe_encode", "interleave_pack", "media_dedup_groups",
+    "dictionary_encode", "mmr_rerank", "scd2_intervals",
+    "shortest_paths", "k_anonymity", "revenue_delta", "top_supplier",
+    "product_profit", "min_cost_supplier", "important_parts",
+    "parts_supplier_counts",
 ]
 
 

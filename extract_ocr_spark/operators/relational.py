@@ -1935,3 +1935,149 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 
 QUERIES["parts_supplier_counts"] = parts_supplier_counts_query
 ORACLES["parts_supplier_counts"] = PARTS_SUPPLIER_COUNTS_SQL
+
+
+# -- Late-line priority mix (TPC-H Q12-flavored conditional aggregate) ---------
+
+Q12_START = "1997-01-01"
+Q12_END = "1998-01-01"
+Q12_LATE_DAYS = 45
+Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def late_ship_priority_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 adapted (lineitem carries no shipmode/commit/receipt
+    dates): per l_returnflag — the 3-value line classifier standing in
+    for shipmode — count lines shipped inside one year that went out
+    more than Q12_LATE_DAYS after their order date, split into
+    high-priority (Q12_HIGH) vs lower-priority orders. Q12's point
+    survives the adaptation: ONE fact→orders equi join whose payload is
+    the two-branch conditional aggregate (CASE WHEN ... THEN 1 ELSE 0
+    pair), never two separate scans per branch.
+
+    Scale shape: the ship-window predicate pushes into the lineitem
+    scan (PushedFilters, pinned) and the projection prunes to 3 fact
+    columns; the join shuffles on orderkey (orders is corpus-sized at
+    target scale — no broadcast hint; AQE may still pick one at test
+    sf); the late-days inequality rides the join output as a JVM
+    filter; the 3-key aggregate collapses map-side before the final
+    exchange."""
+    _utc(spark)
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= F.lit(Q12_START).cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit(Q12_END).cast("timestamp")))
+          .select("l_orderkey", "l_returnflag", "l_shipdate"))
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority")
+    high = F.col("o_orderpriority").isin(*Q12_HIGH)
+    return (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .filter(F.col("l_shipdate")
+                    > F.col("o_orderdate")
+                    + F.expr(f"INTERVAL {Q12_LATE_DAYS} DAYS"))
+            .groupBy("l_returnflag")
+            .agg(F.sum(F.when(high, 1).otherwise(0)).cast("long")
+                 .alias("high_count"),
+                 F.sum(F.when(high, 0).otherwise(1)).cast("long")
+                 .alias("low_count"))
+            .orderBy("l_returnflag"))
+
+
+_Q12_HIGH_SQL = ", ".join(f"'{p}'" for p in Q12_HIGH)
+
+LATE_SHIP_PRIORITY_SQL = f"""
+SELECT l.l_returnflag,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ({_Q12_HIGH_SQL})
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ({_Q12_HIGH_SQL})
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '{Q12_START}'
+  AND l.l_shipdate <  TIMESTAMP '{Q12_END}'
+  AND l.l_shipdate > o.o_orderdate + INTERVAL {Q12_LATE_DAYS} DAY
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+"""
+
+QUERIES["late_ship_priority"] = late_ship_priority_query
+ORACLES["late_ship_priority"] = LATE_SHIP_PRIORITY_SQL
+
+
+# -- Dominant part suppliers (TPC-H Q20-flavored correlated share gate) --------
+
+Q20_PREFIX = "small"
+Q20_START = "1997-01-01"
+Q20_END = "1998-01-01"
+# a supplier qualifies when it shipped a strict majority of some
+# prefix-named part's annual volume: qty_supp/qty_part > NUM/DEN
+Q20_SHARE_NUM, Q20_SHARE_DEN = 1, 2
+
+
+def dominant_suppliers_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adapted (no partsupp/availqty): suppliers who shipped
+    a strict majority (> Q20_SHARE_NUM/Q20_SHARE_DEN) of some
+    Q20_PREFIX-named part's total volume inside one year. The
+    original's nested correlated subqueries (availqty > 0.5x the
+    quantity shipped of that part) become: one (part, supplier)
+    aggregate over the pruned facts, the per-part total as a WINDOW
+    over that aggregate (a join-back would re-execute the aggregate —
+    the markov_transitions lesson; the window reuses the result
+    frame), an exact integer cross-multiplied share gate
+    (qty_supp·DEN > qty_part·NUM — no float share), and a semi join up
+    to supplier names.
+
+    Scale shape: the name-prefix part filter broadcast-prunes the fact
+    scan before any shuffle; the aggregate shuffles once on (partkey,
+    suppkey); the share window's partkey exchange carries only the
+    pre-aggregated rows (O(catalog · suppliers-per-part), not corpus);
+    the qualifying-supplier set is bounded by |supplier| and
+    broadcast-semi-joins. Split stays live at every sf (6/100 at
+    sf0.001, 52/100 at sf0.01, 530/1000 at sf0.1)."""
+    _utc(spark)
+    part = (_t(spark, sf_dir, "part")
+            .filter(F.col("p_name").startswith(Q20_PREFIX))
+            .select("p_partkey"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= F.lit(Q20_START).cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit(Q20_END).cast("timestamp")))
+          .select("l_partkey", "l_suppkey",
+                  F.round("l_quantity").cast("long").alias("qty")))
+    ps = (li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(F.sum("qty").alias("qty_supp")))
+    w = Window.partitionBy("l_partkey")
+    qual = (ps.withColumn("qty_part", F.sum("qty_supp").over(w))
+            .filter(F.col("qty_supp") * Q20_SHARE_DEN
+                    > F.col("qty_part") * Q20_SHARE_NUM)
+            .select("l_suppkey"))
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (sup.join(F.broadcast(qual),
+                     sup["s_suppkey"] == qual["l_suppkey"], "left_semi")
+            .orderBy("s_name", "s_suppkey"))
+
+
+DOMINANT_SUPPLIERS_SQL = f"""
+WITH ps AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS qty_supp
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_name LIKE '{Q20_PREFIX}%'
+    AND l.l_shipdate >= TIMESTAMP '{Q20_START}'
+    AND l.l_shipdate <  TIMESTAMP '{Q20_END}'
+  GROUP BY 1, 2
+),
+shr AS (
+  SELECT *, CAST(sum(qty_supp) OVER (PARTITION BY l_partkey) AS BIGINT)
+              AS qty_part
+  FROM ps
+)
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (
+  SELECT l_suppkey FROM shr
+  WHERE qty_supp * {Q20_SHARE_DEN} > qty_part * {Q20_SHARE_NUM})
+ORDER BY s.s_name, s.s_suppkey
+"""
+
+QUERIES["dominant_suppliers"] = dominant_suppliers_query
+ORACLES["dominant_suppliers"] = DOMINANT_SUPPLIERS_SQL

@@ -245,7 +245,11 @@ def test_minhash_band_candidates_near_linear_1e6(spark):
     planted = n // group
     assert cands >= planted, (cands, planted)   # full recall of dups
     assert cands < 2 * n, cands                 # near-linear, not O(n^2)
-    assert wall < 60, wall
+    # Hang-grade backstop only: the candidate-count asserts above are the
+    # real quadratic guard (an all-pairs join at 1e6 rows would be ~1e12
+    # candidates and run for hours). Clean captures run ~46 s; the budget
+    # leaves headroom for VM steal so box noise can't fail a green build.
+    assert wall < 180, wall
 
 
 def test_simhash_kernel_and_native_keys_identical(spark):

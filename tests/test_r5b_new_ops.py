@@ -347,3 +347,102 @@ def test_min_cost_supplier_plan_argmin_window_broadcast_dims(spark):
     assert plan.count("FileScan parquet") == 4, plan  # li + part + sup + nat
     assert "RunningWindowFunction" in plan or "Window" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+# -- late_ship_priority (Q12) / dominant_suppliers (Q20) ----------------------
+
+def test_late_ship_priority_counts_lines_not_orders(spark, tmp_path):
+    """Q12 counts LINES (unlike Q4's per-order semi join): two late
+    lines of one urgent order contribute 2 to high_count; an on-time
+    line and an out-of-window line contribute nothing."""
+    from extract_ocr_spark.operators.relational import (
+        late_ship_priority_query)
+
+    li = spark.createDataFrame(
+        [  # (orderkey, returnflag, shipdate)
+            (1, "A", "1997-06-01"),   # late line 1 of urgent order
+            (1, "A", "1997-07-01"),   # late line 2 of urgent order
+            (2, "A", "1997-03-02"),   # on time (61 days cap: 45) -> late
+            (3, "A", "1997-01-10"),   # shipped 9 days after order: on time
+            (4, "A", "1996-06-01"),   # outside the ship window
+        ],
+        "l_orderkey long, l_returnflag string, l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+    o = spark.createDataFrame(
+        [(1, "1997-01-01", "1-URGENT"), (2, "1997-01-01", "5-LOW"),
+         (3, "1997-01-01", "2-HIGH"), (4, "1996-01-01", "1-URGENT")],
+        "o_orderkey long, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    _write(spark, tmp_path, "lineitem", li)
+    _write(spark, tmp_path, "orders", o)
+
+    rows = late_ship_priority_query(spark, str(tmp_path)).collect()
+    assert [(r["l_returnflag"], r["high_count"], r["low_count"])
+            for r in rows] == [("A", 2, 1)]
+
+
+def test_late_ship_priority_plan_pushes_ship_window(spark):
+    """The ship-window predicate reaches the lineitem scan and the scan
+    reads only the 3 fact columns the query needs."""
+    from extract_ocr_spark.operators.relational import (
+        late_ship_priority_query)
+
+    df = late_ship_priority_query(spark, "/root/testdata/sf0.01")
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan, plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:200], plan
+    li_scan = [ln for ln in plan.split("\n")
+               if "FileScan parquet" in ln and "lineitem" in ln][0]
+    schema = li_scan.split("ReadSchema: ")[1]
+    assert "l_orderkey" in schema and "l_returnflag" in schema, schema
+    assert "l_quantity" not in schema, schema
+
+
+def test_dominant_suppliers_majority_gate(spark, tmp_path):
+    """The share gate is a STRICT majority: exactly half does not
+    qualify; a supplier dominating a non-prefix part does not qualify;
+    out-of-window volume is ignored."""
+    from extract_ocr_spark.operators.relational import (
+        dominant_suppliers_query)
+
+    li = spark.createDataFrame(
+        [  # (partkey, suppkey, qty, shipdate)
+            (1, 10, 30.0, "1997-02-01"),  # 30/50 of part 1 -> majority
+            (1, 11, 20.0, "1997-02-01"),
+            (2, 12, 25.0, "1997-02-01"),  # exactly half -> NOT strict
+            (2, 13, 25.0, "1997-02-01"),
+            (3, 14, 99.0, "1997-02-01"),  # dominates a non-prefix part
+            (1, 15, 500.0, "1996-02-01"),  # out of window
+        ],
+        "l_partkey long, l_suppkey long, l_quantity double, "
+        "l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+    part = spark.createDataFrame(
+        [(1, "small ring"), (2, "small bolt"), (3, "red widget")],
+        "p_partkey long, p_name string")
+    sup = spark.createDataFrame(
+        [(s, f"S{s}") for s in (10, 11, 12, 13, 14, 15)],
+        "s_suppkey long, s_name string")
+    _write(spark, tmp_path, "lineitem", li)
+    _write(spark, tmp_path, "part", part)
+    _write(spark, tmp_path, "supplier", sup)
+
+    rows = dominant_suppliers_query(spark, str(tmp_path)).collect()
+    assert [r["s_suppkey"] for r in rows] == [10]
+
+
+def test_dominant_suppliers_plan_window_not_joinback(spark):
+    """The per-part total is a window over the (part, supp) aggregate,
+    never a join-back that would re-execute it: exactly ONE lineitem
+    FileScan; the part prune is a broadcast join; no cartesian."""
+    from extract_ocr_spark.operators.relational import (
+        dominant_suppliers_query)
+
+    df = dominant_suppliers_query(spark, "/root/testdata/sf0.01")
+    plan = _plan(df)
+    li_scans = [ln for ln in plan.split("\n")
+                if "FileScan parquet" in ln and "lineitem" in ln]
+    assert len(li_scans) == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" in plan, plan

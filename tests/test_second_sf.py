@@ -98,6 +98,9 @@ SUBSET = [
     "shortest_paths", "k_anonymity", "revenue_delta", "top_supplier",
     "product_profit", "min_cost_supplier", "important_parts",
     "parts_supplier_counts",
+    # r5 sixteenth session: the Q12 late/priority split and the Q20
+    # majority-share gate are value-distribution-dependent
+    "late_ship_priority", "dominant_suppliers",
 ]
 
 

@@ -422,6 +422,119 @@ QUERIES["pagerank_scores"] = pagerank_scores_query
 ORACLES["pagerank_scores"] = PAGERANK_SCORES_SQL
 
 
+# -- HITS hubs/authorities over the synthetic link graph ---------------------
+
+HITS_ITERS = 2
+
+
+def hits_scores_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg 1999) hub/authority scores over the same
+    deterministic mod-graph pagerank_scores uses — the link-analysis
+    complement to PageRank (authorities = well-cited pages, hubs =
+    good link collections; the crawl-seed-quality signal). Two mutual
+    power iterations: a(v) = Σ h(u) over in-edges, h(u) = Σ a(v) over
+    out-edges, each normalized per half-iteration.
+
+    Scale + parity shape: normalization is by the GLOBAL MAX (sup
+    norm), not the usual L2 — max over doubles is order-invariant, so
+    it needs NO sorted global fold (an L2/L1 normalizer would need an
+    ordered reduction over ALL n scores — the one thing that cannot
+    scale); the 1-row max joins back by broadcast. The per-node
+    incoming/outgoing sums fold in neighbor-sorted order (the pagerank
+    induction), divisions are identical-operand IEEE ops, so every
+    score is bit-identical across engines before the final round(6).
+    Edge table persisted once; each half-iteration localCheckpoints so
+    the plan never grows."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    n = docs.count()
+    e1 = docs.select(F.col("doc_id").alias("src"),
+                     ((F.col("doc_id") * 2 + 1) % n).alias("dst"))
+    e2 = docs.select(F.col("doc_id").alias("src"),
+                     ((F.col("doc_id") * 3 + 7) % n).alias("dst"))
+    edges = e1.unionByName(e2).distinct().persist()
+
+    def _norm(scores: DataFrame) -> DataFrame:
+        mx = scores.agg(F.max("r").alias("mx"))
+        return (scores.crossJoin(F.broadcast(mx))
+                .select("v", (F.col("r") / F.col("mx")).alias("r"))
+                .localCheckpoint(eager=True))
+
+    try:
+        h = docs.select(F.col("doc_id").alias("v"), F.lit(1.0).alias("r"))
+        a = None
+        for _ in range(HITS_ITERS):
+            a_in = (edges.join(h, edges["src"] == h["v"])
+                    .groupBy(edges["dst"].alias("t"))
+                    .agg(F.aggregate(
+                        F.array_sort(F.collect_list(
+                            F.struct(edges["src"].alias("k"),
+                                     h["r"].alias("term")))),
+                        F.lit(0.0), lambda acc, x: acc + x["term"])
+                        .alias("m")))
+            a = _norm(docs.select(F.col("doc_id").alias("v"))
+                      .join(a_in, F.col("v") == F.col("t"), "left")
+                      .select("v", F.coalesce("m", F.lit(0.0)).alias("r")))
+            h_out = (edges.join(a, edges["dst"] == a["v"])
+                     .groupBy(edges["src"].alias("t"))
+                     .agg(F.aggregate(
+                         F.array_sort(F.collect_list(
+                             F.struct(edges["dst"].alias("k"),
+                                      a["r"].alias("term")))),
+                         F.lit(0.0), lambda acc, x: acc + x["term"])
+                         .alias("m")))
+            h = _norm(docs.select(F.col("doc_id").alias("v"))
+                      .join(h_out, F.col("v") == F.col("t"), "left")
+                      .select("v", F.coalesce("m", F.lit(0.0)).alias("r")))
+    finally:
+        edges.unpersist()
+    return (h.select(F.col("v").alias("doc_id"),
+                     F.round("r", 6).alias("hub"))
+            .join(a.select(F.col("v").alias("doc_id"),
+                           F.round("r", 6).alias("authority")), "doc_id")
+            .orderBy("doc_id"))
+
+
+def _hits_half_sql(name: str, prev: str, key: str, other: str) -> str:
+    """One half-iteration: sum `prev` scores over edges grouped by
+    `key` (neighbor-sorted fold), then sup-norm normalize."""
+    return f"""{name}_raw AS MATERIALIZED (
+  SELECT d.doc_id AS v, coalesce(s.m, 0.0) AS r
+  FROM documents d LEFT JOIN (
+    SELECT e.{key} AS t,
+           list_reduce(list_prepend(0.0, list(p.r ORDER BY e.{other})),
+                       (acc, x) -> acc + x) AS m
+    FROM edges e JOIN {prev} p ON p.v = e.{other}
+    GROUP BY e.{key}) s ON s.t = d.doc_id
+),
+{name} AS MATERIALIZED (
+  SELECT v, r / (SELECT max(r) FROM {name}_raw) AS r FROM {name}_raw
+)"""
+
+
+HITS_SCORES_SQL = (
+    """WITH n AS (SELECT count(*) AS c FROM documents),
+edges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, (doc_id * 2 + 1) % c AS dst FROM documents, n
+    UNION ALL
+    SELECT doc_id AS src, (doc_id * 3 + 7) % c AS dst FROM documents, n)
+),
+h0 AS (SELECT doc_id AS v, CAST(1.0 AS DOUBLE) AS r FROM documents),
+"""
+    + ",\n".join(
+        _hits_half_sql(f"a{i+1}", f"h{i}", "dst", "src") + ",\n"
+        + _hits_half_sql(f"h{i+1}", f"a{i+1}", "src", "dst")
+        for i in range(HITS_ITERS))
+    + f"""
+SELECT h.v AS doc_id, round(h.r, 6) AS hub, round(a.r, 6) AS authority
+FROM h{HITS_ITERS} h JOIN a{HITS_ITERS} a ON a.v = h.v
+ORDER BY doc_id
+""")
+
+QUERIES["hits_scores"] = hits_scores_query
+ORACLES["hits_scores"] = HITS_SCORES_SQL
+
+
 # -- Politeness scheduling over the frontier ---------------------------------
 
 N_HOSTS = 20        # deterministic synthetic host assignment (doc_id % N_HOSTS)

@@ -234,3 +234,77 @@ def test_bloom_url_seen_invariants(spark, tmp_path):
             fps += bool(r["maybe_seen"])
     assert unseen == 100
     assert 0 < fps < 50, fps
+
+
+def test_hits_matches_python_mirror(spark, tmp_path):
+    """The registry HITS must equal a from-scratch python mutual power
+    iteration on the same graph (same dedup, same sup-norm
+    normalization, same iteration count), rounded to the same 6
+    places. External truth: an internally-consistent Spark/DuckDB pair
+    could still both compute the wrong recurrence."""
+    from extract_ocr_spark.operators.links import (
+        HITS_ITERS,
+        hits_scores_query,
+    )
+
+    n = 41
+    d = tmp_path / "documents.parquet"
+    spark.createDataFrame(
+        [(i, f"text {i}", "en", "s", 10) for i in range(n)],
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d))
+
+    edges = sorted({(i, (2 * i + 1) % n) for i in range(n)}
+                   | {(i, (3 * i + 7) % n) for i in range(n)})
+
+    def half(prev, group_key, fold_key):
+        """Sum prev scores over edges grouped by group_key index, terms
+        folded in fold_key-sorted order, then sup-norm normalize."""
+        incoming = {}
+        for e in edges:
+            incoming.setdefault(e[group_key], []).append(
+                (e[fold_key], prev[e[fold_key]]))
+        raw = {}
+        for v in range(n):
+            m = 0.0
+            for _, term in sorted(incoming.get(v, [])):
+                m += term
+            raw[v] = m
+        mx = max(raw.values())
+        return {v: raw[v] / mx for v in range(n)}
+
+    h = {v: 1.0 for v in range(n)}
+    a = None
+    for _ in range(HITS_ITERS):
+        a = half(h, 1, 0)   # authority: group by dst, fold by src
+        h = half(a, 0, 1)   # hub: group by src, fold by dst
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def round6(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+    got = {row["doc_id"]: (row["hub"], row["authority"])
+           for row in hits_scores_query(spark, str(tmp_path)).collect()}
+    assert got == {v: (round6(h[v]), round6(a[v])) for v in range(n)}
+    # sup-norm invariant: the best hub and best authority are exactly 1
+    assert max(x for x, _ in got.values()) == 1.0
+    assert max(y for _, y in got.values()) == 1.0
+
+
+def test_hits_plan_bounded_no_python_no_cartesian(spark):
+    """HITS plan contract: every half-iteration localCheckpoints, so
+    the final plan is BOUNDED — it reads the checkpointed score RDDs
+    (Scan ExistingRDD) instead of carrying 2·HITS_ITERS nested
+    join/agg/normalize stages — and nothing in the tail drops to
+    Python or a cartesian product. (The per-iteration broadcast of the
+    1-row max lives inside the checkpointed segments and can't appear
+    in the tail plan by construction.)"""
+    from extract_ocr_spark.operators.links import hits_scores_query
+
+    df = hits_scores_query(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan, plan   # checkpoint-bounded plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan, plan

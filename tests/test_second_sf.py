@@ -99,8 +99,9 @@ SUBSET = [
     "product_profit", "min_cost_supplier", "important_parts",
     "parts_supplier_counts",
     # r5 sixteenth session: the Q12 late/priority split and the Q20
-    # majority-share gate are value-distribution-dependent
-    "late_ship_priority", "dominant_suppliers",
+    # majority-share gate are value-distribution-dependent; HITS
+    # fold-order parity and the sup-norm argmax shift with graph size
+    "late_ship_priority", "dominant_suppliers", "hits_scores",
 ]
 
 

@@ -999,3 +999,61 @@ ORDER BY user_id, version
 
 QUERIES["scd2_intervals"] = scd2_intervals_query
 ORACLES["scd2_intervals"] = SCD2_INTERVALS_SQL
+
+
+# -- Exponential moving average per user (ordered-fold sequential op) ---------
+
+EMA_ALPHA = 0.25           # exact binary fraction — no decimal rounding
+_EMA_BETA = 1.0 - EMA_ALPHA  # 0.75, also exact
+
+
+def ema_value_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponential moving average of event values (the classic
+    'needs a running state, reach for a Python UDF' shape), expressed
+    as a JVM-side ORDERED FOLD seeded with the first value:
+    ema_0 = v_0, ema_i = beta·ema_{i-1} + alpha·v_i over the (ts,
+    event_id)-totalized sequence — the event_funnel pattern with a
+    numeric accumulator.
+
+    Scale shape: exactly one exchange on user_id (the groupBy), no
+    join, no window, no Python; per-user state is one double.
+
+    Float parity: the fold applies the SAME IEEE ops in the SAME order
+    on both engines (F.aggregate over an array_sort'ed struct list /
+    list_reduce over list(ORDER BY ts, event_id) — seeded folds on
+    both sides: list_reduce without an init uses the first element,
+    matching the Spark slice-from-2 form); alpha/beta are exact binary
+    fractions but still reach DuckDB as CAST('...'::repr AS DOUBLE) so
+    they can never transit DECIMAL (the kmeans lesson); the
+    conditional-passthrough list_reduce bug class doesn't apply — the
+    lambda applies the accumulator on EVERY step."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_id", "value")
+    lst = F.array_sort(F.collect_list(F.struct("ts", "event_id", "value")))
+    g = ev.groupBy("user_id").agg(lst.alias("l"))
+    ema = F.aggregate(
+        F.slice(F.col("l"), F.lit(2), F.size("l") - 1),
+        F.element_at(F.col("l"), 1)["value"],
+        lambda a, x: a * F.lit(_EMA_BETA) + x["value"] * F.lit(EMA_ALPHA))
+    return (g.select("user_id",
+                     F.size("l").cast("long").alias("n_events"),
+                     F.round(ema, 6).alias("ema_value"))
+            .orderBy("user_id"))
+
+
+EMA_VALUE_SQL = f"""
+WITH l AS (
+  SELECT user_id,
+         list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vs
+  FROM events GROUP BY user_id
+)
+SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
+       round(list_reduce(vs,
+             (a, x) -> a * CAST('{_EMA_BETA!r}' AS DOUBLE)
+                       + x * CAST('{EMA_ALPHA!r}' AS DOUBLE)), 6)
+         AS ema_value
+FROM l ORDER BY user_id
+"""
+
+QUERIES["ema_value"] = ema_value_query
+ORACLES["ema_value"] = EMA_VALUE_SQL

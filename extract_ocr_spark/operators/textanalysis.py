@@ -2204,3 +2204,161 @@ FROM vocab ORDER BY vocab_id
 
 QUERIES["dictionary_encode"] = dictionary_encode
 ORACLES["dictionary_encode"] = DICTIONARY_ENCODE_SQL
+
+
+# --- Jensen-Shannon divergence between source unigram mixes ---------------
+
+JS_BUCKETS = 1024
+JS_MAX_SOURCES = 64
+
+
+def js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence (nats) between per-source
+    hashed unigram distributions — the standard data-mixture
+    diagnostic: how far apart two corpus components are before picking
+    mixture weights (complements mixture_weights, which only sees
+    per-source sizes). Distributions are hashed-bucket bags (the DSIR
+    trick: md5_long % JS_BUCKETS keeps the domain fixed and engine-
+    invariant), JS = KL(p‖m)/2 + KL(q‖m)/2 with m = (p+q)/2.
+
+    Scale shape: ONE corpus scan + explode collapses to the (source,
+    bucket) table — bounded by sources x JS_BUCKETS, never corpus-
+    sized; per-source totals ride that table as a window; the pair
+    expansion is bounded by pairs x JS_BUCKETS. Pairwise-over-sources
+    is inherently O(S^2), so the operator refuses more than
+    JS_MAX_SOURCES sources (mixture components are few; domains are
+    not the intended key) instead of degrading into an unbounded
+    blowup.
+
+    Float parity: bucket counts and totals are exact BIGINTs; p, q, m
+    and each CASE-guarded p·ln(p/m) term are computed from identical
+    operands on both engines (ln parity established by lm_nll/
+    char_entropy); the per-pair sum folds in bucket-sorted order; the
+    0.5 halving constants reach DuckDB as CAST(... AS DOUBLE) so no
+    DECIMAL collapse (the kmeans lesson); one round(6) at the end."""
+    from pyspark.sql import Window
+
+    from . import md5_long
+
+    docs = _docs(spark, sf_dir)
+    occ = (docs
+           .select("source",
+                   F.explode(tok_array(F.col("text"))).alias("tok"))
+           .select("source",
+                   (md5_long(F.col("tok")) % JS_BUCKETS).alias("b"))
+           .groupBy("source", "b")
+           .agg(F.count("*").alias("n"))
+           .persist())
+    try:
+        n_src = occ.select("source").distinct().count()
+        if n_src > JS_MAX_SOURCES:
+            raise ValueError(
+                f"js_divergence is pairwise over sources: {n_src} sources "
+                f"exceed JS_MAX_SOURCES={JS_MAX_SOURCES}; aggregate to "
+                f"mixture components first")
+        d = occ.withColumn(
+            "t", F.sum("n").over(Window.partitionBy("source")))
+        srcs = d.select("source").distinct()
+        pairs = (srcs.alias("x").crossJoin(srcs.alias("y"))
+                 .filter(F.col("x.source") < F.col("y.source"))
+                 .select(F.col("x.source").alias("s1"),
+                         F.col("y.source").alias("s2")))
+        left = pairs.join(
+            d.select(F.col("source").alias("s1"), "b",
+                     F.col("n").alias("n1"), F.col("t").alias("t1")), "s1")
+        right = pairs.join(
+            d.select(F.col("source").alias("s2"), "b",
+                     F.col("n").alias("n2"), F.col("t").alias("t2")), "s2")
+        both = left.join(right, ["s1", "s2", "b"], "full")
+        tots = d.select("source", "t").distinct()
+        both = (both
+                .drop("t1", "t2")
+                .join(F.broadcast(tots.select(F.col("source").alias("s1"),
+                                              F.col("t").alias("t1"))), "s1")
+                .join(F.broadcast(tots.select(F.col("source").alias("s2"),
+                                              F.col("t").alias("t2"))), "s2"))
+        n1 = F.coalesce("n1", F.lit(0))
+        n2 = F.coalesce("n2", F.lit(0))
+        p = n1.cast("double") / F.col("t1")
+        q = n2.cast("double") / F.col("t2")
+        m = (p + q) * F.lit(0.5)
+        term = (F.when(n1 > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+                + F.when(n2 > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+                ) * F.lit(0.5)
+        res = (both.select("s1", "s2", "b", term.alias("term"))
+               .groupBy("s1", "s2")
+               .agg(F.count("*").cast("long").alias("n_buckets"),
+                    F.round(F.aggregate(
+                        F.array_sort(F.collect_list(
+                            F.struct("b", "term"))),
+                        F.lit(0.0), lambda a, x: a + x["term"]), 6)
+                    .alias("js_nats"))
+               .orderBy("s1", "s2")
+               .localCheckpoint(eager=True))
+    finally:
+        occ.unpersist()
+    return res
+
+
+JS_DIVERGENCE_SQL = rf"""
+WITH occ AS (
+  SELECT source,
+         ('0x' || substring(md5(tok), 1, 15))::BIGINT % {JS_BUCKETS} AS b,
+         CAST(count(*) AS BIGINT) AS n
+  FROM (
+    SELECT source, unnest(list_filter(
+             regexp_split_to_array(lower(text), '{WS_RE}+'),
+             x -> x != '')) AS tok
+    FROM documents)
+  GROUP BY source, b
+), d AS (
+  SELECT *, CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS t
+  FROM occ
+), pairs AS (
+  SELECT x.source AS s1, y.source AS s2
+  FROM (SELECT DISTINCT source FROM d) x,
+       (SELECT DISTINCT source FROM d) y
+  WHERE x.source < y.source
+), l AS (
+  SELECT p.s1, p.s2, d.b, d.n AS n1
+  FROM pairs p JOIN d ON d.source = p.s1
+), r AS (
+  SELECT p.s1, p.s2, d.b, d.n AS n2
+  FROM pairs p JOIN d ON d.source = p.s2
+), pq AS (
+  SELECT coalesce(l.s1, r.s1) AS s1, coalesce(l.s2, r.s2) AS s2,
+         coalesce(l.b, r.b) AS b,
+         coalesce(l.n1, 0) AS n1, coalesce(r.n2, 0) AS n2
+  FROM l FULL JOIN r ON r.s1 = l.s1 AND r.s2 = l.s2 AND r.b = l.b
+), tots AS (
+  SELECT DISTINCT source, t FROM d
+), terms AS (
+  SELECT b.s1, b.s2, b.b,
+         CAST(0.5 AS DOUBLE) * (
+           CASE WHEN b.n1 > 0
+                THEN (CAST(b.n1 AS DOUBLE) / t1.t)
+                     * ln((CAST(b.n1 AS DOUBLE) / t1.t)
+                          / ((CAST(b.n1 AS DOUBLE) / t1.t
+                              + CAST(b.n2 AS DOUBLE) / t2.t)
+                             * CAST(0.5 AS DOUBLE)))
+                ELSE CAST(0.0 AS DOUBLE) END
+           + CASE WHEN b.n2 > 0
+                THEN (CAST(b.n2 AS DOUBLE) / t2.t)
+                     * ln((CAST(b.n2 AS DOUBLE) / t2.t)
+                          / ((CAST(b.n1 AS DOUBLE) / t1.t
+                              + CAST(b.n2 AS DOUBLE) / t2.t)
+                             * CAST(0.5 AS DOUBLE)))
+                ELSE CAST(0.0 AS DOUBLE) END) AS term
+  FROM pq b
+  JOIN tots t1 ON t1.source = b.s1
+  JOIN tots t2 ON t2.source = b.s2
+)
+SELECT s1, s2, CAST(count(*) AS BIGINT) AS n_buckets,
+       round(list_reduce(list_prepend(0.0, list(term ORDER BY b)),
+                         (a, x) -> a + x), 6) AS js_nats
+FROM terms GROUP BY s1, s2
+ORDER BY s1, s2
+"""
+
+QUERIES["js_divergence"] = js_divergence
+ORACLES["js_divergence"] = JS_DIVERGENCE_SQL

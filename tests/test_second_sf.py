@@ -102,6 +102,9 @@ SUBSET = [
     # majority-share gate are value-distribution-dependent; HITS
     # fold-order parity and the sup-norm argmax shift with graph size
     "late_ship_priority", "dominant_suppliers", "hits_scores",
+    # bucket-collision layout and the seeded fold length both shift
+    # with corpus size
+    "js_divergence", "ema_value",
 ]
 
 

@@ -196,3 +196,47 @@ def test_event_funnel_matches_python_fold_on_real_events(spark):
             a = (3, t)
         acc[uid] = a
     assert got == {u: a[0] for u, a in acc.items()}
+
+
+def test_ema_value_hand_computed(spark, tmp_path):
+    """Seeded fold semantics: ema_0 = v_0, ema_i = 0.75·ema + 0.25·v_i
+    over the (ts, event_id) order; a single-event user returns its
+    value unchanged."""
+    from extract_ocr_spark.operators.temporal import ema_value_query
+
+    rows = [
+        (1, 1, dt.datetime(2024, 1, 1, 0, 0, 0), 8.0),
+        (2, 1, dt.datetime(2024, 1, 1, 0, 1, 0), 4.0),
+        (3, 1, dt.datetime(2024, 1, 1, 0, 2, 0), 16.0),
+        (4, 2, dt.datetime(2024, 1, 1, 0, 0, 0), 3.5),
+        # same ts as event 1 but later event_id: order totalized by id
+        (5, 3, dt.datetime(2024, 1, 1, 0, 0, 0), 1.0),
+        (6, 3, dt.datetime(2024, 1, 1, 0, 0, 0), 2.0),
+    ]
+    df = spark.createDataFrame(
+        [(e, t, u, "click", v, "{}") for (e, u, t, v) in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string")
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = {r["user_id"]: (r["n_events"], r["ema_value"])
+           for r in ema_value_query(spark, str(tmp_path)).collect()}
+    # user 1: 8 -> 0.75*8+0.25*4 = 7 -> 0.75*7+0.25*16 = 9.25
+    assert got[1] == (3, 9.25)
+    assert got[2] == (1, 3.5)
+    # user 3: 1 -> 0.75*1+0.25*2 = 1.25 (event_id breaks the ts tie)
+    assert got[3] == (2, 1.25)
+
+
+def test_ema_value_plan_one_exchange_no_join_no_python(spark):
+    """The sequential op stays an ordered fold: exactly one shuffle (on
+    user_id), no join operator, nothing drops to Python."""
+    from extract_ocr_spark.operators.temporal import ema_value_query
+
+    df = ema_value_query(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # one hash exchange for the groupBy + the presentation-level range
+    # partitioning for orderBy
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan

@@ -566,3 +566,53 @@ def test_bpe_merges_greedy_overlap_run(spark):
     assert got == ref, (got, ref)
     assert got[0][:3] == (1, "a", "a"), got
     assert got[1][:3] == (2, "aa", "aa"), got
+
+
+def test_js_divergence_identical_and_disjoint_sources(spark, tmp_path):
+    """JS boundaries: two sources with IDENTICAL token mixes diverge by
+    0; two sources with fully DISJOINT vocabularies diverge by ln 2
+    (the JS maximum), up to hash-bucket collisions (none here by
+    construction check)."""
+    import math
+
+    from extract_ocr_spark.operators.textanalysis import js_divergence
+
+    docs = []
+    # a and b: identical unigram distributions
+    for i in range(20):
+        docs.append((i, "alpha beta gamma", "en", "src_a", 10))
+        docs.append((100 + i, "alpha beta gamma", "en", "src_b", 10))
+    # c: disjoint vocabulary
+    for i in range(20):
+        docs.append((200 + i, "delta epsilon zeta", "en", "src_c", 10))
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long").coalesce(1).write.parquet(
+        str(tmp_path / "documents.parquet"))
+
+    got = {(r["s1"], r["s2"]): r["js_nats"]
+           for r in js_divergence(spark, str(tmp_path)).collect()}
+    assert got[("src_a", "src_b")] == 0.0
+    assert abs(got[("src_a", "src_c")] - math.log(2)) < 1e-6
+    assert abs(got[("src_b", "src_c")] - math.log(2)) < 1e-6
+
+
+def test_js_divergence_refuses_unbounded_source_sets(spark, tmp_path):
+    """Pairwise-over-sources is O(S^2): more than JS_MAX_SOURCES
+    sources must refuse with guidance, not degrade."""
+    import pytest as _pytest
+
+    from extract_ocr_spark.operators.textanalysis import (
+        JS_MAX_SOURCES,
+        js_divergence,
+    )
+
+    n = JS_MAX_SOURCES + 1
+    spark.createDataFrame(
+        [(i, f"tok{i}", "en", f"s{i:03d}", 4) for i in range(n)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long").coalesce(1).write.parquet(
+        str(tmp_path / "documents.parquet"))
+    with _pytest.raises(ValueError, match="JS_MAX_SOURCES"):
+        js_divergence(spark, str(tmp_path))

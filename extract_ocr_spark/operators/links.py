@@ -454,10 +454,15 @@ def hits_scores_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = e1.unionByName(e2).distinct().persist()
 
     def _norm(scores: DataFrame) -> DataFrame:
-        mx = scores.agg(F.max("r").alias("mx"))
-        return (scores.crossJoin(F.broadcast(mx))
-                .select("v", (F.col("r") / F.col("mx")).alias("r"))
-                .localCheckpoint(eager=True))
+        # pin the half-iteration's join/agg BEFORE deriving the max —
+        # aggregating a lazy frame and joining it back re-executes the
+        # frame (the markov_transitions lesson); the checkpoint also
+        # bounds the iterated plan. The normalized tail stays lazy: it
+        # is one broadcast join + divide over the pinned RDD.
+        raw = scores.localCheckpoint(eager=True)
+        mx = raw.agg(F.max("r").alias("mx"))
+        return (raw.crossJoin(F.broadcast(mx))
+                .select("v", (F.col("r") / F.col("mx")).alias("r")))
 
     try:
         h = docs.select(F.col("doc_id").alias("v"), F.lit(1.0).alias("r"))

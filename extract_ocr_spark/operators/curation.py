@@ -1237,3 +1237,94 @@ ORDER BY lang, source, chars_bucket
 
 QUERIES["k_anonymity"] = k_anonymity
 ORACLES["k_anonymity"] = K_ANONYMITY_SQL
+
+
+# -- Fill-in-the-middle split plan (Bavarian et al. 2022) ----------------------
+
+FIM_RATE_MOD = 2     # apply FIM to ~1/2 of docs (hash parity, no RNG)
+FIM_HEAD_CHARS = 48  # oracle-checked head of the reordered PSM string
+
+
+def fim_plan_df(docs: DataFrame) -> DataFrame:
+    """Deterministic fill-in-the-middle (FIM, Bavarian et al. 2022)
+    transformation plan — the code-LLM data-prep step: for ~1/2 of
+    docs (md5 parity on doc_id, never rand() — task retries would
+    re-roll it), pick two character split points u, v from md5 hashes
+    of (doc_id, salt), reorder the doc as PSM
+    (prefix ⧺ suffix ⧺ middle) and emit the three segment lengths plus
+    the head of the reordered string, so the transform itself — not
+    just the split arithmetic — is oracle-checked. Unselected docs
+    pass through (prefix = whole doc).
+
+    Scale shape: map-only — one projection over the corpus scan, no
+    exchange, no Python; all split arithmetic is integer/codegen and
+    the reorder is three substrings. Spark and DuckDB substring share
+    1-based, char-counted, zero-length-safe semantics."""
+    from . import md5_long
+
+    n = F.length("text")
+    sid = F.col("doc_id").cast("string")
+    fim = (md5_long(F.concat(sid, F.lit(":fim"))) % FIM_RATE_MOD) == 0
+    u = md5_long(F.concat(sid, F.lit(":u"))) % (n + 1)
+    v = md5_long(F.concat(sid, F.lit(":v"))) % (n + 1)
+    lo = F.least(u, v)
+    hi = F.greatest(u, v)
+    psm = F.concat(
+        F.substring(F.col("text"), F.lit(1), lo),
+        F.lit("<FIM_SUF>"),
+        F.substring(F.col("text"), hi + 1, n - hi),
+        F.lit("<FIM_MID>"),
+        F.substring(F.col("text"), lo + 1, hi - lo))
+    return docs.select(
+        "doc_id",
+        fim.alias("fim_applied"),
+        F.when(fim, lo).otherwise(n).cast("long").alias("prefix_len"),
+        F.when(fim, hi - lo).otherwise(F.lit(0)).cast("long")
+        .alias("middle_len"),
+        F.when(fim, n - hi).otherwise(F.lit(0)).cast("long")
+        .alias("suffix_len"),
+        F.when(fim, F.substring(psm, 1, FIM_HEAD_CHARS))
+        .otherwise(F.substring(F.col("text"), 1, FIM_HEAD_CHARS))
+        .alias("head"),
+    ).orderBy("doc_id")
+
+
+def fim_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fim_plan_df(_docs(spark, sf_dir))
+
+
+def _md5_15(expr: str) -> str:
+    return f"('0x' || substring(md5({expr}), 1, 15))::BIGINT"
+
+
+FIM_PLAN_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, text, length(text) AS n,
+         {_md5_15("CAST(doc_id AS VARCHAR) || ':fim'")}
+           % {FIM_RATE_MOD} = 0 AS fim,
+         least({_md5_15("CAST(doc_id AS VARCHAR) || ':u'")} % (length(text) + 1),
+               {_md5_15("CAST(doc_id AS VARCHAR) || ':v'")} % (length(text) + 1))
+           AS lo,
+         greatest({_md5_15("CAST(doc_id AS VARCHAR) || ':u'")} % (length(text) + 1),
+                  {_md5_15("CAST(doc_id AS VARCHAR) || ':v'")} % (length(text) + 1))
+           AS hi
+  FROM documents
+)
+SELECT doc_id,
+       fim AS fim_applied,
+       CAST(CASE WHEN fim THEN lo ELSE n END AS BIGINT) AS prefix_len,
+       CAST(CASE WHEN fim THEN hi - lo ELSE 0 END AS BIGINT) AS middle_len,
+       CAST(CASE WHEN fim THEN n - hi ELSE 0 END AS BIGINT) AS suffix_len,
+       CASE WHEN fim
+            THEN substring(
+              substring(text, 1, lo) || '<FIM_SUF>'
+              || substring(text, hi + 1, n - hi) || '<FIM_MID>'
+              || substring(text, lo + 1, hi - lo),
+              1, {FIM_HEAD_CHARS})
+            ELSE substring(text, 1, {FIM_HEAD_CHARS}) END AS head
+FROM base
+ORDER BY doc_id
+"""
+
+QUERIES["fim_plan"] = fim_plan
+ORACLES["fim_plan"] = FIM_PLAN_SQL

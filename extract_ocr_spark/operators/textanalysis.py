@@ -2362,3 +2362,50 @@ ORDER BY s1, s2
 
 QUERIES["js_divergence"] = js_divergence
 ORACLES["js_divergence"] = JS_DIVERGENCE_SQL
+
+
+# --- Tokenizer fertility per language (data-card staple) -------------------
+
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility: BPE-ish regex tokens emitted
+    per whitespace word (the standard multilingual-tokenizer health
+    metric — fertility ≫ 1 for a language means the tokenizer
+    fragments it and its effective context shrinks). Reuses the
+    token_counts tokenizer pair so the two queries can never drift.
+
+    Scale + parity: one corpus scan, exact BIGINT sums per language
+    (map-side combine on a tiny key), ONE float division of identical
+    operands at the end, round(6)."""
+    docs = _docs(spark, sf_dir)
+    ws = F.size(F.split(F.trim(F.col("text")), WS_RE + "+"))
+    _bpe_pat = r"\\w+|[^\\w" + WS_CHARS.replace("\\", "\\\\") + "]"
+    bpe = F.size(F.expr(f"regexp_extract_all(text, '{_bpe_pat}', 0)"))
+    return (docs
+            .select("lang", ws.alias("ws"), bpe.alias("bpe"))
+            .groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("ws").cast("long").alias("ws_tokens"),
+                 F.sum("bpe").cast("long").alias("bpe_tokens"))
+            .select("lang", "n_docs", "ws_tokens", "bpe_tokens",
+                    F.round(F.col("bpe_tokens").cast("double")
+                            / F.col("ws_tokens"), 6).alias("fertility"))
+            .orderBy("lang"))
+
+
+TOKENIZER_FERTILITY_SQL = rf"""
+WITH t AS (
+  SELECT lang,
+         len(regexp_split_to_array(trim(text), '{WS_RE}+')) AS ws,
+         len(regexp_extract_all(text, '\w+|[^\w{WS_CHARS}]')) AS bpe
+  FROM documents
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ws) AS BIGINT) AS ws_tokens,
+       CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+       round(CAST(sum(bpe) AS DOUBLE) / CAST(sum(ws) AS BIGINT), 6)
+         AS fertility
+FROM t GROUP BY lang ORDER BY lang
+"""
+
+QUERIES["tokenizer_fertility"] = tokenizer_fertility
+ORACLES["tokenizer_fertility"] = TOKENIZER_FERTILITY_SQL

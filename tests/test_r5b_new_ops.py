@@ -446,3 +446,51 @@ def test_dominant_suppliers_plan_window_not_joinback(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "Window" in plan, plan
+
+
+# -- fim_plan -----------------------------------------------------------------
+
+def test_fim_plan_reorder_reconstructs_and_passthrough(spark, tmp_path):
+    """For every FIM-applied doc the PSM head must equal the head of
+    prefix ⧺ <FIM_SUF> ⧺ suffix ⧺ <FIM_MID> ⧺ middle rebuilt from the
+    reported lengths, and the lengths must partition the doc; for
+    unselected docs the head is the doc head and prefix_len = n. Both
+    branches must occur (hash parity, measured not guessed)."""
+    from extract_ocr_spark.operators.curation import fim_plan
+
+    texts = {i: f"doc {i} " + "abcdefghij" * 6 for i in range(40)}
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long").coalesce(1).write.parquet(
+        str(tmp_path / "documents.parquet"))
+
+    rows = fim_plan(spark, str(tmp_path)).collect()
+    applied = [r for r in rows if r["fim_applied"]]
+    passed = [r for r in rows if not r["fim_applied"]]
+    assert applied and passed, (len(applied), len(passed))
+    for r in rows:
+        t = texts[r["doc_id"]]
+        n = len(t)
+        if r["fim_applied"]:
+            pl, ml, sl = r["prefix_len"], r["middle_len"], r["suffix_len"]
+            assert pl + ml + sl == n, r
+            rebuilt = (t[:pl] + "<FIM_SUF>" + t[pl + ml:]
+                       + "<FIM_MID>" + t[pl:pl + ml])
+            assert r["head"] == rebuilt[:48], (r, rebuilt[:60])
+        else:
+            assert (r["prefix_len"], r["middle_len"], r["suffix_len"]) \
+                == (n, 0, 0), r
+            assert r["head"] == t[:48], r
+
+
+def test_fim_plan_map_only_no_python(spark):
+    """FIM planning is a projection: no hash exchange, no join, no
+    Python — only the presentation orderBy's range partitioning."""
+    from extract_ocr_spark.operators.curation import fim_plan
+
+    df = fim_plan(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan

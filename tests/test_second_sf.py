@@ -105,6 +105,8 @@ SUBSET = [
     # bucket-collision layout and the seeded fold length both shift
     # with corpus size
     "js_divergence", "ema_value",
+    # hash-parity branch mix and per-lang token sums shift with scale
+    "fim_plan", "tokenizer_fertility",
 ]
 
 

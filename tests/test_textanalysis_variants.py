@@ -616,3 +616,25 @@ def test_js_divergence_refuses_unbounded_source_sets(spark, tmp_path):
         str(tmp_path / "documents.parquet"))
     with _pytest.raises(ValueError, match="JS_MAX_SOURCES"):
         js_divergence(spark, str(tmp_path))
+
+
+def test_tokenizer_fertility_known_values(spark, tmp_path):
+    """Hand-computed fertility: pure words give 1.0; punctuation-glued
+    text emits extra BPE-ish tokens per whitespace word."""
+    from extract_ocr_spark.operators.textanalysis import tokenizer_fertility
+
+    spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "aa", "s", 16),   # ws=3, bpe=3
+            (2, "a,b c;d", "bb", "s", 7),             # ws=2, bpe=6
+            (3, "x y", "bb", "s", 3),                 # ws=2, bpe=2
+        ],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long").coalesce(1).write.parquet(
+        str(tmp_path / "documents.parquet"))
+
+    got = {r["lang"]: (r["n_docs"], r["ws_tokens"], r["bpe_tokens"],
+                       r["fertility"])
+           for r in tokenizer_fertility(spark, str(tmp_path)).collect()}
+    assert got["aa"] == (1, 3, 3, 1.0)
+    assert got["bb"] == (2, 4, 8, 2.0)

@@ -169,3 +169,55 @@ def test_curate_job_paragraph_dedup_stage(spark, tmp_path):
     assert got[10] == f"{A} {B} {C}"
     assert got[11] == D
     assert set(got) == {10, 11}
+
+
+def test_extract_job_via_real_spark_submit_py_files(spark, tmp_path):
+    """The LITERAL north-rule invocation: `spark-submit --py-files
+    extract_ocr_spark.zip jobs/extract_job.py` as a real subprocess —
+    the package reaches driver AND executors only through the zip (no
+    PYTHONPATH injection), master comes from spark-submit, and the
+    committed output parquet reads back with every input doc extracted.
+    Skips only if no spark-submit binary is on the box."""
+    import shutil
+    import zipfile
+
+    from extract_ocr_spark.datagen import synthetic_documents_df
+
+    submit = shutil.which("spark-submit") or (
+        "/opt/spark/bin/spark-submit"
+        if os.path.exists("/opt/spark/bin/spark-submit") else None)
+    if submit is None:
+        import pytest
+        pytest.skip("no spark-submit binary available")
+
+    inp = str(tmp_path / "docs")
+    synthetic_documents_df(spark, 60, seed=7).coalesce(2).write.parquet(inp)
+    out = str(tmp_path / "out")
+
+    zpath = tmp_path / "extract_ocr_spark.zip"
+    pkg = os.path.join(REPO, "extract_ocr_spark")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+
+    env = dict(os.environ,
+               PYSPARK_PYTHON=sys.executable,
+               PYSPARK_DRIVER_PYTHON=sys.executable)
+    env.pop("PYTHONPATH", None)  # the zip must be the only package source
+    r = subprocess.run(
+        [submit, "--master", "local[4]", "--py-files", str(zpath),
+         os.path.join(REPO, "jobs", "extract_job.py"),
+         "--input", inp, "--output", out, "--micro-batches", "2"],
+        capture_output=True, text=True, cwd=str(tmp_path), env=env,
+        timeout=420)
+    assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-3000:])
+    lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+    assert lines, r.stdout[-2000:]
+    stats = json.loads(lines[-1])
+    assert stats["batches_done"] == 2, stats
+
+    extracted = spark.read.parquet(f"{out}/extracted")
+    assert extracted.select("doc_id").distinct().count() == 60

@@ -583,6 +583,26 @@ PARA_TOKENS = 6  # paragraph block size; small enough that the synthetic
 # corpus's injected duplicate runs (~5% of 5+-grams) produce real drops
 
 
+def _para_blocks(docs: DataFrame, p: int = PARA_TOKENS) -> DataFrame:
+    """The ONE paragraph segmentation (doc_id, n_paras, pos, para) both
+    paragraph operators share — a segmentation tweak cannot silently
+    desynchronize paragraph_dedup from boilerplate_lines."""
+    from . import tok_array
+
+    toks = tok_array(F.col("text"), lower=False)
+    base = (docs.select("doc_id", toks.alias("toks"))
+            .withColumn("n_paras",
+                        F.ceil(F.size("toks") / F.lit(p)).cast("long")))
+    # guard: sequence(0, -1) DESCENDS — only explode docs with ≥1 block
+    return (base.filter(F.col("n_paras") > 0)
+            .select("doc_id", "n_paras",
+                    F.posexplode(F.transform(
+                        F.sequence(F.lit(0), F.col("n_paras") - 1),
+                        lambda i: F.array_join(
+                            F.slice("toks", i * p + 1, p), " "))
+                    ).alias("pos", "para")))
+
+
 def paragraph_dedup_df(docs: DataFrame, p: int = PARA_TOKENS) -> DataFrame:
     """CCNet-style paragraph-level dedup: split each document into
     paragraphs, hash the NORMALIZED (lowercased) paragraph, and keep only
@@ -612,20 +632,7 @@ def paragraph_dedup_df(docs: DataFrame, p: int = PARA_TOKENS) -> DataFrame:
     applied at sub-document granularity."""
     from pyspark.sql.window import Window
 
-    from . import tok_array
-
-    toks = tok_array(F.col("text"), lower=False)
-    base = (docs.select("doc_id", toks.alias("toks"))
-            .withColumn("n_paras",
-                        F.ceil(F.size("toks") / F.lit(p)).cast("long")))
-    # guard: sequence(0, -1) DESCENDS — only explode docs with ≥1 block
-    paras = (base.filter(F.col("n_paras") > 0)
-             .select("doc_id", "n_paras",
-                     F.posexplode(F.transform(
-                         F.sequence(F.lit(0), F.col("n_paras") - 1),
-                         lambda i: F.array_join(
-                             F.slice("toks", i * p + 1, p), " "))
-                     ).alias("pos", "para")))
+    paras = _para_blocks(docs, p)
     w = Window.partitionBy(
         F.sha2(F.lower("para"), 256)).orderBy("doc_id", "pos")
     ranked = paras.withColumn("rn", F.row_number().over(w))
@@ -1328,3 +1335,91 @@ ORDER BY doc_id
 
 QUERIES["fim_plan"] = fim_plan
 ORACLES["fim_plan"] = FIM_PLAN_SQL
+
+
+# -- Corpus-frequency boilerplate removal (CCNet/RefinedWeb line filter) -------
+
+BOILER_MIN_DF = 3  # a paragraph present in ≥3 distinct docs is boilerplate
+
+
+def boilerplate_lines_df(docs: DataFrame,
+                         p: int = PARA_TOKENS,
+                         min_df: int = BOILER_MIN_DF) -> DataFrame:
+    """CCNet/RefinedWeb-style boilerplate removal: drop from EVERY
+    document any paragraph whose corpus document-frequency reaches
+    ``min_df`` (nav bars, cookie banners, footers — content that
+    repeats across pages). The complement of paragraph_dedup's
+    keep-first rule: dedup keeps one copy of a repeated paragraph,
+    this removes all copies once it looks templated. Shares the exact
+    segmentation via _para_blocks.
+
+    Scale shape: one tokenize + explode, a (sha → distinct-doc df)
+    aggregate — vocabulary-sized, NO broadcast hint (paragraph
+    vocabulary grows with the corpus: Heaps' law, the tfidf lesson;
+    AQE may broadcast when it measures small) — joined back on the
+    uniform sha key, then one groupBy(doc_id) re-assembly. No pair
+    joins, no skew (hash keys), nothing driver-side."""
+    sha = F.sha2(F.lower("para"), 256)
+    paras = _para_blocks(docs, p).withColumn("k", sha)
+    df_tab = (paras.groupBy("k")
+              .agg(F.countDistinct("doc_id").alias("df")))
+    keep = F.col("df") < min_df
+    agg = (paras.join(df_tab, "k")
+           .groupBy("doc_id")
+           .agg(F.first("n_paras").alias("n_paras"),
+                F.sum((~keep).cast("long")).alias("n_dropped"),
+                F.array_join(
+                    F.transform(F.array_sort(F.collect_list(
+                        F.when(keep, F.struct("pos", "para")))),
+                        lambda x: x["para"]), " ").alias("text_kept")))
+    return (docs.select("doc_id")
+            .join(agg, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
+                    F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+                    F.coalesce("text_kept", F.lit("")).alias("text_kept")))
+
+
+def boilerplate_lines(spark, sf_dir):
+    return boilerplate_lines_df(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+BOILERPLATE_LINES_SQL = rf"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '{WS_RE}+'),
+                     x -> x != '') AS toks
+  FROM documents
+), b AS (
+  SELECT doc_id, toks,
+         CAST(ceil(len(toks) / {PARA_TOKENS}.0) AS BIGINT) AS n_paras
+  FROM t
+), p AS (
+  SELECT doc_id, n_paras, r.i AS pos,
+         array_to_string(
+           toks[r.i*{PARA_TOKENS}+1 : r.i*{PARA_TOKENS}+{PARA_TOKENS}],
+           ' ') AS para
+  FROM b, unnest(range(0, n_paras)) AS r(i)
+), d AS (
+  SELECT sha256(lower(para)) AS k, count(DISTINCT doc_id) AS df
+  FROM p GROUP BY 1
+), j AS (
+  SELECT p.*, d.df FROM p JOIN d ON d.k = sha256(lower(p.para))
+), a AS (
+  SELECT doc_id, max(n_paras) AS n_paras,
+         CAST(count(*) FILTER (WHERE df >= {BOILER_MIN_DF}) AS BIGINT)
+           AS n_dropped,
+         string_agg(para, ' ' ORDER BY pos)
+           FILTER (WHERE df < {BOILER_MIN_DF}) AS text_kept
+  FROM j GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_paras, 0) AS n_paras,
+       coalesce(a.n_dropped, 0) AS n_dropped,
+       coalesce(a.text_kept, '') AS text_kept
+FROM documents d LEFT JOIN a USING (doc_id)
+ORDER BY doc_id
+"""
+
+QUERIES["boilerplate_lines"] = boilerplate_lines
+ORACLES["boilerplate_lines"] = BOILERPLATE_LINES_SQL

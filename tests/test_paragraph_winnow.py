@@ -120,3 +120,44 @@ def test_winnow_shared_run_guarantee(spark, tmp_path):
     for r in winnow_fingerprints(spark, sf).collect():
         fps[r["doc_id"]].add(r["fp"])
     assert fps[1] & fps[2], "no shared fingerprint for a shared 7-token run"
+
+
+def test_boilerplate_lines_removes_all_copies_unlike_dedup(spark, tmp_path):
+    """The frequency filter removes EVERY copy of a templated
+    paragraph (df >= BOILER_MIN_DF) — including the first occurrence
+    that paragraph_dedup would keep — while below-threshold repeats
+    survive everywhere."""
+    from extract_ocr_spark.operators.curation import (
+        boilerplate_lines_df,
+        paragraph_dedup_df,
+    )
+
+    banner = "accept all cookies to continue browsing site"  # 7 toks -> >1 block? keep 6
+    banner = "accept all cookies to continue browsing"       # exactly 6 tokens = 1 block
+    uniq = ["alpha beta gamma delta epsilon zeta",
+            "one two three four five six",
+            "red green blue cyan magenta yellow"]
+    rows = [
+        (1, f"{banner} {uniq[0]}", "en", "s", 80),
+        (2, f"{banner} {uniq[1]}", "en", "s", 80),
+        (3, f"{banner} {uniq[2]}", "en", "s", 80),   # banner df = 3
+        (4, f"{uniq[0]}", "en", "s", 40),            # uniq[0] df = 2 only
+        (5, banner, "en", "s", 40),                  # boilerplate-only doc
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+
+    got = {r["doc_id"]: r for r in boilerplate_lines_df(docs).collect()}
+    # the banner block disappears from every doc, even the first
+    for i in (1, 2, 3):
+        assert got[i]["n_dropped"] == 1, got[i]
+        assert banner not in got[i]["text_kept"], got[i]
+    # df=2 paragraph survives in both its docs
+    assert uniq[0] in got[1]["text_kept"] and uniq[0] in got[4]["text_kept"]
+    # a boilerplate-only doc empties out
+    assert got[5]["text_kept"] == "" and got[5]["n_dropped"] == 1
+    # contrast: paragraph_dedup KEEPS the first banner occurrence
+    dd = {r["doc_id"]: r for r in paragraph_dedup_df(docs).collect()}
+    assert banner in dd[1]["text_kept"]
+    assert banner not in dd[2]["text_kept"]

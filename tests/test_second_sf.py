@@ -107,6 +107,8 @@ SUBSET = [
     "js_divergence", "ema_value",
     # hash-parity branch mix and per-lang token sums shift with scale
     "fim_plan", "tokenizer_fertility",
+    # the df>=3 boilerplate set is entirely corpus-dependent
+    "boilerplate_lines",
 ]
 
 

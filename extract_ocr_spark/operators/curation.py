@@ -1360,18 +1360,26 @@ def boilerplate_lines_df(docs: DataFrame,
     uniform sha key, then one groupBy(doc_id) re-assembly. No pair
     joins, no skew (hash keys), nothing driver-side."""
     sha = F.sha2(F.lower("para"), 256)
-    paras = _para_blocks(docs, p).withColumn("k", sha)
-    df_tab = (paras.groupBy("k")
-              .agg(F.countDistinct("doc_id").alias("df")))
-    keep = F.col("df") < min_df
-    agg = (paras.join(df_tab, "k")
-           .groupBy("doc_id")
-           .agg(F.first("n_paras").alias("n_paras"),
-                F.sum((~keep).cast("long")).alias("n_dropped"),
-                F.array_join(
-                    F.transform(F.array_sort(F.collect_list(
-                        F.when(keep, F.struct("pos", "para")))),
-                        lambda x: x["para"]), " ").alias("text_kept")))
+    # pin the tokenize+explode ONCE: df_tab aggregates `paras` and then
+    # joins back to it — without the persist the corpus scan + regex
+    # split + posexplode (the dominant cost) would execute on both
+    # sides (the markov/HITS lesson)
+    paras = _para_blocks(docs, p).withColumn("k", sha).persist()
+    try:
+        df_tab = (paras.groupBy("k")
+                  .agg(F.countDistinct("doc_id").alias("df")))
+        keep = F.col("df") < min_df
+        agg = (paras.join(df_tab, "k")
+               .groupBy("doc_id")
+               .agg(F.first("n_paras").alias("n_paras"),
+                    F.sum((~keep).cast("long")).alias("n_dropped"),
+                    F.array_join(
+                        F.transform(F.array_sort(F.collect_list(
+                            F.when(keep, F.struct("pos", "para")))),
+                            lambda x: x["para"]), " ").alias("text_kept"))
+               .localCheckpoint(eager=True))
+    finally:
+        paras.unpersist()
     return (docs.select("doc_id")
             .join(agg, "doc_id", "left")
             .select("doc_id",

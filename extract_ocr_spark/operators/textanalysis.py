@@ -21,14 +21,23 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
-def token_counts(spark, sf_dir):
-    """Whitespace tokens + BPE-ish regex tokens (words / punctuation)."""
-    docs = _docs(spark, sf_dir)
+def _ws_bpe_counts():
+    """The ONE (whitespace, BPE-ish) token-count expression pair, shared
+    by token_counts and tokenizer_fertility so the two can never drift.
+    SQL twins: the TOKEN_COUNTS_SQL / TOKENIZER_FERTILITY_SQL len()
+    expressions."""
     ws = F.size(F.split(F.trim(F.col("text")), WS_RE + "+"))
     # F.expr string literal: Spark SQL unescapes \\ once before the regex
     # engine sees the pattern.
     _bpe_pat = r"\\w+|[^\\w" + WS_CHARS.replace("\\", "\\\\") + "]"
     bpe = F.size(F.expr(f"regexp_extract_all(text, '{_bpe_pat}', 0)"))
+    return ws, bpe
+
+
+def token_counts(spark, sf_dir):
+    """Whitespace tokens + BPE-ish regex tokens (words / punctuation)."""
+    docs = _docs(spark, sf_dir)
+    ws, bpe = _ws_bpe_counts()
     return docs.select(
         "doc_id", ws.alias("ws_tokens"), bpe.alias("bpe_tokens")
     ).orderBy("doc_id")
@@ -2377,9 +2386,7 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side combine on a tiny key), ONE float division of identical
     operands at the end, round(6)."""
     docs = _docs(spark, sf_dir)
-    ws = F.size(F.split(F.trim(F.col("text")), WS_RE + "+"))
-    _bpe_pat = r"\\w+|[^\\w" + WS_CHARS.replace("\\", "\\\\") + "]"
-    bpe = F.size(F.expr(f"regexp_extract_all(text, '{_bpe_pat}', 0)"))
+    ws, bpe = _ws_bpe_counts()
     return (docs
             .select("lang", ws.alias("ws"), bpe.alias("bpe"))
             .groupBy("lang")

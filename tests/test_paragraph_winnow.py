@@ -132,8 +132,10 @@ def test_boilerplate_lines_removes_all_copies_unlike_dedup(spark, tmp_path):
         paragraph_dedup_df,
     )
 
-    banner = "accept all cookies to continue browsing site"  # 7 toks -> >1 block? keep 6
-    banner = "accept all cookies to continue browsing"       # exactly 6 tokens = 1 block
+    banner = "accept all cookies to continue browsing"  # exactly 6 tokens
+    # = exactly ONE paragraph block (PARA_TOKENS = 6); a longer banner
+    # would split into 2 blocks and the n_dropped == 1 asserts below
+    # would no longer hold
     uniq = ["alpha beta gamma delta epsilon zeta",
             "one two three four five six",
             "red green blue cyan magenta yellow"]

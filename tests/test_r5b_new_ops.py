@@ -362,7 +362,7 @@ def test_late_ship_priority_counts_lines_not_orders(spark, tmp_path):
         [  # (orderkey, returnflag, shipdate)
             (1, "A", "1997-06-01"),   # late line 1 of urgent order
             (1, "A", "1997-07-01"),   # late line 2 of urgent order
-            (2, "A", "1997-03-02"),   # on time (61 days cap: 45) -> late
+            (2, "A", "1997-03-02"),   # 60 days after order (cap 45) -> late, low-priority
             (3, "A", "1997-01-10"),   # shipped 9 days after order: on time
             (4, "A", "1996-06-01"),   # outside the ship window
         ],

@@ -1057,3 +1057,20 @@ FROM l ORDER BY user_id
 
 QUERIES["ema_value"] = ema_value_query
 ORACLES["ema_value"] = EMA_VALUE_SQL
+
+
+def ema_steps(values, state=None, alpha=EMA_ALPHA):
+    """Pure seeded-EMA fold over one user's IN-ORDER values, continuing
+    from ``state`` = (ema, n) or None. The single source of truth the
+    streaming twin (``streaming.stream_ema``) folds incrementally; the
+    batch query above expresses the identical step as a JVM-side
+    F.aggregate — same IEEE multiply-adds (beta·ema + alpha·v) in the
+    same order, so batch/stream values are bit-identical, not just
+    close. Split-fold continuity holds by construction (the state IS
+    the full accumulator) and is pinned by test anyway."""
+    beta = 1.0 - alpha
+    ema, n = state if state is not None else (0.0, 0)
+    for v in values:
+        ema = v if n == 0 else ema * beta + v * alpha
+        n += 1
+    return ema, n

@@ -386,3 +386,60 @@ def stream_extract_with_lineage(spark: SparkSession, input_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start(), run
+
+
+# -- custom stateful operator: incremental per-user EMA ----------------------
+
+_EMA_OUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("ema_value", T.DoubleType()),
+])
+
+_EMA_STATE_SCHEMA = T.StructType([
+    T.StructField("ema", T.DoubleType()),
+    T.StructField("n", T.LongType()),
+])
+
+
+def _ema_fn(key: tuple, batches: Iterable[pd.DataFrame],
+            state: GroupState) -> Iterator[pd.DataFrame]:
+    from .operators.temporal import ema_steps
+
+    user_id = key[0]
+    evs: list[tuple[int, int, float]] = []
+    for pdf in batches:
+        for t, eid, v in zip(pd.to_datetime(pdf["ts"]), pdf["event_id"],
+                             pdf["value"]):
+            evs.append((int(t.value // 1000), int(eid), float(v)))
+    evs.sort()  # (ts, event_id) order within the micro-batch
+
+    st = tuple(state.get) if state.exists else None
+    ema, n = ema_steps([v for _, _, v in evs], state=st)
+    state.update((float(ema), int(n)))
+    if evs:
+        yield pd.DataFrame({"user_id": [user_id],
+                            "n_events": [n],
+                            "ema_value": [ema]})
+
+
+def stream_ema(spark: SparkSession, input_dir: str) -> DataFrame:
+    """Streaming twin of ``operators.temporal.ema_value_query``: per-user
+    EMA snapshots emitted per micro-batch, the (ema, n) accumulator in
+    the state store so the fold spans micro-batches and restarts. Both
+    sides step with the same recurrence (``temporal.ema_steps`` — the
+    python mirror of the batch JVM fold), so the final streamed value
+    is BIT-IDENTICAL to the batch query's, pinned by a restart test.
+    Like the other stateful operators here, per-user events are assumed
+    in order across micro-batches (chronological file landing)."""
+    events = spark.readStream.schema(EVENTS_DDL).parquet(input_dir)
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _ema_fn,
+            outputStructType=_EMA_OUT_SCHEMA,
+            stateStructType=_EMA_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -216,3 +216,65 @@ def test_stream_funnel_state_spans_restarts(spark, tmp_path):
     # the restart only proves state carry if some user progressed in BOTH
     # landings
     assert {r["user_id"] for r in t1} & {r["user_id"] for r in t2}
+
+
+def test_ema_steps_split_fold_continuity():
+    """The state-store contract for the EMA twin: folding in two halves
+    through the carried (ema, n) state equals one fold, at every cut."""
+    from extract_ocr_spark.operators.temporal import ema_steps
+
+    vals = [8.0, 4.0, 16.0, 1.0, 2.5, 100.0, 0.125]
+    full = ema_steps(vals)
+    for cut in range(len(vals) + 1):
+        s1 = ema_steps(vals[:cut])
+        assert ema_steps(vals[cut:], state=s1) == full, cut
+
+
+def test_stream_ema_bitwise_matches_batch_across_restart(spark, tmp_path):
+    """Chronologically split the real events into two landings; the
+    streamed per-user EMA after the second landing must be BIT-IDENTICAL
+    (before any rounding) to the batch ema_value_query over the same
+    corpus — same recurrence, same order, carried state."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from extract_ocr_spark.operators.temporal import ema_value_query
+    from extract_ocr_spark.streaming import stream_ema
+
+    in_dir = str(tmp_path / "ev")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    sf = "/root/testdata/sf0.001"
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    cut_ts = events.approxQuantile("event_id", [0.5], 0.0)[0]
+
+    def run_landing(pred):
+        events.filter(pred).write.mode("append").parquet(in_dir)
+        q = (stream_ema(spark, in_dir)
+             .writeStream.format("parquet").option("path", out_dir)
+             .outputMode("append").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    run_landing(F.col("event_id") <= cut_ts)
+    run_landing(F.col("event_id") > cut_ts)
+
+    # latest snapshot per user = the row with the highest n_events
+    latest = {}
+    for r in spark.read.parquet(out_dir).collect():
+        if r["user_id"] not in latest or \
+                r["n_events"] > latest[r["user_id"]][0]:
+            latest[r["user_id"]] = (r["n_events"], r["ema_value"])
+
+    def round6(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+    batch = {r["user_id"]: (r["n_events"], r["ema_value"])
+             for r in ema_value_query(spark, sf).collect()}
+    assert set(latest) == set(batch)
+    for u, (n, ema) in latest.items():
+        assert (n, round6(ema)) == batch[u], (u, n, ema, batch[u])
+    # users must have progressed in BOTH landings for the state carry
+    # to be exercised (each user fires ~2 events/day over many days)
+    n_first = {u: n for u, (n, _e) in latest.items()}
+    assert any(n > 1 for n in n_first.values())

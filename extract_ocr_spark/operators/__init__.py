@@ -75,6 +75,7 @@ def all_queries():
         export,
         extraction,
         interleave,
+        layout,
         links,
         temporal,
         relational,
@@ -88,7 +89,7 @@ def all_queries():
     oracles = {}
     for mod in (relational, extraction, dedup, similarity, textanalysis,
                 reporting, export, robots, links, curation, interleave,
-                temporal):
+                temporal, layout):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     queries["media_features"] = multimodal.media_features_query
@@ -117,6 +118,7 @@ def all_queries():
         # with the least accumulated verification history (the oldest r5
         # names below have been sweep-verified across many sessions and
         # are the lowest-information picks for the external check)
+        "zorder_key", "partition_skew_report",
         "boilerplate_lines", "fim_plan", "tokenizer_fertility",
         "js_divergence", "ema_value", "hits_scores",
         "late_ship_priority", "dominant_suppliers",

@@ -221,3 +221,54 @@ def test_extract_job_via_real_spark_submit_py_files(spark, tmp_path):
 
     extracted = spark.read.parquet(f"{out}/extracted")
     assert extracted.select("doc_id").distinct().count() == 60
+
+
+def test_compact_job_plans_and_levels_files(spark, tmp_path):
+    """Small-file compaction: 200 tiny files in, the PLANNED number of
+    ~target-sized files out (ceil(bytes/target), pinned against the
+    job's own reported input bytes), sizes level within 2x, rows
+    preserved."""
+    from jobs.compact_job import plan_output_files, run
+
+    src = str(tmp_path / "small")
+    docs = spark.range(40_000).select(
+        F.col("id").alias("doc_id"),
+        F.sha2(F.col("id").cast("string"), 256).alias("payload"))
+    docs.repartition(200).write.parquet(src)
+
+    out = str(tmp_path / "compacted")
+    stats = run(spark, src, out, target_mb=1)
+    assert stats["files_in"] >= 200, stats
+    assert stats["planned_files"] == plan_output_files(stats["bytes_in"], 1)
+    assert stats["files_out"] == stats["planned_files"], stats
+    assert 1 < stats["files_out"] < 20, stats
+
+    sizes = [os.path.getsize(os.path.join(out, f))
+             for f in os.listdir(out) if f.endswith(".parquet")]
+    assert max(sizes) < 2 * min(sizes), sizes  # round-robin levels sizes
+    assert spark.read.parquet(out).count() == 40_000
+
+
+def test_compact_job_sorted_layout_has_disjoint_file_ranges(spark,
+                                                            tmp_path):
+    """--sort-by compaction: the output is range-partitioned, so file
+    footer min/max ranges on the key are pairwise DISJOINT (a range scan
+    then opens exactly the overlapping files)."""
+    from jobs.compact_job import run
+
+    from tests.test_scale_layout import _footer_ranges
+
+    src = str(tmp_path / "small")
+    spark.range(40_000).select(
+        (F.col("id") * 37 % 40_000).alias("k"),
+        F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+    ).repartition(100).write.parquet(src)
+
+    out = str(tmp_path / "sorted")
+    stats = run(spark, src, out, target_mb=1, sort_by="k")
+    assert stats["layout"] == "range"
+    ranges = sorted(_footer_ranges(out, "k"))
+    assert len(ranges) == stats["files_out"] > 1
+    for (_, prev_hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert lo > prev_hi, ranges
+    assert spark.read.parquet(out).count() == 40_000

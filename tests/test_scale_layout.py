@@ -122,6 +122,63 @@ def test_partition_pruning_reaches_scan(spark, tmp_path):
     assert q.count() == len(q.collect())
 
 
+def _footer_ranges(path, col):
+    """Per-file (min, max) of a column from the parquet footers — the
+    exact statistics a scan's file-skipping consults."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, name)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[col]).statistics
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        out.append((lo, hi))
+    return out
+
+
+def test_zorder_write_prunes_files_on_both_dimensions(spark, tmp_path):
+    """The Z-order layout claim, proven from real parquet footer stats:
+    after `zorder_write` on (x, y), a narrow range predicate on EITHER
+    column overlaps only a small fraction of files, while the
+    single-column-sorted layout prunes nothing on the other dimension
+    (every file's y range spans the whole domain). This is what makes
+    the interleaved key worth computing at 100 TB: one layout serves
+    both predicate families."""
+    from extract_ocr_spark.operators.layout import zorder_write
+
+    n, files = 256, 16
+    grid = (spark.range(n * n).select(
+        (F.col("id") % n).alias("x"), (F.col("id") / n).cast("long")
+        .alias("y")))
+
+    lin_path, z_path = str(tmp_path / "linear"), str(tmp_path / "zorder")
+    (grid.repartitionByRange(files, "x").sortWithinPartitions("x")
+     .write.parquet(lin_path))
+    zorder_write(grid, ("x", "y"), z_path, files)
+
+    def overlapping(path, col, lo, hi):
+        return sum(1 for (mn, mx) in _footer_ranges(path, col)
+                   if not (mx < lo or mn > hi))
+
+    # y in [16, 31] — 1/16 of the domain
+    assert overlapping(lin_path, "y", 16, 31) == files  # no pruning at all
+    z_y = overlapping(z_path, "y", 16, 31)
+    assert z_y <= files // 2, z_y
+    # x predicates must ALSO prune on the z layout (both dims at once)
+    z_x = overlapping(z_path, "x", 16, 31)
+    assert z_x <= files // 2, z_x
+    # and the layout is lossless
+    assert spark.read.parquet(z_path).count() == n * n
+
+
 def test_column_pruning_reaches_scan(spark, tmp_path):
     """A two-column projection over a wide table must push column
     pruning into the parquet ReadSchema — a scan that reads all columns

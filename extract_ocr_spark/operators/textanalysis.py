@@ -1507,6 +1507,32 @@ _HLL_ALPHA = 0.709            # Flajolet et al. 2007 bias constant for m=64
 _HLL_LC_CUT = 2.5 * HLL_M     # small-range (linear counting) switchover
 
 
+def hll_rank_rows(docs: "DataFrame", *, dedup: bool = True) -> "DataFrame":
+    """(source, idx, rank) per token bigram — the register-update stream
+    shared by the batch sketch below and ``streaming.stream_hll_registers``.
+    ``dedup=False`` skips the distinct: register max is duplicate-
+    insensitive, and a streaming DataFrame cannot host the blocking
+    distinct anyway (the batch path keeps it because one row per distinct
+    gram also yields exact_distinct for free)."""
+    from . import bigram_array, md5_long
+
+    base = (docs.select("source", tok_array(F.col("text")).alias("toks"))
+            .filter(F.size("toks") >= 2))
+    grams = base.select(
+        "source",
+        F.explode(bigram_array(F.col("toks"))).alias("bg"))
+    if dedup:
+        grams = grams.distinct()
+    h = grams.select("source", md5_long(F.col("bg")).alias("h"))
+    hashed = h.select(
+        "source", (F.col("h") % HLL_M).alias("idx"),
+        F.expr(f"h div {HLL_M}").alias("rest"))
+    rank = (F.when(F.col("rest") == 0, F.lit(_HLL_REST_BITS + 1))
+            .otherwise(F.lit(_HLL_REST_BITS + 1)
+                       - F.length(F.bin(F.col("rest")))))
+    return hashed.select("source", "idx", rank.alias("rank"))
+
+
 def hll_distinct_df(docs: "DataFrame") -> "DataFrame":
     """HyperLogLog cardinality sketch (Flajolet et al. 2007) over each
     source's distinct token bigrams — the same domain as kmv_distinct, so
@@ -1532,24 +1558,11 @@ def hll_distinct_df(docs: "DataFrame") -> "DataFrame":
     mergeable-sketch pattern: per-partition register vectors union by
     max, so a 100 TB corpus pays one narrow shuffle of
     O(sources * 64) rows."""
-    from . import bigram_array, md5_long
-
-    base = (docs.select("source", tok_array(F.col("text")).alias("toks"))
-            .filter(F.size("toks") >= 2))
-    grams = base.select(
-        "source",
-        F.explode(bigram_array(F.col("toks"))).alias("bg")).distinct()
-    h = grams.select("source", md5_long(F.col("bg")).alias("h"))
-    hashed = h.select(
-        "source", (F.col("h") % HLL_M).alias("idx"),
-        F.expr(f"h div {HLL_M}").alias("rest"))
-    rank = (F.when(F.col("rest") == 0, F.lit(_HLL_REST_BITS + 1))
-            .otherwise(F.lit(_HLL_REST_BITS + 1)
-                       - F.length(F.bin(F.col("rest")))))
-    # hashed has ONE row per distinct (source, bigram), so counting rows
-    # inside the register rollup yields exact_distinct for free — the
-    # whole operator is a single pass (no second scan, no join back)
-    regs = (hashed.select("source", "idx", rank.alias("rank"))
+    # hll_rank_rows yields ONE row per distinct (source, bigram), so
+    # counting rows inside the register rollup yields exact_distinct for
+    # free — the whole operator is a single pass (no second scan, no
+    # join back)
+    regs = (hll_rank_rows(docs)
             .groupBy("source", "idx").agg(F.max("rank").alias("m"),
                                           F.count("*").alias("cnt")))
     # the register's exact binary fraction 2^-m, computed while m is a

@@ -443,3 +443,58 @@ def stream_ema(spark: SparkSession, input_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# -- custom stateful operator: incremental HyperLogLog registers -------------
+
+FLAT_DOCS_DDL = ("doc_id long, text string, lang string, source string,"
+                 " n_chars long")
+
+_HLL_OUT_SCHEMA = T.StructType([
+    T.StructField("source", T.StringType()),
+    T.StructField("idx", T.LongType()),
+    T.StructField("m", T.LongType()),
+])
+
+_HLL_STATE_SCHEMA = T.StructType([T.StructField("m", T.LongType())])
+
+
+def _hll_fn(key: tuple, batches: Iterable[pd.DataFrame],
+            state: GroupState) -> Iterator[pd.DataFrame]:
+    best = int(state.get[0]) if state.exists else 0
+    seen = 0
+    for pdf in batches:
+        if len(pdf):
+            best = max(best, int(pdf["rank"].max()))
+            seen += len(pdf)
+    state.update((best,))
+    if seen:
+        yield pd.DataFrame({"source": [key[0]], "idx": [int(key[1])],
+                            "m": [best]})
+
+
+def stream_hll_registers(spark: SparkSession, input_dir: str) -> DataFrame:
+    """Streaming twin of the batch HLL sketch: per-(source, register)
+    max-rank kept in the state store, register snapshots emitted per
+    micro-batch. Register max is DUPLICATE-INSENSITIVE, so this path
+    needs no blocking distinct and no per-item state — the state is
+    exactly sources × 64 longs no matter how many documents stream
+    through, which is what makes HLL the canonical streaming sketch.
+    The rank rows come from the same ``hll_rank_rows`` expressions as
+    the batch operator (dedup off), so the final streamed registers are
+    BIT-IDENTICAL to the batch ones — pinned across a restart by
+    ``test_stream_hll_registers_match_batch_across_restart``."""
+    from .operators.textanalysis import hll_rank_rows
+
+    docs = spark.readStream.schema(FLAT_DOCS_DDL).parquet(input_dir)
+    return (
+        hll_rank_rows(docs, dedup=False)
+        .groupBy("source", "idx")
+        .applyInPandasWithState(
+            _hll_fn,
+            outputStructType=_HLL_OUT_SCHEMA,
+            stateStructType=_HLL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -278,3 +278,52 @@ def test_stream_ema_bitwise_matches_batch_across_restart(spark, tmp_path):
     # to be exercised (each user fires ~2 events/day over many days)
     n_first = {u: n for u, (n, _e) in latest.items()}
     assert any(n > 1 for n in n_first.values())
+
+
+def test_stream_hll_registers_match_batch_across_restart(spark, tmp_path):
+    """Split the documents corpus into two landings; after the second,
+    the streamed per-(source, register) state must equal the batch
+    sketch's registers EXACTLY — max-rank is duplicate-insensitive and
+    both paths share the hll_rank_rows expressions, so the estimate a
+    downstream fold computes from the streamed registers is the batch
+    estimate, bit for bit."""
+    from extract_ocr_spark.operators.textanalysis import hll_rank_rows
+    from extract_ocr_spark.streaming import stream_hll_registers
+
+    in_dir = str(tmp_path / "docs")
+    out_dir = str(tmp_path / "regs")
+    ckpt = str(tmp_path / "ckpt")
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+
+    def run_landing(pred):
+        docs.filter(pred).write.mode("append").parquet(in_dir)
+        q = (stream_hll_registers(spark, in_dir)
+             .writeStream.format("parquet").option("path", out_dir)
+             .outputMode("append").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    # split at the doc_id median: source is doc_id % 20, so a parity
+    # split would put every source whole into one landing and the state
+    # would never span the restart
+    run_landing(F.col("doc_id") < 250)
+    run_landing(F.col("doc_id") >= 250)
+
+    # the register is monotone, so the final state = max emitted m
+    streamed = {}
+    for r in spark.read.parquet(out_dir).collect():
+        k = (r["source"], r["idx"])
+        streamed[k] = max(streamed.get(k, 0), r["m"])
+
+    batch = {(r["source"], r["idx"]): r["m"]
+             for r in hll_rank_rows(docs).groupBy("source", "idx")
+             .agg(F.max("rank").alias("m")).collect()}
+    assert streamed == batch
+    # restart must be exercised: registers re-emitted in the second
+    # landing prove the state carried across the checkpoint boundary
+    from collections import Counter
+
+    emits = Counter((r["source"], r["idx"])
+                    for r in spark.read.parquet(out_dir).collect())
+    assert any(v >= 2 for v in emits.values()), emits

@@ -136,11 +136,113 @@ FROM c, m ORDER BY user_id
 """
 
 
+_HILBERT_BITS = 8  # 256 x 256 grid -> 16-bit Hilbert index
+
+
+def hilbert_select(df: DataFrame, x, y, out: str = "hkey") -> DataFrame:
+    """Hilbert curve index (xy2d) over two pre-masked 8-bit columns —
+    Z-order's better-locality sibling (no quadrant-boundary jumps, so
+    file regions are more compact for the same file count). The
+    classic reflect-rotate recurrence is unrolled into one narrow
+    ``select`` per bit level, each referencing the PREVIOUS level's
+    columns by name, so the expression tree stays linear in the bit
+    count (inlining the recurrence naively triples the tree per level).
+    All integer CASE/shift arithmetic — whole-stage codegen, no UDF."""
+    df = df.select("*", x.alias("_hx"), y.alias("_hy"),
+                   F.lit(0).cast("long").alias("_hd"))
+    for lvl in range(_HILBERT_BITS - 1, -1, -1):
+        s = 1 << lvl
+        rx = F.when(F.col("_hx").bitwiseAND(F.lit(s)) > 0,
+                    F.lit(1)).otherwise(F.lit(0))
+        ry = F.when(F.col("_hy").bitwiseAND(F.lit(s)) > 0,
+                    F.lit(1)).otherwise(F.lit(0))
+        d = (F.col("_hd")
+             + F.lit(s * s).cast("long")
+             * (rx * 3).bitwiseXOR(ry).cast("long"))
+        # reflect when (rx, ry) == (1, 0), then swap x/y when ry == 0
+        xr = F.when((rx == 1) & (ry == 0),
+                    F.lit(s - 1) - F.col("_hx")).otherwise(F.col("_hx"))
+        yr = F.when((rx == 1) & (ry == 0),
+                    F.lit(s - 1) - F.col("_hy")).otherwise(F.col("_hy"))
+        keep = [c for c in df.columns if c not in ("_hx", "_hy", "_hd")]
+        df = df.select(
+            *keep,
+            F.when(ry == 0, yr).otherwise(F.col("_hx")).alias("_hx"),
+            F.when(ry == 0, xr).otherwise(F.col("_hy")).alias("_hy"),
+            d.alias("_hd"))
+    return df.withColumnRenamed("_hd", out).drop("_hx", "_hy")
+
+
+def _hilbert_sql(x: str, y: str, src: str) -> str:
+    """The identical recurrence as a chain of CTEs (one per bit level),
+    appended after ``src`` (a CTE exposing columns hx, hy plus payload)."""
+    parts = [f"h{_HILBERT_BITS} AS (SELECT *, CAST(0 AS BIGINT) AS hd,"
+             f" {x} AS hx, {y} AS hy FROM {src})"]
+    for lvl in range(_HILBERT_BITS - 1, -1, -1):
+        s = 1 << lvl
+        prev, cur = f"h{lvl + 1}", f"h{lvl}"
+        # every reference is p.-qualified so DuckDB's lateral column
+        # aliasing can never capture a sibling alias defined earlier in
+        # the same SELECT list
+        parts.append(f"""{cur} AS (
+  SELECT p.* EXCLUDE (hd, hx, hy),
+    p.hd + {s * s} * xor(
+        3 * (CASE WHEN (p.hx & {s}) > 0 THEN 1 ELSE 0 END),
+        (CASE WHEN (p.hy & {s}) > 0 THEN 1 ELSE 0 END)) AS hd,
+    CASE WHEN (p.hy & {s}) = 0 THEN
+      CASE WHEN (p.hx & {s}) > 0 THEN {s - 1} - p.hy ELSE p.hy END
+    ELSE p.hx END AS hx,
+    CASE WHEN (p.hy & {s}) = 0 THEN
+      CASE WHEN (p.hx & {s}) > 0 THEN {s - 1} - p.hx ELSE p.hx END
+    ELSE p.hy END AS hy
+  FROM {prev} p)""")
+    return ",\n".join(parts)
+
+
+def hilbert_key_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        hilbert_select(
+            ev.select("event_id", "user_id"),
+            F.col("user_id").bitwiseAND(F.lit(255)).cast("long"),
+            F.col("event_id").bitwiseAND(F.lit(255)).cast("long"))
+        .select("event_id", "user_id", "hkey")
+        .orderBy("event_id")
+    )
+
+
+HILBERT_KEY_SQL = f"""
+WITH base AS (
+  SELECT event_id, user_id, user_id & 255 AS bx, event_id & 255 AS by_
+  FROM events
+),
+{_hilbert_sql('bx', 'by_', 'base')}
+SELECT event_id, user_id, hd AS hkey FROM h0 ORDER BY event_id
+"""
+
+
+def hilbert_write(df: DataFrame, cols: tuple[str, str], path: str,
+                  n_files: int) -> None:
+    """``zorder_write``'s Hilbert twin: cluster files along the Hilbert
+    curve instead of the Z curve."""
+    keyed = hilbert_select(
+        df,
+        F.col(cols[0]).bitwiseAND(F.lit(255)).cast("long"),
+        F.col(cols[1]).bitwiseAND(F.lit(255)).cast("long"),
+        out="_hkey")
+    (keyed.repartitionByRange(n_files, "_hkey")
+     .sortWithinPartitions("_hkey")
+     .drop("_hkey")
+     .write.mode("overwrite").parquet(path))
+
+
 QUERIES = {
     "zorder_key": zorder_key_query,
+    "hilbert_key": hilbert_key_query,
     "partition_skew_report": partition_skew_report_query,
 }
 ORACLES = {
     "zorder_key": ZORDER_KEY_SQL,
+    "hilbert_key": HILBERT_KEY_SQL,
     "partition_skew_report": PARTITION_SKEW_REPORT_SQL,
 }

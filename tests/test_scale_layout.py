@@ -178,6 +178,53 @@ def test_zorder_write_prunes_files_on_both_dimensions(spark, tmp_path):
     # and the layout is lossless
     assert spark.read.parquet(z_path).count() == n * n
 
+    # the Hilbert layout must give the same both-dimension pruning (its
+    # regions are at least as compact — no quadrant-boundary jumps)
+    from extract_ocr_spark.operators.layout import hilbert_write
+
+    h_path = str(tmp_path / "hilbert")
+    hilbert_write(grid, ("x", "y"), h_path, files)
+    assert overlapping(h_path, "y", 16, 31) <= files // 2
+    assert overlapping(h_path, "x", 16, 31) <= files // 2
+    assert spark.read.parquet(h_path).count() == n * n
+
+
+def test_hilbert_key_matches_classic_xy2d():
+    """Pin the unrolled CASE/shift recurrence against the classic
+    iterative xy2d reference (Hilbert curve, Wikipedia formulation) on a
+    deterministic sample, plus bijectivity on a full sub-grid."""
+    import pandas as pd
+
+    from extract_ocr_spark.operators.layout import hilbert_select
+    from extract_ocr_spark.session import get_spark
+
+    def xy2d(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    spark = get_spark("local[4]", shuffle_partitions=8)
+    pts = [(x, y) for x in range(0, 256, 17) for y in range(0, 256, 13)]
+    sdf = hilbert_select(
+        spark.createDataFrame(pd.DataFrame(pts, columns=["x", "y"])),
+        F.col("x").cast("long"), F.col("y").cast("long"))
+    got = {(r["x"], r["y"]): r["hkey"] for r in sdf.collect()}
+    assert all(got[(x, y)] == xy2d(256, x, y) for x, y in pts)
+
+    full = [(x, y) for x in range(32) for y in range(32)]
+    keys = [r["hkey"] for r in hilbert_select(
+        spark.createDataFrame(pd.DataFrame(full, columns=["x", "y"])),
+        F.col("x").cast("long"), F.col("y").cast("long")).collect()]
+    assert len(set(keys)) == len(full)
+
 
 def test_column_pruning_reaches_scan(spark, tmp_path):
     """A two-column projection over a wide table must push column

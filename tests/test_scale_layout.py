@@ -245,3 +245,28 @@ def test_column_pruning_reaches_scan(spark, tmp_path):
     rs = plan.split("ReadSchema:", 1)[1].splitlines()[0]
     assert "doc_id" in rs and "lang" in rs, rs
     assert "text" not in rs and "n_chars" not in rs, rs
+
+
+def test_dynamic_partition_pruning_active(spark, tmp_path):
+    """Runtime partition pruning: joining a day-partitioned fact against
+    a FILTERED dim must inject a dynamicpruningexpression into the fact
+    scan's PartitionFilters — the dim's surviving day values prune fact
+    partitions at RUNTIME, not just static literals at planning time. At
+    10^12 docs this is what keeps star-join scans proportional to the
+    dim selectivity (0 static predicates exist on the fact)."""
+    fact = spark.range(100_000).select(
+        F.col("id").alias("k"), (F.col("id") % 50).alias("day"),
+        F.sha2(F.col("id").cast("string"), 256).alias("payload"))
+    fact.write.partitionBy("day").parquet(str(tmp_path / "fact"))
+    spark.range(50).select(
+        F.col("id").alias("day"), (F.col("id") % 7).alias("dow"),
+    ).write.parquet(str(tmp_path / "dim"))
+
+    f = spark.read.parquet(str(tmp_path / "fact"))
+    d = spark.read.parquet(str(tmp_path / "dim")).filter(F.col("dow") == 3)
+    j = f.join(d, "day")
+    assert j.count() == 100_000 // 50 * 7  # 7 of 50 days survive
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters", 1)
+    assert len(pf) == 2, plan
+    assert "dynamicpruningexpression" in pf[1][:300], pf[1][:300]

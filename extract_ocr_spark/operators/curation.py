@@ -1431,3 +1431,68 @@ ORDER BY doc_id
 
 QUERIES["boilerplate_lines"] = boilerplate_lines
 ORACLES["boilerplate_lines"] = BOILERPLATE_LINES_SQL
+
+
+# --- Leave-one-out target encoding (feature prep) ----------------------
+
+def target_encode_loo_df(events: DataFrame) -> DataFrame:
+    """Leave-one-out target encoding of a categorical key: each event's
+    feature is the mean target of its CATEGORY EXCLUDING ITSELF —
+    the standard leakage-free way to hand a high-cardinality categorical
+    to a downstream model (a plain category mean leaks each row's own
+    label into its feature). Null when the row is its category's only
+    member.
+
+    Float discipline: the target is summed as exact cents (the repo-wide
+    rule for double aggregates), so loo = (sum_cents - cents) /
+    (100 * (n-1)) divides exact integers and both engines produce the
+    same IEEE double with no rounding step.
+
+    Scale shape: ONE map-side-combinable aggregate to category
+    cardinality, joined back by broadcast (categories are bounded; a
+    10^6-category version flips to a shuffle join automatically past the
+    autoBroadcastJoinThreshold). No window over the fact table."""
+    from pyspark.sql import functions as F
+
+    cents = F.round(F.col("value") * 100).cast("long")
+    per_cat = (events.select("event_type", cents.alias("c"))
+               .groupBy("event_type")
+               .agg(F.sum("c").alias("sum_c"), F.count("*").alias("n")))
+    return (
+        events.select("event_id", "event_type", cents.alias("c"))
+        .join(F.broadcast(per_cat), "event_type")
+        .select(
+            "event_id", "event_type",
+            F.when(F.col("n") > 1,
+                   (F.col("sum_c") - F.col("c")).cast("double")
+                   / (F.lit(100.0) * (F.col("n") - 1).cast("double")))
+            .alias("loo_mean"))
+        .orderBy("event_id")
+    )
+
+
+def target_encode_loo(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return target_encode_loo_df(ev)
+
+
+TARGET_ENCODE_LOO_SQL = """
+WITH c AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), agg AS (
+  SELECT event_type, sum(cents) AS sum_c, count(*) AS n
+  FROM c GROUP BY event_type
+)
+SELECT event_id, c.event_type,
+       CASE WHEN n > 1
+            THEN CAST(sum_c - cents AS DOUBLE)
+                 / (100.0 * CAST(n - 1 AS DOUBLE))
+       END AS loo_mean
+FROM c JOIN agg ON c.event_type = agg.event_type
+ORDER BY event_id
+"""
+
+QUERIES["target_encode_loo"] = target_encode_loo
+ORACLES["target_encode_loo"] = TARGET_ENCODE_LOO_SQL

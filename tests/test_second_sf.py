@@ -109,6 +109,11 @@ SUBSET = [
     "fim_plan", "tokenizer_fertility",
     # the df>=3 boilerplate set is entirely corpus-dependent
     "boilerplate_lines",
+    # r5 closing sessions: bit-interleave/recurrence keys over the full
+    # id domain, the median-relative salt factors, and the LOO nulls
+    # (single-member categories) all shift with scale
+    "zorder_key", "hilbert_key", "partition_skew_report",
+    "target_encode_loo",
 ]
 
 

@@ -2081,3 +2081,56 @@ ORDER BY s.s_name, s.s_suppkey
 
 QUERIES["dominant_suppliers"] = dominant_suppliers_query
 ORACLES["dominant_suppliers"] = DOMINANT_SUPPLIERS_SQL
+
+
+# --- Partial-aggregate merge (incremental rollup maintenance) ---------------
+
+def partial_agg_merge_query(spark, sf_dir):
+    """The incremental-view-maintenance invariant as a checked query:
+    per-key aggregate states computed on two DISJOINT slices of the fact
+    table (event_id parity stands in for yesterday's rollup + today's
+    delta), then MERGED state-wise — count by sum, sum by sum, min by
+    min, max by max — must equal the direct aggregate over the union.
+    The oracle computes the direct aggregate, so the hash comparison IS
+    the invariant. This is the pattern that lets a 10^12-doc nightly
+    rollup absorb a daily delta without rereading history: every state
+    here is mergeable, which is exactly what Spark's own partial
+    aggregation exploits map-side.
+
+    Sums use exact cents; timestamps render to strings (engine TZ
+    discipline)."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+
+    def partial(pred):
+        return (ev.filter(pred)
+                .select("event_type", cents.alias("c"), "ts")
+                .groupBy("event_type")
+                .agg(F.count("*").alias("n"), F.sum("c").alias("sum_c"),
+                     F.min("ts").alias("min_ts"),
+                     F.max("ts").alias("max_ts")))
+
+    halves = partial(F.col("event_id") % 2 == 0).unionAll(
+        partial(F.col("event_id") % 2 == 1))
+    return (
+        halves.groupBy("event_type")
+        .agg(F.sum("n").alias("n"), F.sum("sum_c").alias("sum_cents"),
+             F.date_format(F.min("min_ts"), "yyyy-MM-dd HH:mm:ss")
+             .alias("first_ts"),
+             F.date_format(F.max("max_ts"), "yyyy-MM-dd HH:mm:ss")
+             .alias("last_ts"))
+        .orderBy("event_type")
+    )
+
+
+PARTIAL_AGG_MERGE_SQL = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["partial_agg_merge"] = partial_agg_merge_query
+ORACLES["partial_agg_merge"] = PARTIAL_AGG_MERGE_SQL

@@ -119,7 +119,7 @@ def all_queries():
         # names below have been sweep-verified across many sessions and
         # are the lowest-information picks for the external check)
         "zorder_key", "hilbert_key", "partition_skew_report",
-        "target_encode_loo", "partial_agg_merge",
+        "target_encode_loo", "partial_agg_merge", "attribution_linear",
         "boilerplate_lines", "fim_plan", "tokenizer_fertility",
         "js_divergence", "ema_value", "hits_scores",
         "late_ship_priority", "dominant_suppliers",

@@ -1074,3 +1074,102 @@ def ema_steps(values, state=None, alpha=EMA_ALPHA):
         ema = v if n == 0 else ema * beta + v * alpha
         n += 1
     return ema, n
+
+
+def attribution_linear_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution, last-touch's sibling: every
+    purchase's value is split EQUALLY across all touch events in the
+    6-hour lookback (purchases with no touch credit 'direct' in full).
+
+    Join shape: the two-bin range-join trick (range_join_bins) — touches
+    explode into epoch-us bins b and b+1, purchases probe their own bin,
+    so a touch meets exactly the purchases whose window can contain it
+    and the equi-join carries (user_id, bin). No window-frame trick can
+    express this one (every touch in the window gets credit, not just
+    the latest), so the bounded range join IS the scale shape: shuffle
+    keyed (user, 6h-bucket), never a per-user cross join.
+
+    Float discipline: per-purchase credit is value_cents / n_touches —
+    summed naively the addition order differs between engines, so
+    credits aggregate exactly by (channel, n) as BIGINT cent sums first
+    and each channel folds its ≤distinct-n terms in n order (the
+    js_divergence bucket-sorted-fold discipline)."""
+    ev = _events(spark, sf_dir)
+    W = ATTR_WINDOW_US
+    # timestampdiff-from-epoch works on TIMESTAMP_NTZ (the parquet type
+    # here); unix_micros would force a tz cast
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP'1970-01-01 00:00:00', ts)")
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select("user_id", F.col("event_id").alias("pid"),
+                 us.alias("tp"), _value_cents().alias("cents"),
+                 F.expr(
+                     "timestampdiff(MICROSECOND,"
+                     f" TIMESTAMP'1970-01-01 00:00:00', ts) div {W}")
+                 .alias("bin")))
+    t = (ev.filter(F.col("event_type").isin(*ATTR_TOUCH_TYPES))
+         .select("user_id", F.col("event_type").alias("ch"),
+                 F.col("event_id").alias("tid"), us.alias("tt")))
+    t2 = t.withColumn(
+        "bin", F.explode(F.array(F.expr(f"tt div {W}"),
+                                 F.expr(f"tt div {W} + 1"))))  # b, b+1
+    pairs = (p.join(t2, ["user_id", "bin"])
+             .filter((F.col("tp") - F.col("tt")).between(0, W)
+                     & ((F.col("tt") < F.col("tp"))
+                        | ((F.col("tt") == F.col("tp"))
+                           & (F.col("tid") < F.col("pid"))))))
+    n = F.count("*").over(Window.partitionBy("user_id", "pid"))
+    per = (pairs.withColumn("n", n)
+           .groupBy("ch", "n")
+           .agg(F.sum("cents").alias("s"), F.count("*").alias("c")))
+    credited = (per.groupBy(F.col("ch").alias("channel"))
+                .agg(F.sum("c").alias("touches"),
+                     F.aggregate(
+                         F.array_sort(F.collect_list(F.struct("n", "s"))),
+                         F.lit(0.0),
+                         lambda a, x: a + x["s"].cast("double") / x["n"])
+                     .alias("credit")))
+    direct = (p.join(pairs.select("pid").distinct(), "pid", "left_anti")
+              .groupBy(F.lit("direct").alias("channel"))
+              .agg(F.count("*").alias("touches"),
+                   F.sum("cents").cast("double").alias("credit")))
+    return (credited.unionAll(direct)
+            .select("channel", "touches",
+                    F.round(F.col("credit"), 4).alias("credit_cents"))
+            .orderBy("channel"))
+
+
+ATTRIBUTION_LINEAR_SQL = f"""
+WITH p AS (
+  SELECT user_id, event_id AS pid, epoch_us(ts) AS tp,
+         {VALUE_CENTS_SQL} AS cents
+  FROM events WHERE event_type = 'purchase'
+), t AS (
+  SELECT user_id, event_type AS ch, event_id AS tid, epoch_us(ts) AS tt
+  FROM events WHERE event_type IN {ATTR_TOUCH_TYPES}
+), pairs AS (
+  SELECT p.*, t.ch, t.tid FROM p JOIN t USING (user_id)
+  WHERE tp - tt BETWEEN 0 AND {ATTR_WINDOW_US}
+    AND (tt < tp OR (tt = tp AND tid < pid))
+), nn AS (
+  SELECT *, count(*) OVER (PARTITION BY user_id, pid) AS n FROM pairs
+), g AS (
+  SELECT ch, n, sum(cents) AS s, count(*) AS c FROM nn GROUP BY ch, n
+), credited AS (
+  SELECT ch AS channel, CAST(sum(c) AS BIGINT) AS touches,
+         list_reduce(list_prepend(0.0, list(
+             CAST(s AS DOUBLE) / n ORDER BY n)), (a, b) -> a + b) AS credit
+  FROM g GROUP BY ch
+), direct AS (
+  SELECT 'direct' AS channel, CAST(count(*) AS BIGINT) AS touches,
+         CAST(sum(cents) AS DOUBLE) AS credit
+  FROM p ANTI JOIN (SELECT DISTINCT pid FROM pairs) q USING (pid)
+  GROUP BY 1
+)
+SELECT channel, touches, round(credit, 4) AS credit_cents
+FROM (SELECT * FROM credited UNION ALL SELECT * FROM direct)
+ORDER BY channel
+"""
+
+QUERIES["attribution_linear"] = attribution_linear_query
+ORACLES["attribution_linear"] = ATTRIBUTION_LINEAR_SQL

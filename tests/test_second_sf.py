@@ -114,6 +114,9 @@ SUBSET = [
     # (single-member categories) all shift with scale
     "zorder_key", "hilbert_key", "partition_skew_report",
     "target_encode_loo",
+    # window membership, n-way splits, and the direct/credited mix all
+    # shift with event density
+    "attribution_linear",
 ]
 
 

@@ -240,3 +240,49 @@ def test_ema_value_plan_one_exchange_no_join_no_python(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Join" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_attribution_linear_fixture_semantics(spark, tmp_path):
+    """Pin the split math on a crafted corpus: a purchase with two
+    in-window touches credits each channel half its value; an in-window
+    third touch of the same channel shifts to thirds; a touch outside
+    the 6h window is ignored; a touch-less purchase credits 'direct' in
+    full; a same-timestamp touch with a LOWER event_id still counts."""
+    import datetime as dt
+
+    from extract_ocr_spark.operators.temporal import (
+        ATTR_WINDOW_US,
+        attribution_linear_query,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    h = dt.timedelta(hours=1)
+
+    rows = [
+        # u1: view(-2h), click(-1h) -> purchase 10.00 at t0 (50/50)
+        (1, t0 - 2 * h, 1, "view", 0.0, "{}"),
+        (2, t0 - 1 * h, 1, "click", 0.0, "{}"),
+        (3, t0, 1, "purchase", 10.00, "{}"),
+        # u2: view 7h before -> OUTSIDE window -> direct
+        (4, t0 - 7 * h, 2, "view", 0.0, "{}"),
+        (5, t0, 2, "purchase", 5.00, "{}"),
+        # u3: no touches at all -> direct
+        (6, t0, 3, "purchase", 2.00, "{}"),
+        # u4: same-ts touch with lower event_id counts, plus one earlier
+        (7, t0 - 1 * h, 4, "view", 0.0, "{}"),
+        (8, t0, 4, "signup", 0.0, "{}"),
+        (9, t0, 4, "purchase", 9.00, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long,"
+              " event_type string, value double, props string")
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    got = {r["channel"]: (r["touches"], r["credit_cents"])
+           for r in attribution_linear_query(spark, str(tmp_path)).collect()}
+
+    assert got["direct"] == (2, 700.0)          # u2 (window miss) + u3
+    assert got["click"] == (1, 500.0)           # half of u1's 10.00
+    # view: half of u1 + half of u4; signup: the same-ts touch of u4
+    assert got["view"] == (2, 500.0 + 450.0)
+    assert got["signup"] == (1, 450.0)
+    assert ATTR_WINDOW_US == 6 * 3600 * 1_000_000

@@ -498,3 +498,16 @@ def stream_hll_registers(spark: SparkSession, input_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_enrich(spark: SparkSession, input_dir: str,
+                  dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: streaming events ⋈ a static
+    dimension on user_id. The static side is re-planned per micro-batch
+    by Structured Streaming itself (no state store involved) and lands
+    as a broadcast hash join under the session's threshold — the
+    standard shape for joining a 10^12-event stream against a bounded
+    dim without shuffling the stream. Columns: events.* + the dim's
+    non-key columns."""
+    events = spark.readStream.schema(EVENTS_DDL).parquet(input_dir)
+    return events.join(F.broadcast(dim), "user_id")

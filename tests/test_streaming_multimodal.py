@@ -285,3 +285,38 @@ def test_epoch_committer_regrouped_epochs_no_double_commit(spark, tmp_path):
     assert lin.count() == 8  # one event per doc, not two
     assert run2.extracted().count() == 8
     assert run2._committed_keys() == ["0:old-run"]  # empty epoch 3 skipped
+
+
+def test_stream_enrich_matches_batch_join(spark, tmp_path):
+    """Stream-static join parity: the streamed enrichment over two file
+    landings equals the batch join row-for-row (the static side is
+    bounded and broadcast; the stream never shuffles)."""
+    from extract_ocr_spark.streaming import stream_enrich
+
+    in_dir = str(tmp_path / "ev")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    sf = "/root/testdata/sf0.001"
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    dim = (events.groupBy("user_id")
+           .agg(F.count("*").alias("user_events"))
+           .withColumn("tier", (F.col("user_events") % 3).cast("long")))
+    dim_path = str(tmp_path / "dim")
+    dim.write.parquet(dim_path)
+    dim_static = spark.read.parquet(dim_path)
+
+    for pred in (F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1):
+        events.filter(pred).write.mode("append").parquet(in_dir)
+        q = (stream_enrich(spark, in_dir, dim_static)
+             .writeStream.format("parquet").option("path", out_dir)
+             .outputMode("append").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    got = sorted(
+        (r["event_id"], r["user_id"], r["user_events"], r["tier"])
+        for r in spark.read.parquet(out_dir).collect())
+    want = sorted(
+        (r["event_id"], r["user_id"], r["user_events"], r["tier"])
+        for r in events.join(dim_static, "user_id").collect())
+    assert got == want and len(got) == events.count()

@@ -581,6 +581,46 @@ QC_BUCKETS = 4096
 QC_THRESHOLD = 0.0
 
 
+def _qc_doc_sums(docs: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
+    """THE classifier weight definition (md5 bucket % 1001 - 500), rolled
+    to exact per-doc sums (sw, n_tok) — shared by quality_classifier and
+    classifier_auc so the weight table cannot drift between the scorer
+    and its evaluation. `extra` carries grouping columns (constant per
+    doc_id) through the aggregate so callers don't need a join back."""
+    tok = docs.select(
+        "doc_id", *extra,
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), WS_RE + "+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    bucket = (F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
+              .cast("long") % QC_BUCKETS)
+    w = (bucket % 1001 - 500).cast("long")
+    return (
+        tok.select("doc_id", *extra, w.alias("w"))
+        .groupBy("doc_id", *extra)
+        .agg(F.sum("w").alias("sw"), F.count("*").alias("n_tok"))
+    )
+
+
+def _qc_sums_cte(extra: str = "") -> str:
+    """The DuckDB twin of ``_qc_doc_sums`` as a WITH-clause body ending
+    in an ``agg(doc_id{extra}, sw, n_tok)`` CTE; ``extra`` is a leading-
+    comma column list (e.g. ", source, lang")."""
+    return rf"""tok AS (
+  SELECT doc_id{extra},
+         unnest(regexp_split_to_array(lower(trim(text)), '{WS_RE}+')) AS tok
+  FROM documents
+), w AS (
+  SELECT doc_id{extra},
+         ((('0x' || substring(md5(tok), 1, 15))::BIGINT % {QC_BUCKETS})
+          % 1001 - 500) AS w
+  FROM tok WHERE tok != ''
+), agg AS (
+  SELECT doc_id{extra}, sum(w) AS sw, count(*) AS n_tok FROM w
+  GROUP BY doc_id{extra}
+)"""
+
+
 def quality_classifier_df(docs: DataFrame, threshold: float = QC_THRESHOLD,
                           ordered: bool = True) -> DataFrame:
     """fastText-style hashed bag-of-words linear classifier: lowercase
@@ -601,18 +641,8 @@ def quality_classifier_df(docs: DataFrame, threshold: float = QC_THRESHOLD,
     Reference analog: lifts the reference's boolean content gates
     (/root/reference/src/extract_ocr/content.py — WAF/HTML heuristics)
     to a scored classifier, the shape a curation pipeline trains."""
-    tok = docs.select(
-        "doc_id",
-        F.explode(
-            F.split(F.lower(F.trim(F.col("text"))), WS_RE + "+")).alias("tok"),
-    ).filter(F.col("tok") != "")
-    bucket = (F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
-              .cast("long") % QC_BUCKETS)
-    w = (bucket % 1001 - 500).cast("long")
     out = (
-        tok.select("doc_id", w.alias("w"))
-        .groupBy("doc_id")
-        .agg(F.sum("w").alias("sw"), F.count("*").alias("n_tok"))
+        _qc_doc_sums(docs)
         .select(
             "doc_id", "n_tok",
             F.round(F.col("sw").cast("double")
@@ -628,18 +658,7 @@ def quality_classifier(spark, sf_dir):
 
 
 QUALITY_CLASSIFIER_SQL = rf"""
-WITH tok AS (
-  SELECT doc_id,
-         unnest(regexp_split_to_array(lower(trim(text)), '{WS_RE}+')) AS tok
-  FROM documents
-), w AS (
-  SELECT doc_id,
-         ((('0x' || substring(md5(tok), 1, 15))::BIGINT % {QC_BUCKETS})
-          % 1001 - 500) AS w
-  FROM tok WHERE tok != ''
-), agg AS (
-  SELECT doc_id, sum(w) AS sw, count(*) AS n_tok FROM w GROUP BY doc_id
-)
+WITH {_qc_sums_cte()}
 SELECT doc_id, n_tok,
        round(CAST(sw AS DOUBLE) / (500.0 * n_tok), 6) AS score,
        round(CAST(sw AS DOUBLE) / (500.0 * n_tok), 6) >= {QC_THRESHOLD}
@@ -2429,3 +2448,116 @@ FROM t GROUP BY lang ORDER BY lang
 
 QUERIES["tokenizer_fertility"] = tokenizer_fertility
 ORACLES["tokenizer_fertility"] = TOKENIZER_FERTILITY_SQL
+
+
+# --- Exact binned ROC-AUC of the quality classifier ----------------------
+
+# Score bins: score = sw / (500 * n_tok) ∈ [-1, 1] maps to
+# bin = (sw*20 + AUC_OFFSET*n_tok) div n_tok ∈ [0, 2*AUC_OFFSET] — the
+# offset keeps the numerator non-negative so truncating integer division
+# (Spark `div` == DuckDB `//`) IS floor and the binning stays monotone in
+# the score (bare truncation folds (-1, 1) score-units into bin 0).
+AUC_OFFSET = 10_000
+
+
+def binned_auc_df(scored: DataFrame) -> DataFrame:
+    """Exact Mann-Whitney ROC-AUC with midrank tie credit over binned
+    scores, per group. Input: one row per item with columns
+    ``(grp, bin BIGINT — monotone in the score, label 0/1)``.
+
+    The pairwise definition (AUC = P(score_pos > score_neg) + ½·P(tie))
+    is O(n²); this computes it from the per-bin histogram: walking bins
+    ascending, each bin with p positives and n negatives contributes
+    ``p * (2·cum_neg_below + n)`` to 2U, and AUC = 2U / (2·P·N). Every
+    accumulation is exact BIGINT; the single float operation is the
+    final division, so the result is hash-exact across engines and
+    independent of partition/summation order.
+
+    Scale: the histogram is bounded by the bin range (≤ 2·AUC_OFFSET+1
+    rows per group after the groupBy), so the per-group ordered window
+    runs over ≤20k rows no matter the corpus size — the same
+    bounded-aggregate-then-window shape as cms_heavy_hitters."""
+    from pyspark.sql import Window
+
+    g = (
+        scored.groupBy("grp", "bin")
+        .agg(F.sum("label").alias("pos"),
+             (F.count("*") - F.sum("label")).alias("neg"))
+    )
+    w = (Window.partitionBy("grp").orderBy("bin")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum = F.coalesce(F.sum("neg").over(w), F.lit(0)).alias("cum")
+    per = (
+        g.select("grp", "pos", "neg", cum)
+        .select("grp", "pos", "neg",
+                (F.col("pos") * (2 * F.col("cum") + F.col("neg")))
+                .alias("c2u"))
+        .groupBy("grp")
+        .agg(F.sum("pos").alias("n_pos"), F.sum("neg").alias("n_neg"),
+             F.sum("c2u").alias("two_u"))
+    )
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.round(F.col("two_u").cast("double")
+                / (F.lit(2.0) * F.col("n_pos").cast("double")
+                   * F.col("n_neg").cast("double")), 6))
+    return per.select("grp", "n_pos", "n_neg", "two_u", auc.alias("auc"))
+
+
+def classifier_auc(spark, sf_dir):
+    """Per-source exact ROC-AUC of the hashed linear quality classifier
+    at predicting ``lang == 'en'`` — the evaluation loop a trained
+    curation classifier needs (quality_classifier produces the score;
+    this measures it against an independent label). The score enters as
+    its exact integer bin (see AUC_OFFSET), so no float ever ranks.
+
+    Plan: one corpus explode + one (doc_id, source, lang) groupBy (the
+    token_counts shuffle shape, via the shared _qc_doc_sums), then the
+    bounded histogram machinery of binned_auc_df.
+
+    Reference analog: the reference gates content with boolean
+    heuristics (/root/reference/src/extract_ocr/content.py) and never
+    measures them; this is the measurement."""
+    sums = _qc_doc_sums(_docs(spark, sf_dir), extra=("source", "lang"))
+    scored = sums.select(
+        F.col("source").alias("grp"),
+        F.expr(f"(sw * 20 + {AUC_OFFSET} * n_tok) div n_tok").alias("bin"),
+        (F.col("lang") == "en").cast("long").alias("label"))
+    return (
+        binned_auc_df(scored)
+        .withColumnRenamed("grp", "source")
+        .orderBy("source")
+    )
+
+
+CLASSIFIER_AUC_SQL = rf"""
+WITH {_qc_sums_cte(", source, lang")},
+scored AS (
+  SELECT source AS grp, (sw * 20 + {AUC_OFFSET} * n_tok) // n_tok AS bin,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+  FROM agg
+), g AS (
+  SELECT grp, bin, sum(label) AS pos, count(*) - sum(label) AS neg
+  FROM scored GROUP BY grp, bin
+), c AS (
+  SELECT grp, pos, neg,
+         coalesce(sum(neg) OVER (PARTITION BY grp ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM g
+), per AS (
+  SELECT grp, CAST(sum(pos) AS BIGINT) AS n_pos,
+         CAST(sum(neg) AS BIGINT) AS n_neg,
+         CAST(sum(pos * (2 * cum + neg)) AS BIGINT) AS two_u
+  FROM c GROUP BY grp
+)
+SELECT grp AS source, n_pos, n_neg, two_u,
+       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         round(CAST(two_u AS DOUBLE) /
+               (CAST(2 AS DOUBLE) * CAST(n_pos AS DOUBLE)
+                * CAST(n_neg AS DOUBLE)), 6)
+       END AS auc
+FROM per ORDER BY source
+"""
+
+QUERIES["classifier_auc"] = classifier_auc
+ORACLES["classifier_auc"] = CLASSIFIER_AUC_SQL

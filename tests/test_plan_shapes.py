@@ -1133,3 +1133,22 @@ def test_market_share_one_fact_aggregate(spark):
     assert between.count("BroadcastHashJoin") >= 2, plan
     for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py not in plan, plan
+
+
+def test_binned_auc_bounded_histogram_plan(spark):
+    """The AUC machinery runs entirely over the bounded (grp, bin)
+    histogram: two hash exchanges total (the histogram groupBy, then the
+    grp window whose partitioning the final groupBy reuses), no join, no
+    Python — the corpus never reaches the window."""
+    from extract_ocr_spark.operators.textanalysis import binned_auc_df
+
+    df = spark.createDataFrame([("g", 1, 1), ("g", 2, 0)],
+                               "grp string, bin long, label long")
+    plan = _plan(binned_auc_df(df))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "hashpartitioning(grp" in plan, plan
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+              "BroadcastNestedLoopJoin"):
+        assert j not in plan, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan, plan

@@ -30,6 +30,9 @@ SUBSET = [
     "lm_nll_scores", "sitemap_discovery",
     # r5 addition: iterative BFS frontier vs recursive-CTE oracle
     "bfs_frontier",
+    # r5 final session: exact binned ROC-AUC (tie/degenerate branches
+    # differ across sf)
+    "classifier_auc",
     # r5 additions: budget window, bloom membership, signature estimate,
     # PMI top-k, int8 ANN (threshold/tie/top-k boundaries all differ at
     # this sf)

@@ -638,3 +638,49 @@ def test_tokenizer_fertility_known_values(spark, tmp_path):
            for r in tokenizer_fertility(spark, str(tmp_path)).collect()}
     assert got["aa"] == (1, 3, 3, 1.0)
     assert got["bb"] == (2, 4, 8, 2.0)
+
+
+def test_binned_auc_known_values(spark):
+    """Perfect separation -> 1.0, inverted -> 0.0, everything tied ->
+    0.5 (midrank credit), and a no-negatives group -> NULL."""
+    from extract_ocr_spark.operators.textanalysis import binned_auc_df
+
+    rows = (
+        # perfect: all positives above all negatives
+        [("perf", 10, 0), ("perf", 11, 0), ("perf", 20, 1), ("perf", 21, 1)]
+        # inverted: all positives below all negatives
+        + [("inv", 20, 0), ("inv", 21, 0), ("inv", 10, 1), ("inv", 11, 1)]
+        # all four items share one bin -> every pos/neg pair ties
+        + [("tie", 5, 0), ("tie", 5, 0), ("tie", 5, 1), ("tie", 5, 1)]
+        # degenerate: no negative examples
+        + [("onlyp", 3, 1), ("onlyp", 4, 1)]
+    )
+    df = spark.createDataFrame(rows, "grp string, bin long, label long")
+    got = {r["grp"]: r for r in binned_auc_df(df).collect()}
+    assert got["perf"]["auc"] == 1.0
+    assert got["inv"]["auc"] == 0.0
+    assert got["tie"]["auc"] == 0.5
+    assert got["onlyp"]["auc"] is None
+    assert got["perf"]["two_u"] == 8  # 4 pairs, each worth 2
+
+
+def test_binned_auc_matches_pairwise_bruteforce(spark):
+    """The histogram 2U formula == the O(n^2) Mann-Whitney definition
+    (2 per pos>neg pair, 1 per tie) on a seeded random group, ties
+    guaranteed by a narrow bin range."""
+    import random
+
+    from extract_ocr_spark.operators.textanalysis import binned_auc_df
+
+    rng = random.Random(42)
+    items = [(rng.randrange(0, 7), rng.randrange(0, 2)) for _ in range(60)]
+    pos = [b for b, l in items if l]
+    neg = [b for b, l in items if not l]
+    two_u = sum(2 if p > q else (1 if p == q else 0)
+                for p in pos for q in neg)
+    df = spark.createDataFrame([("g", b, l) for b, l in items],
+                               "grp string, bin long, label long")
+    row = binned_auc_df(df).collect()[0]
+    assert row["two_u"] == two_u
+    assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
+    assert row["auc"] == round(two_u / (2.0 * len(pos) * len(neg)), 6)

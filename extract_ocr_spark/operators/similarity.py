@@ -1340,3 +1340,136 @@ ORDER BY rank
 
 QUERIES["mmr_rerank"] = mmr_rerank
 ORACLES["mmr_rerank"] = MMR_RERANK_SQL
+
+
+# --- NDCG evaluation of the LSH ANN path vs the exact ranking ------------
+
+NDCG_NQ = 8  # bounded query batch (vec_id 0..7)
+# ppm discount table: D[pos] = round(1e6 / log2(pos+1)). Shipping the
+# discounts as exact integers (fixed-point NDCG) makes DCG an
+# order-free BIGINT sum — the alternative (float 1/log2 terms) would
+# need an ordered fold AND a cross-engine-identical log2, neither of
+# which integer ppm weights require. IDCG is the perfect-ranking
+# constant over the same table.
+_NDCG_DISC = [round(1_000_000 / math.log2(i + 1)) for i in range(1, TOP_K + 1)]
+_NDCG_IDCG = sum((TOP_K + 1 - i) * _NDCG_DISC[i - 1]
+                 for i in range(1, TOP_K + 1))
+
+
+def ndcg_eval(spark, sf_dir):
+    """NDCG@10 of the LSH ANN ranking against the exact cosine ranking,
+    per query vector — the retrieval-quality eval loop the ANN family
+    needs (ann_topk_lsh answers queries; this measures how well).
+    Relevance is graded from the exact ranking: the true best neighbor
+    carries rel=10 down to rel=1 for the 10th; items outside the exact
+    top-10 carry 0. DCG = Σ rel·D[pos] in exact ppm integers (see
+    _NDCG_DISC); ndcg = dcg_ppm / IDCG is the single float operation.
+
+    Low absolute values on the synthetic corpus are the honest readout:
+    random gaussian embeddings have near-zero cosine structure, so an
+    8-plane single-probe LSH recovers little of the exact top-10 — the
+    production response is more planes + wider multiprobe, and this
+    operator is what would measure that tuning.
+
+    Scale: two corpus passes (one per ranking side), each ending in a
+    WindowGroupLimit top-10 per query — the corpus never sorts globally
+    and never joins itself; the query batch is a bounded 8-row
+    broadcast (the hard_negatives pattern). All joins after the
+    window limits carry ≤ NQ·K rows."""
+    from pyspark.sql.window import Window
+
+    emb = _emb(spark, sf_dir).withColumn("bucket", _bucket_expr(F.col("emb")))
+    q = (emb.filter(F.col("vec_id") < NDCG_NQ)
+         .select(F.col("vec_id").alias("qid"), F.col("emb").alias("qemb"),
+                 F.col("bucket").alias("qbucket")))
+    pairs = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("cosine", _pair_cosine(F.col("emb"), F.col("qemb")))
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")
+    exact = (
+        pairs.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("qid", "vec_id",
+                (F.lit(TOP_K + 1) - F.col("rnk")).alias("rel"))
+    )
+    cand = (
+        pairs.filter(
+            F.bit_count(F.col("bucket").bitwiseXOR(F.col("qbucket"))) <= 1)
+        .withColumn("pos", F.row_number().over(wq))
+        .filter(F.col("pos") <= TOP_K)
+        .select("qid", "vec_id", "pos")
+    )
+    disc = F.element_at(F.array(*[F.lit(d) for d in _NDCG_DISC]),
+                        F.col("pos"))
+    # both sides of the post-limit joins are provably bounded at
+    # NQ*TOP_K rows (the window limits above) — broadcast them so the
+    # 80-row assembly can never pick a sort-merge exchange
+    scored = (
+        cand.join(F.broadcast(exact), ["qid", "vec_id"], "left")
+        .select("qid", F.coalesce("rel", F.lit(0)).alias("rel"),
+                disc.alias("disc"))
+    )
+    agg = (
+        scored.groupBy("qid")
+        .agg(F.sum((F.col("rel") > 0).cast("long")).alias("hits"),
+             F.sum(F.col("rel").cast("long") * F.col("disc")).alias("dcg_ppm"))
+    )
+    return (
+        q.select("qid").join(F.broadcast(agg), "qid", "left")
+        .select("qid",
+                F.coalesce("hits", F.lit(0)).alias("hits"),
+                F.coalesce("dcg_ppm", F.lit(0)).alias("dcg_ppm"))
+        .withColumn("ndcg", F.round(
+            F.col("dcg_ppm").cast("double") / F.lit(float(_NDCG_IDCG)), 6))
+        .orderBy("qid")
+    )
+
+
+def _ndcg_sql() -> str:
+    disc_case = "CASE pos " + " ".join(
+        f"WHEN {i + 1} THEN {d}" for i, d in enumerate(_NDCG_DISC)) + " END"
+    cos = _FOLD_DOT.format(a="p.emb", b="p.qemb")
+    nrm_a = _FOLD_NORM.format(a="p.emb")
+    nrm_b = _FOLD_NORM.format(a="p.qemb")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+b AS (SELECT vec_id, emb, {_bucket_sql('emb')} AS bucket FROM e),
+q AS (SELECT vec_id AS qid, emb AS qemb, bucket AS qbucket FROM b
+      WHERE vec_id < {NDCG_NQ}),
+p AS (SELECT q.qid, b.vec_id, b.bucket, q.qbucket, b.emb, q.qemb
+      FROM b, q WHERE b.vec_id != q.qid),
+pairs AS (SELECT qid, vec_id, bucket, qbucket,
+                 {cos} / ({nrm_a} * {nrm_b}) AS cosine
+          FROM p),
+exact AS (
+  SELECT qid, vec_id, ({TOP_K} + 1 - rnk) AS rel FROM (
+    SELECT qid, vec_id, row_number() OVER (
+      PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk
+    FROM pairs) WHERE rnk <= {TOP_K}),
+cand AS (
+  SELECT qid, vec_id, row_number() OVER (
+    PARTITION BY qid ORDER BY cosine DESC, vec_id) AS pos
+  FROM pairs
+  WHERE bit_count(xor(bucket::BIGINT, qbucket::BIGINT)) <= 1),
+ap AS (SELECT qid, vec_id, pos FROM cand WHERE pos <= {TOP_K}),
+scored AS (
+  SELECT ap.qid, coalesce(exact.rel, 0) AS rel, {disc_case} AS disc
+  FROM ap LEFT JOIN exact USING (qid, vec_id)),
+agg AS (
+  SELECT qid, CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS hits,
+         CAST(sum(rel * disc) AS BIGINT) AS dcg_ppm
+  FROM scored GROUP BY qid)
+SELECT q.qid, coalesce(hits, 0) AS hits, coalesce(dcg_ppm, 0) AS dcg_ppm,
+       round(CAST(coalesce(dcg_ppm, 0) AS DOUBLE) / {_NDCG_IDCG}, 6)
+         AS ndcg
+FROM q LEFT JOIN agg USING (qid) ORDER BY q.qid
+"""
+
+
+NDCG_EVAL_SQL = _ndcg_sql()
+
+QUERIES["ndcg_eval"] = ndcg_eval
+ORACLES["ndcg_eval"] = NDCG_EVAL_SQL

@@ -1152,3 +1152,18 @@ def test_binned_auc_bounded_histogram_plan(spark):
         assert j not in plan, plan
     for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py not in plan, plan
+
+
+def test_ndcg_eval_windowgrouplimit_no_corpus_self_join(spark):
+    """Both ranking sides end in a WindowGroupLimit (map-side top-10 per
+    query — the corpus never sorts globally); the only corpus-touching
+    join is the bounded 8-row query-batch broadcast (BNLJ by design);
+    the post-limit joins carry <= NQ*K rows. No Python anywhere."""
+    from extract_ocr_spark.operators.similarity import ndcg_eval
+
+    plan = _plan(ndcg_eval(spark, "/root/testdata/sf0.001"))
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan, plan

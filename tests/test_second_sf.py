@@ -31,8 +31,8 @@ SUBSET = [
     # r5 addition: iterative BFS frontier vs recursive-CTE oracle
     "bfs_frontier",
     # r5 final session: exact binned ROC-AUC (tie/degenerate branches
-    # differ across sf)
-    "classifier_auc",
+    # differ across sf) + NDCG of the ANN path (hit pattern differs)
+    "classifier_auc", "ndcg_eval",
     # r5 additions: budget window, bloom membership, signature estimate,
     # PMI top-k, int8 ANN (threshold/tie/top-k boundaries all differ at
     # this sf)

@@ -2561,3 +2561,82 @@ FROM per ORDER BY source
 
 QUERIES["classifier_auc"] = classifier_auc
 ORACLES["classifier_auc"] = CLASSIFIER_AUC_SQL
+
+
+# --- Precision/recall threshold sweep of the quality classifier ----------
+
+# Fixed operating points: score -1.0 .. 1.0 in 0.1 steps, expressed in
+# the same integer bin space as classifier_auc (see AUC_OFFSET).
+PR_THRS = list(range(0, 2 * AUC_OFFSET + 1, 1000))
+
+
+def pr_curve(spark, sf_dir):
+    """Per-source precision/recall at 21 fixed thresholds of the hashed
+    linear classifier score (predict positive iff score >= threshold,
+    label = lang == 'en') — the operating-point sweep that completes the
+    eval triple with classifier_auc (same shared weight definition, same
+    integer bin space). tp/fp/fn are exact BIGINT counts; precision and
+    recall are the only float divisions, computed once per emitted row.
+
+    Scale: the corpus collapses to the bounded (source, bin) histogram
+    first (one groupBy — the classifier_auc shape); the threshold sweep
+    is a 21-way explode of that histogram followed by one bounded
+    groupBy. No join, no window, nothing corpus-sized past the first
+    aggregate."""
+    sums = _qc_doc_sums(_docs(spark, sf_dir), extra=("source", "lang"))
+    scored = sums.select(
+        "source",
+        F.expr(f"(sw * 20 + {AUC_OFFSET} * n_tok) div n_tok").alias("bin"),
+        (F.col("lang") == "en").cast("long").alias("label"))
+    g = (scored.groupBy("source", "bin")
+         .agg(F.sum("label").alias("pos"),
+              (F.count("*") - F.sum("label")).alias("neg")))
+    e = g.withColumn(
+        "thr_bin", F.explode(F.array(*[F.lit(t) for t in PR_THRS])))
+    hit = F.col("bin") >= F.col("thr_bin")
+    cm = (e.groupBy("source", "thr_bin")
+          .agg(F.sum(F.when(hit, F.col("pos")).otherwise(0)).alias("tp"),
+               F.sum(F.when(hit, F.col("neg")).otherwise(0)).alias("fp"),
+               F.sum("pos").alias("p")))
+    prec = F.when(F.col("tp") + F.col("fp") > 0,
+                  F.round(F.col("tp").cast("double")
+                          / (F.col("tp") + F.col("fp")).cast("double"), 6))
+    rec = F.when(F.col("p") > 0,
+                 F.round(F.col("tp").cast("double")
+                         / F.col("p").cast("double"), 6))
+    return (cm.select("source", "thr_bin", "tp", "fp",
+                      (F.col("p") - F.col("tp")).alias("fn"),
+                      prec.alias("prec"), rec.alias("rec"))
+            .orderBy("source", "thr_bin"))
+
+
+PR_CURVE_SQL = rf"""
+WITH {_qc_sums_cte(", source, lang")},
+scored AS (
+  SELECT source, (sw * 20 + {AUC_OFFSET} * n_tok) // n_tok AS bin,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+  FROM agg
+), g AS (
+  SELECT source, bin, sum(label) AS pos, count(*) - sum(label) AS neg
+  FROM scored GROUP BY source, bin
+), thr(thr_bin) AS (VALUES {", ".join(f"({t})" for t in PR_THRS)}),
+cm AS (
+  SELECT g.source, thr.thr_bin,
+         sum(CASE WHEN g.bin >= thr.thr_bin THEN g.pos ELSE 0 END) AS tp,
+         sum(CASE WHEN g.bin >= thr.thr_bin THEN g.neg ELSE 0 END) AS fp,
+         sum(g.pos) AS p
+  FROM g, thr GROUP BY g.source, thr.thr_bin
+)
+SELECT source, CAST(thr_bin AS BIGINT) AS thr_bin,
+       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(p - tp AS BIGINT) AS fn,
+       CASE WHEN tp + fp > 0 THEN
+         round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6)
+       END AS prec,
+       CASE WHEN p > 0 THEN round(CAST(tp AS DOUBLE) / CAST(p AS DOUBLE), 6)
+       END AS rec
+FROM cm ORDER BY source, thr_bin
+"""
+
+QUERIES["pr_curve"] = pr_curve
+ORACLES["pr_curve"] = PR_CURVE_SQL

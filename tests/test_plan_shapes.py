@@ -1167,3 +1167,20 @@ def test_ndcg_eval_windowgrouplimit_no_corpus_self_join(spark):
     assert "SortMergeJoin" not in plan, plan
     for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py not in plan, plan
+
+
+def test_pr_curve_histogram_explode_no_join(spark):
+    """The threshold sweep is an explode of the bounded (source, bin)
+    histogram — ONE corpus-sized exchange total (the histogram groupBy;
+    the sweep groupBy repartitions only histogram-sized data), no join,
+    no window, no Python."""
+    from extract_ocr_spark.operators.textanalysis import pr_curve
+
+    plan = _plan(pr_curve(spark, "/root/testdata/sf0.001"))
+    assert "Generate explode" in plan, plan
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+              "BroadcastNestedLoopJoin"):
+        assert j not in plan, plan
+    assert "Window" not in plan, plan
+    for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py not in plan, plan

@@ -684,3 +684,42 @@ def test_binned_auc_matches_pairwise_bruteforce(spark):
     assert row["two_u"] == two_u
     assert row["n_pos"] == len(pos) and row["n_neg"] == len(neg)
     assert row["auc"] == round(two_u / (2.0 * len(pos) * len(neg)), 6)
+
+
+def test_pr_curve_confusion_counts_and_monotone_recall(spark, tmp_path):
+    """Drive pr_curve end-to-end over a crafted corpus and check the
+    confusion counts at the extreme thresholds (thr=0 predicts
+    everything positive -> recall 1.0 and fn 0; thr=2*OFFSET keeps only
+    score >= 1.0), plus recall monotone non-increasing in the
+    threshold for every source."""
+    from extract_ocr_spark.operators.textanalysis import AUC_OFFSET, pr_curve
+
+    rows = [(i, f"word{i} and some tokens {i}", "en" if i % 3 == 0 else "fr",
+             f"s{i % 2}", 20) for i in range(24)]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long")
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = pr_curve(spark, str(tmp_path)).collect()
+
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(by_src) == {"s0", "s1"}
+    for src, rs in by_src.items():
+        rs = sorted(rs, key=lambda r: r["thr_bin"])
+        assert len(rs) == 21
+        n_pos = sum(1 for i in range(24)
+                    if i % 3 == 0 and f"s{i % 2}" == src)
+        lo = rs[0]
+        assert lo["thr_bin"] == 0
+        assert lo["tp"] == n_pos and lo["fn"] == 0 and lo["rec"] == 1.0
+        # every doc predicted positive at thr 0
+        assert lo["tp"] + lo["fp"] == 12
+        hi = rs[-1]
+        assert hi["thr_bin"] == 2 * AUC_OFFSET
+        # recall non-increasing as the threshold rises
+        recs = [r["rec"] for r in rs]
+        assert all(a >= b for a, b in zip(recs, recs[1:]))
+        # tp + fn is the positive count at every threshold
+        assert all(r["tp"] + r["fn"] == n_pos for r in rs)

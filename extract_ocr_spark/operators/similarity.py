@@ -1365,11 +1365,14 @@ def ndcg_eval(spark, sf_dir):
     top-10 carry 0. DCG = Σ rel·D[pos] in exact ppm integers (see
     _NDCG_DISC); ndcg = dcg_ppm / IDCG is the single float operation.
 
-    Low absolute values on the synthetic corpus are the honest readout:
-    random gaussian embeddings have near-zero cosine structure, so an
-    8-plane single-probe LSH recovers little of the exact top-10 — the
-    production response is more planes + wider multiprobe, and this
-    operator is what would measure that tuning.
+    The candidate rule is exactly ann_topk_lsh's probe: the query's
+    bucket plus all 8 single-bit neighbors (bucket-Hamming ≤ 1
+    multiprobe). Low absolute values on the synthetic corpus are the
+    honest readout: random gaussian embeddings have near-zero cosine
+    structure, so 8 planes even with 1-bit multiprobe recover little of
+    the exact top-10 — the production response is more planes and/or a
+    wider (≥2-bit) multiprobe, and this operator is what would measure
+    that tuning.
 
     Scale: two corpus passes (one per ranking side), each ending in a
     WindowGroupLimit top-10 per query — the corpus never sorts globally

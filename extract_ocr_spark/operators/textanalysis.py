@@ -2460,6 +2460,39 @@ ORACLES["tokenizer_fertility"] = TOKENIZER_FERTILITY_SQL
 AUC_OFFSET = 10_000
 
 
+def _qc_scored(spark, sf_dir) -> DataFrame:
+    """THE (grp=source, bin, label) operating-point projection shared by
+    classifier_auc and pr_curve: the classifier score as its exact
+    integer 1e-4 bin, labeled ``lang == 'en'``. One definition (with the
+    _QC_SCORED_HIST_CTES SQL twin) so the two evaluations can never
+    drift into different score spaces."""
+    sums = _qc_doc_sums(_docs(spark, sf_dir), extra=("source", "lang"))
+    return sums.select(
+        F.col("source").alias("grp"),
+        F.expr(f"(sw * 20 + {AUC_OFFSET} * n_tok) div n_tok").alias("bin"),
+        (F.col("lang") == "en").cast("long").alias("label"))
+
+
+def _qc_hist(scored: DataFrame) -> DataFrame:
+    """Bounded (grp, bin) pos/neg histogram — the shared corpus-collapse
+    stage of binned_auc_df and pr_curve."""
+    return (scored.groupBy("grp", "bin")
+            .agg(F.sum("label").alias("pos"),
+                 (F.count("*") - F.sum("label")).alias("neg")))
+
+
+# SQL twin of _qc_scored + _qc_hist, appended after _qc_sums_cte's agg.
+_QC_SCORED_HIST_CTES = rf""",
+scored AS (
+  SELECT source AS grp, (sw * 20 + {AUC_OFFSET} * n_tok) // n_tok AS bin,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+  FROM agg
+), g AS (
+  SELECT grp, bin, sum(label) AS pos, count(*) - sum(label) AS neg
+  FROM scored GROUP BY grp, bin
+)"""
+
+
 def binned_auc_df(scored: DataFrame) -> DataFrame:
     """Exact Mann-Whitney ROC-AUC with midrank tie credit over binned
     scores, per group. Input: one row per item with columns
@@ -2476,14 +2509,14 @@ def binned_auc_df(scored: DataFrame) -> DataFrame:
     Scale: the histogram is bounded by the bin range (≤ 2·AUC_OFFSET+1
     rows per group after the groupBy), so the per-group ordered window
     runs over ≤20k rows no matter the corpus size — the same
-    bounded-aggregate-then-window shape as cms_heavy_hitters."""
+    bounded-aggregate-then-window shape as cms_heavy_hitters. Int-width
+    ceiling: 2U ≤ 2·n_pos·n_neg, so a single group holding ≳4.3e9
+    balanced-label rows overflows the BIGINT accumulation (ANSI error,
+    not silent wrap) — past that, widen the c2u terms to DECIMAL(38,0);
+    the per-bin pos/neg counts themselves stay comfortably in BIGINT."""
     from pyspark.sql import Window
 
-    g = (
-        scored.groupBy("grp", "bin")
-        .agg(F.sum("label").alias("pos"),
-             (F.count("*") - F.sum("label")).alias("neg"))
-    )
+    g = _qc_hist(scored)
     w = (Window.partitionBy("grp").orderBy("bin")
          .rowsBetween(Window.unboundedPreceding, -1))
     cum = F.coalesce(F.sum("neg").over(w), F.lit(0)).alias("cum")
@@ -2505,11 +2538,15 @@ def binned_auc_df(scored: DataFrame) -> DataFrame:
 
 
 def classifier_auc(spark, sf_dir):
-    """Per-source exact ROC-AUC of the hashed linear quality classifier
-    at predicting ``lang == 'en'`` — the evaluation loop a trained
-    curation classifier needs (quality_classifier produces the score;
-    this measures it against an independent label). The score enters as
-    its exact integer bin (see AUC_OFFSET), so no float ever ranks.
+    """Per-source ROC-AUC of the hashed linear quality classifier at
+    predicting ``lang == 'en'`` — the evaluation loop a trained curation
+    classifier needs (quality_classifier produces the score; this
+    measures it against an independent label). The computation is exact,
+    but exact *for the 1e-4-quantized score* (see AUC_OFFSET): scores
+    landing in one bin receive midrank tie credit, so an unbinned
+    sklearn roc_auc_score over the raw ratios can differ slightly —
+    the quantization is what buys the bounded-histogram scale shape and
+    cross-engine hash-exactness (no float ever ranks).
 
     Plan: one corpus explode + one (doc_id, source, lang) groupBy (the
     token_counts shuffle shape, via the shared _qc_doc_sums), then the
@@ -2518,28 +2555,15 @@ def classifier_auc(spark, sf_dir):
     Reference analog: the reference gates content with boolean
     heuristics (/root/reference/src/extract_ocr/content.py) and never
     measures them; this is the measurement."""
-    sums = _qc_doc_sums(_docs(spark, sf_dir), extra=("source", "lang"))
-    scored = sums.select(
-        F.col("source").alias("grp"),
-        F.expr(f"(sw * 20 + {AUC_OFFSET} * n_tok) div n_tok").alias("bin"),
-        (F.col("lang") == "en").cast("long").alias("label"))
     return (
-        binned_auc_df(scored)
+        binned_auc_df(_qc_scored(spark, sf_dir))
         .withColumnRenamed("grp", "source")
         .orderBy("source")
     )
 
 
 CLASSIFIER_AUC_SQL = rf"""
-WITH {_qc_sums_cte(", source, lang")},
-scored AS (
-  SELECT source AS grp, (sw * 20 + {AUC_OFFSET} * n_tok) // n_tok AS bin,
-         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
-  FROM agg
-), g AS (
-  SELECT grp, bin, sum(label) AS pos, count(*) - sum(label) AS neg
-  FROM scored GROUP BY grp, bin
-), c AS (
+WITH {_qc_sums_cte(", source, lang")}{_QC_SCORED_HIST_CTES}, c AS (
   SELECT grp, pos, neg,
          coalesce(sum(neg) OVER (PARTITION BY grp ORDER BY bin
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
@@ -2583,14 +2607,8 @@ def pr_curve(spark, sf_dir):
     is a 21-way explode of that histogram followed by one bounded
     groupBy. No join, no window, nothing corpus-sized past the first
     aggregate."""
-    sums = _qc_doc_sums(_docs(spark, sf_dir), extra=("source", "lang"))
-    scored = sums.select(
-        "source",
-        F.expr(f"(sw * 20 + {AUC_OFFSET} * n_tok) div n_tok").alias("bin"),
-        (F.col("lang") == "en").cast("long").alias("label"))
-    g = (scored.groupBy("source", "bin")
-         .agg(F.sum("label").alias("pos"),
-              (F.count("*") - F.sum("label")).alias("neg")))
+    g = (_qc_hist(_qc_scored(spark, sf_dir))
+         .withColumnRenamed("grp", "source"))
     e = g.withColumn(
         "thr_bin", F.explode(F.array(*[F.lit(t) for t in PR_THRS])))
     hit = F.col("bin") >= F.col("thr_bin")
@@ -2611,21 +2629,14 @@ def pr_curve(spark, sf_dir):
 
 
 PR_CURVE_SQL = rf"""
-WITH {_qc_sums_cte(", source, lang")},
-scored AS (
-  SELECT source, (sw * 20 + {AUC_OFFSET} * n_tok) // n_tok AS bin,
-         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
-  FROM agg
-), g AS (
-  SELECT source, bin, sum(label) AS pos, count(*) - sum(label) AS neg
-  FROM scored GROUP BY source, bin
-), thr(thr_bin) AS (VALUES {", ".join(f"({t})" for t in PR_THRS)}),
+WITH {_qc_sums_cte(", source, lang")}{_QC_SCORED_HIST_CTES},
+thr(thr_bin) AS (VALUES {", ".join(f"({t})" for t in PR_THRS)}),
 cm AS (
-  SELECT g.source, thr.thr_bin,
+  SELECT g.grp AS source, thr.thr_bin,
          sum(CASE WHEN g.bin >= thr.thr_bin THEN g.pos ELSE 0 END) AS tp,
          sum(CASE WHEN g.bin >= thr.thr_bin THEN g.neg ELSE 0 END) AS fp,
          sum(g.pos) AS p
-  FROM g, thr GROUP BY g.source, thr.thr_bin
+  FROM g, thr GROUP BY g.grp, thr.thr_bin
 )
 SELECT source, CAST(thr_bin AS BIGINT) AS thr_bin,
        CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,

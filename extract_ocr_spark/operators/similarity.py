@@ -1476,3 +1476,113 @@ NDCG_EVAL_SQL = _ndcg_sql()
 
 QUERIES["ndcg_eval"] = ndcg_eval
 ORACLES["ndcg_eval"] = NDCG_EVAL_SQL
+
+
+# --- Reciprocal-rank fusion of the lexical and vector rankings -----------
+
+RRF_K = 60      # the standard RRF damping constant (Cormack et al. 2009)
+RRF_TOPK = 10
+# ppm fusion weights: round(1e6/(K+rank)) — the ndcg_eval fixed-point
+# trick again: integer weights make the fused score an order-free BIGINT
+# sum instead of a float 1/(K+r) accumulation.
+_RRF_PPM = [round(1_000_000 / (RRF_K + r)) for r in range(1, BM25_TOPK + 1)]
+
+
+def rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    top-25 and the exact-cosine vector top-25 (vec_id aligns 1:1 with
+    doc_id in this corpus — per-document embeddings), the standard way
+    multi-signal retrieval stacks combine rankers without score
+    calibration. rrf = Σ 1/(60+rank) over the rankings a doc appears
+    in, shipped as exact ppm integers (see _RRF_PPM); a doc absent from
+    one ranking contributes 0 for it and keeps a NULL rank column.
+
+    Scale: both inputs are top-K-bounded (≤25 rows) before fusion — the
+    single-partition rank windows and the full-outer join run on
+    ≤25-row frames; the corpus-heavy work lives in the two rankers,
+    whose plans are argued at their own entries (bm25_search single
+    corpus pass; the exact scan is the guarded brute twin — swap in
+    ann_topk_lsh at scale)."""
+    from pyspark.sql.window import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lex = bm25_search_df(docs)
+    lexr = lex.select(
+        "doc_id",
+        F.row_number().over(
+            Window.orderBy(F.desc("score"), "doc_id")).alias("rank_lex"))
+
+    emb = _emb(spark, sf_dir)
+    qvec = _query_vector(spark, sf_dir)
+    c = _cosine_to_lit(F.col("emb"), qvec)
+    vec = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select(F.col("vec_id").alias("doc_id"),
+                F.round(c, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), "doc_id").limit(BM25_TOPK)
+    )
+    vecr = vec.select(
+        "doc_id",
+        F.row_number().over(
+            Window.orderBy(F.desc("cosine"), "doc_id")).alias("rank_vec"))
+
+    ppm = F.array(*[F.lit(p) for p in _RRF_PPM])
+
+    def _w(rank_col):
+        return F.when(rank_col.isNull(), F.lit(0)).otherwise(
+            F.element_at(ppm, rank_col))
+
+    return (
+        lexr.join(vecr, "doc_id", "full")
+        .select("doc_id", "rank_lex", "rank_vec",
+                (_w(F.col("rank_lex")).cast("long")
+                 + _w(F.col("rank_vec")).cast("long")).alias("rrf_ppm"))
+        .orderBy(F.desc("rrf_ppm"), "doc_id").limit(RRF_TOPK)
+    )
+
+
+def _rrf_sql() -> str:
+    ppm_list = "[" + ", ".join(str(p) for p in _RRF_PPM) + "]"
+    bm25_body = BM25_SEARCH_SQL.strip()
+    assert bm25_body.startswith("WITH ")
+    # reuse the bm25 oracle verbatim as CTEs (ONE lexical definition)
+    bm25_ctes, bm25_final = bm25_body[5:].rsplit("\nSELECT", 1)
+    cos = _FOLD_DOT.format(a="e.emb", b="q.emb")
+    na = _FOLD_NORM.format(a="e.emb")
+    nb = _FOLD_NORM.format(a="q.emb")
+    return f"""
+WITH {bm25_ctes},
+lex AS (SELECT{bm25_final}),
+lexr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+           AS rank_lex
+  FROM lex),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+q AS (SELECT emb FROM e WHERE vec_id = {QUERY_VEC_ID}),
+vec AS (
+  SELECT e.vec_id AS doc_id,
+         round({cos} / ({na} * {nb}), 6) AS cosine
+  FROM e, q WHERE e.vec_id != {QUERY_VEC_ID}
+  ORDER BY cosine DESC, doc_id LIMIT {BM25_TOPK}),
+vecr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id)
+           AS rank_vec
+  FROM vec),
+f AS (
+  SELECT coalesce(lexr.doc_id, vecr.doc_id) AS doc_id,
+         lexr.rank_lex, vecr.rank_vec,
+         coalesce({ppm_list}[lexr.rank_lex], 0)
+           + coalesce({ppm_list}[vecr.rank_vec], 0) AS rrf_ppm
+  FROM lexr FULL OUTER JOIN vecr ON lexr.doc_id = vecr.doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(rank_lex AS BIGINT) AS rank_lex,
+       CAST(rank_vec AS BIGINT) AS rank_vec,
+       CAST(rrf_ppm AS BIGINT) AS rrf_ppm
+FROM f ORDER BY rrf_ppm DESC, doc_id LIMIT {RRF_TOPK}
+"""
+
+
+RRF_FUSION_SQL = _rrf_sql()
+
+QUERIES["rrf_fusion"] = rrf_fusion
+ORACLES["rrf_fusion"] = RRF_FUSION_SQL

@@ -321,3 +321,53 @@ def test_ndcg_eval_matches_numpy_reference(spark):
     assert _NDCG_IDCG == sum(
         (TOP_K + 1 - i) * round(1_000_000 / math.log2(i + 1))
         for i in range(1, TOP_K + 1))
+
+
+def test_rrf_fusion_replays_component_rankings(spark):
+    """Rebuild both component rankings independently (bm25_search_df for
+    lexical, a numpy cosine scan for vector), fuse them in python with
+    the ppm weight table, and require rrf_fusion's output to be exactly
+    the python fusion's top-10 — ranks, weights, and tie-breaks."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from extract_ocr_spark.operators.similarity import (
+        _RRF_PPM, BM25_TOPK, QUERY_VEC_ID, RRF_K, RRF_TOPK,
+        bm25_search_df, rrf_fusion)
+
+    sf = "/root/testdata/sf0.01"
+    assert all(_RRF_PPM[r - 1] == round(1_000_000 / (RRF_K + r))
+               for r in range(1, BM25_TOPK + 1))
+
+    lex = bm25_search_df(spark.read.parquet(f"{sf}/documents.parquet"))
+    lex_rows = sorted(((r["score"], r["doc_id"]) for r in lex.collect()),
+                      key=lambda s: (-s[0], s[1]))
+    rank_lex = {doc: i for i, (_, doc) in enumerate(lex_rows, 1)}
+
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    ids = t["vec_id"].to_pylist()
+    embs = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    emap = dict(zip(ids, embs))
+    qv = emap[QUERY_VEC_ID]
+    sims = sorted(
+        ((round(float(np.dot(qv, emap[v])
+                      / (np.linalg.norm(qv) * np.linalg.norm(emap[v]))), 6),
+          v) for v in ids if v != QUERY_VEC_ID),
+        key=lambda s: (-s[0], s[1]))[:BM25_TOPK]
+    rank_vec = {doc: i for i, (_, doc) in enumerate(sims, 1)}
+
+    fused = {}
+    for doc in set(rank_lex) | set(rank_vec):
+        w = (_RRF_PPM[rank_lex[doc] - 1] if doc in rank_lex else 0) \
+            + (_RRF_PPM[rank_vec[doc] - 1] if doc in rank_vec else 0)
+        fused[doc] = w
+    expect = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:RRF_TOPK]
+
+    got = rrf_fusion(spark, sf).collect()
+    assert [(r["doc_id"], r["rrf_ppm"]) for r in got] == expect
+    for r in got:
+        assert r["rank_lex"] == rank_lex.get(r["doc_id"])
+        assert r["rank_vec"] == rank_vec.get(r["doc_id"])
+    # the fusion is live at this sf: some doc appears in BOTH rankings
+    assert any(r["rank_lex"] is not None and r["rank_vec"] is not None
+               for r in got)

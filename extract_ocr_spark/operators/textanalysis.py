@@ -1698,20 +1698,27 @@ def cms_heavy_hitters_df(docs: "DataFrame") -> "DataFrame":
     return out
 
 
+def cms_cell_rows(toks: "DataFrame") -> "DataFrame":
+    """THE count-min salt/bucket scheme: each input row (any frame with
+    a ``tok`` column) explodes into CMS_D salted rows carrying the cell
+    coordinates (j, b) with b = md5_long(j ‖ ':' ‖ tok) % CMS_W. Shared
+    by the batch sketch below and ``streaming.stream_cms_cells`` so the
+    streamed cells are by construction the batch cells — a salt or
+    width change cannot desynchronize the two."""
+    from . import md5_long
+
+    salted = toks.withColumn(
+        "j", F.explode(F.array(*[F.lit(str(j)) for j in range(CMS_D)])))
+    return salted.withColumn(
+        "b", md5_long(F.concat(F.col("j"), F.lit(":"), F.col("tok")))
+        % CMS_W)
+
+
 def _cms_estimates(counts: "DataFrame", total: int) -> "DataFrame":
     """Lazy sketch-build + probe over a (tok, true_count) table (split
     out so the plan is pin-testable before the persist/localCheckpoint
     in cms_heavy_hitters_df hides it)."""
-    from . import md5_long
-
-    salted = counts.select(
-        "tok", "true_count",
-        F.explode(F.array(*[F.lit(str(j)) for j in range(CMS_D)]))
-        .alias("j"))
-    hashed = salted.select(
-        "tok", "true_count", "j",
-        (md5_long(F.concat(F.col("j"), F.lit(":"), F.col("tok")))
-         % CMS_W).alias("b"))
+    hashed = cms_cell_rows(counts).select("tok", "true_count", "j", "b")
     bc = hashed.groupBy("j", "b").agg(
         F.sum("true_count").alias("cnt"))
     est = (hashed.join(bc, ["j", "b"])

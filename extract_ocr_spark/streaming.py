@@ -500,6 +500,60 @@ def stream_hll_registers(spark: SparkSession, input_dir: str) -> DataFrame:
     )
 
 
+# -- custom stateful operator: incremental count-min sketch cells ------------
+
+_CMS_OUT_SCHEMA = T.StructType([
+    T.StructField("j", T.StringType()),
+    T.StructField("b", T.LongType()),
+    T.StructField("cnt", T.LongType()),
+])
+
+_CMS_STATE_SCHEMA = T.StructType([T.StructField("cnt", T.LongType())])
+
+
+def _cms_fn(key: tuple, batches: Iterable[pd.DataFrame],
+            state: GroupState) -> Iterator[pd.DataFrame]:
+    cnt = int(state.get[0]) if state.exists else 0
+    seen = 0
+    for pdf in batches:
+        seen += len(pdf)
+    if seen:
+        cnt += seen
+        state.update((cnt,))
+        yield pd.DataFrame({"j": [key[0]], "b": [int(key[1])],
+                            "cnt": [cnt]})
+
+
+def stream_cms_cells(spark: SparkSession, input_dir: str) -> DataFrame:
+    """Streaming twin of the batch count-min sketch: per-(j, b) cell
+    counts kept in the state store, cell snapshots emitted per
+    micro-batch. Cell counts are ADDITIVE (the other canonical
+    mergeable-sketch property, complementing HLL's max-register), so
+    the state is exactly CMS_D × CMS_W longs no matter how many tokens
+    stream through, and heavy-hitter estimates (min over a token's d
+    cells) can be served from the streamed snapshot at any point. The
+    cell coordinates come from the same ``cms_cell_rows`` scheme as the
+    batch operator, so after the last micro-batch the streamed cells
+    are BIT-IDENTICAL to the batch sketch — pinned across a restart by
+    ``test_stream_cms_cells_match_batch_across_restart``."""
+    from .operators import tok_array
+    from .operators.textanalysis import cms_cell_rows
+
+    docs = spark.readStream.schema(FLAT_DOCS_DDL).parquet(input_dir)
+    toks = docs.select(F.explode(tok_array(F.col("text"))).alias("tok"))
+    return (
+        cms_cell_rows(toks).select("j", "b")
+        .groupBy("j", "b")
+        .applyInPandasWithState(
+            _cms_fn,
+            outputStructType=_CMS_OUT_SCHEMA,
+            stateStructType=_CMS_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stream_enrich(spark: SparkSession, input_dir: str,
                   dim: DataFrame) -> DataFrame:
     """Stream-static enrichment join: streaming events ⋈ a static

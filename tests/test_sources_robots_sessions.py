@@ -327,3 +327,50 @@ def test_stream_hll_registers_match_batch_across_restart(spark, tmp_path):
     emits = Counter((r["source"], r["idx"])
                     for r in spark.read.parquet(out_dir).collect())
     assert any(v >= 2 for v in emits.values()), emits
+
+
+def test_stream_cms_cells_match_batch_across_restart(spark, tmp_path):
+    """Split the documents corpus into two landings; after the second,
+    the streamed per-(j, b) cell counts must equal the batch sketch's
+    cells EXACTLY — counts are additive and both paths share the
+    cms_cell_rows scheme, so any heavy-hitter estimate computed from
+    the streamed cells is the batch estimate, bit for bit."""
+    from extract_ocr_spark.operators import tok_array
+    from extract_ocr_spark.operators.textanalysis import cms_cell_rows
+    from extract_ocr_spark.streaming import stream_cms_cells
+
+    in_dir = str(tmp_path / "docs")
+    out_dir = str(tmp_path / "cells")
+    ckpt = str(tmp_path / "ckpt")
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+
+    def run_landing(pred):
+        docs.filter(pred).write.mode("append").parquet(in_dir)
+        q = (stream_cms_cells(spark, in_dir)
+             .writeStream.format("parquet").option("path", out_dir)
+             .outputMode("append").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    run_landing(F.col("doc_id") < 250)
+    run_landing(F.col("doc_id") >= 250)
+
+    # cell counts are monotone, so the final state = max emitted cnt
+    streamed = {}
+    for r in spark.read.parquet(out_dir).collect():
+        k = (r["j"], r["b"])
+        streamed[k] = max(streamed.get(k, 0), r["cnt"])
+
+    toks = docs.select(F.explode(tok_array(F.col("text"))).alias("tok"))
+    batch = {(r["j"], r["b"]): r["cnt"]
+             for r in cms_cell_rows(toks).groupBy("j", "b")
+             .agg(F.count("*").alias("cnt")).collect()}
+    assert streamed == batch
+    # every cell must span the restart (the corpus token stream hits
+    # all 64 cells in both landings at this width)
+    from collections import Counter
+
+    emits = Counter((r["j"], r["b"])
+                    for r in spark.read.parquet(out_dir).collect())
+    assert any(v >= 2 for v in emits.values()), emits

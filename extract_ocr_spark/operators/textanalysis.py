@@ -2658,3 +2658,55 @@ FROM cm ORDER BY source, thr_bin
 
 QUERIES["pr_curve"] = pr_curve
 ORACLES["pr_curve"] = PR_CURVE_SQL
+
+
+# --- Calibration (reliability) bins of the quality classifier ------------
+
+def calibration_bins(spark, sf_dir):
+    """Per-source reliability diagram of the classifier score: the
+    bounded histogram coarsened to 0.1-wide score bins, each reporting
+    observed positive rate vs mean predicted score — the calibration
+    readout that completes the eval set (classifier_auc ranks, pr_curve
+    sweeps operating points, this measures whether the score VALUE
+    means anything). Shares _qc_scored/_qc_hist with the other two, so
+    all three evaluations read the same operating-point space.
+
+    Everything aggregates exact integers off the bounded histogram (n,
+    n_pos, Σbin·count); the two float divisions happen once per emitted
+    row. No corpus-sized work beyond the shared histogram groupBy."""
+    g = _qc_hist(_qc_scored(spark, sf_dir))
+    agg = (
+        g.groupBy(F.col("grp").alias("source"),
+                  F.expr("bin div 1000").alias("cal_bin"))
+        .agg(F.sum(F.col("pos") + F.col("neg")).alias("n"),
+             F.sum("pos").alias("n_pos"),
+             F.sum(F.col("bin") * (F.col("pos") + F.col("neg")))
+             .alias("sum_bin"))
+    )
+    return (
+        agg.select(
+            "source", "cal_bin", "n", "n_pos",
+            F.round(F.col("n_pos").cast("double")
+                    / F.col("n").cast("double"), 6).alias("obs_rate"),
+            F.round(F.col("sum_bin").cast("double")
+                    / (F.col("n").cast("double") * F.lit(float(AUC_OFFSET)))
+                    - F.lit(1.0), 6).alias("mean_score"))
+        .orderBy("source", "cal_bin")
+    )
+
+
+CALIBRATION_BINS_SQL = rf"""
+WITH {_qc_sums_cte(", source, lang")}{_QC_SCORED_HIST_CTES}
+SELECT grp AS source, bin // 1000 AS cal_bin,
+       CAST(sum(pos + neg) AS BIGINT) AS n,
+       CAST(sum(pos) AS BIGINT) AS n_pos,
+       round(CAST(sum(pos) AS DOUBLE) / CAST(sum(pos + neg) AS DOUBLE), 6)
+         AS obs_rate,
+       round(CAST(sum(bin * (pos + neg)) AS DOUBLE)
+             / (CAST(sum(pos + neg) AS DOUBLE) * {AUC_OFFSET}.0) - 1.0, 6)
+         AS mean_score
+FROM g GROUP BY grp, bin // 1000 ORDER BY source, cal_bin
+"""
+
+QUERIES["calibration_bins"] = calibration_bins
+ORACLES["calibration_bins"] = CALIBRATION_BINS_SQL

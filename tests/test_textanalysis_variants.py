@@ -723,3 +723,25 @@ def test_pr_curve_confusion_counts_and_monotone_recall(spark, tmp_path):
         assert all(a >= b for a, b in zip(recs, recs[1:]))
         # tp + fn is the positive count at every threshold
         assert all(r["tp"] + r["fn"] == n_pos for r in rs)
+
+
+def test_calibration_bins_invariants(spark):
+    """Per-(source, cal_bin) rows must be internally consistent (n_pos
+    <= n, obs_rate = n_pos/n, mean_score inside the bin's score range)
+    and roll up to the corpus totals; bins are the 0.1-wide coarsening
+    of the shared operating-point space."""
+    from pyspark.sql import functions as F
+
+    from extract_ocr_spark.operators.textanalysis import calibration_bins
+
+    sf = "/root/testdata/sf0.001"
+    rows = calibration_bins(spark, sf).collect()
+    assert rows
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    n_docs = docs.filter(F.trim("text") != "").count()
+    assert sum(r["n"] for r in rows) == n_docs
+    for r in rows:
+        assert 0 <= r["n_pos"] <= r["n"]
+        assert r["obs_rate"] == round(r["n_pos"] / r["n"], 6)
+        lo = r["cal_bin"] * 1000 / 10_000 - 1.0
+        assert lo - 1e-9 <= r["mean_score"] <= lo + 0.1 + 1e-9, r

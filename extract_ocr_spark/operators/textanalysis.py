@@ -2710,3 +2710,110 @@ FROM g GROUP BY grp, bin // 1000 ORDER BY source, cal_bin
 
 QUERIES["calibration_bins"] = calibration_bins
 ORACLES["calibration_bins"] = CALIBRATION_BINS_SQL
+
+
+# --- Two-sample KS drift of the classifier score per source --------------
+
+def ks_drift(spark, sf_dir):
+    """Per-source two-sample Kolmogorov-Smirnov statistic between the
+    source's classifier-score distribution and the REST of the corpus —
+    the distribution-drift detector a multi-source ingest needs (a crawl
+    source whose quality-score distribution walks away from the corpus
+    shows up here long before mean-score summaries move). Reads the same
+    shared _qc_scored/_qc_hist operating-point space as the eval triple,
+    so "drift" is measured in exactly the score the curation gates act
+    on.
+
+    Numerics: with both ECDFs evaluated on the shared integer bin grid,
+    sup_b |F_src(b) - F_rest(b)| = max_b |cum_src·n_rest - cum_rest·
+    n_src| / (n_src·n_rest) — the numerator is exact BIGINT at every
+    step and the single float operation is the final division, so the
+    result is hash-exact across engines (nothing float ever compares or
+    accumulates). ``ks_bin`` reports the SMALLEST bin attaining the sup
+    (deterministic tie-break). Int-width ceiling: the products are
+    bounded by n_src·n_rest ≤ N²/4, overflowing BIGINT (ANSI error, not
+    silent wrap) once the corpus passes ~6.1e9 scored docs; past that,
+    widen the cum products to DECIMAL(38,0) — the histogram itself stays
+    bounded regardless.
+
+    Scale: after the shared corpus collapse (one explode + one
+    groupBy — the token_counts shuffle shape), every frame is bounded by
+    |sources| × (2·AUC_OFFSET+1) histogram rows: the source×bin grid,
+    the cumulative windows, and the final per-source aggregate never see
+    the corpus. No join touches a corpus-sized side."""
+    from pyspark.sql import Window
+
+    h = _qc_hist(_qc_scored(spark, sf_dir))
+    c = h.select("grp", "bin", (F.col("pos") + F.col("neg")).alias("c"))
+    t = c.groupBy("bin").agg(F.sum("c").alias("tc"))
+    s = c.groupBy("grp").agg(F.sum("c").alias("n_src"))
+    n = t.agg(F.sum("tc").alias("n_all"))
+    grid = (s.crossJoin(F.broadcast(n)).crossJoin(F.broadcast(t))
+            .join(c, ["grp", "bin"], "left")
+            .select("grp", "n_src", "n_all", "bin", "tc",
+                    F.coalesce("c", F.lit(0)).alias("cnt")))
+    w = (Window.partitionBy("grp").orderBy("bin")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum_s = F.sum("cnt").over(w)
+    cum_t = F.sum("tc").over(w)
+    dnum = F.abs(cum_s * (F.col("n_all") - F.col("n_src"))
+                 - (cum_t - cum_s) * F.col("n_src"))
+    step = grid.select("grp", "n_src", "n_all", "bin", dnum.alias("dnum"))
+    step = step.withColumn(
+        "dmax", F.max("dnum").over(Window.partitionBy("grp")))
+    n_rest = (F.col("n_all") - F.col("n_src")).cast("long")
+    ks = F.when(
+        (F.col("n_src") > 0) & (F.col("n_all") > F.col("n_src")),
+        F.round(F.col("d_num").cast("double")
+                / (F.col("n_src").cast("double")
+                   * (F.col("n_all") - F.col("n_src")).cast("double")), 6))
+    return (
+        step.groupBy("grp", "n_src", "n_all")
+        .agg(F.max("dnum").cast("long").alias("d_num"),
+             F.min(F.when(F.col("dnum") == F.col("dmax"), F.col("bin")))
+             .cast("long").alias("ks_bin"))
+        .select(F.col("grp").alias("source"),
+                F.col("n_src").cast("long").alias("n_src"),
+                n_rest.alias("n_rest"), "d_num", "ks_bin", ks.alias("ks"))
+        .orderBy("source")
+    )
+
+
+KS_DRIFT_SQL = rf"""
+WITH {_qc_sums_cte(", source, lang")}{_QC_SCORED_HIST_CTES},
+c AS (SELECT grp, bin, pos + neg AS c FROM g),
+t AS (SELECT bin, sum(c) AS tc FROM c GROUP BY bin),
+s AS (SELECT grp, sum(c) AS n_src FROM c GROUP BY grp),
+n AS (SELECT sum(tc) AS n_all FROM t),
+grid AS (
+  SELECT s.grp, s.n_src, n.n_all, t.bin, t.tc, coalesce(c.c, 0) AS cnt
+  FROM s CROSS JOIN n CROSS JOIN t
+  LEFT JOIN c ON c.grp = s.grp AND c.bin = t.bin
+),
+step AS (
+  SELECT grp, n_src, n_all, bin,
+         abs(sum(cnt) OVER w * (n_all - n_src)
+             - (sum(tc) OVER w - sum(cnt) OVER w) * n_src) AS dnum
+  FROM grid
+  WINDOW w AS (PARTITION BY grp ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+m AS (
+  SELECT grp, n_src, n_all, bin, dnum,
+         max(dnum) OVER (PARTITION BY grp) AS dmax
+  FROM step
+)
+SELECT grp AS source, CAST(n_src AS BIGINT) AS n_src,
+       CAST(n_all - n_src AS BIGINT) AS n_rest,
+       CAST(max(dnum) AS BIGINT) AS d_num,
+       CAST(min(CASE WHEN dnum = dmax THEN bin END) AS BIGINT) AS ks_bin,
+       CASE WHEN n_src > 0 AND n_all - n_src > 0 THEN
+         round(CAST(max(dnum) AS DOUBLE)
+               / (CAST(n_src AS DOUBLE)
+                  * CAST(n_all - n_src AS DOUBLE)), 6)
+       END AS ks
+FROM m GROUP BY grp, n_src, n_all ORDER BY source
+"""
+
+QUERIES["ks_drift"] = ks_drift
+ORACLES["ks_drift"] = KS_DRIFT_SQL

@@ -33,7 +33,7 @@ SUBSET = [
     # r5 final session: exact binned ROC-AUC (tie/degenerate branches
     # differ across sf) + NDCG of the ANN path (hit pattern differs)
     "classifier_auc", "ndcg_eval", "pr_curve", "rrf_fusion",
-    "calibration_bins",
+    "calibration_bins", "ks_drift",
     # r5 additions: budget window, bloom membership, signature estimate,
     # PMI top-k, int8 ANN (threshold/tie/top-k boundaries all differ at
     # this sf)

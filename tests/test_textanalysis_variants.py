@@ -749,10 +749,8 @@ def test_calibration_bins_invariants(spark):
 
 def test_ks_drift_perfect_separation_and_identical(spark, tmp_path):
     """Two crafted sources whose score supports are disjoint must reach
-    KS = 1.0 against each other; adding a third source that mirrors the
-    corpus mixture exactly (same doc multiset as s0+s1 combined, scaled)
-    is NOT possible per-doc, so instead check the analytic value of the
-    two-source case both ways (symmetry) and the d_num identity."""
+    KS = 1.0 against each other — the analytic value checked both ways
+    (symmetry) plus the d_num = n_src*n_rest identity."""
     from extract_ocr_spark.operators.textanalysis import ks_drift
 
     # s0 docs repeat one token => every token hits the same bucket (one
@@ -776,19 +774,51 @@ def test_ks_drift_perfect_separation_and_identical(spark, tmp_path):
         assert r["ks"] == 1.0
 
 
+def test_ks_drift_zero_drift_and_tie_break(spark, tmp_path):
+    """A source whose score mixture mirrors its complement exactly must
+    report KS = 0 — and with d_num = 0 at EVERY bin, dmax ties across
+    the whole grid, so ks_bin must be the SMALLEST bin (the documented
+    deterministic tie-break). s2 = 3 alpha-docs + 2 omega-docs against a
+    rest of 6 alpha + 4 omega: identical 3:2 mixture."""
+    from extract_ocr_spark.operators.textanalysis import _qc_scored, ks_drift
+
+    rows = (
+        [(i, "alpha alpha alpha", "en", "s0", 17) for i in range(6)]
+        + [(i + 100, "omega omega", "en", "s1", 11) for i in range(4)]
+        + [(i + 200, "alpha alpha alpha", "en", "s2", 17) for i in range(3)]
+        + [(i + 300, "omega omega", "en", "s2", 11) for i in range(2)]
+    )
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long")
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    bins = sorted({r["bin"]
+                   for r in _qc_scored(spark, str(tmp_path)).collect()})
+    assert len(bins) == 2  # alpha bin + omega bin
+    got = {r["source"]: r for r in ks_drift(spark, str(tmp_path)).collect()}
+    r = got["s2"]
+    assert (r["n_src"], r["n_rest"]) == (5, 10)
+    assert r["d_num"] == 0
+    assert r["ks"] == 0.0
+    # all-tied dmax=0: the smallest grid bin must win
+    assert r["ks_bin"] == bins[0]
+    # the drifted sources still register against the 3-source rest
+    assert got["s0"]["d_num"] > 0 and got["s1"]["d_num"] > 0
+
+
 def test_ks_drift_matches_python_replay(spark):
     """External truth at sf0.001: recompute each source's KS statistic
     in pure python from the per-doc integer bins (via the shared
     _qc_scored projection) and require exact agreement on n_src, n_rest,
     d_num, ks_bin, and the rounded ks."""
     from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
 
     from extract_ocr_spark.operators.textanalysis import _qc_scored, ks_drift
 
-    sf = "/root/testdata/sf0.001"
     scored = [(r["grp"], r["bin"])
-              for r in _qc_scored(spark, sf).collect()]
-    out = {r["source"]: r for r in ks_drift(spark, sf).collect()}
+              for r in _qc_scored(spark, SF).collect()]
+    out = {r["source"]: r for r in ks_drift(spark, SF).collect()}
 
     bins = sorted({b for _, b in scored})
     by_src = {}
@@ -814,4 +844,8 @@ def test_ks_drift_matches_python_replay(spark):
         assert (r["n_src"], r["n_rest"]) == (n_src, n_rest)
         assert r["d_num"] == best[0]
         assert r["ks_bin"] == best[1]
-        assert r["ks"] == round(best[0] / (n_src * n_rest), 6)
+        # Spark's round() is HALF_UP on the double; python's round() is
+        # half-even — quantize explicitly (the pagerank mirror lesson)
+        want = float(Decimal(best[0] / (n_src * n_rest))
+                     .quantize(Decimal("0.000001"), ROUND_HALF_UP))
+        assert r["ks"] == want

@@ -916,6 +916,122 @@ QUERIES["length_quantiles"] = length_quantiles
 ORACLES["length_quantiles"] = LENGTH_QUANTILES_SQL
 
 
+# -- HDR-histogram quantile sketch (mergeable, sort-free) -----------------
+
+# sub-bucket resolution: values keep their top (HDR_SUB_BITS + 1)
+# significant bits, so a bucket's width is < value / 2^HDR_SUB_BITS and
+# any quantile estimate carries ≤ 1/2^HDR_SUB_BITS relative error
+HDR_SUB_BITS = 3
+
+# the shift that drops everything below the top (HDR_SUB_BITS + 1)
+# significant bits: length(bin(v)) is the exact integer bit length on
+# BOTH engines (a string op — no float log2 whose last ulp could flip a
+# bucket at an octave boundary), and v >> sh << sh is the bucket floor
+_HDR_SH = f"greatest(length(bin(v)) - {HDR_SUB_BITS + 1}, 0)"
+
+
+def hdr_cells_df(docs: DataFrame) -> DataFrame:
+    """(source, lb, ub, cnt) HdrHistogram cells over per-doc token
+    counts: each value keeps its top HDR_SUB_BITS+1 significant bits
+    (pure integer bit ops), so there are at most 2^HDR_SUB_BITS buckets
+    per octave — ≤ ~512 cells per source for any 64-bit value range.
+    Cells are ADDITIVE (a groupBy count), so sketches merge by summing
+    cnt per (source, lb, ub) — the partial_agg_merge property that lets
+    10^12-doc shards sketch independently and combine."""
+    toks = docs.select(
+        "source", F.size(tok_array(F.col("text"))).cast("long").alias("v"))
+    lb = F.expr(f"shiftleft(shiftright(v, {_HDR_SH}), {_HDR_SH})")
+    width = F.expr(f"shiftleft(1, {_HDR_SH})").cast("long")
+    return (toks.select("source", lb.cast("long").alias("lb"),
+                        (lb + width - 1).cast("long").alias("ub"))
+            .groupBy("source", "lb", "ub")
+            .agg(F.count("*").alias("cnt")))
+
+
+def hdr_quantiles_df(docs: DataFrame) -> DataFrame:
+    """Approximate p50/p90/p99 of per-doc token counts per source from
+    the HDR cell sketch — the sort-free twin of ``length_quantiles``:
+    the exact query pays a full per-source sort of the corpus; this
+    shuffles only bounded (source, lb, ub, cnt) cells and bounds the
+    true quantile inside [p_lo, p_hi] with ≤ 1/2^HDR_SUB_BITS relative
+    error (the containment is pinned against length_quantiles in
+    tests). The quantile rank is the same exact-integer ceil(q*n) used
+    by the exact query; every output is BIGINT, so oracle parity holds
+    by construction.
+
+    Scale: one groupBy on (source, lb, ub) — map-side combinable — then
+    windows over ≤ ~512-row per-source frames. Nothing corpus-sized is
+    sorted, windowed, or joined."""
+    from pyspark.sql.window import Window
+
+    cells = hdr_cells_df(docs)
+    w = (Window.partitionBy("source").orderBy("lb")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    wn = Window.partitionBy("source")
+    c = (cells.withColumn("cum", F.sum("cnt").over(w))
+         .withColumn("n", F.sum("cnt").over(wn)))
+
+    def pick(col: str, num: int, den: int):
+        # first cell whose cumulative count reaches rank ceil(num*n/den);
+        # cells are disjoint ordered ranges, so min(lb) and min(ub) over
+        # the candidates land on the SAME cell
+        rank = F.floor((F.col("n") * num + den - 1) / den)
+        return F.min(F.when(F.col("cum") >= rank, F.col(col)))
+
+    return (c.groupBy("source").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        pick("lb", 1, 2).alias("p50_lo"), pick("ub", 1, 2).alias("p50_hi"),
+        pick("lb", 9, 10).alias("p90_lo"), pick("ub", 9, 10).alias("p90_hi"),
+        pick("lb", 99, 100).alias("p99_lo"),
+        pick("ub", 99, 100).alias("p99_hi"),
+    ).orderBy("source"))
+
+
+def hdr_quantiles(spark, sf_dir):
+    return hdr_quantiles_df(_docs(spark, sf_dir))
+
+
+HDR_QUANTILES_SQL = rf"""
+WITH t AS (
+  SELECT source,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '{WS_RE}+'),
+                              x -> x != '')) AS BIGINT) AS v
+  FROM documents
+), c AS (
+  SELECT source,
+         (v >> {_HDR_SH}) << {_HDR_SH} AS lb,
+         ((v >> {_HDR_SH}) << {_HDR_SH})
+           + ((1::BIGINT) << {_HDR_SH}) - 1 AS ub,
+         count(*) AS cnt
+  FROM t GROUP BY 1, 2, 3
+), r AS (
+  SELECT source, lb, ub,
+         sum(cnt) OVER (PARTITION BY source ORDER BY lb
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         sum(cnt) OVER (PARTITION BY source) AS n
+  FROM c
+)
+SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+       CAST(min(CASE WHEN cum >= (n * 1 + 1) // 2 THEN lb END) AS BIGINT)
+         AS p50_lo,
+       CAST(min(CASE WHEN cum >= (n * 1 + 1) // 2 THEN ub END) AS BIGINT)
+         AS p50_hi,
+       CAST(min(CASE WHEN cum >= (n * 9 + 9) // 10 THEN lb END) AS BIGINT)
+         AS p90_lo,
+       CAST(min(CASE WHEN cum >= (n * 9 + 9) // 10 THEN ub END) AS BIGINT)
+         AS p90_hi,
+       CAST(min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN lb END) AS BIGINT)
+         AS p99_lo,
+       CAST(min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN ub END) AS BIGINT)
+         AS p99_hi
+FROM r GROUP BY source ORDER BY source
+"""
+
+QUERIES["hdr_quantiles"] = hdr_quantiles
+ORACLES["hdr_quantiles"] = HDR_QUANTILES_SQL
+
+
 # -- Per-source token-budget sampling ------------------------------------------
 
 # Per-source token budget for mixture construction. At sf0.01 the source

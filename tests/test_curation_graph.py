@@ -560,3 +560,72 @@ def test_k_core_reaches_true_fixpoint(spark):
         surv = nxt
     assert rows == {i: (i in surv) for i in range(n)}
     assert 0 < len(surv) < n   # the flag channel is non-degenerate
+
+
+def test_hdr_quantiles_known_values_and_error_bound(spark):
+    """Crafted corpus: source 'a' has token counts 8..15 — at those
+    magnitudes HDR buckets are exact singletons (shift 0), so the
+    sketch must EQUAL the exact quantiles; source 'b' puts 5 docs of
+    1000 tokens into one coarse bucket whose bounds are the analytic
+    [960, 1023]."""
+    from extract_ocr_spark.operators.curation import (
+        HDR_SUB_BITS, hdr_quantiles_df)
+
+    rows = ([(k, " ".join(["tok"] * k), "en", "a", 1) for k in range(8, 16)]
+            + [(100 + i, " ".join(["tok"] * 1000), "en", "b", 1)
+               for i in range(5)])
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    got = {r["source"]: r for r in hdr_quantiles_df(docs).collect()}
+    a = got["a"]  # sorted counts 8..15; ceil ranks: p50→4th=11, p90/p99→8th=15
+    assert a["n_docs"] == 8
+    assert (a["p50_lo"], a["p50_hi"]) == (11, 11)
+    assert (a["p90_lo"], a["p90_hi"]) == (15, 15)
+    assert (a["p99_lo"], a["p99_hi"]) == (15, 15)
+    b = got["b"]
+    assert b["n_docs"] == 5
+    for q in ("p50", "p90", "p99"):
+        assert (b[f"{q}_lo"], b[f"{q}_hi"]) == (960, 1023)
+    # the relative-error contract: bucket width ≤ max(1, lb >> HDR_SUB_BITS)
+    for r in got.values():
+        for q in ("p50", "p90", "p99"):
+            assert r[f"{q}_hi"] - r[f"{q}_lo"] + 1 <= max(
+                1, r[f"{q}_lo"] >> HDR_SUB_BITS)
+
+
+def test_hdr_quantiles_contain_exact_at_sf(spark):
+    """Containment against the exact sort-based query at sf0.001: every
+    exact pXX must land inside the sketch's [lo, hi] for every source."""
+    from extract_ocr_spark.operators.curation import (
+        hdr_quantiles, length_quantiles)
+
+    sf = "/root/testdata/sf0.001"
+    exact = {r["source"]: r for r in length_quantiles(spark, sf).collect()}
+    sketch = {r["source"]: r for r in hdr_quantiles(spark, sf).collect()}
+    assert set(exact) == set(sketch) and len(exact) > 0
+    for src, e in exact.items():
+        s = sketch[src]
+        assert s["n_docs"] == e["n_docs"]
+        for q in ("p50", "p90", "p99"):
+            assert s[f"{q}_lo"] <= e[f"{q}_tokens"] <= s[f"{q}_hi"], (src, q)
+
+
+def test_hdr_cells_merge_additive(spark):
+    """The sketch's merge property: cells computed on two disjoint doc
+    shards sum per (source, lb, ub) to the whole-corpus cells — the
+    invariant that lets shards sketch independently and combine."""
+    from pyspark.sql import functions as F
+
+    from extract_ocr_spark.operators.curation import hdr_cells_df
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    full = {(r["source"], r["lb"], r["ub"]): r["cnt"]
+            for r in hdr_cells_df(docs).collect()}
+    even = hdr_cells_df(docs.filter(F.col("doc_id") % 2 == 0))
+    odd = hdr_cells_df(docs.filter(F.col("doc_id") % 2 == 1))
+    merged = (even.unionByName(odd)
+              .groupBy("source", "lb", "ub")
+              .agg(F.sum("cnt").alias("cnt")))
+    got = {(r["source"], r["lb"], r["ub"]): r["cnt"]
+           for r in merged.collect()}
+    assert got == full and len(full) > 0

@@ -34,6 +34,8 @@ SUBSET = [
     # differ across sf) + NDCG of the ANN path (hit pattern differs)
     "classifier_auc", "ndcg_eval", "pr_curve", "rrf_fusion",
     "calibration_bins", "ks_drift",
+    # HDR bucket boundaries and ceil-rank cells shift with the corpus
+    "hdr_quantiles",
     # r5 additions: budget window, bloom membership, signature estimate,
     # PMI top-k, int8 ANN (threshold/tie/top-k boundaries all differ at
     # this sf)

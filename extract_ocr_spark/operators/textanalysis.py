@@ -586,20 +586,41 @@ def _qc_doc_sums(docs: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
     to exact per-doc sums (sw, n_tok) — shared by quality_classifier and
     classifier_auc so the weight table cannot drift between the scorer
     and its evaluation. `extra` carries grouping columns (constant per
-    doc_id) through the aggregate so callers don't need a join back."""
-    tok = docs.select(
+    doc_id) through so callers don't need a join back.
+
+    MAP-ONLY: the per-doc sum is an array fold over the token array (a
+    left fold of exact BIGINT addition — order-free, so it equals the
+    oracle's explode+GROUP BY sum bit for bit), NOT an explode +
+    groupBy(doc_id). A doc's tokens never leave its row, so the whole
+    scorer contributes ZERO exchanges — the downstream eval family
+    (classifier_auc / pr_curve / calibration_bins / ks_drift) pays only
+    its own bounded-histogram shuffle, and the same expressions run
+    unchanged on an unbounded stream (stream_score_hist), where a
+    per-doc stateful pre-aggregation would be a second stateful
+    operator Structured Streaming forbids. Docs with no tokens are
+    dropped, matching the explode form's semantics — via the equivalent
+    cheap pre-filter "has any non-whitespace char" (a post-hoc
+    ``n_tok >= 1`` filter gets predicate-pushed through the projection
+    by expression substitution, re-inlining the split once more per
+    row; the pre-filter instead lands at the scan). The token array is
+    staged in its own projection so CollapseProject cannot inline the
+    split once per consumer (the gopher_rules lesson)."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), WS_RE + "+"),
+        lambda x: x != F.lit(""))
+
+    def w(t):
+        bucket = (F.conv(F.substring(F.md5(t), 1, 15), 16, 10)
+                  .cast("long") % QC_BUCKETS)
+        return (bucket % 1001 - 500).cast("long")
+
+    staged = (docs.filter(F.col("text").rlike(f"[^{WS_CHARS}]"))
+              .select("doc_id", *extra, toks.alias("_toks")))
+    return staged.select(
         "doc_id", *extra,
-        F.explode(
-            F.split(F.lower(F.trim(F.col("text"))), WS_RE + "+")).alias("tok"),
-    ).filter(F.col("tok") != "")
-    bucket = (F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
-              .cast("long") % QC_BUCKETS)
-    w = (bucket % 1001 - 500).cast("long")
-    return (
-        tok.select("doc_id", *extra, w.alias("w"))
-        .groupBy("doc_id", *extra)
-        .agg(F.sum("w").alias("sw"), F.count("*").alias("n_tok"))
-    )
+        F.aggregate("_toks", F.lit(0).cast("long"),
+                    lambda acc, t: acc + w(t)).alias("sw"),
+        F.size("_toks").cast("long").alias("n_tok"))
 
 
 def _qc_sums_cte(extra: str = "") -> str:
@@ -2467,17 +2488,23 @@ ORACLES["tokenizer_fertility"] = TOKENIZER_FERTILITY_SQL
 AUC_OFFSET = 10_000
 
 
-def _qc_scored(spark, sf_dir) -> DataFrame:
+def qc_scored_rows(docs: DataFrame) -> DataFrame:
     """THE (grp=source, bin, label) operating-point projection shared by
-    classifier_auc and pr_curve: the classifier score as its exact
-    integer 1e-4 bin, labeled ``lang == 'en'``. One definition (with the
-    _QC_SCORED_HIST_CTES SQL twin) so the two evaluations can never
-    drift into different score spaces."""
-    sums = _qc_doc_sums(_docs(spark, sf_dir), extra=("source", "lang"))
+    classifier_auc / pr_curve / calibration_bins / ks_drift AND the
+    streaming histogram twin: the classifier score as its exact integer
+    1e-4 bin, labeled ``lang == 'en'``. One definition (with the
+    _QC_SCORED_HIST_CTES SQL twin) so the evaluations can never drift
+    into different score spaces. Map-only (``_qc_doc_sums`` is an array
+    fold), so it runs unchanged on a streaming DataFrame."""
+    sums = _qc_doc_sums(docs, extra=("source", "lang"))
     return sums.select(
         F.col("source").alias("grp"),
         F.expr(f"(sw * 20 + {AUC_OFFSET} * n_tok) div n_tok").alias("bin"),
         (F.col("lang") == "en").cast("long").alias("label"))
+
+
+def _qc_scored(spark, sf_dir) -> DataFrame:
+    return qc_scored_rows(_docs(spark, sf_dir))
 
 
 def _qc_hist(scored: DataFrame) -> DataFrame:

@@ -554,6 +554,68 @@ def stream_cms_cells(spark: SparkSession, input_dir: str) -> DataFrame:
     )
 
 
+# -- custom stateful operator: incremental classifier-score histogram --------
+
+_QCH_OUT_SCHEMA = T.StructType([
+    T.StructField("grp", T.StringType()),
+    T.StructField("bin", T.LongType()),
+    T.StructField("pos", T.LongType()),
+    T.StructField("neg", T.LongType()),
+])
+
+_QCH_STATE_SCHEMA = T.StructType([
+    T.StructField("pos", T.LongType()),
+    T.StructField("neg", T.LongType()),
+])
+
+
+def _qch_fn(key: tuple, batches: Iterable[pd.DataFrame],
+            state: GroupState) -> Iterator[pd.DataFrame]:
+    pos, neg = (int(state.get[0]), int(state.get[1])) if state.exists \
+        else (0, 0)
+    seen = d_pos = 0
+    for pdf in batches:
+        seen += len(pdf)
+        d_pos += int(pdf["label"].sum())
+    if seen:
+        pos += d_pos
+        neg += seen - d_pos
+        state.update((pos, neg))
+        yield pd.DataFrame({"grp": [key[0]], "bin": [int(key[1])],
+                            "pos": [pos], "neg": [neg]})
+
+
+def stream_score_hist(spark: SparkSession, input_dir: str) -> DataFrame:
+    """Streaming twin of the shared classifier operating-point histogram
+    (``_qc_hist``): per-(source, bin) pos/neg counts kept in the state
+    store, cell snapshots emitted per micro-batch. Cells are ADDITIVE
+    and the bin space is bounded, so state stays |sources| × bin-range
+    longs no matter how many documents stream through — and every
+    histogram-derived evaluation (ROC-AUC, the PR sweep, calibration
+    bins, per-source KS drift) can be served from any snapshot without
+    touching the corpus. The (grp, bin, label) rows come from the same
+    map-only ``qc_scored_rows`` expressions as the batch operators —
+    possible only because the per-doc score is an array fold, not a
+    per-doc aggregation (a second stateful operator would be
+    unsupported here) — so the streamed cells are BIT-IDENTICAL to the
+    batch histogram, pinned across a restart by
+    ``test_stream_score_hist_matches_batch_across_restart``."""
+    from .operators.textanalysis import qc_scored_rows
+
+    docs = spark.readStream.schema(FLAT_DOCS_DDL).parquet(input_dir)
+    return (
+        qc_scored_rows(docs)
+        .groupBy("grp", "bin")
+        .applyInPandasWithState(
+            _qch_fn,
+            outputStructType=_QCH_OUT_SCHEMA,
+            stateStructType=_QCH_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stream_enrich(spark: SparkSession, input_dir: str,
                   dim: DataFrame) -> DataFrame:
     """Stream-static enrichment join: streaming events ⋈ a static

@@ -16,14 +16,18 @@ def _docs(spark):
         rows, "doc_id long, text string, lang string, source string, n_chars long")
 
 
-def test_quality_classifier_plan_one_shuffle_no_python(spark):
-    """One hash exchange (the doc_id groupBy), zero Python evals — the
-    whole scorer stays in whole-stage codegen."""
+def test_quality_classifier_plan_map_only_no_python(spark):
+    """ZERO exchanges, zero Python evals: the per-doc score is an array
+    fold, so a doc's tokens never leave its row and the scorer is one
+    codegen projection (the shape that also lets qc_scored_rows run on
+    an unbounded stream). The token split must appear exactly once —
+    the staged projection keeps CollapseProject from inlining it per
+    consumer."""
     from extract_ocr_spark.operators.textanalysis import quality_classifier_df
 
     plan = _plan(quality_classifier_df(_docs(spark), ordered=False))
-    assert plan.count("Exchange") == 1, plan
-    assert "hashpartitioning(doc_id" in plan, plan
+    assert plan.count("Exchange") == 0, plan
+    assert plan.count("split(") == 1, plan
     for py in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
                "MapInPandas"):
         assert py not in plan, plan

@@ -374,3 +374,52 @@ def test_stream_cms_cells_match_batch_across_restart(spark, tmp_path):
     emits = Counter((r["j"], r["b"])
                     for r in spark.read.parquet(out_dir).collect())
     assert any(v >= 2 for v in emits.values()), emits
+
+
+def test_stream_score_hist_matches_batch_across_restart(spark, tmp_path):
+    """Split the documents corpus into two landings; after the second,
+    the streamed per-(source, bin) pos/neg cells must equal the batch
+    operating-point histogram EXACTLY — cells are additive and both
+    paths share the map-only qc_scored_rows expressions, so any
+    histogram-derived evaluation (AUC / PR / calibration / KS drift)
+    computed from the streamed snapshot is the batch value, bit for
+    bit."""
+    from extract_ocr_spark.operators.textanalysis import _qc_hist, _qc_scored
+    from extract_ocr_spark.streaming import stream_score_hist
+
+    in_dir = str(tmp_path / "docs")
+    out_dir = str(tmp_path / "cells")
+    ckpt = str(tmp_path / "ckpt")
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+
+    def run_landing(pred):
+        docs.filter(pred).write.mode("append").parquet(in_dir)
+        q = (stream_score_hist(spark, in_dir)
+             .writeStream.format("parquet").option("path", out_dir)
+             .outputMode("append").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    # split at the doc_id median: source = doc_id % 20, so every source
+    # spans both landings and its cells must survive the restart
+    run_landing(F.col("doc_id") < 250)
+    run_landing(F.col("doc_id") >= 250)
+
+    # cell counts are monotone, so the final state = max emitted counts
+    streamed = {}
+    for r in spark.read.parquet(out_dir).collect():
+        k = (r["grp"], r["bin"])
+        prev = streamed.get(k, (0, 0))
+        streamed[k] = (max(prev[0], r["pos"]), max(prev[1], r["neg"]))
+
+    batch = {(r["grp"], r["bin"]): (r["pos"], r["neg"])
+             for r in _qc_hist(_qc_scored(spark, sf)).collect()}
+    assert streamed == batch and len(batch) > 0
+    # restart must be exercised: a cell re-emitted in the second landing
+    # proves the state carried across the checkpoint boundary
+    from collections import Counter
+
+    emits = Counter((r["grp"], r["bin"])
+                    for r in spark.read.parquet(out_dir).collect())
+    assert any(v >= 2 for v in emits.values()), emits

@@ -873,8 +873,10 @@ def length_quantiles_df(docs: DataFrame) -> DataFrame:
               .withColumn("n", F.count("*").over(wn)))
 
     def rank_at(num: int, den: int):
-        # ceil(num*n/den) in exact integer arithmetic
-        return F.floor((F.col("n") * num + den - 1) / den)
+        # ceil(num*n/den) in exact integer arithmetic (`div`, not
+        # float-/ + floor, whose double quotient can cross an integer
+        # boundary past ~2^47 docs)
+        return F.expr(f"(n * {num} + {den} - 1) div {den}")
 
     def q_at(num: int, den: int):
         return F.max(F.when(F.col("rn") == rank_at(num, den),
@@ -941,7 +943,9 @@ def hdr_cells_df(docs: DataFrame) -> DataFrame:
     toks = docs.select(
         "source", F.size(tok_array(F.col("text"))).cast("long").alias("v"))
     lb = F.expr(f"shiftleft(shiftright(v, {_HDR_SH}), {_HDR_SH})")
-    width = F.expr(f"shiftleft(1, {_HDR_SH})").cast("long")
+    # the 1 must be BIGINT: shiftleft on an INT literal wraps at sh >= 31
+    # (values with >= 35-bit token counts would get ub < lb)
+    width = F.expr(f"shiftleft(cast(1 as bigint), {_HDR_SH})").cast("long")
     return (toks.select("source", lb.cast("long").alias("lb"),
                         (lb + width - 1).cast("long").alias("ub"))
             .groupBy("source", "lb", "ub")
@@ -974,8 +978,10 @@ def hdr_quantiles_df(docs: DataFrame) -> DataFrame:
     def pick(col: str, num: int, den: int):
         # first cell whose cumulative count reaches rank ceil(num*n/den);
         # cells are disjoint ordered ranges, so min(lb) and min(ub) over
-        # the candidates land on the SAME cell
-        rank = F.floor((F.col("n") * num + den - 1) / den)
+        # the candidates land on the SAME cell. Integer `div`, not
+        # float-/ + floor: past ~2^47 docs the double quotient can cross
+        # an integer boundary and pick the wrong cell
+        rank = F.expr(f"(n * {num} + {den} - 1) div {den}")
         return F.min(F.when(F.col("cum") >= rank, F.col(col)))
 
     return (c.groupBy("source").agg(

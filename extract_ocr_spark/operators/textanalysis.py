@@ -14,7 +14,7 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from ..kernels.textstats import fingerprint, lang_id
-from . import PY_WS_RE, WS_CHARS, WS_RE, tok_array
+from . import PY_WS_RE, WS_CHARS, WS_RE, md5_long, tok_array
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -605,14 +605,10 @@ def _qc_doc_sums(docs: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
     row; the pre-filter instead lands at the scan). The token array is
     staged in its own projection so CollapseProject cannot inline the
     split once per consumer (the gopher_rules lesson)."""
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col("text"))), WS_RE + "+"),
-        lambda x: x != F.lit(""))
+    toks = tok_array(F.trim(F.col("text")))
 
     def w(t):
-        bucket = (F.conv(F.substring(F.md5(t), 1, 15), 16, 10)
-                  .cast("long") % QC_BUCKETS)
-        return (bucket % 1001 - 500).cast("long")
+        return (md5_long(t) % QC_BUCKETS % 1001 - 500).cast("long")
 
     staged = (docs.filter(F.col("text").rlike(f"[^{WS_CHARS}]"))
               .select("doc_id", *extra, toks.alias("_toks")))
@@ -656,8 +652,9 @@ def quality_classifier_df(docs: DataFrame, threshold: float = QC_THRESHOLD,
     oracle by construction, no summation-order dependence (the trap
     lm_nll_scores had to engineer around).
 
-    Scale: one explode + one groupBy(doc_id) — identical shuffle shape
-    to token_counts; everything stays in whole-stage codegen, no UDF.
+    Scale: map-only — the per-doc sum is an array fold (_qc_doc_sums),
+    so scoring contributes ZERO exchanges and stays entirely in
+    whole-stage codegen, no UDF.
 
     Reference analog: lifts the reference's boolean content gates
     (/root/reference/src/extract_ocr/content.py — WAF/HTML heuristics)
@@ -2582,9 +2579,10 @@ def classifier_auc(spark, sf_dir):
     the quantization is what buys the bounded-histogram scale shape and
     cross-engine hash-exactness (no float ever ranks).
 
-    Plan: one corpus explode + one (doc_id, source, lang) groupBy (the
-    token_counts shuffle shape, via the shared _qc_doc_sums), then the
-    bounded histogram machinery of binned_auc_df.
+    Plan: one map-only scoring projection (the shared _qc_doc_sums
+    array fold — zero exchanges) feeding the bounded histogram
+    machinery of binned_auc_df; the histogram groupBy is the only
+    corpus-sized exchange.
 
     Reference analog: the reference gates content with boolean
     heuristics (/root/reference/src/extract_ocr/content.py) and never
@@ -2763,8 +2761,8 @@ def ks_drift(spark, sf_dir):
     widen the cum products to DECIMAL(38,0) — the histogram itself stays
     bounded regardless.
 
-    Scale: after the shared corpus collapse (one explode + one
-    groupBy — the token_counts shuffle shape), every frame is bounded by
+    Scale: after the shared corpus collapse (map-only scoring + the one
+    bounded-histogram groupBy), every frame is bounded by
     |sources| × (2·AUC_OFFSET+1) histogram rows: the source×bin grid,
     the cumulative windows, and the final per-source aggregate never see
     the corpus. No join touches a corpus-sized side."""

@@ -577,6 +577,70 @@ QUERIES["corpus_report"] = corpus_report
 ORACLES["corpus_report"] = CORPUS_REPORT_SQL
 
 
+# --- Multi-granularity data card (CUBE + grouping_id) ---------------------
+
+
+def cube_report_df(docs: DataFrame) -> DataFrame:
+    """Doc/token volumes at EVERY granularity of (source, lang) in one
+    pass — per cell, per source, per lang, and the corpus total — via
+    CUBE with an explicit grouping_id, the multi-granularity rollup a
+    data card publishes without re-scanning per level. Rolled-up
+    dimensions render as '<all>' (distinguished from real values by the
+    grouping bit, never by NULL-ness).
+
+    Numerics: counts and BIGINT token sums only — hash-exact by
+    construction (grouping_id bit order, source-then-lang, matches
+    DuckDB's GROUPING(source, lang)).
+
+    Scale: Catalyst plans CUBE as one Expand (4 rows per input row)
+    feeding ONE map-side-combinable aggregate — the 4× blowup collapses
+    inside each task before the single (source, lang, gid) exchange, so
+    shuffle volume is bounded by the grouping cells, not the corpus."""
+    ws = F.size(F.filter(
+        F.split(F.trim(F.col("text")), WS_RE + "+"),
+        lambda t: t != F.lit(""))).cast("long")
+    return (
+        docs.select("source", "lang", ws.alias("toks"))
+        .cube("source", "lang")
+        .agg(F.grouping_id().cast("long").alias("gid"),
+             F.grouping("source").alias("_gs"),
+             F.grouping("lang").alias("_gl"),
+             F.count("*").alias("docs"),
+             F.sum("toks").alias("tokens"))
+        .select(
+            F.when(F.col("_gs") == 1, F.lit("<all>"))
+            .otherwise(F.col("source")).alias("source"),
+            F.when(F.col("_gl") == 1, F.lit("<all>"))
+            .otherwise(F.col("lang")).alias("lang"),
+            "gid", "docs", "tokens")
+        .orderBy("gid", "source", "lang")
+    )
+
+
+def cube_report(spark, sf_dir):
+    return cube_report_df(_docs(spark, sf_dir))
+
+
+CUBE_REPORT_SQL = rf"""
+WITH d AS (
+  SELECT source, lang,
+         len(list_filter(regexp_split_to_array(trim(text), '{WS_RE}+'),
+                         t -> t != '')) AS toks
+  FROM documents
+)
+SELECT CASE WHEN GROUPING(source) = 1 THEN '<all>' ELSE source END
+         AS source,
+       CASE WHEN GROUPING(lang) = 1 THEN '<all>' ELSE lang END AS lang,
+       CAST(GROUPING(source, lang) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(toks) AS BIGINT) AS tokens
+FROM d GROUP BY CUBE (source, lang) ORDER BY gid, source, lang
+"""
+
+QUERIES["cube_report"] = cube_report
+ORACLES["cube_report"] = CUBE_REPORT_SQL
+
+
 # --- Paragraph-level dedup (CCNet-style, keep-first) ---------------------
 
 PARA_TOKENS = 6  # paragraph block size; small enough that the synthetic

@@ -2842,3 +2842,78 @@ FROM m GROUP BY grp, n_src, n_all ORDER BY source
 
 QUERIES["ks_drift"] = ks_drift
 ORACLES["ks_drift"] = KS_DRIFT_SQL
+
+
+# --- Pearson chi-squared of the source × lang contingency ----------------
+
+def chi2_drift(spark, sf_dir):
+    """Per-source Pearson chi-squared contribution over the
+    (source, lang) doc-count contingency table — the CATEGORICAL drift
+    detector beside ks_drift's numeric one: a source whose language
+    composition diverges from independence with the corpus mix shows up
+    as a large chi2_part (the global independence statistic is the sum
+    of the parts, with (S-1)·(L-1) degrees of freedom). Zero cells
+    contribute their full expected-count term via the source × lang
+    grid, exactly as the test statistic requires.
+
+    Float parity: observed counts and margins are exact BIGINTs; each
+    cell's e = CAST(rs AS DOUBLE) · ct / n and d²/e are computed from
+    identical operands in the identical order on both engines, and the
+    per-source sum folds in lang-sorted order (the js_divergence
+    discipline); one round(6) at the end.
+
+    Scale: after the one corpus-sized groupBy(source, lang), every
+    frame is bounded by |sources| × |langs|: the margin tables, the
+    grid cross joins (1-row n broadcast + bounded lang margin), and the
+    per-source fold never see the corpus."""
+    c = (_docs(spark, sf_dir).groupBy("source", "lang")
+         .agg(F.count("*").alias("o")))
+    rs = c.groupBy("source").agg(F.sum("o").alias("rs"))
+    ct = c.groupBy("lang").agg(F.sum("o").alias("ct"))
+    n = c.agg(F.sum("o").alias("n"))
+    grid = (rs.crossJoin(F.broadcast(ct)).crossJoin(F.broadcast(n))
+            .join(c, ["source", "lang"], "left")
+            .select("source", "lang", "rs", "ct", "n",
+                    F.coalesce("o", F.lit(0)).alias("o")))
+    e = F.col("rs").cast("double") * F.col("ct") / F.col("n")
+    d = F.col("o").cast("double") - e
+    return (
+        grid.select("source", "lang",
+                    F.col("rs").cast("long").alias("n_src"),
+                    (d * d / e).alias("term"))
+        .groupBy("source", "n_src")
+        .agg(F.count("*").cast("long").alias("n_cells"),
+             F.round(F.aggregate(
+                 F.array_sort(F.collect_list(F.struct("lang", "term"))),
+                 F.lit(0.0), lambda a, x: a + x["term"]), 6)
+             .alias("chi2_part"))
+        .orderBy("source")
+    )
+
+
+CHI2_DRIFT_SQL = r"""
+WITH c AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+  FROM documents GROUP BY source, lang
+), rs AS (SELECT source, sum(o) AS rs FROM c GROUP BY source),
+ct AS (SELECT lang, sum(o) AS ct FROM c GROUP BY lang),
+n AS (SELECT sum(o) AS n FROM c),
+grid AS (
+  SELECT rs.source, ct.lang, rs.rs, ct.ct, n.n, coalesce(c.o, 0) AS o
+  FROM rs CROSS JOIN ct CROSS JOIN n
+  LEFT JOIN c ON c.source = rs.source AND c.lang = ct.lang
+), terms AS (
+  SELECT source, lang, CAST(rs AS BIGINT) AS n_src,
+         (CAST(o AS DOUBLE) - CAST(rs AS DOUBLE) * ct / n)
+           * (CAST(o AS DOUBLE) - CAST(rs AS DOUBLE) * ct / n)
+           / (CAST(rs AS DOUBLE) * ct / n) AS term
+  FROM grid
+)
+SELECT source, n_src, CAST(count(*) AS BIGINT) AS n_cells,
+       round(list_reduce(list_prepend(0.0, list(term ORDER BY lang)),
+                         (a, x) -> a + x), 6) AS chi2_part
+FROM terms GROUP BY source, n_src ORDER BY source
+"""
+
+QUERIES["chi2_drift"] = chi2_drift
+ORACLES["chi2_drift"] = CHI2_DRIFT_SQL

@@ -629,3 +629,37 @@ def test_hdr_cells_merge_additive(spark):
     got = {(r["source"], r["lb"], r["ub"]): r["cnt"]
            for r in merged.collect()}
     assert got == full and len(full) > 0
+
+
+def test_cube_report_rollup_consistency(spark):
+    """Every rolled-up level must equal the sum of its children, and the
+    '<all>' label must come from the grouping bit: gid 0 cells sum to
+    gid 1 (per source), gid 2 (per lang), and gid 3 (corpus total)."""
+    from extract_ocr_spark.operators.curation import cube_report_df
+
+    rows = [
+        (1, "one two", "en", "a", 7),
+        (2, "three", "fr", "a", 5),
+        (3, "four five six", "en", "b", 13),
+        (4, "", "en", "b", 0),            # zero-token doc still counts
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    out = cube_report_df(docs).collect()
+    by_gid = {}
+    for r in out:
+        by_gid.setdefault(r["gid"], {})[(r["source"], r["lang"])] = (
+            r["docs"], r["tokens"])
+    cells = by_gid[0]
+    assert cells[("a", "en")] == (1, 2) and cells[("b", "en")] == (2, 3)
+    # per-source rollup (lang = '<all>')
+    for src in ("a", "b"):
+        want = (sum(d for (s, _), (d, _) in cells.items() if s == src),
+                sum(t for (s, _), (_, t) in cells.items() if s == src))
+        assert by_gid[1][(src, "<all>")] == want
+    # per-lang rollup (source = '<all>')
+    for lg in ("en", "fr"):
+        want = (sum(d for (_, l), (d, _) in cells.items() if l == lg),
+                sum(t for (_, l), (_, t) in cells.items() if l == lg))
+        assert by_gid[2][("<all>", lg)] == want
+    assert by_gid[3][("<all>", "<all>")] == (4, 6)

@@ -36,6 +36,8 @@ SUBSET = [
     "calibration_bins", "ks_drift",
     # HDR bucket boundaries and ceil-rank cells shift with the corpus
     "hdr_quantiles",
+    # contingency margins and cube rollup cells follow the corpus
+    "chi2_drift", "cube_report",
     # r5 additions: budget window, bloom membership, signature estimate,
     # PMI top-k, int8 ANN (threshold/tie/top-k boundaries all differ at
     # this sf)

@@ -849,3 +849,60 @@ def test_ks_drift_matches_python_replay(spark):
         want = float(Decimal(best[0] / (n_src * n_rest))
                      .quantize(Decimal("0.000001"), ROUND_HALF_UP))
         assert r["ks"] == want
+
+
+def test_chi2_drift_known_values(spark, tmp_path):
+    """Analytic 2x2 table: sources a/b with en/fr doc counts 30/10 vs
+    10/30 → every expected count is 20, every cell term (±10)²/20 = 5,
+    so each source's chi2 part is exactly 10.0. A zero cell must still
+    contribute its full expected-count term (checked on a second,
+    asymmetric corpus)."""
+    from extract_ocr_spark.operators.textanalysis import chi2_drift
+
+    rows = []
+    did = 0
+    for src, lang, k in (("a", "en", 30), ("a", "fr", 10),
+                         ("b", "en", 10), ("b", "fr", 30)):
+        for _ in range(k):
+            rows.append((did, "w", lang, src, 1))
+            did += 1
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {r["source"]: r for r in chi2_drift(spark, str(tmp_path)).collect()}
+    for src in ("a", "b"):
+        r = got[src]
+        assert (r["n_src"], r["n_cells"]) == (40, 2)
+        assert r["chi2_part"] == 10.0
+
+    # zero cell: a = 4 en only; b = 2 en + 2 fr → e(a,fr) = 1, term 1.0
+    rows2 = ([(i, "w", "en", "a", 1) for i in range(4)]
+             + [(10, "w", "en", "b", 1), (11, "w", "en", "b", 1),
+                (12, "w", "fr", "b", 1), (13, "w", "fr", "b", 1)])
+    spark.createDataFrame(
+        rows2, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got2 = {r["source"]: r for r in chi2_drift(spark, str(tmp_path)).collect()}
+    a = got2["a"]
+    # e(a,en)=3, o=4 → 1/3; e(a,fr)=1, o=0 → 1.0
+    assert a["n_cells"] == 2
+    assert a["chi2_part"] == round(1.0 / 3.0 + 1.0, 6)
+
+
+def test_chi2_drift_independent_mix_is_zero(spark, tmp_path):
+    """Sources whose language mixes are exactly proportional to the
+    corpus margins sit at independence: every part must be 0.0."""
+    from extract_ocr_spark.operators.textanalysis import chi2_drift
+
+    rows = []
+    did = 0
+    for src, scale in (("a", 1), ("b", 3)):
+        for lang, k in (("en", 2), ("fr", 6)):
+            for _ in range(k * scale):
+                rows.append((did, "w", lang, src, 1))
+                did += 1
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    for r in chi2_drift(spark, str(tmp_path)).collect():
+        assert r["chi2_part"] == 0.0

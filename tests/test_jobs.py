@@ -272,3 +272,55 @@ def test_compact_job_sorted_layout_has_disjoint_file_ranges(spark,
     for (_, prev_hi), (lo, _) in zip(ranges, ranges[1:]):
         assert lo > prev_hi, ranges
     assert spark.read.parquet(out).count() == 40_000
+
+
+def test_datacard_job_end_to_end(spark, tmp_path):
+    """The data-card job must publish every section as parquet, report
+    row counts matching the registry queries it composes (the card can
+    never drift from the oracle-checked surface), and fail fast on an
+    unknown section name."""
+    import pytest
+
+    from jobs import datacard_job
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "card")
+    stats = datacard_job.run(spark, sf, out)
+    assert set(stats["sections"]) == {
+        "corpus", "cube", "length_exact", "length_sketch", "chi2", "ks",
+        "mixture"}
+
+    from extract_ocr_spark.operators import curation, textanalysis
+
+    want = {
+        "corpus": curation.corpus_report,
+        "cube": curation.cube_report,
+        "length_exact": curation.length_quantiles,
+        "length_sketch": curation.hdr_quantiles,
+        "chi2": textanalysis.chi2_drift,
+        "ks": textanalysis.ks_drift,
+        "mixture": curation.mixture_weights,
+    }
+    for name, fn in want.items():
+        assert stats["sections"][name]["rows"] == fn(spark, sf).count()
+        got = spark.read.parquet(f"{out}/{name}")
+        assert got.count() == stats["sections"][name]["rows"]
+        # parquet round-trip relaxes non-null flags; names+types must hold
+        assert [(f.name, f.dataType) for f in got.schema.fields] == \
+            [(f.name, f.dataType) for f in fn(spark, sf).schema.fields]
+
+    with pytest.raises(ValueError, match="unknown data-card sections"):
+        datacard_job.run(spark, sf, out, sections=["corpus", "typo"])
+
+
+def test_datacard_job_via_subprocess_section_subset(spark, tmp_path):
+    """spark-submit-shaped subprocess run over a section subset: only
+    the requested tables are written and the summary carries them."""
+    out = str(tmp_path / "card")
+    stats = _run_job(
+        "datacard_job.py", "--input", "/root/testdata/sf0.001",
+        "--output", out, "--sections", "corpus,chi2")
+    assert set(stats["sections"]) == {"corpus", "chi2"}
+    assert os.path.isdir(f"{out}/corpus") and os.path.isdir(f"{out}/chi2")
+    assert not os.path.exists(f"{out}/cube")
+    assert stats["sections"]["corpus"]["rows"] > 0

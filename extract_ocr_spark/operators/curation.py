@@ -521,12 +521,9 @@ def corpus_report_df(docs: DataFrame) -> DataFrame:
     Reference analog: ExportInspection's counts-by-kind over the
     manifest (/root/reference/src/extract_ocr/export_inspect.py:9-30)
     lifted to corpus-curation fields."""
-    # filter empties so whitespace-only docs report 0 tokens (split of
-    # '' yields [''], and a trailing tab leaves a trailing '' — both
-    # would inflate the published token stat)
-    ws = F.size(F.filter(
-        F.split(F.trim(F.col("text")), WS_RE + "+"),
-        lambda t: t != F.lit(""))).cast("long")
+    # tok_array filters empties, so whitespace-only docs report 0 tokens
+    # (split of '' yields [''] — it would inflate the published stat)
+    ws = F.size(tok_array(F.trim(F.col("text")), lower=False)).cast("long")
     return (
         docs.select(
             "source", "lang",
@@ -595,10 +592,13 @@ def cube_report_df(docs: DataFrame) -> DataFrame:
     Scale: Catalyst plans CUBE as one Expand (4 rows per input row)
     feeding ONE map-side-combinable aggregate — the 4× blowup collapses
     inside each task before the single (source, lang, gid) exchange, so
-    shuffle volume is bounded by the grouping cells, not the corpus."""
-    ws = F.size(F.filter(
-        F.split(F.trim(F.col("text")), WS_RE + "+"),
-        lambda t: t != F.lit(""))).cast("long")
+    shuffle volume is bounded by the grouping cells, not the corpus.
+
+    Empty-input convention: zero rows (Spark's cube over an empty input
+    emits nothing; the oracle's HAVING count(*) > 0 drops the docs=0
+    grand-total row ANSI CUBE would emit there — it filters nothing on
+    any non-empty input, where every cube cell aggregates ≥1 row)."""
+    ws = F.size(tok_array(F.trim(F.col("text")), lower=False)).cast("long")
     return (
         docs.select("source", "lang", ws.alias("toks"))
         .cube("source", "lang")
@@ -634,7 +634,9 @@ SELECT CASE WHEN GROUPING(source) = 1 THEN '<all>' ELSE source END
        CAST(GROUPING(source, lang) AS BIGINT) AS gid,
        CAST(count(*) AS BIGINT) AS docs,
        CAST(sum(toks) AS BIGINT) AS tokens
-FROM d GROUP BY CUBE (source, lang) ORDER BY gid, source, lang
+FROM d GROUP BY CUBE (source, lang)
+HAVING count(*) > 0
+ORDER BY gid, source, lang
 """
 
 QUERIES["cube_report"] = cube_report

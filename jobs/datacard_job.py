@@ -70,7 +70,11 @@ def run(spark, input_dir: str, output: str,
     return the stats dict main() prints. Unknown section names fail
     fast before any Spark work (the bench_curation lesson)."""
     table = _sections()
-    names = sections or list(table)
+    # None means "all"; an explicitly empty selection is a caller bug
+    # (an unset $SECTIONS variable must not silently publish everything)
+    names = list(table) if sections is None else sections
+    if not names:
+        raise ValueError("no data-card sections requested")
     unknown = [n for n in names if n not in table]
     if unknown:
         raise ValueError(
@@ -103,8 +107,8 @@ def main() -> None:
         "extract_ocr_spark-datacard").getOrCreate()
     stats = run(
         spark, args.input, args.output,
-        sections=[s.strip() for s in args.sections.split(",")]
-        if args.sections else None)
+        sections=[s.strip() for s in args.sections.split(",") if s.strip()]
+        if args.sections is not None else None)
     print(json.dumps(stats))
     spark.stop()
 

@@ -663,3 +663,21 @@ def test_cube_report_rollup_consistency(spark):
                 sum(t for (_, l), (_, t) in cells.items() if l == lg))
         assert by_gid[2][("<all>", lg)] == want
     assert by_gid[3][("<all>", "<all>")] == (4, 6)
+
+
+def test_cube_report_empty_corpus_is_empty(spark, tmp_path):
+    """The documented empty-input convention: zero rows (the oracle's
+    HAVING drops ANSI CUBE's docs=0 grand-total row there)."""
+    import duckdb
+
+    from extract_ocr_spark.operators.curation import (
+        CUBE_REPORT_SQL, cube_report)
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long")
+    empty.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    assert cube_report(spark, str(tmp_path)).count() == 0
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{tmp_path}/documents.parquet/*.parquet'")
+    assert len(con.sql(CUBE_REPORT_SQL).df()) == 0

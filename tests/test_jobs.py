@@ -313,7 +313,7 @@ def test_datacard_job_end_to_end(spark, tmp_path):
         datacard_job.run(spark, sf, out, sections=["corpus", "typo"])
 
 
-def test_datacard_job_via_subprocess_section_subset(spark, tmp_path):
+def test_datacard_job_via_subprocess_section_subset(tmp_path):
     """spark-submit-shaped subprocess run over a section subset: only
     the requested tables are written and the summary carries them."""
     out = str(tmp_path / "card")
@@ -324,3 +324,13 @@ def test_datacard_job_via_subprocess_section_subset(spark, tmp_path):
     assert os.path.isdir(f"{out}/corpus") and os.path.isdir(f"{out}/chi2")
     assert not os.path.exists(f"{out}/cube")
     assert stats["sections"]["corpus"]["rows"] > 0
+
+
+def test_datacard_job_rejects_empty_section_list(spark, tmp_path):
+    import pytest
+
+    from jobs import datacard_job
+
+    with pytest.raises(ValueError, match="no data-card sections"):
+        datacard_job.run(spark, "/root/testdata/sf0.001",
+                         str(tmp_path / "card"), sections=[])

@@ -998,6 +998,21 @@ HDR_SUB_BITS = 3
 _HDR_SH = f"greatest(length(bin(v)) - {HDR_SUB_BITS + 1}, 0)"
 
 
+def hdr_bucket_bounds() -> tuple["F.Column", "F.Column"]:
+    """(lb, ub) bucket-bound expressions over a non-negative BIGINT
+    column named ``v`` — THE one bucket definition (hdr_cells_df and its
+    SQL twin both derive from _HDR_SH), split out so the property test
+    can drive it across the full 64-bit range, where no token-count
+    fixture can reach."""
+    lb = F.expr(f"shiftleft(shiftright(v, {_HDR_SH}), {_HDR_SH})")
+    # the 1 must be BIGINT: shiftleft on an INT literal wraps at sh >= 31
+    # (values with >= 35-bit token counts would get ub < lb); and the -1
+    # must bind to the width BEFORE adding lb, or the top bucket of the
+    # 63-bit octave overflows BIGINT (ANSI error) at lb + width = 2^63
+    width = F.expr(f"shiftleft(cast(1 as bigint), {_HDR_SH})").cast("long")
+    return lb.cast("long"), (lb + (width - 1)).cast("long")
+
+
 def hdr_cells_df(docs: DataFrame) -> DataFrame:
     """(source, lb, ub, cnt) HdrHistogram cells over per-doc token
     counts: each value keeps its top HDR_SUB_BITS+1 significant bits
@@ -1008,12 +1023,8 @@ def hdr_cells_df(docs: DataFrame) -> DataFrame:
     10^12-doc shards sketch independently and combine."""
     toks = docs.select(
         "source", F.size(tok_array(F.col("text"))).cast("long").alias("v"))
-    lb = F.expr(f"shiftleft(shiftright(v, {_HDR_SH}), {_HDR_SH})")
-    # the 1 must be BIGINT: shiftleft on an INT literal wraps at sh >= 31
-    # (values with >= 35-bit token counts would get ub < lb)
-    width = F.expr(f"shiftleft(cast(1 as bigint), {_HDR_SH})").cast("long")
-    return (toks.select("source", lb.cast("long").alias("lb"),
-                        (lb + width - 1).cast("long").alias("ub"))
+    lb, ub = hdr_bucket_bounds()
+    return (toks.select("source", lb.alias("lb"), ub.alias("ub"))
             .groupBy("source", "lb", "ub")
             .agg(F.count("*").alias("cnt")))
 
@@ -1073,7 +1084,7 @@ WITH t AS (
   SELECT source,
          (v >> {_HDR_SH}) << {_HDR_SH} AS lb,
          ((v >> {_HDR_SH}) << {_HDR_SH})
-           + ((1::BIGINT) << {_HDR_SH}) - 1 AS ub,
+           + (((1::BIGINT) << {_HDR_SH}) - 1) AS ub,
          count(*) AS cnt
   FROM t GROUP BY 1, 2, 3
 ), r AS (

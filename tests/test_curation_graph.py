@@ -681,3 +681,32 @@ def test_cube_report_empty_corpus_is_empty(spark, tmp_path):
     con.sql(f"CREATE VIEW documents AS "
             f"SELECT * FROM '{tmp_path}/documents.parquet/*.parquet'")
     assert len(con.sql(CUBE_REPORT_SQL).df()) == 0
+
+
+def test_hdr_bucket_bounds_full_64bit_property(spark):
+    """The bucket math must hold across the FULL 64-bit value range no
+    token-count fixture can reach: lb ≤ v ≤ ub, width ≤ max(1, v >> 3),
+    and exact agreement with a pure-python mirror — pinning the
+    BIGINT-width regression (an INT-literal shiftleft wraps at shift 31,
+    giving ub < lb for every value of ≥ 35 bits)."""
+    from pyspark.sql import functions as F
+
+    from extract_ocr_spark.operators.curation import (
+        HDR_SUB_BITS, hdr_bucket_bounds)
+
+    vals = sorted({0, 1, 7, 8, 15, 16, 31, 1000,
+                   2**31 - 1, 2**31, 2**34, 2**34 + 12345, 2**35,
+                   2**40 + 9, 2**50 + 123456789, 2**62, 2**63 - 1}
+                  | {3**k for k in range(1, 39)})
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    lb, ub = hdr_bucket_bounds()
+    got = {r["v"]: (r["lb"], r["ub"])
+           for r in df.select("v", lb.alias("lb"), ub.alias("ub")).collect()}
+
+    for v in vals:
+        sh = max(v.bit_length() - 1 - HDR_SUB_BITS, 0)
+        want = ((v >> sh) << sh, ((v >> sh) << sh) + (1 << sh) - 1)
+        assert got[v] == want, (v, got[v], want)
+        assert want[0] <= v <= want[1]
+        assert want[1] - want[0] + 1 <= max(1, want[0] >> HDR_SUB_BITS) \
+            or want[0] == want[1]

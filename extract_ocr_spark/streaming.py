@@ -627,3 +627,57 @@ def stream_enrich(spark: SparkSession, input_dir: str,
     non-key columns."""
     events = spark.readStream.schema(EVENTS_DDL).parquet(input_dir)
     return events.join(F.broadcast(dim), "user_id")
+
+
+def stream_touch_pairs(spark: SparkSession, input_dir: str, *,
+                       delay: str = "6 hours") -> DataFrame:
+    """Watermarked stream-stream interval join: every purchase matches
+    each prior touch (view/click/signup) by the same user inside the
+    6-hour attribution lookback — the streaming twin of
+    ``attribution_linear``'s pair stage (``operators/temporal.py``;
+    reference analog: the per-response endpoint→source audit joins,
+    `/root/reference/src/extract_ocr/crawl.py` report path). Both sides
+    are independent readers over the same landing directory, so one
+    stream of interleaved events feeds both join inputs without a
+    pre-split.
+
+    State-bound math (the reason this holds at 10^12 events): with
+    watermarks on BOTH event-time columns and the range predicate
+    ``tp - 6h <= tt <= tp`` in the join condition, the state store can
+    evict a buffered touch once the purchase-side watermark passes
+    ``tt + 6h`` (no future purchase can still match it) and a buffered
+    purchase once the touch-side watermark passes ``tp`` (no future
+    touch can precede it). Join state is therefore bounded by the event
+    volume of one lookback window plus ``delay``, never the full
+    history. Inner-join matches emit as soon as both rows have arrived
+    (append mode). ``delay`` is the out-of-order slack — raise it when
+    landings replay far-past data (the parity test spans the whole
+    fixture, so it passes a delay covering the fixture's time span).
+
+    Tie discipline mirrors the batch pair stage exactly: a touch at the
+    same microsecond as the purchase counts only when ``tid < pid``."""
+    from .operators.temporal import ATTR_TOUCH_TYPES, ATTR_WINDOW_US
+
+    p = (spark.readStream.schema(EVENTS_DDL).parquet(input_dir)
+         .filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("pid"), "user_id",
+                 F.col("ts").alias("tp"),
+                 F.round(F.col("value") * 100).cast("long").alias("cents"))
+         .withWatermark("tp", delay))
+    t = (spark.readStream.schema(EVENTS_DDL).parquet(input_dir)
+         .filter(F.col("event_type").isin(*ATTR_TOUCH_TYPES))
+         .select(F.col("user_id").alias("t_user"),
+                 F.col("event_type").alias("ch"),
+                 F.col("event_id").alias("tid"),
+                 F.col("ts").alias("tt"))
+         .withWatermark("tt", delay))
+    lookback = F.expr(f"INTERVAL {ATTR_WINDOW_US} MICROSECOND")
+    cond = ((F.col("user_id") == F.col("t_user"))
+            # both range bounds stated as plain conjuncts so the
+            # streaming planner derives state-eviction thresholds
+            & (F.col("tt") <= F.col("tp"))
+            & (F.col("tt") >= F.col("tp") - lookback)
+            & ((F.col("tt") < F.col("tp"))
+               | (F.col("tid") < F.col("pid"))))
+    return (p.join(t, cond)
+            .select("pid", "tid", "ch", "user_id", "cents"))

@@ -320,3 +320,55 @@ def test_stream_enrich_matches_batch_join(spark, tmp_path):
         (r["event_id"], r["user_id"], r["user_events"], r["tier"])
         for r in events.join(dim_static, "user_id").collect())
     assert got == want and len(got) == events.count()
+
+
+def test_stream_touch_pairs_matches_batch_interval_join(spark, tmp_path):
+    """Stream-stream interval join parity: the watermarked purchase ⋈
+    prior-touch join over two file landings (split so half of every
+    user's events arrive in each landing, forcing cross-landing matches
+    through the checkpointed join state) equals the batch interval join
+    pair-for-pair."""
+    from extract_ocr_spark.operators.temporal import (ATTR_TOUCH_TYPES,
+                                                      ATTR_WINDOW_US)
+    from extract_ocr_spark.streaming import stream_touch_pairs
+
+    in_dir = str(tmp_path / "ev")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    sf = "/root/testdata/sf0.001"
+    events = spark.read.parquet(f"{sf}/events.parquet")
+
+    for pred in (F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1):
+        events.filter(pred).write.mode("append").parquet(in_dir)
+        q = (stream_touch_pairs(spark, in_dir, delay="3650 days")
+             .writeStream.format("parquet").option("path", out_dir)
+             .outputMode("append").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    got = sorted(
+        (r["pid"], r["tid"], r["ch"], r["user_id"], r["cents"])
+        for r in spark.read.parquet(out_dir).collect())
+
+    p = (events.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("pid"), "user_id",
+                 F.col("ts").alias("tp"),
+                 F.round(F.col("value") * 100).cast("long").alias("cents")))
+    t = (events.filter(F.col("event_type").isin(*ATTR_TOUCH_TYPES))
+         .select(F.col("user_id").alias("t_user"),
+                 F.col("event_type").alias("ch"),
+                 F.col("event_id").alias("tid"),
+                 F.col("ts").alias("tt")))
+    lookback = F.expr(f"INTERVAL {ATTR_WINDOW_US} MICROSECOND")
+    cond = ((F.col("user_id") == F.col("t_user"))
+            & (F.col("tt") <= F.col("tp"))
+            & (F.col("tt") >= F.col("tp") - lookback)
+            & ((F.col("tt") < F.col("tp"))
+               | (F.col("tid") < F.col("pid"))))
+    want = sorted(
+        (r["pid"], r["tid"], r["ch"], r["user_id"], r["cents"])
+        for r in p.join(t, cond)
+                  .select("pid", "tid", "ch", "user_id", "cents").collect())
+
+    assert len(got) == len(want) > 0
+    assert got == want

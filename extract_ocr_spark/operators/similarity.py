@@ -13,6 +13,10 @@
   instead of a rows-only check.
 - ``ann_topk_ivf``: coarse-quantize to 16 literal centroids, probe the 2
   nearest cells. Same literal-inlining trick for the oracle.
+- ``ann_topk_pq``: product quantization + ADC — vectors stored as M=4
+  codeword ids (64× smaller working set), distances are M integer table
+  lookups; codebooks/LUTs are plan literals and the whole encode+scan is
+  one map-only projection. Composes with IVF the faiss-IVF-PQ way.
 - ``embedding_neardup_lsh``: bucket + single-bit multiprobe near-dup join;
   a pair collides iff their buckets differ by ≤ 2 bits, which is exactly
   the oracle's ``bit_count(xor(...)) <= 2`` condition.
@@ -1586,3 +1590,137 @@ RRF_FUSION_SQL = _rrf_sql()
 
 QUERIES["rrf_fusion"] = rrf_fusion
 ORACLES["rrf_fusion"] = RRF_FUSION_SQL
+
+
+# -- product-quantization ANN (ADC) ----------------------------------------------
+
+_PQ_M = 4                      # subspaces
+_PQ_SUBDIM = _DIM // _PQ_M     # dims per subspace
+_PQ_K = 16                     # codewords per subspace
+
+
+def ann_topk_pq(spark, sf_dir):
+    """Product-quantization top-10 via asymmetric distance computation
+    (ADC) — the memory-compressed ANN scale path (Jégou et al., PAMI
+    2011; faiss PQx): each vector is stored as M=4 codeword ids (4
+    bytes/vector vs 256 for float32×64 — a 64× working-set reduction),
+    and each query scans CODES, not vectors, summing M table lookups
+    per candidate. At 10^12 vectors this is the difference between a
+    scan that fits in cluster RAM and one that doesn't; it composes
+    with IVF cells (``ann_topk_ivf``) exactly the way faiss IVF-PQ
+    does (probe pruning × code compression).
+
+    Codebooks are the ``_PQ_K`` lowest vec_ids' subvectors — the same
+    deterministic trained-codebook stand-in as ``ann_topk_ivf``'s
+    seeded centroids (``kmeans_clusters`` is the real trainer; wiring
+    its output in changes only the literals). Everything is EXACT
+    BIGINT on the ``kmeans_clusters`` integer-quantization lattice
+    (q = floor(x·1e6 + 0.5)): encode = argmin of integer subspace d²
+    (ties → lowest codeword id), ADC lookup tables are integer d²
+    from the query's subvectors to every codeword, and the returned
+    ``approx_d2`` is a BIGINT sum of M lookups — hash-exact against
+    the oracle with no float discipline needed.
+
+    Scale shape: codebooks + LUTs are driver-side literals (M·K·subdim
+    = 1,024 ints); encode and ADC are ONE map-only projection over the
+    scan (no join, no shuffle); top-10 is TakeOrdered (per-partition
+    heaps). In production the codes are materialized once and reused
+    per query; this query folds encode+scan into one pass so the
+    oracle can see the whole path."""
+    return (_pq_scored(spark, sf_dir)
+            .orderBy("approx_d2", "vec_id").limit(TOP_K)
+            .orderBy("approx_d2", "vec_id"))
+
+
+def _pq_scored(spark, sf_dir) -> DataFrame:
+    """The full PQ-ADC scored frame (vec_id, label, approx_d2) behind
+    ``ann_topk_pq`` — exposed so tests can pin the seed-exactness
+    property (a codebook member's ADC distance is EXACT) on rows the
+    top-10 cut would hide."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.select("vec_id", "label",
+                    _quantize_expr("embedding").alias("q"))
+
+    # codebooks: the K lowest vec_ids' quantized subvectors (TakeOrdered,
+    # never a full sort); cb[m][j] is a subdim-long int list
+    seed_rows = qv.orderBy("vec_id").limit(_PQ_K).select("q").collect()
+    cb = [[[int(v) for v in r["q"][m * _PQ_SUBDIM:(m + 1) * _PQ_SUBDIM]]
+           for r in seed_rows] for m in range(_PQ_M)]
+    # the query's quantized vector, via the SAME engine expression the
+    # scan uses (never a python re-quantization that could drift)
+    qq = [int(v) for v in
+          qv.filter(F.col("vec_id") == QUERY_VEC_ID).select("q").first()["q"]]
+    lut = [[sum((a - b) * (a - b)
+                for a, b in zip(qq[m * _PQ_SUBDIM:(m + 1) * _PQ_SUBDIM],
+                                cb[m][j]))
+            for j in range(_PQ_K)] for m in range(_PQ_M)]
+
+    df = qv.filter(F.col("vec_id") != QUERY_VEC_ID)
+    # stage each subvector once (an inline slice inside the K-way argmin
+    # would re-slice per codeword — the gopher staged-projection lesson)
+    for m in range(_PQ_M):
+        df = df.withColumn(f"s{m}",
+                           F.slice("q", m * _PQ_SUBDIM + 1, _PQ_SUBDIM))
+    for m in range(_PQ_M):
+        structs = []
+        for j in range(_PQ_K):
+            lit = F.array(*[F.lit(v).cast("long") for v in cb[m][j]])
+            d2 = F.aggregate(
+                F.zip_with(f"s{m}", lit, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"), lambda acc, x: acc + x)
+            structs.append(F.named_struct(
+                F.lit("d"), d2, F.lit("j"), F.lit(j)))
+        df = df.withColumn(f"c{m}", F.array_min(F.array(*structs))["j"])
+    luts = [F.array(*[F.lit(v).cast("long") for v in lut[m]])
+            for m in range(_PQ_M)]
+    approx = F.element_at(luts[0], F.col("c0") + 1)
+    for m in range(1, _PQ_M):
+        approx = approx + F.element_at(luts[m], F.col(f"c{m}") + 1)
+    return df.select("vec_id", "label", approx.alias("approx_d2"))
+
+
+ANN_TOPK_PQ_SQL = f"""
+WITH {_QUANTIZE_CTE},
+seed AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS sid, q
+  FROM (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT {_PQ_K})
+),
+cb AS (
+  SELECT t.m, seed.sid AS j,
+         list_slice(seed.q, t.m * {_PQ_SUBDIM} + 1,
+                    t.m * {_PQ_SUBDIM} + {_PQ_SUBDIM}) AS c
+  FROM seed, generate_series(0, {_PQ_M - 1}) t(m)
+),
+sub AS (
+  SELECT vec_id, t.m,
+         list_slice(q, t.m * {_PQ_SUBDIM} + 1,
+                    t.m * {_PQ_SUBDIM} + {_PQ_SUBDIM}) AS s
+  FROM qv, generate_series(0, {_PQ_M - 1}) t(m)
+),
+codes AS (
+  SELECT sub.vec_id, sub.m,
+         min(struct_pack(
+           d := {_KM_DIST.format(a='sub.s', b='cb.c')},
+           j := cb.j)).j AS j
+  FROM sub JOIN cb USING (m)
+  WHERE sub.vec_id != {QUERY_VEC_ID}
+  GROUP BY sub.vec_id, sub.m
+),
+qsub AS (SELECT m, s FROM sub WHERE vec_id = {QUERY_VEC_ID}),
+lut AS (
+  SELECT cb.m, cb.j, {_KM_DIST.format(a='qsub.s', b='cb.c')} AS d
+  FROM cb JOIN qsub USING (m)
+),
+scored AS (
+  SELECT codes.vec_id, CAST(sum(lut.d) AS BIGINT) AS approx_d2
+  FROM codes JOIN lut ON lut.m = codes.m AND lut.j = codes.j
+  GROUP BY codes.vec_id
+)
+SELECT e.vec_id, e.label, s.approx_d2
+FROM scored s JOIN embeddings e USING (vec_id)
+ORDER BY s.approx_d2, s.vec_id
+LIMIT {TOP_K}
+"""
+
+QUERIES["ann_topk_pq"] = ann_topk_pq
+ORACLES["ann_topk_pq"] = ANN_TOPK_PQ_SQL

@@ -4,6 +4,7 @@ only happen to work at the driver's sf0.01)."""
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from tests.test_entry_oracles import TABLES, _normalize
 
@@ -45,6 +46,9 @@ SUBSET = [
     "inverted_index", "minhash_est_pairs", "pmi_collocations",
     "ann_topk_int8", "vocab_coverage", "ngram_novelty", "source_overlap",
     "cluster_canonical",
+    # continuation session: PQ-ADC ANN (codebooks/LUTs derive from the
+    # corpus, so every literal differs across sf)
+    "ann_topk_pq",
     # r5 tenth session: interleaved structure, norm tails, host rollup,
     # and the three custom temporal joins (tie/branch behavior is
     # data-dependent, so both scales matter)
@@ -161,3 +165,53 @@ def test_ann_topk_int8_recall_vs_exact(spark):
     quant = {r["vec_id"] for r in ann_topk_int8(spark, SF_DIR).collect()}
     assert len(quant) == 10
     assert len(exact & quant) >= 9, (exact, quant)
+
+
+def test_ann_topk_pq_seed_vectors_score_exact(spark):
+    """PQ's algebraic anchor: a codebook member's subvectors ARE
+    codewords, so its encode is lossless and its ADC distance equals
+    the exact integer d² to the query — for every seed vector, at a
+    scale where the top-10 cut would hide them. This is the property
+    that catches slicing/indexing/LUT bugs that an internally-
+    consistent oracle pair cannot (both sides would be wrong alike).
+    (No recall floor is pinned: the synthetic embeddings are i.i.d.
+    uniform — the known worst case for PQ with an untrained 16-word
+    codebook stand-in — so recall here measures the fixture, not the
+    operator; the oracle + this exactness property pin the math.)"""
+    from extract_ocr_spark.operators.similarity import (
+        _PQ_K, _pq_scored, _quantize_expr)
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qv = emb.select("vec_id", _quantize_expr("embedding").alias("q"))
+    qq = qv.filter(F.col("vec_id") == 0).first()["q"]
+    qlit = F.array(*[F.lit(int(v)).cast("long") for v in qq])
+    exact = {
+        r["vec_id"]: r["d2"]
+        for r in qv.filter(F.col("vec_id") != 0).select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with("q", qlit, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"), lambda acc, x: acc + x).alias("d2")
+        ).collect()}
+    scored = {r["vec_id"]: r["approx_d2"]
+              for r in _pq_scored(spark, SF_DIR).collect()}
+    seeds = [r["vec_id"]
+             for r in qv.orderBy("vec_id").limit(_PQ_K).collect()]
+    assert len(seeds) == _PQ_K
+    for v in seeds:
+        if v == 0:
+            continue
+        assert scored[v] == exact[v], (v, scored[v], exact[v])
+
+
+def test_ann_topk_pq_plan_map_only_takeordered(spark):
+    """The PQ scan's scale contract: codebooks + LUTs are plan literals,
+    encode+ADC is one projection over the scan — ZERO exchanges, no
+    Python eval, top-k via TakeOrderedAndProject (per-partition heaps)."""
+    from extract_ocr_spark.operators.similarity import ann_topk_pq
+
+    plan = (ann_topk_pq(spark, SF_DIR)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange") == 0, plan
+    assert "EvalPython" not in plan

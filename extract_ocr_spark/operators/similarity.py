@@ -1632,11 +1632,14 @@ def ann_topk_pq(spark, sf_dir):
             .orderBy("approx_d2", "vec_id"))
 
 
-def _pq_scored(spark, sf_dir) -> DataFrame:
+def _pq_scored(spark, sf_dir, cells: list[int] | None = None) -> DataFrame:
     """The full PQ-ADC scored frame (vec_id, label, approx_d2) behind
     ``ann_topk_pq`` — exposed so tests can pin the seed-exactness
     property (a codebook member's ADC distance is EXACT) on rows the
-    top-10 cut would hide."""
+    top-10 cut would hide. ``cells`` restricts the SCAN side to those
+    IVF cells (``ann_topk_ivfpq``'s probe pruning); codebooks and the
+    query stay corpus-global — pruning candidates must never change
+    how any surviving candidate is scored."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qv = emb.select("vec_id", "label",
                     _quantize_expr("embedding").alias("q"))
@@ -1655,7 +1658,16 @@ def _pq_scored(spark, sf_dir) -> DataFrame:
                                 cb[m][j]))
             for j in range(_PQ_K)] for m in range(_PQ_M)]
 
-    df = qv.filter(F.col("vec_id") != QUERY_VEC_ID)
+    if cells is not None:
+        kept = (emb
+                .withColumn("cell", _cell_expr(
+                    F.col("embedding").cast("array<double>")))
+                .filter(F.col("cell").isin([int(c) for c in cells]))
+                .select("vec_id", "label",
+                        _quantize_expr("embedding").alias("q")))
+    else:
+        kept = qv
+    df = kept.filter(F.col("vec_id") != QUERY_VEC_ID)
     # stage each subvector once (an inline slice inside the K-way argmin
     # would re-slice per codeword — the gopher staged-projection lesson)
     for m in range(_PQ_M):
@@ -1724,3 +1736,96 @@ LIMIT {TOP_K}
 
 QUERIES["ann_topk_pq"] = ann_topk_pq
 ORACLES["ann_topk_pq"] = ANN_TOPK_PQ_SQL
+
+
+def ann_topk_ivfpq(spark, sf_dir):
+    """IVF-PQ: the two orthogonal ANN scale levers COMPOSED, the way
+    faiss IVF-PQ serves billion-vector search — IVF probe pruning
+    decides WHICH candidates are scanned (here: the query's 2 nearest
+    of the 16 literal cells, the ``ann_topk_ivf`` machinery verbatim),
+    PQ-ADC decides what each candidate COSTS (4 codeword ids + 4 BIGINT
+    LUT lookups, the ``ann_topk_pq`` machinery verbatim). At 10^12
+    vectors the cell is a partition column, so probing reads 2/16ths of
+    the files and the scan inside touches codes, not vectors.
+
+    Codebooks and LUTs stay corpus-global — pruning candidates must
+    never change how a surviving candidate is scored, so this query's
+    results are EXACTLY ``ann_topk_pq``'s restricted to the probed
+    cells (production IVF-PQ usually encodes per-cell residuals, which
+    trades that invariant for accuracy; the stand-in codebooks make the
+    global variant the honest choice here). All-BIGINT scoring ⇒
+    hash-exact oracle."""
+    cents = _centroids()
+    qvec = _query_vector(spark, sf_dir)
+    qsims = cents @ np.asarray(qvec)
+    probe_cells = [int(i) for i in np.argsort(-qsims)[:_IVF_PROBES]]
+    return (_pq_scored(spark, sf_dir, cells=probe_cells)
+            .orderBy("approx_d2", "vec_id").limit(TOP_K)
+            .orderBy("approx_d2", "vec_id"))
+
+
+def _ivfpq_sql() -> str:
+    cents = _centroids()
+    values = ",\n       ".join(
+        f"({i}, {_vec_sql(cents[i])})" for i in range(_N_CELLS))
+    return f"""
+WITH {_QUANTIZE_CTE},
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+cents(cell, c) AS (VALUES
+       {values}),
+fq AS (SELECT emb FROM e WHERE vec_id = {QUERY_VEC_ID}),
+probe AS (
+  SELECT cell FROM cents, fq
+  ORDER BY list_dot_product(fq.emb, c) DESC, cell LIMIT {_IVF_PROBES}),
+kept AS (
+  SELECT e.vec_id FROM e
+  WHERE (SELECT cell FROM cents
+         ORDER BY list_dot_product(e.emb, c) DESC, cell LIMIT 1)
+        IN (SELECT cell FROM probe)),
+seed AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS sid, q
+  FROM (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT {_PQ_K})
+),
+cb AS (
+  SELECT t.m, seed.sid AS j,
+         list_slice(seed.q, t.m * {_PQ_SUBDIM} + 1,
+                    t.m * {_PQ_SUBDIM} + {_PQ_SUBDIM}) AS c
+  FROM seed, generate_series(0, {_PQ_M - 1}) t(m)
+),
+sub AS (
+  SELECT vec_id, t.m,
+         list_slice(q, t.m * {_PQ_SUBDIM} + 1,
+                    t.m * {_PQ_SUBDIM} + {_PQ_SUBDIM}) AS s
+  FROM qv, generate_series(0, {_PQ_M - 1}) t(m)
+),
+codes AS (
+  SELECT sub.vec_id, sub.m,
+         min(struct_pack(
+           d := {_KM_DIST.format(a='sub.s', b='cb.c')},
+           j := cb.j)).j AS j
+  FROM sub JOIN cb USING (m)
+  WHERE sub.vec_id != {QUERY_VEC_ID}
+    AND sub.vec_id IN (SELECT vec_id FROM kept)
+  GROUP BY sub.vec_id, sub.m
+),
+qsub AS (SELECT m, s FROM sub WHERE vec_id = {QUERY_VEC_ID}),
+lut AS (
+  SELECT cb.m, cb.j, {_KM_DIST.format(a='qsub.s', b='cb.c')} AS d
+  FROM cb JOIN qsub USING (m)
+),
+scored AS (
+  SELECT codes.vec_id, CAST(sum(lut.d) AS BIGINT) AS approx_d2
+  FROM codes JOIN lut ON lut.m = codes.m AND lut.j = codes.j
+  GROUP BY codes.vec_id
+)
+SELECT emb2.vec_id, emb2.label, s.approx_d2
+FROM scored s JOIN embeddings emb2 USING (vec_id)
+ORDER BY s.approx_d2, s.vec_id
+LIMIT {TOP_K}
+"""
+
+
+ANN_TOPK_IVFPQ_SQL = _ivfpq_sql()
+
+QUERIES["ann_topk_ivfpq"] = ann_topk_ivfpq
+ORACLES["ann_topk_ivfpq"] = ANN_TOPK_IVFPQ_SQL

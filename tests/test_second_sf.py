@@ -46,9 +46,10 @@ SUBSET = [
     "inverted_index", "minhash_est_pairs", "pmi_collocations",
     "ann_topk_int8", "vocab_coverage", "ngram_novelty", "source_overlap",
     "cluster_canonical",
-    # continuation session: PQ-ADC ANN (codebooks/LUTs derive from the
-    # corpus, so every literal differs across sf)
-    "ann_topk_pq",
+    # continuation session: PQ-ADC ANN and its IVF composition
+    # (codebooks/LUTs/probed cells all derive from the corpus, so every
+    # literal differs across sf)
+    "ann_topk_pq", "ann_topk_ivfpq",
     # r5 tenth session: interleaved structure, norm tails, host rollup,
     # and the three custom temporal joins (tie/branch behavior is
     # data-dependent, so both scales matter)
@@ -204,13 +205,49 @@ def test_ann_topk_pq_seed_vectors_score_exact(spark):
         assert scored[v] == exact[v], (v, scored[v], exact[v])
 
 
-def test_ann_topk_pq_plan_map_only_takeordered(spark):
-    """The PQ scan's scale contract: codebooks + LUTs are plan literals,
-    encode+ADC is one projection over the scan — ZERO exchanges, no
-    Python eval, top-k via TakeOrderedAndProject (per-partition heaps)."""
-    from extract_ocr_spark.operators.similarity import ann_topk_pq
+def test_ann_topk_ivfpq_pruning_never_rescores(spark):
+    """The IVF×PQ composition invariant: probe pruning decides WHICH
+    candidates are scanned, never how one is scored — every row ivfpq
+    returns carries exactly the approx_d2 the global PQ scan assigns
+    that vec_id (global codebooks/LUTs), and ivfpq's result set is the
+    top-10 of the global scored frame RESTRICTED to the probed cells."""
+    import numpy as np
 
-    plan = (ann_topk_pq(spark, SF_DIR)
+    from extract_ocr_spark.operators.similarity import (
+        _IVF_PROBES, _cell_expr, _centroids, _pq_scored, _query_vector,
+        ann_topk_ivfpq)
+
+    got = [(r["vec_id"], r["approx_d2"])
+           for r in ann_topk_ivfpq(spark, SF_DIR).collect()]
+    assert len(got) == 10
+
+    global_scores = {r["vec_id"]: r["approx_d2"]
+                     for r in _pq_scored(spark, SF_DIR).collect()}
+    for vid, d2 in got:
+        assert global_scores[vid] == d2, (vid, d2, global_scores[vid])
+
+    cents = _centroids()
+    qvec = _query_vector(spark, SF_DIR)
+    probe = {int(i) for i in np.argsort(-(cents @ np.asarray(qvec)))
+             [:_IVF_PROBES]}
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    kept = {r["vec_id"] for r in emb.select(
+        "vec_id",
+        _cell_expr(F.col("embedding").cast("array<double>")).alias("cell"))
+        .filter(F.col("cell").isin(list(probe))).collect()}
+    want = sorted(((global_scores[v], v) for v in kept if v != 0))[:10]
+    assert [(v, d) for d, v in want] == got
+
+
+@pytest.mark.parametrize("qname", ["ann_topk_pq", "ann_topk_ivfpq"])
+def test_ann_topk_pq_plan_map_only_takeordered(spark, qname):
+    """The PQ scan's scale contract: codebooks + LUTs (and for ivfpq the
+    probe-cell filter) are plan literals, encode+ADC is one projection
+    over the scan — ZERO exchanges, no Python eval, top-k via
+    TakeOrderedAndProject (per-partition heaps)."""
+    from extract_ocr_spark.operators import similarity
+
+    plan = (getattr(similarity, qname)(spark, SF_DIR)
             ._jdf.queryExecution().executedPlan().toString())
     assert "TakeOrderedAndProject" in plan
     assert plan.count("Exchange") == 0, plan

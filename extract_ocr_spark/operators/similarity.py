@@ -1632,42 +1632,20 @@ def ann_topk_pq(spark, sf_dir):
             .orderBy("approx_d2", "vec_id"))
 
 
-def _pq_scored(spark, sf_dir, cells: list[int] | None = None) -> DataFrame:
-    """The full PQ-ADC scored frame (vec_id, label, approx_d2) behind
-    ``ann_topk_pq`` — exposed so tests can pin the seed-exactness
-    property (a codebook member's ADC distance is EXACT) on rows the
-    top-10 cut would hide. ``cells`` restricts the SCAN side to those
-    IVF cells (``ann_topk_ivfpq``'s probe pruning); codebooks and the
-    query stay corpus-global — pruning candidates must never change
-    how any surviving candidate is scored."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    qv = emb.select("vec_id", "label",
-                    _quantize_expr("embedding").alias("q"))
-
-    # codebooks: the K lowest vec_ids' quantized subvectors (TakeOrdered,
-    # never a full sort); cb[m][j] is a subdim-long int list
+def _pq_codebooks(qv: DataFrame) -> list[list[list[int]]]:
+    """Codebooks from the ``_PQ_K`` lowest vec_ids' quantized subvectors
+    (TakeOrdered, never a full sort); ``cb[m][j]`` is a subdim-long int
+    list. Shared by the inline queries and ``jobs/ann_index_job.py`` so
+    the materialized index can never drift from the query path."""
     seed_rows = qv.orderBy("vec_id").limit(_PQ_K).select("q").collect()
-    cb = [[[int(v) for v in r["q"][m * _PQ_SUBDIM:(m + 1) * _PQ_SUBDIM]]
-           for r in seed_rows] for m in range(_PQ_M)]
-    # the query's quantized vector, via the SAME engine expression the
-    # scan uses (never a python re-quantization that could drift)
-    qq = [int(v) for v in
-          qv.filter(F.col("vec_id") == QUERY_VEC_ID).select("q").first()["q"]]
-    lut = [[sum((a - b) * (a - b)
-                for a, b in zip(qq[m * _PQ_SUBDIM:(m + 1) * _PQ_SUBDIM],
-                                cb[m][j]))
-            for j in range(_PQ_K)] for m in range(_PQ_M)]
+    return [[[int(v) for v in r["q"][m * _PQ_SUBDIM:(m + 1) * _PQ_SUBDIM]]
+             for r in seed_rows] for m in range(_PQ_M)]
 
-    if cells is not None:
-        kept = (emb
-                .withColumn("cell", _cell_expr(
-                    F.col("embedding").cast("array<double>")))
-                .filter(F.col("cell").isin([int(c) for c in cells]))
-                .select("vec_id", "label",
-                        _quantize_expr("embedding").alias("q")))
-    else:
-        kept = qv
-    df = kept.filter(F.col("vec_id") != QUERY_VEC_ID)
+
+def _pq_encode(df: DataFrame, cb: list[list[list[int]]]) -> DataFrame:
+    """Add PQ code columns ``c0..c{M-1}`` (argmin integer subspace d²
+    against the literal codebooks, ties → lowest codeword id) to a frame
+    carrying the quantized vector column ``q``. Map-only."""
     # stage each subvector once (an inline slice inside the K-way argmin
     # would re-slice per codeword — the gopher staged-projection lesson)
     for m in range(_PQ_M):
@@ -1683,12 +1661,59 @@ def _pq_scored(spark, sf_dir, cells: list[int] | None = None) -> DataFrame:
             structs.append(F.named_struct(
                 F.lit("d"), d2, F.lit("j"), F.lit(j)))
         df = df.withColumn(f"c{m}", F.array_min(F.array(*structs))["j"])
+    return df.drop(*[f"s{m}" for m in range(_PQ_M)])
+
+
+def _pq_lut(qq: list[int], cb: list[list[list[int]]]) -> list[list[int]]:
+    """ADC lookup tables: integer d² from the query's subvectors to every
+    codeword — ``lut[m][j]``, bounded M·K values."""
+    return [[sum((a - b) * (a - b)
+                 for a, b in zip(qq[m * _PQ_SUBDIM:(m + 1) * _PQ_SUBDIM],
+                                 cb[m][j]))
+             for j in range(_PQ_K)] for m in range(_PQ_M)]
+
+
+def _adc_expr(lut: list[list[int]]):
+    """approx_d2 = Σ_m lut[m][c_m] as one literal-lookup expression over
+    the code columns ``c0..c{M-1}``."""
     luts = [F.array(*[F.lit(v).cast("long") for v in lut[m]])
             for m in range(_PQ_M)]
     approx = F.element_at(luts[0], F.col("c0") + 1)
     for m in range(1, _PQ_M):
         approx = approx + F.element_at(luts[m], F.col(f"c{m}") + 1)
-    return df.select("vec_id", "label", approx.alias("approx_d2"))
+    return approx
+
+
+def _pq_scored(spark, sf_dir, cells: list[int] | None = None) -> DataFrame:
+    """The full PQ-ADC scored frame (vec_id, label, approx_d2) behind
+    ``ann_topk_pq`` — exposed so tests can pin the seed-exactness
+    property (a codebook member's ADC distance is EXACT) on rows the
+    top-10 cut would hide. ``cells`` restricts the SCAN side to those
+    IVF cells (``ann_topk_ivfpq``'s probe pruning); codebooks and the
+    query stay corpus-global — pruning candidates must never change
+    how any surviving candidate is scored."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.select("vec_id", "label",
+                    _quantize_expr("embedding").alias("q"))
+
+    cb = _pq_codebooks(qv)
+    # the query's quantized vector, via the SAME engine expression the
+    # scan uses (never a python re-quantization that could drift)
+    qq = [int(v) for v in
+          qv.filter(F.col("vec_id") == QUERY_VEC_ID).select("q").first()["q"]]
+    lut = _pq_lut(qq, cb)
+
+    if cells is not None:
+        kept = (emb
+                .withColumn("cell", _cell_expr(
+                    F.col("embedding").cast("array<double>")))
+                .filter(F.col("cell").isin([int(c) for c in cells]))
+                .select("vec_id", "label",
+                        _quantize_expr("embedding").alias("q")))
+    else:
+        kept = qv
+    df = _pq_encode(kept.filter(F.col("vec_id") != QUERY_VEC_ID), cb)
+    return df.select("vec_id", "label", _adc_expr(lut).alias("approx_d2"))
 
 
 ANN_TOPK_PQ_SQL = f"""

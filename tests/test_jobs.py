@@ -334,3 +334,53 @@ def test_datacard_job_rejects_empty_section_list(spark, tmp_path):
     with pytest.raises(ValueError, match="no data-card sections"):
         datacard_job.run(spark, "/root/testdata/sf0.001",
                          str(tmp_path / "card"), sections=[])
+
+
+def test_ann_index_job_build_query_matches_inline(spark, tmp_path):
+    """The materialized-index parity contract: build + query over the
+    same embeddings equals the inline ``ann_topk_ivfpq`` row-for-row,
+    and the serve-side scan turns probe pruning into real PARTITION
+    pruning (PartitionFilters on ``cell`` — unprobed cells' files are
+    never opened)."""
+    import sys as _sys
+    _sys.path.insert(0, os.path.join(REPO, "jobs"))
+    from ann_index_job import build, query
+
+    from extract_ocr_spark.operators.similarity import ann_topk_ivfpq
+
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "idx")
+    stats = build(spark, f"{sf}/embeddings.parquet", idx)
+    n = spark.read.parquet(f"{sf}/embeddings.parquet").count()
+    assert stats["n_vectors"] == n
+    assert stats["codebook_entries"] == 64  # M=4 × K=16
+
+    served = query(spark, f"{sf}/embeddings.parquet", idx)
+    got = [(r["vec_id"], r["label"], r["approx_d2"])
+           for r in served.collect()]
+    want = [(r["vec_id"], r["label"], r["approx_d2"])
+            for r in ann_topk_ivfpq(spark, sf).collect()]
+    assert got == want and len(got) == 10
+
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters", 1)[1][:300]
+    assert "cell" in pf and " IN " in pf, pf
+
+
+def test_ann_index_job_via_subprocess(tmp_path):
+    """The real CLI: build then query as spark-submit-shaped
+    subprocesses; the query's printed top-1 must be a plausible
+    (vec_id, label, approx_d2) triple with BIGINT distance."""
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "idx")
+    stats = _run_job("ann_index_job.py", "--mode", "build",
+                     "--embeddings", f"{sf}/embeddings.parquet",
+                     "--index", idx)
+    assert stats["mode"] == "build" and stats["n_vectors"] > 0
+    out = _run_job("ann_index_job.py", "--mode", "query",
+                   "--embeddings", f"{sf}/embeddings.parquet",
+                   "--index", idx, "--vec-id", "0")
+    assert out["mode"] == "query" and len(out["results"]) == 10
+    vid, label, d2 = out["results"][0]
+    assert isinstance(vid, int) and isinstance(d2, int) and d2 >= 0

@@ -91,9 +91,10 @@ def main() -> None:
     results["index_query"], tuples["index_query"] = w, runs
 
     speedup = results["inline_ivfpq_query"] / results["index_query"]
-    breakeven = (results["index_build"]
-                 / max(1e-9, results["inline_ivfpq_query"]
-                       - results["index_query"]))
+    saved = results["inline_ivfpq_query"] - results["index_query"]
+    # None = serving never beats inline at this scale (fixed job
+    # overhead dominates), the honest answer for tiny corpora
+    breakeven = results["index_build"] / saved if saved > 0 else None
     print(json.dumps({
         "metric": "ann_serving_wall_sec",
         "value": round(results["index_query"], 3),
@@ -101,7 +102,8 @@ def main() -> None:
         "queries": {k: round(v, 3) for k, v in results.items()},
         "n_vectors": N_VECS,
         "serve_speedup_vs_inline": round(speedup, 1),
-        "build_breakeven_queries": round(breakeven, 1),
+        "build_breakeven_queries":
+            None if breakeven is None else round(breakeven, 1),
         "runs_sec_steal": tuples,
         "cpus": CPUS,
     }))

@@ -265,15 +265,31 @@ def _cell_expr(emb_col):
     return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
 
 
+def _probe_cells(qvec: list[float], probes: int = _IVF_PROBES) -> list[int]:
+    """The query's nearest cells by centroid dot product — the ONE probe
+    rule every IVF-family query and the serving job share. Sums are a
+    sequential left fold (the order ``_cell_expr``'s ``F.aggregate`` and
+    ``_cosine_to_lit`` already canonicalized — numpy's pairwise ``@``
+    could drift a near-tie by an ulp vs the oracle's list_dot_product)
+    and the sort carries the oracle's exact ``DESC, cell`` tie-break
+    (``np.argsort`` is unstable and has no cell tie-break)."""
+    cents = _centroids()
+    sims = []
+    for i in range(_N_CELLS):
+        acc = 0.0
+        for a, b in zip(cents[i], qvec):
+            acc += float(a) * float(b)
+        sims.append(acc)
+    return sorted(range(_N_CELLS), key=lambda i: (-sims[i], i))[:probes]
+
+
 def ann_topk_ivf(spark, sf_dir):
     """IVF-style ANN: coarse-quantize vectors to the nearest of 16 seeded
     random centroids (a stand-in for trained k-means — deterministic, no
     training dependency), probe the query's 2 nearest cells, exact-rank
     within them. The cell id becomes a partition column at scale."""
-    cents = _centroids()
     qvec = _query_vector(spark, sf_dir)
-    qsims = cents @ np.asarray(qvec)
-    probe_cells = [int(i) for i in np.argsort(-qsims)[:_IVF_PROBES]]
+    probe_cells = _probe_cells(qvec)
 
     emb = _emb(spark, sf_dir).withColumn("cell", _cell_expr(F.col("emb")))
     c = _cosine_to_lit(F.col("emb"), qvec)
@@ -1780,10 +1796,7 @@ def ann_topk_ivfpq(spark, sf_dir):
     trades that invariant for accuracy; the stand-in codebooks make the
     global variant the honest choice here). All-BIGINT scoring ⇒
     hash-exact oracle."""
-    cents = _centroids()
-    qvec = _query_vector(spark, sf_dir)
-    qsims = cents @ np.asarray(qvec)
-    probe_cells = [int(i) for i in np.argsort(-qsims)[:_IVF_PROBES]]
+    probe_cells = _probe_cells(_query_vector(spark, sf_dir))
     return (_pq_scored(spark, sf_dir, cells=probe_cells)
             .orderBy("approx_d2", "vec_id").limit(TOP_K)
             .orderBy("approx_d2", "vec_id"))

@@ -46,6 +46,7 @@ def build(spark, embeddings_path: str, index_dir: str) -> dict:
     """Encode every vector (PQ codes + IVF cell) and write the
     cell-partitioned index + codebook sidecar. Returns the stats dict
     main() prints."""
+    from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
     from extract_ocr_spark.operators.similarity import (
@@ -60,7 +61,11 @@ def build(spark, embeddings_path: str, index_dir: str) -> dict:
     qv = emb.select("vec_id", _quantize_expr("embedding").alias("q"))
     cb = _pq_codebooks(qv)
 
-    coded = _pq_encode(base, cb).drop("q")
+    # stats ride the write itself (Observation) — no read-back scan of
+    # the index just to count what the encode pass already saw
+    obs = Observation("ann_index_build")
+    coded = (_pq_encode(base, cb).drop("q")
+             .observe(obs, F.count(F.lit(1)).alias("n_vectors")))
     (coded.write.mode("overwrite").partitionBy("cell")
           .parquet(f"{index_dir}/codes"))
 
@@ -69,25 +74,31 @@ def build(spark, embeddings_path: str, index_dir: str) -> dict:
           .coalesce(1).write.mode("overwrite")
           .parquet(f"{index_dir}/codebooks"))
 
-    codes = spark.read.parquet(f"{index_dir}/codes")
+    # cell count from the partition directories — metadata, not data
+    jvm = spark._jvm
+    cpath = jvm.org.apache.hadoop.fs.Path(f"{index_dir}/codes")
+    fs = cpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    n_cells = sum(1 for st in fs.listStatus(cpath)
+                  if st.isDirectory()
+                  and st.getPath().getName().startswith("cell="))
     return {
         "mode": "build",
-        "n_vectors": codes.count(),
-        "n_cells": codes.select("cell").distinct().count(),
+        "n_vectors": obs.get["n_vectors"],
+        "n_cells": n_cells,
         "codebook_entries": len(cb_rows),
     }
 
 
 def query(spark, embeddings_path: str, index_dir: str, *,
-          vec_id: int = 0, probes: int = 2, k: int = 10):
+          vec_id: int = 0, probes: int | None = None, k: int = 10):
     """Serve one query from the materialized index: probe the query's
     nearest cells (partition pruning on disk), ADC-score the probed
     codes against the sidecar codebooks, return the top-k DataFrame."""
-    import numpy as np
     from pyspark.sql import functions as F
 
     from extract_ocr_spark.operators.similarity import (
-        _PQ_K, _PQ_M, _adc_expr, _centroids, _pq_lut, _quantize_expr)
+        _IVF_PROBES, _PQ_K, _PQ_M, _adc_expr, _pq_lut, _probe_cells,
+        _quantize_expr)
 
     cb = [[None] * _PQ_K for _ in range(_PQ_M)]
     for r in spark.read.parquet(f"{index_dir}/codebooks").collect():
@@ -98,9 +109,13 @@ def query(spark, embeddings_path: str, index_dir: str, *,
             .select(_quantize_expr("embedding").alias("q"),
                     F.col("embedding").cast("array<double>").alias("emb"))
             .first())
+    if qrow is None:
+        raise ValueError(
+            f"vec_id {vec_id} not found in {embeddings_path}")
     lut = _pq_lut([int(v) for v in qrow["q"]], cb)
-    qsims = _centroids() @ np.asarray(qrow["emb"])
-    probe_cells = [int(i) for i in np.argsort(-qsims)[:probes]]
+    probe_cells = _probe_cells(
+        list(qrow["emb"]),
+        _IVF_PROBES if probes is None else probes)
 
     codes = (spark.read.parquet(f"{index_dir}/codes")
              .filter(F.col("cell").isin(probe_cells))

@@ -252,3 +252,16 @@ def test_ann_topk_pq_plan_map_only_takeordered(spark, qname):
     assert "TakeOrderedAndProject" in plan
     assert plan.count("Exchange") == 0, plan
     assert "EvalPython" not in plan
+
+
+def test_probe_cells_tie_break_matches_oracle_order():
+    """``_probe_cells`` is the ONE probe rule (inline IVF queries + the
+    serving job): a fully tied query (zero vector → every centroid dot
+    is 0.0) must resolve by the oracle's exact ``DESC, cell`` tie-break
+    — lowest cell ids first — which np.argsort (unstable, no secondary
+    key) never guaranteed."""
+    from extract_ocr_spark.operators.similarity import (
+        _IVF_PROBES, _N_CELLS, _probe_cells)
+
+    assert _probe_cells([0.0] * 64) == list(range(_IVF_PROBES))
+    assert _probe_cells([0.0] * 64, _N_CELLS) == list(range(_N_CELLS))

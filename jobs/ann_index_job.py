@@ -102,7 +102,19 @@ def query(spark, embeddings_path: str, index_dir: str, *,
 
     cb = [[None] * _PQ_K for _ in range(_PQ_M)]
     for r in spark.read.parquet(f"{index_dir}/codebooks").collect():
+        if not (0 <= r["m"] < _PQ_M and 0 <= r["j"] < _PQ_K):
+            raise ValueError(
+                f"codebook entry (m={r['m']}, j={r['j']}) out of range "
+                f"for M={_PQ_M}, K={_PQ_K} — index at {index_dir} was "
+                "built with different PQ constants")
         cb[r["m"]][r["j"]] = [int(v) for v in r["codeword"]]
+    missing = [(m, j) for m in range(_PQ_M) for j in range(_PQ_K)
+               if cb[m][j] is None]
+    if missing:
+        raise ValueError(
+            f"codebooks sidecar at {index_dir} is incomplete: "
+            f"{len(missing)}/{_PQ_M * _PQ_K} entries missing "
+            f"(first: {missing[0]})")
 
     qrow = (spark.read.parquet(embeddings_path)
             .filter(F.col("vec_id") == vec_id)
@@ -132,7 +144,9 @@ def main() -> None:
     ap.add_argument("--embeddings", required=True)
     ap.add_argument("--index", required=True)
     ap.add_argument("--vec-id", type=int, default=0)
-    ap.add_argument("--probes", type=int, default=2)
+    # default None → query() resolves the shared _IVF_PROBES constant,
+    # keeping CLI runs on the same probe count as the inline query
+    ap.add_argument("--probes", type=int, default=None)
     ap.add_argument("--k", type=int, default=10)
     args = ap.parse_args()
 

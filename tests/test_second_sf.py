@@ -211,10 +211,8 @@ def test_ann_topk_ivfpq_pruning_never_rescores(spark):
     returns carries exactly the approx_d2 the global PQ scan assigns
     that vec_id (global codebooks/LUTs), and ivfpq's result set is the
     top-10 of the global scored frame RESTRICTED to the probed cells."""
-    import numpy as np
-
     from extract_ocr_spark.operators.similarity import (
-        _IVF_PROBES, _cell_expr, _centroids, _pq_scored, _query_vector,
+        _cell_expr, _pq_scored, _probe_cells, _query_vector,
         ann_topk_ivfpq)
 
     got = [(r["vec_id"], r["approx_d2"])
@@ -226,10 +224,10 @@ def test_ann_topk_ivfpq_pruning_never_rescores(spark):
     for vid, d2 in got:
         assert global_scores[vid] == d2, (vid, d2, global_scores[vid])
 
-    cents = _centroids()
-    qvec = _query_vector(spark, SF_DIR)
-    probe = {int(i) for i in np.argsort(-(cents @ np.asarray(qvec)))
-             [:_IVF_PROBES]}
+    # the production probe rule itself — deriving the set with a second
+    # (argsort-based) rule here let an ulp-near tie disagree with what
+    # ivfpq actually probes
+    probe = set(_probe_cells(_query_vector(spark, SF_DIR)))
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     kept = {r["vec_id"] for r in emb.select(
         "vec_id",

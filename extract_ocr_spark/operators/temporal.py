@@ -1173,3 +1173,86 @@ ORDER BY channel
 
 QUERIES["attribution_linear"] = attribution_linear_query
 ORACLES["attribution_linear"] = ATTRIBUTION_LINEAR_SQL
+
+
+# -- Daily gap fill (calendar densification + forward fill) -------------------
+#
+# The time-series densification operator warehouse pipelines reach for a
+# calendar-dimension join to get: per (user, day) purchase spend with the
+# missing days generated and the last observation carried forward. The
+# scalable form needs NO calendar table and NO join at all: one (user,
+# day) aggregate, one user-partitioned window (lead), and a map-side
+# explode of each activity day's run up to the day before the next one —
+# the islands carry their own head values, so the forward fill is free
+# (each generated row is built FROM the row it fills from). Fill extends
+# only to the day before the user's next active day (the span end), so
+# the result depends on per-user data alone — no corpus-global "today"
+# that would make the query nondeterministic across runs.
+#
+# All outputs are DATE / BIGINT / BOOLEAN — hash-exact by construction.
+# Scale: two exchanges total ((user, day) aggregate, then the user
+# window); the explode multiplies rows by the gap length map-side, never
+# through a shuffle. Reference analog: none (the reference has no
+# time-series surface); this is the standard TimescaleDB
+# time_bucket_gapfill / locf composition expressed as DataFrame ops.
+
+
+def gap_fill_daily_df(ev: DataFrame) -> DataFrame:
+    daily = (ev.filter(F.col("event_type") == "purchase")
+             .groupBy("user_id", F.to_date("ts").alias("active_day"))
+             .agg(F.sum(_value_cents()).alias("spend_cents")))
+    w = Window.partitionBy("user_id").orderBy("active_day")
+    # days to generate from this island head: up to the day before the
+    # next active day (0 extra for the user's last active day)
+    n_fill = F.coalesce(
+        F.datediff(F.date_sub(F.lead("active_day").over(w), 1),
+                   F.col("active_day")),
+        F.lit(0))
+    span = daily.withColumn("n_fill", n_fill)
+    out = span.select(
+        "user_id", "active_day", "spend_cents",
+        F.explode(F.sequence(F.lit(0), F.col("n_fill"))).alias("o"))
+    return out.select(
+        "user_id",
+        F.date_add(F.col("active_day"), F.col("o")).alias("day"),
+        (F.col("o") != 0).alias("is_gap"),
+        F.when(F.col("o") == 0, F.col("spend_cents"))
+         .otherwise(F.lit(0)).cast("long").alias("day_spend_cents"),
+        F.col("spend_cents").alias("carry_spend_cents"),
+        F.col("o").cast("long").alias("days_since_active"),
+    )
+
+
+def gap_fill_daily_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gap_fill_daily_df(_events(spark, sf_dir)) \
+        .orderBy("user_id", "day")
+
+
+GAP_FILL_DAILY_SQL = f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS active_day,
+         CAST(sum({VALUE_CENTS_SQL}) AS BIGINT) AS spend_cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), nx AS (
+  SELECT *,
+         lead(active_day) OVER (PARTITION BY user_id ORDER BY active_day)
+           AS nxt
+  FROM daily
+), f AS (
+  SELECT user_id, active_day, spend_cents, CAST(r.o AS INTEGER) AS o
+  FROM nx, unnest(range(0,
+        coalesce(datediff('day', active_day, nxt - 1), 0) + 1)) AS r(o)
+)
+SELECT user_id,
+       active_day + o AS day,
+       o <> 0 AS is_gap,
+       CASE WHEN o = 0 THEN spend_cents ELSE CAST(0 AS BIGINT) END
+         AS day_spend_cents,
+       spend_cents AS carry_spend_cents,
+       CAST(o AS BIGINT) AS days_since_active
+FROM f
+ORDER BY user_id, day
+"""
+
+QUERIES["gap_fill_daily"] = gap_fill_daily_query
+ORACLES["gap_fill_daily"] = GAP_FILL_DAILY_SQL

@@ -2917,3 +2917,107 @@ FROM terms GROUP BY source, n_src ORDER BY source
 
 QUERIES["chi2_drift"] = chi2_drift
 ORACLES["chi2_drift"] = CHI2_DRIFT_SQL
+
+
+# -- Self-BLEU corpus-diversity audit ------------------------------------------
+#
+# Self-BLEU (Zhu et al. 2018, "Texygen") measures how much each document
+# resembles the REST of the corpus — the standard diversity readout for
+# generated/synthetic training data (high self-BLEU = mode collapse,
+# duplicated templates). Per doc: modified bigram precision against all
+# other docs as references — each of the doc's bigram counts is clipped
+# at the MAXIMUM count of that bigram in any OTHER document (the BLEU
+# clip rule with the corpus-minus-self as the reference set).
+#
+# The naive form is a doc × corpus pair scan. The scale shape here: the
+# per-(bigram) max-over-other-docs needs only the TOP-2 (doc, count)
+# rows per bigram — for doc d the clip ceiling is top1's count unless
+# top1 IS d, in which case top2's. row_number()<=2 over the (bigram)
+# window compiles to WindowGroupLimit (map-side top-2 per key), so hot
+# stopword bigrams never materialize their full posting; the clip join
+# is then (doc, bigram, count) ⋈ the ≤2-rows-per-bigram table on the
+# bigram key. The vocabulary-sized top table carries NO broadcast hint
+# (Heaps' law — the tfidf lesson); AQE may still broadcast it when
+# measured small.
+#
+# Numerics: everything is exact BIGINT until one final division of two
+# exactly-represented integers — identical doubles on both engines, no
+# rounding step needed.
+
+def self_bleu_df(docs: DataFrame) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from . import bigram_array
+
+    c = (docs.select("doc_id", tok_array(F.col("text")).alias("toks"))
+         .filter(F.size("toks") >= 2)
+         .select("doc_id", F.explode(bigram_array(F.col("toks"))).alias("bg"))
+         .groupBy("doc_id", "bg").agg(F.count("*").alias("c")))
+    c.persist()  # feeds the top-2 window AND the clip join
+    w = Window.partitionBy("bg").orderBy(F.col("c").desc(), "doc_id")
+    top = (c.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") <= 2)
+           .groupBy("bg")
+           .agg(F.max(F.when(F.col("rn") == 1, F.col("c"))).alias("c1"),
+                F.max(F.when(F.col("rn") == 1, F.col("doc_id")))
+                 .alias("d1"),
+                F.coalesce(
+                    F.max(F.when(F.col("rn") == 2, F.col("c"))),
+                    F.lit(0)).alias("c2")))
+    clip_ceiling = F.when(F.col("d1") == F.col("doc_id"), F.col("c2")) \
+        .otherwise(F.col("c1"))
+    out = (c.join(top, "bg")
+           .groupBy("doc_id")
+           .agg(F.sum("c").alias("n_bigrams"),
+                F.sum(F.least(F.col("c"), clip_ceiling))
+                 .alias("clipped_bigrams"))
+           .select("doc_id", "n_bigrams", "clipped_bigrams",
+                   (F.col("clipped_bigrams").cast("double")
+                    / F.col("n_bigrams")).alias("self_bleu2")))
+    out = out.localCheckpoint()
+    c.unpersist()
+    return out
+
+
+def self_bleu(spark, sf_dir):
+    return self_bleu_df(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+SELF_BLEU_SQL = rf"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{WS_RE}+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, array_to_string(toks[r.i+1 : r.i+2], ' ') AS bg
+  FROM t, unnest(range(0, len(toks) - 1)) AS r(i)
+  WHERE len(toks) >= 2
+), c AS (
+  SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS c
+  FROM g GROUP BY doc_id, bg
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY bg
+                               ORDER BY c DESC, doc_id) AS rn
+  FROM c
+), top AS (
+  SELECT bg,
+         max(CASE WHEN rn = 1 THEN c END) AS c1,
+         max(CASE WHEN rn = 1 THEN doc_id END) AS d1,
+         coalesce(max(CASE WHEN rn = 2 THEN c END), 0) AS c2
+  FROM r WHERE rn <= 2 GROUP BY bg
+)
+SELECT c.doc_id,
+       CAST(sum(c.c) AS BIGINT) AS n_bigrams,
+       CAST(sum(least(c.c, CASE WHEN top.d1 = c.doc_id THEN top.c2
+                                ELSE top.c1 END)) AS BIGINT)
+         AS clipped_bigrams,
+       CAST(sum(least(c.c, CASE WHEN top.d1 = c.doc_id THEN top.c2
+                                ELSE top.c1 END)) AS DOUBLE)
+         / sum(c.c) AS self_bleu2
+FROM c JOIN top USING (bg)
+GROUP BY c.doc_id ORDER BY c.doc_id
+"""
+
+QUERIES["self_bleu"] = self_bleu
+ORACLES["self_bleu"] = SELF_BLEU_SQL

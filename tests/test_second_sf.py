@@ -50,6 +50,9 @@ SUBSET = [
     # (codebooks/LUTs/probed cells all derive from the corpus, so every
     # literal differs across sf)
     "ann_topk_pq", "ann_topk_ivfpq",
+    # final session: calendar densification (gap/island lengths differ
+    # per sf) and the self-BLEU clip (top-2-per-bigram ties differ)
+    "gap_fill_daily", "self_bleu",
     # r5 tenth session: interleaved structure, norm tails, host rollup,
     # and the three custom temporal joins (tie/branch behavior is
     # data-dependent, so both scales matter)

@@ -286,3 +286,53 @@ def test_attribution_linear_fixture_semantics(spark, tmp_path):
     assert got["view"] == (2, 500.0 + 450.0)
     assert got["signup"] == (1, 450.0)
     assert ATTR_WINDOW_US == 6 * 3600 * 1_000_000
+
+
+def test_gap_fill_daily_fixture_semantics(spark, tmp_path):
+    """Calendar densification + forward fill: two same-day purchases sum,
+    interior gap days carry the island head's spend with is_gap set and
+    the day offset, fill stops the day before the next active day, a
+    single-purchase user emits exactly one row, and non-purchase events
+    are ignored."""
+    from extract_ocr_spark.operators.temporal import gap_fill_daily_query
+
+    t = lambda d, h=12: dt.datetime(2024, 3, d, h, 0, 0)
+    rows = [
+        # user 10: days 1 (x2) and 4 -> gaps on 2, 3
+        (0, t(1, 9), 10, "purchase", 10.00), (1, t(1, 15), 10, "purchase", 2.50),
+        (2, t(4), 10, "purchase", 4.00),
+        # a view must not create an active day
+        (3, t(2), 10, "view", 99.0),
+        # user 11: single purchase -> one row, no fill
+        (4, t(7), 11, "purchase", 1.00),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, k, v, "{}") for i, ts, u, k, v in rows],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string")
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = [tuple(r) for r in
+           gap_fill_daily_query(spark, str(tmp_path)).collect()]
+    d_ = dt.date
+    assert got == [
+        (10, d_(2024, 3, 1), False, 1250, 1250, 0),
+        (10, d_(2024, 3, 2), True, 0, 1250, 1),
+        (10, d_(2024, 3, 3), True, 0, 1250, 2),
+        (10, d_(2024, 3, 4), False, 400, 400, 0),
+        (11, d_(2024, 3, 7), False, 100, 100, 0),
+    ]
+
+
+def test_gap_fill_daily_plan_no_join_two_exchanges(spark):
+    """Scale pins: densification is agg + window + map-side explode —
+    no join (no calendar dimension), no Python, and exactly two hash
+    exchanges ((user, day) aggregate, then the user window)."""
+    from extract_ocr_spark.operators.temporal import gap_fill_daily_df
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = gap_fill_daily_df(ev)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan

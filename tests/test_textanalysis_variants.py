@@ -906,3 +906,67 @@ def test_chi2_drift_independent_mix_is_zero(spark, tmp_path):
     ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
     for r in chi2_drift(spark, str(tmp_path)).collect():
         assert r["chi2_part"] == 0.0
+
+
+def test_self_bleu_clip_and_diversity_semantics(spark, tmp_path):
+    """The BLEU clip rule against corpus-minus-self: identical docs score
+    1.0, a doc with no shared bigrams scores 0.0, and a repeated bigram
+    clips at the MAX count of that bigram in any OTHER doc (3 copies vs
+    1 elsewhere -> 1 of 3 credited)."""
+    from extract_ocr_spark.operators.textanalysis import self_bleu
+
+    d = tmp_path / "documents.parquet"
+    spark.createDataFrame(
+        [
+            # 1 and 2: identical -> every bigram clips at full count
+            (1, "the cat sat on the mat", "en", "s", 22),
+            (2, "the cat sat on the mat", "en", "s", 22),
+            # 3: disjoint bigram vocabulary -> 0.0
+            (3, "zq wx yv ut", "en", "s", 11),
+            # 4: "aa bb" x3 (interleaved so count=3), doc 5 has it once
+            (4, "aa bb aa bb aa bb", "en", "s", 17),
+            (5, "aa bb cc dd", "en", "s", 11),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d))
+    got = {r["doc_id"]: r for r in self_bleu(spark, str(tmp_path)).collect()}
+    assert got[1]["self_bleu2"] == 1.0 and got[2]["self_bleu2"] == 1.0
+    assert got[3]["self_bleu2"] == 0.0
+    # doc 4 bigrams: "aa bb" x3, "bb aa" x2 -> clipped: min(3, 1 [doc5])
+    # + min(2, 0) = 1 of 5
+    assert got[4]["n_bigrams"] == 5
+    assert got[4]["clipped_bigrams"] == 1
+    # doc 5: "aa bb" appears in 4 (clip 1), "bb cc"/"cc dd" nowhere else
+    assert got[5]["clipped_bigrams"] == 1 and got[5]["n_bigrams"] == 3
+
+
+def test_self_bleu_plan_topk_window_no_cartesian(spark):
+    """Scale pins: the per-bigram max-over-others uses a map-side top-2
+    (WindowGroupLimit), the clip join is an equi join (no cartesian /
+    nested loop), and nothing drops to Python."""
+    from extract_ocr_spark.operators.textanalysis import self_bleu_df
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from pyspark.sql import functions as F
+
+    from extract_ocr_spark.operators import bigram_array, tok_array
+
+    # pin on the LAZY production shape (localCheckpoint in self_bleu_df
+    # would hide the interesting plan): rebuild the exact frame
+    from pyspark.sql.window import Window
+    c = (docs.select("doc_id", tok_array(F.col("text")).alias("toks"))
+         .filter(F.size("toks") >= 2)
+         .select("doc_id",
+                 F.explode(bigram_array(F.col("toks"))).alias("bg"))
+         .groupBy("doc_id", "bg").agg(F.count("*").alias("c")))
+    w = Window.partitionBy("bg").orderBy(F.col("c").desc(), "doc_id")
+    top = (c.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") <= 2))
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+
+    full = self_bleu_df(docs)
+    fplan = full._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in fplan, fplan
+    assert "BroadcastNestedLoopJoin" not in fplan, fplan
+    assert "Python" not in fplan, fplan

@@ -3021,3 +3021,176 @@ GROUP BY c.doc_id ORDER BY c.doc_id
 
 QUERIES["self_bleu"] = self_bleu
 ORACLES["self_bleu"] = SELF_BLEU_SQL
+
+
+# -- Trained multinomial Naive Bayes language classifier ----------------------
+#
+# The train-from-labels / apply / evaluate ML shape the registry's other
+# classifiers deliberately avoid (quality_classifier scores with FIXED
+# hashed weights; dsir_weights fits target-vs-raw importance ratios):
+# here the class-conditional distributions are LEARNED from the corpus's
+# own lang labels — multinomial NB with add-1 smoothing over hashed
+# unigram buckets — then every document is scored against each class and
+# the confusion matrix of argmax predictions vs true labels is reported.
+# Self-training on the corpus is the standard sanity readout (can the
+# lexical signal separate the classes at all); a held-out variant is the
+# same plan with a split_assign filter on the training side.
+#
+# Scale shape: one scan + one explode to per-(doc, bucket) counts
+# (persisted — feeds the class table and the scoring join); the learned
+# model is BOUNDED at (langs × NB_BUCKETS) rows and broadcasts (a fixed
+# bucket budget, unlike a Heaps-law vocabulary); scoring explodes each
+# doc-bucket row by the ≤|langs| candidate classes; argmax is a
+# row_number over ≤|langs| rows per doc (WindowGroupLimit). The output
+# confusion matrix is ALL integers — the only floats live inside the
+# per-(doc, lang) scores, which fold in bucket-sorted order on both
+# engines (the dsir/lm_nll discipline), so the argmax — and therefore
+# every output — is engine-exact.
+#
+# NB on the synthetic sf tables: the documents text is drawn from ONE
+# shared vocabulary regardless of the lang label, so the label carries
+# no lexical signal and the learned model correctly collapses to the
+# prior argmax ('en' for every doc — accuracy == the en prior). That is
+# the Bayes-honest answer on label-uninformative data, not a defect;
+# the fixture test shows real class recovery on a separable corpus.
+
+NB_BUCKETS = 1024
+
+
+def nb_lang_confusion_df(docs: DataFrame, *,
+                         _checkpoint: bool = True) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    occ = (docs.select("doc_id", "lang",
+                       F.explode(tok_array(F.col("text"))).alias("tok"))
+           .select("doc_id", "lang",
+                   (md5_long(F.col("tok")) % NB_BUCKETS).alias("b"))
+           .groupBy("doc_id", "lang", "b").agg(F.count("*").alias("n"))
+           .persist())
+    try:
+        cls = occ.groupBy("lang", "b").agg(F.sum("n").alias("cb"))
+        tot = occ.groupBy("lang").agg(F.sum("n").alias("t"))
+        model = (cls.join(tot, "lang")
+                 .select("lang", "b", "cb", "t"))  # ≤ langs × NB_BUCKETS
+        pri = docs.groupBy("lang").agg(F.count("*").alias("dl"))
+        n_docs = docs.count()
+        n_langs = pri.count()
+
+        # every (doc bucket) × every candidate class; absent (lang, b)
+        # pairs score with cb = 0 (the add-1 smoothing floor)
+        cand = (occ.select("doc_id", "b", "n")
+                .join(F.broadcast(tot.select("lang", "t")
+                                  .withColumnRenamed("lang", "cand")),
+                      how="cross")
+                .join(F.broadcast(model.select(
+                    F.col("lang").alias("cand"), "b",
+                    F.col("cb").alias("cb"))), ["cand", "b"], "left")
+                .fillna({"cb": 0}))
+        term = F.col("n") * F.log(
+            (F.col("cb") + 1) / (F.col("t") + F.lit(NB_BUCKETS)))
+        prior = F.log((F.col("dl") + 1)
+                      / F.lit(float(n_docs + n_langs)))
+        # bucket-sorted fold — (doc, cand, b) is unique, so sorting the
+        # struct list by b fixes one accumulation order on both engines
+        scores = (cand.select("doc_id", "cand", "b", term.alias("term"))
+                  .groupBy("doc_id", "cand")
+                  .agg(F.aggregate(
+                      F.array_sort(F.collect_list(F.struct("b", "term"))),
+                      F.lit(0.0), lambda a, x: a + x["term"])
+                      .alias("ll")))
+        scores = (scores.join(
+            F.broadcast(pri.select(F.col("lang").alias("cand"), "dl")),
+            "cand")
+            .select("doc_id", "cand",
+                    (F.col("ll") + prior).alias("score")))
+        w = Window.partitionBy("doc_id") \
+            .orderBy(F.col("score").desc(), "cand")
+        pred = (scores.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("doc_id", F.col("cand").alias("pred_lang")))
+        # token-less docs never reach `occ`; they predict the prior
+        # argmax (most docs, tie -> lowest lang)
+        wp = Window.orderBy(F.col("dl").desc(), "lang")
+        pa = (pri.withColumn("rn", F.row_number().over(wp))
+              .filter(F.col("rn") == 1)
+              .select(F.col("lang").alias("prior_pick")))
+        out = (docs.select("doc_id", "lang")
+               .join(pred, "doc_id", "left")
+               .crossJoin(F.broadcast(pa))
+               .select("lang",
+                       F.coalesce("pred_lang", "prior_pick")
+                       .alias("pred_lang"))
+               .groupBy("lang", "pred_lang")
+               .agg(F.count("*").alias("n_docs"))
+               .orderBy("lang", "pred_lang"))
+        # _checkpoint=False is the plan-inspection seam (localCheckpoint
+        # hides the upstream plan from .explain; the dsir precedent)
+        if _checkpoint:
+            out = out.localCheckpoint()
+    finally:
+        occ.unpersist()
+    return out
+
+
+def nb_lang_confusion(spark, sf_dir):
+    return nb_lang_confusion_df(_docs(spark, sf_dir))
+
+
+NB_LANG_CONFUSION_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '{WS_RE}+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), occ AS (
+  SELECT doc_id, lang,
+         ('0x' || substring(md5(tok), 1, 15))::BIGINT % {NB_BUCKETS} AS b,
+         CAST(count(*) AS BIGINT) AS n
+  FROM t, unnest(toks) AS u(tok)
+  GROUP BY doc_id, lang, b
+), cls AS (
+  SELECT lang, b, CAST(sum(n) AS BIGINT) AS cb FROM occ GROUP BY lang, b
+), tot AS (
+  SELECT lang, CAST(sum(n) AS BIGINT) AS t FROM occ GROUP BY lang
+), pri AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS dl FROM documents GROUP BY lang
+), consts AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+         (SELECT CAST(count(*) AS BIGINT) FROM pri) AS n_langs
+), cand AS (
+  SELECT o.doc_id, tot.lang AS cand, tot.t, o.b, o.n,
+         coalesce(cls.cb, 0) AS cb
+  FROM occ o CROSS JOIN tot
+  LEFT JOIN cls ON cls.lang = tot.lang AND cls.b = o.b
+), scores AS (
+  SELECT doc_id, cand,
+         list_reduce(list_prepend(0.0, list(
+             n * ln((cb + 1.0) / (t + {NB_BUCKETS})) ORDER BY b)),
+             (a, x) -> a + x) AS ll
+  FROM cand GROUP BY doc_id, cand
+), scored AS (
+  SELECT s.doc_id, s.cand,
+         s.ll + ln((pri.dl + 1.0)
+                   / CAST(consts.n_docs + consts.n_langs AS DOUBLE))
+           AS score
+  FROM scores s JOIN pri ON pri.lang = s.cand CROSS JOIN consts
+), pred AS (
+  SELECT doc_id, cand AS pred_lang
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, cand) AS rn
+        FROM scored)
+  WHERE rn = 1
+), pa AS (
+  SELECT lang AS prior_pick
+  FROM (SELECT *, row_number() OVER (ORDER BY dl DESC, lang) AS rn
+        FROM pri)
+  WHERE rn = 1
+)
+SELECT d.lang, coalesce(p.pred_lang, pa.prior_pick) AS pred_lang,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents d LEFT JOIN pred p ON p.doc_id = d.doc_id CROSS JOIN pa
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["nb_lang_confusion"] = nb_lang_confusion
+ORACLES["nb_lang_confusion"] = NB_LANG_CONFUSION_SQL

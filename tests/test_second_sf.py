@@ -53,6 +53,9 @@ SUBSET = [
     # final session: calendar densification (gap/island lengths differ
     # per sf) and the self-BLEU clip (top-2-per-bigram ties differ)
     "gap_fill_daily", "self_bleu",
+    # trained-NB confusion (class-conditional counts and prior argmax
+    # both follow the corpus)
+    "nb_lang_confusion",
     # r5 tenth session: interleaved structure, norm tails, host rollup,
     # and the three custom temporal joins (tie/branch behavior is
     # data-dependent, so both scales matter)

@@ -970,3 +970,45 @@ def test_self_bleu_plan_topk_window_no_cartesian(spark):
     assert "CartesianProduct" not in fplan, fplan
     assert "BroadcastNestedLoopJoin" not in fplan, fplan
     assert "Python" not in fplan, fplan
+
+
+def test_nb_lang_confusion_learns_separable_vocab(spark, tmp_path):
+    """On a lexically separable corpus the trained NB recovers the
+    classes; a token-less doc falls back to the prior argmax (most
+    docs, tie -> lowest lang) — here a tie resolved to 'xx', so the
+    empty 'yy' doc lands in the (yy, xx) cell."""
+    from extract_ocr_spark.operators.textanalysis import nb_lang_confusion
+
+    d = tmp_path / "documents.parquet"
+    spark.createDataFrame(
+        [
+            (1, "aaa bbb aaa bbb", "xx", "s", 15),
+            (2, "aaa aaa bbb", "xx", "s", 11),
+            (3, "bbb aaa", "xx", "s", 7),
+            (4, "ccc ddd ccc", "yy", "s", 11),
+            (5, "ddd ccc ddd", "yy", "s", 11),
+            (6, "   ", "yy", "s", 3),  # token-less -> prior argmax
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(d))
+    got = {(r["lang"], r["pred_lang"]): r["n_docs"]
+           for r in nb_lang_confusion(spark, str(tmp_path)).collect()}
+    assert got == {("xx", "xx"): 3, ("yy", "yy"): 2, ("yy", "xx"): 1}
+
+
+def test_nb_lang_confusion_plan_no_cartesian_no_python(spark):
+    """Scale pins: the learned model is a bounded broadcast (langs x
+    NB_BUCKETS) — the only nested-loop join allowed is the ≤|langs|-row
+    candidate-class broadcast; no CartesianProduct, nothing in Python,
+    and the argmax is a map-side top-1 (WindowGroupLimit)."""
+    from extract_ocr_spark.operators.textanalysis import nb_lang_confusion
+
+    from extract_ocr_spark.operators.textanalysis import nb_lang_confusion_df
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lazy = nb_lang_confusion_df(docs, _checkpoint=False)
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert lazy.count() > 0

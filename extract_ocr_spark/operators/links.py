@@ -1433,3 +1433,102 @@ SELECT v, dist FROM d{SSSP_ORACLE_ITERS}, chk WHERE chk.ok = 1 ORDER BY v
 
 QUERIES["shortest_paths"] = shortest_paths_query
 ORACLES["shortest_paths"] = SHORTEST_PATHS_SQL
+
+
+# -- GraphSAGE-style neighbor feature aggregation -----------------------------
+#
+# The GNN data-prep primitive: every node's 1-hop neighbor embeddings
+# aggregated into a mean feature vector over the block-community graph
+# (embeddings align with doc ids, the rrf_fusion convention). This is
+# the message-passing step sampled-subgraph trainers (GraphSAGE, PinSage)
+# precompute at corpus scale — one aggregation, not a training loop.
+#
+# Exactness: embeddings quantize once through the shared kmeans lattice
+# (`similarity._quantize_expr`), neighbor sums are exact BIGINT per
+# dimension, and the mean is the truncating integer division both
+# engines share (Spark `div` == DuckDB `//`) — every output is BIGINT,
+# hash-exact by construction. The full 64-dim mean vector is reported
+# through a weighted checksum (sum over d of mean_d · (d+1), order-free
+# in exact integers) plus the first four dimensions as flat columns, so
+# the oracle re-proves all 64 dims without array-stringification
+# hazards in the compare.
+#
+# Scale shape: the adjacency explodes by 64 dims into (node, dim, val)
+# and partial-aggregates per (node, dim) — map-side combine absorbs hub
+# fan-out before the shuffle; the rollup to one row per node is a
+# second bounded exchange. Isolated nodes keep degree 0 with NULL
+# features via the left join from the node frame.
+
+def neighbor_agg_df(docs: DataFrame, edges: DataFrame,
+                    emb: DataFrame) -> DataFrame:
+    from .similarity import _quantize_expr
+
+    adj = _sym_adj(edges)
+    q = emb.select(F.col("vec_id").alias("nbr"),
+                   _quantize_expr("embedding").alias("q"))
+    dims = (adj.join(q, "nbr")
+            .select("v", F.posexplode("q").alias("d", "val"))
+            .groupBy("v", "d")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("c")))
+    per_dim = dims.select(
+        "v", "d", "c", F.expr("s div c").alias("m"))
+    node = per_dim.groupBy("v").agg(
+        F.max(F.when(F.col("d") == 0, F.col("c"))).alias("degree"),
+        F.sum(F.col("m") * (F.col("d") + 1)).alias("feat_checksum"),
+        *[F.max(F.when(F.col("d") == i, F.col("m"))).alias(f"m{i}")
+          for i in range(4)])
+    return (docs.select(F.col("doc_id").alias("v"))
+            .join(node, "v", "left")
+            .select(F.col("v").alias("doc_id"),
+                    F.coalesce("degree", F.lit(0)).cast("long")
+                    .alias("degree"),
+                    "feat_checksum", "m0", "m1", "m2", "m3"))
+
+
+def neighbor_agg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    edges = _block_edges(spark, sf_dir).persist()
+    try:
+        out = neighbor_agg_df(docs, edges, emb).orderBy("doc_id") \
+            .localCheckpoint(eager=True)
+    finally:
+        edges.unpersist()
+    return out
+
+
+from .similarity import _QUANTIZE_CTE  # noqa: E402  (oracle twin reuse)
+
+NEIGHBOR_AGG_SQL = f"""
+WITH {_BLOCK_EDGES_CTE},
+{_QUANTIZE_CTE},
+adj AS (
+  SELECT a AS v, b AS nbr FROM edges
+  UNION ALL
+  SELECT b, a FROM edges
+), dims AS (
+  SELECT adj.v, CAST(r.d AS INTEGER) AS d,
+         CAST(sum(q[r.d + 1]) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS c
+  FROM adj JOIN qv ON qv.vec_id = adj.nbr,
+       unnest(range(0, len(q))) AS r(d)
+  GROUP BY adj.v, r.d
+), per_dim AS (
+  SELECT v, d, c, s // c AS m FROM dims
+), node AS (
+  SELECT v, max(CASE WHEN d = 0 THEN c END) AS degree,
+         CAST(sum(m * (d + 1)) AS BIGINT) AS feat_checksum,
+         max(CASE WHEN d = 0 THEN m END) AS m0,
+         max(CASE WHEN d = 1 THEN m END) AS m1,
+         max(CASE WHEN d = 2 THEN m END) AS m2,
+         max(CASE WHEN d = 3 THEN m END) AS m3
+  FROM per_dim GROUP BY v
+)
+SELECT d.doc_id, CAST(coalesce(node.degree, 0) AS BIGINT) AS degree,
+       feat_checksum, m0, m1, m2, m3
+FROM documents d LEFT JOIN node ON node.v = d.doc_id
+ORDER BY d.doc_id
+"""
+
+QUERIES["neighbor_agg"] = neighbor_agg_query
+ORACLES["neighbor_agg"] = NEIGHBOR_AGG_SQL

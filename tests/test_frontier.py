@@ -308,3 +308,46 @@ def test_hits_plan_bounded_no_python_no_cartesian(spark):
     assert "Scan ExistingRDD" in plan, plan   # checkpoint-bounded plan
     assert "CartesianProduct" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_neighbor_agg_mean_truncation_and_isolated_node(spark):
+    """Hand-computed 1-hop means over a 4-node path fragment: the mean
+    is the truncate-toward-zero BIGINT division (the -3200001/2 case
+    separates trunc from floor), the checksum is sum(m_d * (d+1)), and
+    an isolated node reports degree 0 with NULL features."""
+    from extract_ocr_spark.operators.links import neighbor_agg_df
+
+    docs = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "a long, b long")
+    emb = spark.createDataFrame(
+        [(0, [1.0, -3.5]), (1, [0.5, 0.25]), (2, [2.0, 0.299999])],
+        "vec_id long, embedding array<double>")
+    got = {r["doc_id"]: r for r in
+           neighbor_agg_df(docs, edges, emb).collect()}
+    # node 1 neighbors {0, 2}: q-sums (3000000, -3200001) over c=2
+    # -> trunc means (1500000, -1600000); floor would give -1600001
+    assert (got[1]["degree"], got[1]["m0"], got[1]["m1"]) == \
+        (2, 1500000, -1600000)
+    assert got[1]["feat_checksum"] == 1500000 * 1 + (-1600000) * 2
+    # leaf nodes: the single neighbor's quantized vector verbatim
+    assert (got[0]["m0"], got[0]["m1"]) == (500000, 250000)
+    assert (got[2]["m0"], got[2]["m1"]) == (500000, 250000)
+    # isolated node: in the frame, no features
+    assert got[3]["degree"] == 0 and got[3]["feat_checksum"] is None
+
+
+def test_neighbor_agg_plan_no_cartesian_no_python(spark):
+    """The dim explode partial-aggregates before the (v, d) shuffle
+    (map-side combine absorbs hub fan-out); nothing drops to Python and
+    no join degrades to a cartesian."""
+    from extract_ocr_spark.operators.links import (
+        _block_edges, neighbor_agg_df)
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    lazy = neighbor_agg_df(docs, _block_edges(spark, sf), emb)
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan, plan
+    assert "partial_sum" in plan or "partial" in plan.lower(), plan

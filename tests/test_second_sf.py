@@ -56,6 +56,8 @@ SUBSET = [
     # trained-NB confusion (class-conditional counts and prior argmax
     # both follow the corpus)
     "nb_lang_confusion",
+    # 1-hop neighbor means follow the graph (bridges differ per n)
+    "neighbor_agg",
     # r5 tenth session: interleaved structure, norm tails, host rollup,
     # and the three custom temporal joins (tie/branch behavior is
     # data-dependent, so both scales matter)

@@ -2944,7 +2944,7 @@ ORACLES["chi2_drift"] = CHI2_DRIFT_SQL
 # exactly-represented integers — identical doubles on both engines, no
 # rounding step needed.
 
-def self_bleu_df(docs: DataFrame) -> DataFrame:
+def self_bleu_df(docs: DataFrame, *, _checkpoint: bool = True) -> DataFrame:
     from pyspark.sql.window import Window
 
     from . import bigram_array
@@ -2954,28 +2954,33 @@ def self_bleu_df(docs: DataFrame) -> DataFrame:
          .select("doc_id", F.explode(bigram_array(F.col("toks"))).alias("bg"))
          .groupBy("doc_id", "bg").agg(F.count("*").alias("c")))
     c.persist()  # feeds the top-2 window AND the clip join
-    w = Window.partitionBy("bg").orderBy(F.col("c").desc(), "doc_id")
-    top = (c.withColumn("rn", F.row_number().over(w))
-           .filter(F.col("rn") <= 2)
-           .groupBy("bg")
-           .agg(F.max(F.when(F.col("rn") == 1, F.col("c"))).alias("c1"),
-                F.max(F.when(F.col("rn") == 1, F.col("doc_id")))
-                 .alias("d1"),
-                F.coalesce(
-                    F.max(F.when(F.col("rn") == 2, F.col("c"))),
-                    F.lit(0)).alias("c2")))
-    clip_ceiling = F.when(F.col("d1") == F.col("doc_id"), F.col("c2")) \
-        .otherwise(F.col("c1"))
-    out = (c.join(top, "bg")
-           .groupBy("doc_id")
-           .agg(F.sum("c").alias("n_bigrams"),
-                F.sum(F.least(F.col("c"), clip_ceiling))
-                 .alias("clipped_bigrams"))
-           .select("doc_id", "n_bigrams", "clipped_bigrams",
-                   (F.col("clipped_bigrams").cast("double")
-                    / F.col("n_bigrams")).alias("self_bleu2")))
-    out = out.localCheckpoint()
-    c.unpersist()
+    try:
+        w = Window.partitionBy("bg").orderBy(F.col("c").desc(), "doc_id")
+        top = (c.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") <= 2)
+               .groupBy("bg")
+               .agg(F.max(F.when(F.col("rn") == 1, F.col("c"))).alias("c1"),
+                    F.max(F.when(F.col("rn") == 1, F.col("doc_id")))
+                     .alias("d1"),
+                    F.coalesce(
+                        F.max(F.when(F.col("rn") == 2, F.col("c"))),
+                        F.lit(0)).alias("c2")))
+        clip_ceiling = F.when(F.col("d1") == F.col("doc_id"), F.col("c2")) \
+            .otherwise(F.col("c1"))
+        out = (c.join(top, "bg")
+               .groupBy("doc_id")
+               .agg(F.sum("c").alias("n_bigrams"),
+                    F.sum(F.least(F.col("c"), clip_ceiling))
+                     .alias("clipped_bigrams"))
+               .select("doc_id", "n_bigrams", "clipped_bigrams",
+                       (F.col("clipped_bigrams").cast("double")
+                        / F.col("n_bigrams")).alias("self_bleu2")))
+        # _checkpoint=False is the plan-inspection seam (localCheckpoint
+        # hides the upstream plan from .explain; the dsir precedent)
+        if _checkpoint:
+            out = out.localCheckpoint()
+    finally:
+        c.unpersist()
     return out
 
 
@@ -3068,13 +3073,16 @@ def nb_lang_confusion_df(docs: DataFrame, *,
            .groupBy("doc_id", "lang", "b").agg(F.count("*").alias("n"))
            .persist())
     try:
+        # the learned model: cls is ≤ langs × NB_BUCKETS rows
         cls = occ.groupBy("lang", "b").agg(F.sum("n").alias("cb"))
         tot = occ.groupBy("lang").agg(F.sum("n").alias("t"))
-        model = (cls.join(tot, "lang")
-                 .select("lang", "b", "cb", "t"))  # ≤ langs × NB_BUCKETS
         pri = docs.groupBy("lang").agg(F.count("*").alias("dl"))
-        n_docs = docs.count()
-        n_langs = pri.count()
+        # one tiny collect of the bounded prior frame yields both
+        # scalar constants (a docs.count() action would re-scan the
+        # corpus just to re-derive sum(dl))
+        pri_rows = pri.collect()
+        n_docs = sum(r["dl"] for r in pri_rows)
+        n_langs = len(pri_rows)
 
         # every (doc bucket) × every candidate class; absent (lang, b)
         # pairs score with cb = 0 (the add-1 smoothing floor)
@@ -3082,9 +3090,9 @@ def nb_lang_confusion_df(docs: DataFrame, *,
                 .join(F.broadcast(tot.select("lang", "t")
                                   .withColumnRenamed("lang", "cand")),
                       how="cross")
-                .join(F.broadcast(model.select(
-                    F.col("lang").alias("cand"), "b",
-                    F.col("cb").alias("cb"))), ["cand", "b"], "left")
+                .join(F.broadcast(cls.select(
+                    F.col("lang").alias("cand"), "b", "cb")),
+                    ["cand", "b"], "left")
                 .fillna({"cb": 0}))
         term = F.col("n") * F.log(
             (F.col("cb") + 1) / (F.col("t") + F.lit(NB_BUCKETS)))

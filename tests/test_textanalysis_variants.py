@@ -941,35 +941,20 @@ def test_self_bleu_clip_and_diversity_semantics(spark, tmp_path):
 
 
 def test_self_bleu_plan_topk_window_no_cartesian(spark):
-    """Scale pins: the per-bigram max-over-others uses a map-side top-2
-    (WindowGroupLimit), the clip join is an equi join (no cartesian /
-    nested loop), and nothing drops to Python."""
+    """Scale pins on the LAZY production frame (_checkpoint=False — the
+    localCheckpoint would otherwise bound the plan at Scan ExistingRDD
+    and make every assert vacuous): the per-bigram max-over-others is a
+    map-side top-2 (WindowGroupLimit), the clip join stays an equi join
+    (no cartesian / nested loop), and nothing drops to Python."""
     from extract_ocr_spark.operators.textanalysis import self_bleu_df
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    from pyspark.sql import functions as F
-
-    from extract_ocr_spark.operators import bigram_array, tok_array
-
-    # pin on the LAZY production shape (localCheckpoint in self_bleu_df
-    # would hide the interesting plan): rebuild the exact frame
-    from pyspark.sql.window import Window
-    c = (docs.select("doc_id", tok_array(F.col("text")).alias("toks"))
-         .filter(F.size("toks") >= 2)
-         .select("doc_id",
-                 F.explode(bigram_array(F.col("toks"))).alias("bg"))
-         .groupBy("doc_id", "bg").agg(F.count("*").alias("c")))
-    w = Window.partitionBy("bg").orderBy(F.col("c").desc(), "doc_id")
-    top = (c.withColumn("rn", F.row_number().over(w))
-           .filter(F.col("rn") <= 2))
-    plan = top._jdf.queryExecution().executedPlan().toString()
+    lazy = self_bleu_df(docs, _checkpoint=False)
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
-
-    full = self_bleu_df(docs)
-    fplan = full._jdf.queryExecution().executedPlan().toString()
-    assert "CartesianProduct" not in fplan, fplan
-    assert "BroadcastNestedLoopJoin" not in fplan, fplan
-    assert "Python" not in fplan, fplan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Python" not in plan, plan
 
 
 def test_nb_lang_confusion_learns_separable_vocab(spark, tmp_path):
@@ -1001,8 +986,6 @@ def test_nb_lang_confusion_plan_no_cartesian_no_python(spark):
     NB_BUCKETS) — the only nested-loop join allowed is the ≤|langs|-row
     candidate-class broadcast; no CartesianProduct, nothing in Python,
     and the argmax is a map-side top-1 (WindowGroupLimit)."""
-    from extract_ocr_spark.operators.textanalysis import nb_lang_confusion
-
     from extract_ocr_spark.operators.textanalysis import nb_lang_confusion_df
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -1376,29 +1376,14 @@ _NDCG_IDCG = sum((TOP_K + 1 - i) * _NDCG_DISC[i - 1]
                  for i in range(1, TOP_K + 1))
 
 
-def ndcg_eval(spark, sf_dir):
-    """NDCG@10 of the LSH ANN ranking against the exact cosine ranking,
-    per query vector — the retrieval-quality eval loop the ANN family
-    needs (ann_topk_lsh answers queries; this measures how well).
-    Relevance is graded from the exact ranking: the true best neighbor
-    carries rel=10 down to rel=1 for the 10th; items outside the exact
-    top-10 carry 0. DCG = Σ rel·D[pos] in exact ppm integers (see
-    _NDCG_DISC); ndcg = dcg_ppm / IDCG is the single float operation.
-
-    The candidate rule is exactly ann_topk_lsh's probe: the query's
-    bucket plus all 8 single-bit neighbors (bucket-Hamming ≤ 1
-    multiprobe). Low absolute values on the synthetic corpus are the
-    honest readout: random gaussian embeddings have near-zero cosine
-    structure, so 8 planes even with 1-bit multiprobe recover little of
-    the exact top-10 — the production response is more planes and/or a
-    wider (≥2-bit) multiprobe, and this operator is what would measure
-    that tuning.
-
-    Scale: two corpus passes (one per ranking side), each ending in a
-    WindowGroupLimit top-10 per query — the corpus never sorts globally
-    and never joins itself; the query batch is a bounded 8-row
-    broadcast (the hard_negatives pattern). All joins after the
-    window limits carry ≤ NQ·K rows."""
+def _lsh_eval_frames(spark, sf_dir):
+    """The ONE eval-frame construction ndcg_eval and mrr_eval share:
+    the bounded query batch q(qid, qemb, qbucket), the exact cosine
+    top-K per query with graded relevance (rel = K+1-rank), and the
+    LSH-multiprobe candidate top-K with its position. Both ranking
+    sides end in a WindowGroupLimit top-K per query — the corpus never
+    sorts globally and never joins itself; the query batch is a bounded
+    NDCG_NQ-row broadcast (the hard_negatives pattern)."""
     from pyspark.sql.window import Window
 
     emb = _emb(spark, sf_dir).withColumn("bucket", _bucket_expr(F.col("emb")))
@@ -1424,6 +1409,33 @@ def ndcg_eval(spark, sf_dir):
         .filter(F.col("pos") <= TOP_K)
         .select("qid", "vec_id", "pos")
     )
+    return q, exact, cand
+
+
+def ndcg_eval(spark, sf_dir):
+    """NDCG@10 of the LSH ANN ranking against the exact cosine ranking,
+    per query vector — the retrieval-quality eval loop the ANN family
+    needs (ann_topk_lsh answers queries; this measures how well).
+    Relevance is graded from the exact ranking: the true best neighbor
+    carries rel=10 down to rel=1 for the 10th; items outside the exact
+    top-10 carry 0. DCG = Σ rel·D[pos] in exact ppm integers (see
+    _NDCG_DISC); ndcg = dcg_ppm / IDCG is the single float operation.
+
+    The candidate rule is exactly ann_topk_lsh's probe: the query's
+    bucket plus all 8 single-bit neighbors (bucket-Hamming ≤ 1
+    multiprobe). Low absolute values on the synthetic corpus are the
+    honest readout: random gaussian embeddings have near-zero cosine
+    structure, so 8 planes even with 1-bit multiprobe recover little of
+    the exact top-10 — the production response is more planes and/or a
+    wider (≥2-bit) multiprobe, and this operator is what would measure
+    that tuning.
+
+    Scale: two corpus passes (one per ranking side), each ending in a
+    WindowGroupLimit top-10 per query — the corpus never sorts globally
+    and never joins itself; the query batch is a bounded 8-row
+    broadcast (the hard_negatives pattern). All joins after the
+    window limits carry ≤ NQ·K rows."""
+    q, exact, cand = _lsh_eval_frames(spark, sf_dir)
     disc = F.element_at(F.array(*[F.lit(d) for d in _NDCG_DISC]),
                         F.col("pos"))
     # both sides of the post-limit joins are provably bounded at
@@ -1450,14 +1462,14 @@ def ndcg_eval(spark, sf_dir):
     )
 
 
-def _ndcg_sql() -> str:
-    disc_case = "CASE pos " + " ".join(
-        f"WHEN {i + 1} THEN {d}" for i, d in enumerate(_NDCG_DISC)) + " END"
+def _lsh_eval_ctes() -> str:
+    """SQL twin of _lsh_eval_frames — the shared CTE prefix (through
+    the top-K-limited `exact` and `ap` frames) ndcg/mrr oracles build
+    on."""
     cos = _FOLD_DOT.format(a="p.emb", b="p.qemb")
     nrm_a = _FOLD_NORM.format(a="p.emb")
     nrm_b = _FOLD_NORM.format(a="p.qemb")
-    return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    return f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 b AS (SELECT vec_id, emb, {_bucket_sql('emb')} AS bucket FROM e),
 q AS (SELECT vec_id AS qid, emb AS qemb, bucket AS qbucket FROM b
       WHERE vec_id < {NDCG_NQ}),
@@ -1476,7 +1488,14 @@ cand AS (
     PARTITION BY qid ORDER BY cosine DESC, vec_id) AS pos
   FROM pairs
   WHERE bit_count(xor(bucket::BIGINT, qbucket::BIGINT)) <= 1),
-ap AS (SELECT qid, vec_id, pos FROM cand WHERE pos <= {TOP_K}),
+ap AS (SELECT qid, vec_id, pos FROM cand WHERE pos <= {TOP_K})"""
+
+
+def _ndcg_sql() -> str:
+    disc_case = "CASE pos " + " ".join(
+        f"WHEN {i + 1} THEN {d}" for i, d in enumerate(_NDCG_DISC)) + " END"
+    return f"""
+WITH {_lsh_eval_ctes()},
 scored AS (
   SELECT ap.qid, coalesce(exact.rel, 0) AS rel, {disc_case} AS disc
   FROM ap LEFT JOIN exact USING (qid, vec_id)),
@@ -1496,6 +1515,65 @@ NDCG_EVAL_SQL = _ndcg_sql()
 
 QUERIES["ndcg_eval"] = ndcg_eval
 ORACLES["ndcg_eval"] = NDCG_EVAL_SQL
+
+
+# --- MRR of the LSH ANN path (rank of the true nearest neighbor) ---------
+
+# ppm reciprocal-rank table: RR[pos] = round(1e6 / pos) — the ndcg
+# fixed-point trick, so the only numbers in the output are exact BIGINTs
+_MRR_RR = [round(1_000_000 / i) for i in range(1, TOP_K + 1)]
+
+
+def mrr_eval(spark, sf_dir):
+    """Reciprocal rank of the TRUE nearest neighbor (the exact cosine
+    top-1) inside the LSH candidate ranking, per query — the eval that
+    completes the retrieval triple: recall@k counts overlap, NDCG grades
+    the whole list, MRR isolates the single-answer case (known-item
+    search / nearest-duplicate lookup, where only the best hit matters).
+    rr_ppm = round(1e6 / pos) when the true neighbor appears in the
+    ANN top-K; 0 (found = false) when the probe misses it entirely.
+
+    Shares `_lsh_eval_frames` with ndcg_eval — one candidate rule, one
+    exact-ranking definition, one query batch; everything after the
+    window limits is ≤ NDCG_NQ rows, broadcast-joined. Integer-only
+    output ⇒ hash-exact by construction."""
+    q, exact, cand = _lsh_eval_frames(spark, sf_dir)
+    best = exact.filter(F.col("rel") == TOP_K).select("qid", "vec_id")
+    # GOTCHA: element_at(arr, NULL) returns the LAST element in Spark 4
+    # (NULL index behaves like -1), so the miss branch must be an
+    # explicit isNotNull guard, never a coalesce around element_at
+    rr = F.when(
+        F.col("pos").isNotNull(),
+        F.element_at(F.array(*[F.lit(r) for r in _MRR_RR]), F.col("pos"))
+    ).otherwise(F.lit(0))
+    return (q.select("qid")
+            .join(F.broadcast(best), "qid", "left")
+            .join(F.broadcast(cand), ["qid", "vec_id"], "left")
+            .select("qid", F.col("vec_id").alias("best_vec"),
+                    F.col("pos").isNotNull().alias("found"),
+                    rr.cast("long").alias("rr_ppm"))
+            .orderBy("qid"))
+
+
+def _mrr_sql() -> str:
+    rr_case = "CASE pos " + " ".join(
+        f"WHEN {i + 1} THEN {r}" for i, r in enumerate(_MRR_RR)) + " END"
+    return f"""
+WITH {_lsh_eval_ctes()},
+best AS (SELECT qid, vec_id FROM exact WHERE rel = {TOP_K})
+SELECT q.qid, best.vec_id AS best_vec,
+       ap.pos IS NOT NULL AS found,
+       CAST(coalesce({rr_case}, 0) AS BIGINT) AS rr_ppm
+FROM q LEFT JOIN best USING (qid)
+LEFT JOIN ap ON ap.qid = q.qid AND ap.vec_id = best.vec_id
+ORDER BY q.qid
+"""
+
+
+MRR_EVAL_SQL = _mrr_sql()
+
+QUERIES["mrr_eval"] = mrr_eval
+ORACLES["mrr_eval"] = MRR_EVAL_SQL
 
 
 # --- Reciprocal-rank fusion of the lexical and vector rankings -----------

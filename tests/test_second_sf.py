@@ -58,6 +58,8 @@ SUBSET = [
     "nb_lang_confusion",
     # 1-hop neighbor means follow the graph (bridges differ per n)
     "neighbor_agg",
+    # hit/miss pattern of the true-NN probe differs per corpus
+    "mrr_eval",
     # r5 tenth session: interleaved structure, norm tails, host rollup,
     # and the three custom temporal joins (tie/branch behavior is
     # data-dependent, so both scales matter)

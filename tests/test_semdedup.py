@@ -371,3 +371,53 @@ def test_rrf_fusion_replays_component_rankings(spark):
     # the fusion is live at this sf: some doc appears in BOTH rankings
     assert any(r["rank_lex"] is not None and r["rank_vec"] is not None
                for r in got)
+
+
+def test_mrr_eval_matches_numpy_reference(spark):
+    """External truth for MRR: an independent numpy implementation
+    (numpy cosines, python sorts, the same ppm reciprocal-rank table)
+    reproduces every (best_vec, found, rr_ppm) row at sf0.001 —
+    including the element_at(NULL)-returns-last-element hazard the
+    Spark side has to guard (a miss must be 0, never RR[K])."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from extract_ocr_spark.operators.similarity import (
+        _MRR_RR, _hyperplanes, NDCG_NQ, TOP_K, mrr_eval)
+
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    ids = t["vec_id"].to_pylist()
+    embs = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    planes = _hyperplanes()
+    bucket = {
+        vid: sum(1 << p for p in range(8)
+                 if float(np.dot(planes[p], v)) > 0)
+        for vid, v in zip(ids, embs)
+    }
+    emap = dict(zip(ids, embs))
+
+    expected = {}
+    for qid in range(NDCG_NQ):
+        qv, qb = emap[qid], bucket[qid]
+        sims = [
+            (vid, float(np.dot(qv, emap[vid])
+                        / (np.linalg.norm(qv) * np.linalg.norm(emap[vid]))))
+            for vid in ids if vid != qid
+        ]
+        best = sorted(sims, key=lambda s: (-s[1], s[0]))[0][0]
+        cand = [(vid, c) for vid, c in sims
+                if bin(bucket[vid] ^ qb).count("1") <= 1]
+        approx = [vid for vid, _ in
+                  sorted(cand, key=lambda s: (-s[1], s[0]))[:TOP_K]]
+        pos = approx.index(best) + 1 if best in approx else None
+        expected[qid] = (best, pos is not None,
+                         _MRR_RR[pos - 1] if pos else 0)
+
+    got = {r["qid"]: (r["best_vec"], r["found"], r["rr_ppm"])
+           for r in mrr_eval(spark, "/root/testdata/sf0.001").collect()}
+    assert got == expected
+    # both branches live: at least one hit and at least one miss
+    assert any(v[1] for v in got.values())
+    assert any(not v[1] for v in got.values())
+    assert all(v[2] == 0 for v in got.values() if not v[1])
+    assert _MRR_RR == [round(1_000_000 / i) for i in range(1, TOP_K + 1)]

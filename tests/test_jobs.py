@@ -384,3 +384,55 @@ def test_ann_index_job_via_subprocess(tmp_path):
     assert out["mode"] == "query" and len(out["results"]) == 10
     vid, label, d2 = out["results"][0]
     assert isinstance(vid, int) and isinstance(d2, int) and d2 >= 0
+
+
+def test_eval_job_end_to_end(spark, tmp_path):
+    """The eval job must publish every section as parquet, report row
+    counts matching the registry queries it composes (the panel can
+    never drift from the oracle-checked surface), and fail fast on an
+    unknown section name or an empty selection."""
+    import pytest
+
+    from jobs import eval_job
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "evals")
+    stats = eval_job.run(spark, sf, out)
+    assert set(stats["sections"]) == {
+        "auc", "pr", "calibration", "confusion", "ndcg", "mrr", "rrf"}
+
+    from extract_ocr_spark.operators import similarity, textanalysis
+
+    want = {
+        "auc": textanalysis.classifier_auc,
+        "pr": textanalysis.pr_curve,
+        "calibration": textanalysis.calibration_bins,
+        "confusion": textanalysis.nb_lang_confusion,
+        "ndcg": similarity.ndcg_eval,
+        "mrr": similarity.mrr_eval,
+        "rrf": similarity.rrf_fusion,
+    }
+    for name, fn in want.items():
+        assert stats["sections"][name]["rows"] == fn(spark, sf).count()
+        got = spark.read.parquet(f"{out}/{name}")
+        assert got.count() == stats["sections"][name]["rows"]
+        assert [(f.name, f.dataType) for f in got.schema.fields] == \
+            [(f.name, f.dataType) for f in fn(spark, sf).schema.fields]
+
+    with pytest.raises(ValueError, match="unknown eval sections"):
+        eval_job.run(spark, sf, out, sections=["auc", "typo"])
+    with pytest.raises(ValueError, match="no eval sections"):
+        eval_job.run(spark, sf, out, sections=[])
+
+
+def test_eval_job_via_subprocess_section_subset(tmp_path):
+    """spark-submit-shaped subprocess run over a section subset: only
+    the requested tables are written."""
+    out = str(tmp_path / "evals")
+    stats = _run_job(
+        "eval_job.py", "--input", "/root/testdata/sf0.001",
+        "--output", out, "--sections", "mrr,confusion")
+    assert set(stats["sections"]) == {"mrr", "confusion"}
+    assert os.path.isdir(f"{out}/mrr") and os.path.isdir(f"{out}/confusion")
+    assert not os.path.exists(f"{out}/auc")
+    assert stats["sections"]["mrr"]["rows"] > 0

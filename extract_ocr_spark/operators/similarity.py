@@ -1402,14 +1402,17 @@ def _lsh_eval_frames(spark, sf_dir):
         .select("qid", "vec_id",
                 (F.lit(TOP_K + 1) - F.col("rnk")).alias("rel"))
     )
+    probed = pairs.filter(
+        F.bit_count(F.col("bucket").bitwiseXOR(F.col("qbucket"))) <= 1)
     cand = (
-        pairs.filter(
-            F.bit_count(F.col("bucket").bitwiseXOR(F.col("qbucket"))) <= 1)
+        probed
         .withColumn("pos", F.row_number().over(wq))
         .filter(F.col("pos") <= TOP_K)
         .select("qid", "vec_id", "pos")
     )
-    return q, exact, cand
+    # probed keeps emb/qemb so callers can rank the candidate set by an
+    # APPROXIMATE scorer (mrr_eval) instead of the exact cosine
+    return q, exact, cand, probed
 
 
 def ndcg_eval(spark, sf_dir):
@@ -1435,7 +1438,7 @@ def ndcg_eval(spark, sf_dir):
     and never joins itself; the query batch is a bounded 8-row
     broadcast (the hard_negatives pattern). All joins after the
     window limits carry ≤ NQ·K rows."""
-    q, exact, cand = _lsh_eval_frames(spark, sf_dir)
+    q, exact, cand, _ = _lsh_eval_frames(spark, sf_dir)
     disc = F.element_at(F.array(*[F.lit(d) for d in _NDCG_DISC]),
                         F.col("pos"))
     # both sides of the post-limit joins are provably bounded at
@@ -1524,31 +1527,75 @@ ORACLES["ndcg_eval"] = NDCG_EVAL_SQL
 _MRR_RR = [round(1_000_000 / i) for i in range(1, TOP_K + 1)]
 
 
+def _int8_quant(col):
+    """Per-vector symmetric int8 quantization (the ann_topk_int8 chain,
+    verbatim: s = max|v|/127, q = floor(v/s + 0.5)) as an expression
+    over any array<double> column — the approximate scorer mrr_eval
+    ranks candidates with."""
+    m = F.array_max(F.transform(col, lambda x: F.abs(x)))
+    sc = m / INT8_LEVELS
+    return F.when(
+        m == 0, F.transform(col, lambda x: F.lit(0).cast("long"))
+    ).otherwise(
+        F.transform(col, lambda x: F.floor(x / sc + F.lit(0.5))
+                    .cast("long")))
+
+
 def mrr_eval(spark, sf_dir):
     """Reciprocal rank of the TRUE nearest neighbor (the exact cosine
-    top-1) inside the LSH candidate ranking, per query — the eval that
-    completes the retrieval triple: recall@k counts overlap, NDCG grades
-    the whole list, MRR isolates the single-answer case (known-item
-    search / nearest-duplicate lookup, where only the best hit matters).
-    rr_ppm = round(1e6 / pos) when the true neighbor appears in the
-    ANN top-K; 0 (found = false) when the probe misses it entirely.
+    top-1) inside the APPROXIMATELY-ranked LSH candidate list, per
+    query — the eval that completes the retrieval triple: recall@k
+    counts overlap, NDCG grades the probe's candidate recovery, MRR
+    isolates the single-answer case (known-item search /
+    nearest-duplicate lookup, where only the best hit matters).
 
-    Shares `_lsh_eval_frames` with ndcg_eval — one candidate rule, one
-    exact-ranking definition, one query batch; everything after the
-    window limits is ≤ NDCG_NQ rows, broadcast-joined. Integer-only
-    output ⇒ hash-exact by construction."""
-    q, exact, cand = _lsh_eval_frames(spark, sf_dir)
+    The candidate list is the two-stage production shape: LSH probe
+    (bucket-Hamming ≤ 1, shared with ndcg_eval via _lsh_eval_frames)
+    restricts the scan, then the int8-quantized cosine — the
+    ann_topk_int8 compressed-domain scorer, verbatim — RANKS the
+    survivors. Ranking by the exact cosine here would be degenerate
+    (the true NN sorts first whenever probed, collapsing MRR to a hit
+    rate); int8 distortion is exactly what can push the true neighbor
+    below position 1, which is what MRR measures. rr_ppm =
+    round(1e6 / pos) when the true neighbor appears in the approximate
+    top-K; 0 (found = false) when the probe misses or the quantized
+    ranking pushes it out.
+
+    Everything after the window limits is ≤ NDCG_NQ rows,
+    broadcast-joined. Integer-only output ⇒ hash-exact by
+    construction."""
+    from pyspark.sql.window import Window
+
+    q, exact, _, probed = _lsh_eval_frames(spark, sf_dir)
     best = exact.filter(F.col("rel") == TOP_K).select("qid", "vec_id")
-    # GOTCHA: element_at(arr, NULL) returns the LAST element in Spark 4
-    # (NULL index behaves like -1), so the miss branch must be an
-    # explicit isNotNull guard, never a coalesce around element_at
+    scored = (probed
+              .withColumn("qa", _int8_quant(F.col("emb")))
+              .withColumn("qb", _int8_quant(F.col("qemb"))))
+    dot = F.aggregate(F.zip_with("qa", "qb", lambda x, y: x * y),
+                      F.lit(0).cast("long"), lambda a, v: a + v)
+    na2 = F.aggregate(F.transform("qa", lambda x: x * x),
+                      F.lit(0).cast("long"), lambda a, v: a + v)
+    nb2 = F.aggregate(F.transform("qb", lambda x: x * x),
+                      F.lit(0).cast("long"), lambda a, v: a + v)
+    cos8 = (dot.cast("double")
+            / (F.sqrt(na2.cast("double")) * F.sqrt(nb2.cast("double"))))
+    w8 = Window.partitionBy("qid").orderBy(F.desc("cos8"), "vec_id")
+    cand8 = (scored.withColumn("cos8", cos8)
+             .withColumn("pos", F.row_number().over(w8))
+             .filter(F.col("pos") <= TOP_K)
+             .select("qid", "vec_id", "pos"))
+    # GOTCHA: under ANSI mode (this repo's session default),
+    # element_at(arr, NULL) returns the LAST element — a NULL index
+    # behaves like -1 (with ANSI off it returns NULL). The miss branch
+    # must therefore be an explicit isNotNull guard; a coalesce around
+    # element_at would silently score every miss as RR[K].
     rr = F.when(
         F.col("pos").isNotNull(),
         F.element_at(F.array(*[F.lit(r) for r in _MRR_RR]), F.col("pos"))
     ).otherwise(F.lit(0))
     return (q.select("qid")
             .join(F.broadcast(best), "qid", "left")
-            .join(F.broadcast(cand), ["qid", "vec_id"], "left")
+            .join(F.broadcast(cand8), ["qid", "vec_id"], "left")
             .select("qid", F.col("vec_id").alias("best_vec"),
                     F.col("pos").isNotNull().alias("found"),
                     rr.cast("long").alias("rr_ppm"))
@@ -1558,14 +1605,36 @@ def mrr_eval(spark, sf_dir):
 def _mrr_sql() -> str:
     rr_case = "CASE pos " + " ".join(
         f"WHEN {i + 1} THEN {r}" for i, r in enumerate(_MRR_RR)) + " END"
+    quant = (
+        "CASE WHEN list_max(list_transform({v}, x -> abs(x))) = 0 "
+        "THEN list_transform({v}, x -> CAST(0 AS BIGINT)) "
+        "ELSE list_transform({v}, x -> CAST(floor(x / "
+        "(list_max(list_transform({v}, x -> abs(x))) / "
+        f"{INT8_LEVELS}.0) + 0.5) AS BIGINT)) END")
+    qa, qb = quant.format(v="emb"), quant.format(v="qemb")
     return f"""
 WITH {_lsh_eval_ctes()},
-best AS (SELECT qid, vec_id FROM exact WHERE rel = {TOP_K})
+best AS (SELECT qid, vec_id FROM exact WHERE rel = {TOP_K}),
+probed AS (
+  SELECT qid, vec_id, emb, qemb FROM p
+  WHERE bit_count(xor(bucket::BIGINT, qbucket::BIGINT)) <= 1),
+z AS (SELECT qid, vec_id, {qa} AS qa, {qb} AS qb FROM probed),
+s8 AS (
+  SELECT qid, vec_id,
+         CAST(list_dot_product(qa, qb) AS DOUBLE)
+         / (sqrt(CAST(list_dot_product(qa, qa) AS DOUBLE))
+            * sqrt(CAST(list_dot_product(qb, qb) AS DOUBLE))) AS cos8
+  FROM z),
+c8 AS (
+  SELECT qid, vec_id, row_number() OVER (
+    PARTITION BY qid ORDER BY cos8 DESC, vec_id) AS pos
+  FROM s8),
+a8 AS (SELECT qid, vec_id, pos FROM c8 WHERE pos <= {TOP_K})
 SELECT q.qid, best.vec_id AS best_vec,
-       ap.pos IS NOT NULL AS found,
+       a8.pos IS NOT NULL AS found,
        CAST(coalesce({rr_case}, 0) AS BIGINT) AS rr_ppm
 FROM q LEFT JOIN best USING (qid)
-LEFT JOIN ap ON ap.qid = q.qid AND ap.vec_id = best.vec_id
+LEFT JOIN a8 ON a8.qid = q.qid AND a8.vec_id = best.vec_id
 ORDER BY q.qid
 """
 

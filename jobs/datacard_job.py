@@ -45,10 +45,6 @@ requires the governance numbers, not just run counters.
 
 from __future__ import annotations
 
-import argparse
-import json
-import time
-
 
 def _sections() -> dict:
     from extract_ocr_spark.operators import curation, textanalysis
@@ -66,51 +62,25 @@ def _sections() -> dict:
 
 def run(spark, input_dir: str, output: str,
         sections: list[str] | None = None) -> dict:
-    """Write the requested data-card sections under ``output`` and
-    return the stats dict main() prints. Unknown section names fail
-    fast before any Spark work (the bench_curation lesson)."""
-    table = _sections()
-    # None means "all"; an explicitly empty selection is a caller bug
-    # (an unset $SECTIONS variable must not silently publish everything)
-    names = list(table) if sections is None else sections
-    if not names:
-        raise ValueError("no data-card sections requested")
-    unknown = [n for n in names if n not in table]
-    if unknown:
-        raise ValueError(
-            f"unknown data-card sections {unknown}; known: {list(table)}")
-    stats: dict = {"sections": {}, "output": output}
-    for name in names:
-        t0 = time.monotonic()
-        df = table[name](spark, input_dir)
-        path = f"{output}/{name}"
-        df.write.mode("overwrite").parquet(path)
-        stats["sections"][name] = {
-            "rows": spark.read.parquet(path).count(),
-            "wall_sec": round(time.monotonic() - t0, 3),
-        }
-    return stats
+    """Write the requested data-card sections under ``output`` via the
+    shared section runner (jobs/_runner.py)."""
+    try:
+        from jobs._runner import run_sections  # in-process import
+    except ImportError:
+        from _runner import run_sections  # script/spark-submit path
+
+    return run_sections(spark, input_dir, output, _sections(),
+                        "data-card", sections)
 
 
 def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True,
-                    help="directory containing documents.parquet")
-    ap.add_argument("--output", required=True)
-    ap.add_argument("--sections", default=None,
-                    help="comma-separated subset (default: all)")
-    args = ap.parse_args()
+    try:
+        from jobs._runner import run_cli
+    except ImportError:
+        from _runner import run_cli
 
-    from pyspark.sql import SparkSession
-
-    spark = SparkSession.builder.appName(
-        "extract_ocr_spark-datacard").getOrCreate()
-    stats = run(
-        spark, args.input, args.output,
-        sections=[s.strip() for s in args.sections.split(",") if s.strip()]
-        if args.sections is not None else None)
-    print(json.dumps(stats))
-    spark.stop()
+    run_cli("extract_ocr_spark-datacard",
+            "directory containing documents.parquet", run)
 
 
 if __name__ == "__main__":

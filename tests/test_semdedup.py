@@ -373,45 +373,92 @@ def test_rrf_fusion_replays_component_rankings(spark):
                for r in got)
 
 
-def test_mrr_eval_matches_numpy_reference(spark):
-    """External truth for MRR: an independent numpy implementation
-    (numpy cosines, python sorts, the same ppm reciprocal-rank table)
-    reproduces every (best_vec, found, rr_ppm) row at sf0.001 —
-    including the element_at(NULL)-returns-last-element hazard the
-    Spark side has to guard (a miss must be 0, never RR[K])."""
-    import numpy as np
-    import pyarrow.parquet as pq
+def _py_cos(a, b):
+    """Sequential-left-fold cosine — the accumulation order BOTH engines
+    use (F.aggregate / list folds), so a last-ulp near-tie can never
+    diverge between this reference and the operator (np.dot's pairwise
+    summation could)."""
+    import math
 
+    num = 0.0
+    for x, y in zip(a, b):
+        num += x * y
+    na = 0.0
+    for x in a:
+        na += x * x
+    nb = 0.0
+    for y in b:
+        nb += y * y
+    return num / (math.sqrt(na) * math.sqrt(nb))
+
+
+def _py_int8(v):
+    """The ann_topk_int8 quantizer chain, replayed in python."""
+    import math
+
+    from extract_ocr_spark.operators.similarity import INT8_LEVELS
+
+    m = max(abs(x) for x in v)
+    if m == 0:
+        return [0] * len(v)
+    s = m / INT8_LEVELS
+    return [math.floor(x / s + 0.5) for x in v]
+
+
+def _py_mrr_expected(ids, emap, bucket):
+    """Python replay of mrr_eval's full rule chain: exact top-1 defines
+    the target; the LSH-probed set ranked by int8 cosine defines the
+    list; rr from the shared ppm table."""
     from extract_ocr_spark.operators.similarity import (
-        _MRR_RR, _hyperplanes, NDCG_NQ, TOP_K, mrr_eval)
-
-    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
-    ids = t["vec_id"].to_pylist()
-    embs = np.array(t["embedding"].to_pylist(), dtype=np.float64)
-    planes = _hyperplanes()
-    bucket = {
-        vid: sum(1 << p for p in range(8)
-                 if float(np.dot(planes[p], v)) > 0)
-        for vid, v in zip(ids, embs)
-    }
-    emap = dict(zip(ids, embs))
+        _MRR_RR, NDCG_NQ, TOP_K)
 
     expected = {}
     for qid in range(NDCG_NQ):
         qv, qb = emap[qid], bucket[qid]
-        sims = [
-            (vid, float(np.dot(qv, emap[vid])
-                        / (np.linalg.norm(qv) * np.linalg.norm(emap[vid]))))
-            for vid in ids if vid != qid
-        ]
-        best = sorted(sims, key=lambda s: (-s[1], s[0]))[0][0]
-        cand = [(vid, c) for vid, c in sims
+        others = [vid for vid in ids if vid != qid]
+        exact = sorted(
+            ((vid, _py_cos(emap[vid], qv)) for vid in others),
+            key=lambda s: (-s[1], s[0]))
+        best = exact[0][0]
+        qq = _py_int8(qv)
+        cand = [(vid, _py_cos(_py_int8(emap[vid]), qq))
+                for vid in others
                 if bin(bucket[vid] ^ qb).count("1") <= 1]
         approx = [vid for vid, _ in
                   sorted(cand, key=lambda s: (-s[1], s[0]))[:TOP_K]]
         pos = approx.index(best) + 1 if best in approx else None
         expected[qid] = (best, pos is not None,
                          _MRR_RR[pos - 1] if pos else 0)
+    return expected
+
+
+def test_mrr_eval_matches_python_reference(spark):
+    """External truth for MRR at sf0.001: an independent python replay
+    (sequential-fold cosines matching both engines' accumulation order,
+    the int8 quantizer chain, the same ppm table) reproduces every
+    (best_vec, found, rr_ppm) row — including that misses are 0, which
+    under ANSI mode guards the element_at(NULL)-is-last-element hazard
+    (a coalesce around element_at scores every miss as RR[K]; verified
+    against this session's Spark 4.1.2 with ansi=true, the session
+    default)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from extract_ocr_spark.operators.similarity import (
+        _MRR_RR, _hyperplanes, TOP_K, mrr_eval)
+
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    ids = t["vec_id"].to_pylist()
+    embs = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    planes = _hyperplanes()
+
+    def _bucket(v):
+        return sum(1 << p for p in range(8)
+                   if sum(planes[p][i] * v[i] for i in range(len(v))) > 0)
+
+    emap = {vid: embs[i].tolist() for i, vid in enumerate(ids)}
+    bucket = {vid: _bucket(emap[vid]) for vid in ids}
+    expected = _py_mrr_expected(ids, emap, bucket)
 
     got = {r["qid"]: (r["best_vec"], r["found"], r["rr_ppm"])
            for r in mrr_eval(spark, "/root/testdata/sf0.001").collect()}
@@ -421,3 +468,70 @@ def test_mrr_eval_matches_numpy_reference(spark):
     assert any(not v[1] for v in got.values())
     assert all(v[2] == 0 for v in got.values() if not v[1])
     assert _MRR_RR == [round(1_000_000 / i) for i in range(1, TOP_K + 1)]
+
+
+def test_mrr_eval_int8_ranking_demotes_true_nn(spark, tmp_path):
+    """The reason MRR is not a hit rate: a crafted corpus where the
+    int8-quantized ranking FLIPS the exact top-2 — the true nearest
+    neighbor is probed but ranks pos=2 in the approximate list, so
+    rr_ppm = 500000 (not 0, not 1000000). The flip pair is found by a
+    deterministic search over seeded perturbations of a shared base
+    vector (same bucket by construction), and the expectation comes
+    from the same python replay as the sf0.001 reference test."""
+    import numpy as np
+
+    from extract_ocr_spark.operators.similarity import (
+        _hyperplanes, NDCG_NQ, mrr_eval)
+
+    planes = _hyperplanes()
+
+    def _bucket(v):
+        return sum(1 << p for p in range(8)
+                   if sum(planes[p][i] * v[i] for i in range(64)) > 0)
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=64) * 10
+    bq = _bucket(base.tolist())
+    flip = None
+    for _ in range(4000):
+        ea = rng.normal(size=64) * 0.05
+        eb = rng.normal(size=64) * 0.05
+        A = (base + ea).tolist()
+        B = (base + eb).tolist()
+        q = base.tolist()
+        if _bucket(A) != bq or _bucket(B) != bq:
+            continue
+        ca, cb = _py_cos(A, q), _py_cos(B, q)
+        qq = _py_int8(q)
+        c8a = _py_cos(_py_int8(A), qq)
+        c8b = _py_cos(_py_int8(B), qq)
+        if ca > cb and c8b > c8a:
+            flip = (A, B)
+            break
+        if cb > ca and c8a > c8b:
+            flip = (B, A)
+            break
+    assert flip is not None, "no exact-vs-int8 flip in 4000 seeded trials"
+    A, B = flip  # A = exact winner, B = int8 winner
+
+    # corpus: qid 0 = base; qids 1..7 = remote junk (scaled away from
+    # base so they never contest the top-2); candidates 100 = A, 101 = B
+    rows = [(0, [float(x) for x in base])]
+    for j in range(1, NDCG_NQ):
+        v = rng.normal(size=64) * 10
+        rows.append((j, [float(x) for x in v]))
+    rows += [(100, [float(x) for x in A]), (101, [float(x) for x in B])]
+    emb_df = spark.createDataFrame(
+        [(vid, v, "x") for vid, v in rows],
+        "vec_id long, embedding array<double>, label string")
+    emb_df.coalesce(1).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    ids = [vid for vid, _ in rows]
+    emap = {vid: v for vid, v in rows}
+    bucket = {vid: _bucket(emap[vid]) for vid in ids}
+    expected = _py_mrr_expected(ids, emap, bucket)
+    got = {r["qid"]: (r["best_vec"], r["found"], r["rr_ppm"])
+           for r in mrr_eval(spark, str(tmp_path)).collect()}
+    assert got == expected
+    # the discriminating row: true NN probed but demoted to pos 2
+    assert got[0] == (100, True, 500000)

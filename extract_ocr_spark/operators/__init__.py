@@ -119,7 +119,7 @@ def all_queries():
         # names below have been sweep-verified across many sessions and
         # are the lowest-information picks for the external check)
         "gap_fill_daily", "self_bleu", "nb_lang_confusion",
-        "neighbor_agg", "mrr_eval",
+        "neighbor_agg", "mrr_eval", "quantile_normalize",
         "ann_topk_pq", "ann_topk_ivfpq",
         "chi2_drift", "cube_report", "hdr_quantiles", "ks_drift",
         "calibration_bins", "rrf_fusion", "pr_curve", "ndcg_eval",

@@ -1115,6 +1115,111 @@ QUERIES["hdr_quantiles"] = hdr_quantiles
 ORACLES["hdr_quantiles"] = HDR_QUANTILES_SQL
 
 
+# -- Cross-source quantile normalization (sketch-aligned) -----------------
+#
+# The feature-normalization step for mixing heterogeneous sources: a
+# "long" doc from a short-form source and a "long" doc from a book
+# source sit at the same within-source percentile but wildly different
+# raw token counts; training mixtures that threshold on raw counts
+# systematically over-prune some sources. quantile_normalize maps each
+# doc's within-source percentile onto the GLOBAL distribution — the
+# value bounds the corpus-wide HDR sketch assigns to that percentile —
+# so per-source thresholds can be stated once, globally.
+#
+# Scale shape: the within-source rank is a per-source window (the
+# documented exact-path trade length_quantiles already makes); the
+# GLOBAL side never sorts the corpus — it is the bounded (≤ ~512-cell)
+# HDR sketch, cumulated in one tiny SinglePartition window and joined
+# back by range as a bounded broadcast (the partition_skew_report BNLJ
+# class; a global exact rank would be the 10^12-doc sort this operator
+# exists to avoid). Every output is exact BIGINT (ranks, bp, bucket
+# bounds) — hash-exact by construction.
+
+def quantile_normalize_df(docs: DataFrame) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        "doc_id", "source",
+        F.size(tok_array(F.col("text"))).cast("long").alias("v"))
+    ws = Window.partitionBy("source").orderBy("v", "doc_id")
+    wn = Window.partitionBy("source")
+    per = (toks.withColumn("rk", F.row_number().over(ws))
+           .withColumn("n", F.count("*").over(wn))
+           .withColumn("pct_bp", F.when(
+               F.col("n") > 1,
+               # rk is INT (row_number); widen BEFORE the *10000 or the
+               # product overflows past ~2^31/10^4 rows per source
+               F.expr("((cast(rk as bigint) - 1) * 10000) div (n - 1)"))
+               .otherwise(F.lit(0)).cast("long")))
+    lb, ub = hdr_bucket_bounds()
+    cells = (toks.select(lb.alias("lb"), ub.alias("ub"))
+             .groupBy("lb", "ub").agg(F.count("*").alias("cnt")))
+    wg = Window.orderBy("lb").rowsBetween(Window.unboundedPreceding, 0)
+    g = (cells.withColumn("cum", F.sum("cnt").over(wg))
+         .withColumn("cum_lo", F.col("cum") - F.col("cnt")))
+    n_total = g.select(F.sum("cnt").alias("nt"))
+    per = (per.crossJoin(F.broadcast(n_total))
+           .withColumn("gr", F.expr(
+               "(pct_bp * (nt - 1)) div 10000 + 1")))
+    out = (per.join(
+        F.broadcast(g),
+        (F.col("gr") > F.col("cum_lo")) & (F.col("gr") <= F.col("cum")))
+        .select("doc_id", "source", F.col("v").alias("n_tok"),
+                "pct_bp", F.col("lb").alias("norm_lo"),
+                F.col("ub").alias("norm_hi")))
+    return out
+
+
+def quantile_normalize(spark, sf_dir):
+    return quantile_normalize_df(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+QUANTILE_NORMALIZE_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '{WS_RE}+'),
+                              x -> x != '')) AS BIGINT) AS v
+  FROM documents
+), per AS (
+  SELECT doc_id, source, v,
+         row_number() OVER (PARTITION BY source ORDER BY v, doc_id) AS rk,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM t
+), pct AS (
+  SELECT doc_id, source, v,
+         CASE WHEN n > 1 THEN ((rk - 1) * 10000) // (n - 1)
+              ELSE 0 END AS pct_bp
+  FROM per
+), c AS (
+  SELECT (v >> {_HDR_SH}) << {_HDR_SH} AS lb,
+         ((v >> {_HDR_SH}) << {_HDR_SH})
+           + (((1::BIGINT) << {_HDR_SH}) - 1) AS ub,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM t GROUP BY 1, 2
+), g AS (
+  SELECT lb, ub, cnt,
+         sum(cnt) OVER (ORDER BY lb
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM c
+), g2 AS (
+  SELECT lb, ub, CAST(cum AS BIGINT) AS cum,
+         CAST(cum - cnt AS BIGINT) AS cum_lo
+  FROM g
+), nt AS (SELECT CAST(sum(cnt) AS BIGINT) AS nt FROM c)
+SELECT p.doc_id, p.source, p.v AS n_tok,
+       CAST(p.pct_bp AS BIGINT) AS pct_bp,
+       g2.lb AS norm_lo, g2.ub AS norm_hi
+FROM pct p CROSS JOIN nt
+JOIN g2 ON (p.pct_bp * (nt.nt - 1)) // 10000 + 1 > g2.cum_lo
+       AND (p.pct_bp * (nt.nt - 1)) // 10000 + 1 <= g2.cum
+ORDER BY p.doc_id
+"""
+
+QUERIES["quantile_normalize"] = quantile_normalize
+ORACLES["quantile_normalize"] = QUANTILE_NORMALIZE_SQL
+
+
 # -- Per-source token-budget sampling ------------------------------------------
 
 # Per-source token budget for mixture construction. At sf0.01 the source

@@ -710,3 +710,67 @@ def test_hdr_bucket_bounds_full_64bit_property(spark):
         assert want[0] <= v <= want[1]
         assert want[1] - want[0] + 1 <= max(1, want[0] >> HDR_SUB_BITS) \
             or want[0] == want[1]
+
+
+def test_quantile_normalize_aligns_sources(spark, tmp_path):
+    """The operator's whole point: docs at the SAME within-source
+    percentile get the SAME global value bounds, regardless of how
+    different their raw token counts are. Also pins the exact bp rank
+    formula (single-doc source -> 0), the pct=0/10000 endpoints landing
+    in the global bottom/top buckets, and within-source monotonicity."""
+    from pyspark.sql import functions as F
+
+    from extract_ocr_spark.operators.curation import quantile_normalize
+
+    def doc(i, words, src):
+        return (i, " ".join(f"w{j}" for j in range(words)), "en", src,
+                words * 3)
+
+    rows = (
+        # short-form source: 2, 4, 6, 8, 10 tokens
+        [doc(i, 2 * (i + 1), "chat") for i in range(5)]
+        # long-form source: 100, 200, 300, 400, 500 tokens
+        + [doc(10 + i, 100 * (i + 1), "books") for i in range(5)]
+        # single-doc source -> pct_bp 0 by definition
+        + [doc(99, 50, "solo")]
+    )
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {r["doc_id"]: r for r in
+           quantile_normalize(spark, str(tmp_path)).collect()}
+    assert len(got) == 11
+    # exact bp grid over 5 docs: 0, 2500, 5000, 7500, 10000
+    for base in (0, 10):
+        assert [got[base + i]["pct_bp"] for i in range(5)] == \
+            [0, 2500, 5000, 7500, 10000]
+    assert got[99]["pct_bp"] == 0
+    # same percentile -> SAME global bounds, though raw counts differ 50x
+    for i in range(5):
+        a, b = got[i], got[10 + i]
+        assert (a["norm_lo"], a["norm_hi"]) == (b["norm_lo"], b["norm_hi"])
+        assert a["n_tok"] != b["n_tok"]
+    # endpoints: pct 0 -> the global bottom bucket (contains 2),
+    # pct 10000 -> the top bucket (contains 500)
+    assert got[0]["norm_lo"] <= 2 <= got[0]["norm_hi"]
+    assert got[4]["norm_lo"] <= 500 <= got[4]["norm_hi"]
+    # monotone within a source
+    los = [got[10 + i]["norm_lo"] for i in range(5)]
+    assert los == sorted(los)
+
+
+def test_quantile_normalize_plan_bounded_broadcast_no_python(spark):
+    """Scale pins: the global side is the bounded HDR sketch — the only
+    nested-loop join is the ≤ ~512-cell broadcast range lookup (plus the
+    1-row total), never a corpus-sized cartesian; the corpus itself
+    exchanges once per window key; nothing drops to Python."""
+    from extract_ocr_spark.operators.curation import quantile_normalize_df
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = quantile_normalize_df(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # the bounded class

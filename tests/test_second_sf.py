@@ -60,6 +60,8 @@ SUBSET = [
     "neighbor_agg",
     # hit/miss pattern of the true-NN probe differs per corpus
     "mrr_eval",
+    # global HDR cells and the per-source bp grid follow the corpus
+    "quantile_normalize",
     # r5 tenth session: interleaved structure, norm tails, host rollup,
     # and the three custom temporal joins (tie/branch behavior is
     # data-dependent, so both scales matter)

@@ -831,7 +831,9 @@ def minhash_est_pairs(spark, sf_dir):
 _EST_PERMS_VALUES = ", ".join(
     f"({i}, {a}, {b})" for i, (a, b) in enumerate(zip(_EST_A, _EST_B)))
 
-MINHASH_EST_PAIRS_SQL = _PAIR_CTE + f"""
+# the engine-invariant signature-build CTE block (shared by the est
+# verification query and the dedup P/R eval)
+_EST_SIG_CTES = f"""
 , perms(i, a, b) AS (VALUES {_EST_PERMS_VALUES})
 , bh AS (
   SELECT doc_id, ('0x' || substring(md5(shingle), 1, 15))::BIGINT
@@ -843,7 +845,10 @@ MINHASH_EST_PAIRS_SQL = _PAIR_CTE + f"""
   FROM bh CROSS JOIN perms GROUP BY doc_id, i
 ), sigarr AS (
   SELECT doc_id, list(h ORDER BY i) AS sig FROM sig GROUP BY doc_id
-), est AS (
+)"""
+
+MINHASH_EST_PAIRS_SQL = _PAIR_CTE + _EST_SIG_CTES + f"""
+, est AS (
   SELECT p.a_id, p.b_id,
          CAST(list_sum(list_transform(range(1, {EST_N_PERM} + 1),
               k -> CASE WHEN sa.sig[k] = sb.sig[k] THEN 1 ELSE 0 END))
@@ -860,6 +865,107 @@ ORDER BY a_id, b_id
 
 QUERIES["minhash_est_pairs"] = minhash_est_pairs
 ORACLES["minhash_est_pairs"] = MINHASH_EST_PAIRS_SQL
+
+
+# -- Dedup-screen precision/recall eval ----------------------------------------
+#
+# The dedup analog of the retrieval evals: how good is the O(K)
+# signature screen (``minhash_est_pairs``'s acceptance rule) as a
+# replacement for exact verification? Over the shared capped candidate
+# space, every pair is labeled by BOTH rules — est accept (>= 64 of 128
+# signature components match) vs exact truth (Jaccard >= 1/2 by integer
+# cross-multiplication) — and the confusion counts + precision/recall
+# roll up in exact ppm integers. FP/FN are the pairs whose +-0.09
+# estimator noise (K=128, 95%) crosses the threshold; a pipeline sizing
+# K trades this table against the O(|shingles|) exact-verify shuffle.
+#
+# Everything is integer end-to-end (the est accept is a component
+# count, the truth is a cross-multiplied inequality, ppm are truncating
+# divisions) — hash-exact by construction. Scale: the heavy frames are
+# the shared signature build and capped pair engine; the rollup is one
+# single-row aggregate.
+
+import math as _math
+
+_EST_MIN_MATCHES = _math.ceil(EST_THRESHOLD * EST_N_PERM)  # 64 of 128
+# the truth threshold as an exact fraction — tied to EST_THRESHOLD so
+# the two rules can never silently diverge
+_TAU_NUM, _TAU_DEN = 1, 2
+assert _TAU_NUM / _TAU_DEN == EST_THRESHOLD
+
+
+def dedup_pr_eval_df(docs: DataFrame) -> DataFrame:
+    sigarr = _est_signatures_df(docs).localCheckpoint(eager=True)
+    pairs = _capped_pair_intersections(docs)
+    matches = F.size(F.filter(
+        F.zip_with("sa", "sb", lambda x, y: x == y), lambda m: m))
+    sc = (pairs
+          .join(sigarr.select(F.col("doc_id").alias("a_id"),
+                              F.col("sig").alias("sa")), "a_id")
+          .join(sigarr.select(F.col("doc_id").alias("b_id"),
+                              F.col("sig").alias("sb")), "b_id")
+          .select("inter", "na", "nb", matches.alias("m")))
+    est_pos = F.col("m") >= _EST_MIN_MATCHES
+    tru_pos = (F.col("inter") * _TAU_DEN
+               >= (F.col("na") + F.col("nb") - F.col("inter")) * _TAU_NUM)
+
+    def cnt(cond):
+        return F.coalesce(
+            F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)).cast("long")
+
+    agg = sc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        cnt(est_pos & tru_pos).alias("tp"),
+        cnt(est_pos & ~tru_pos).alias("fp"),
+        cnt(~est_pos & tru_pos).alias("fn"),
+        cnt(~est_pos & ~tru_pos).alias("tn"))
+    return agg.select(
+        "n_pairs", "tp", "fp", "fn", "tn",
+        F.when(F.col("tp") + F.col("fp") > 0,
+               F.expr("(tp * 1000000) div (tp + fp)")).alias(
+                   "precision_ppm"),
+        F.when(F.col("tp") + F.col("fn") > 0,
+               F.expr("(tp * 1000000) div (tp + fn)")).alias(
+                   "recall_ppm"))
+
+
+def dedup_pr_eval(spark, sf_dir):
+    return dedup_pr_eval_df(_docs(spark, sf_dir))
+
+
+DEDUP_PR_EVAL_SQL = _PAIR_CTE + _EST_SIG_CTES + f"""
+, m AS (
+  SELECT p.inter, p.na, p.nb,
+         list_sum(list_transform(range(1, {EST_N_PERM} + 1),
+              k -> CASE WHEN sa.sig[k] = sb.sig[k] THEN 1 ELSE 0 END)) AS m
+  FROM p JOIN sigarr sa ON sa.doc_id = p.a_id
+         JOIN sigarr sb ON sb.doc_id = p.b_id
+), conf AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(coalesce(sum(CASE WHEN m >= {_EST_MIN_MATCHES}
+                 AND inter * {_TAU_DEN} >= (na + nb - inter) * {_TAU_NUM}
+                 THEN 1 ELSE 0 END), 0) AS BIGINT) AS tp,
+         CAST(coalesce(sum(CASE WHEN m >= {_EST_MIN_MATCHES}
+                 AND inter * {_TAU_DEN} < (na + nb - inter) * {_TAU_NUM}
+                 THEN 1 ELSE 0 END), 0) AS BIGINT) AS fp,
+         CAST(coalesce(sum(CASE WHEN m < {_EST_MIN_MATCHES}
+                 AND inter * {_TAU_DEN} >= (na + nb - inter) * {_TAU_NUM}
+                 THEN 1 ELSE 0 END), 0) AS BIGINT) AS fn,
+         CAST(coalesce(sum(CASE WHEN m < {_EST_MIN_MATCHES}
+                 AND inter * {_TAU_DEN} < (na + nb - inter) * {_TAU_NUM}
+                 THEN 1 ELSE 0 END), 0) AS BIGINT) AS tn
+  FROM m
+)
+SELECT n_pairs, tp, fp, fn, tn,
+       CASE WHEN tp + fp > 0 THEN (tp * 1000000) // (tp + fp) END
+         AS precision_ppm,
+       CASE WHEN tp + fn > 0 THEN (tp * 1000000) // (tp + fn) END
+         AS recall_ppm
+FROM conf
+"""
+
+QUERIES["dedup_pr_eval"] = dedup_pr_eval
+ORACLES["dedup_pr_eval"] = DEDUP_PR_EVAL_SQL
 
 
 # -- Per-doc n-gram novelty --------------------------------------------------------

@@ -411,3 +411,101 @@ def test_cluster_canonical_keeps_longest(spark):
     assert r["keep_doc_id"] == 2          # longest wins, not min id
     assert r["cluster"] == 1              # component root is the min id
     assert r["n_members"] == 2
+
+
+def _replay_shingles(text):
+    import re
+    words = re.sub(r"[^a-z0-9]+", " ", text.lower()).split()
+    return list(dict.fromkeys(
+        " ".join(words[i:i + 3]) for i in range(len(words) - 2)))
+
+
+def _replay_sig(sh):
+    import hashlib
+
+    from extract_ocr_spark.operators.dedup import (
+        EST_BASE_MOD, EST_HASH_MOD, EST_PRIME, _EST_A, _EST_B)
+
+    bases = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+             % EST_BASE_MOD for s in sh]
+    return [min((a * x + b) % EST_PRIME % EST_HASH_MOD for x in bases)
+            for a, b in zip(_EST_A, _EST_B)]
+
+
+def test_dedup_pr_eval_counts_boundary_flip(spark):
+    """The eval's reason to exist: estimator noise around the threshold.
+    A deterministic search over word-suffix variants finds a pair whose
+    exact Jaccard sits just BELOW 1/2 while >= 64 of 128 signature
+    components match (a false positive of the O(K) screen); the corpus
+    also plants a clean true positive and plenty of true negatives, and
+    the operator's single confusion row must equal the python replay of
+    both rules over every candidate pair."""
+    from extract_ocr_spark.operators.dedup import (
+        _EST_MIN_MATCHES, EST_N_PERM, dedup_pr_eval_df)
+
+    # shared 21-word core -> 19 shared shingles; each side appends 11
+    # unique words (na = nb = 30 shingles) => J = 19/41 ~ 0.463 < 0.5.
+    core = " ".join(f"core{i}" for i in range(21))
+    flip = None
+    for t in range(200):
+        a_txt = core + " " + " ".join(f"left{t}x{i}" for i in range(11))
+        b_txt = core + " " + " ".join(f"right{t}x{i}" for i in range(11))
+        sa = _replay_shingles(a_txt)
+        sb = _replay_shingles(b_txt)
+        inter = len(set(sa) & set(sb))
+        union = len(set(sa) | set(sb))
+        assert inter * 2 < union  # truth: below threshold by design
+        ga, gb = _replay_sig(sa), _replay_sig(sb)
+        m = sum(1 for x, y in zip(ga, gb) if x == y)
+        if m >= _EST_MIN_MATCHES:
+            flip = (a_txt, b_txt, m)
+            break
+    assert flip is not None, "no est-noise flip in 200 seeded variants"
+    a_txt, b_txt, m = flip
+
+    tp_a = ("the quick brown fox jumps over the lazy dog near the "
+            "river bank every single morning before the sun rises")
+    tp_b = tp_a.replace("lazy", "sleepy")
+    rows = [
+        (1, a_txt, "en", "s", len(a_txt)),
+        (2, b_txt, "en", "s", len(b_txt)),
+        (3, tp_a, "en", "s", len(tp_a)),
+        (4, tp_b, "en", "s", len(tp_b)),
+        # a far pair sharing one shingle with doc 3 -> a true negative
+        (5, "near the river bank under entirely unrelated twilight "
+            "conditions with different words throughout", "en", "s", 99),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long")
+
+    # python replay of BOTH rules over every candidate (shingle-sharing)
+    sh = {i: _replay_shingles(t) for i, t, *_ in rows}
+    sg = {i: _replay_sig(s) for i, s in sh.items()}
+    ids = sorted(sh)
+    exp = {"n_pairs": 0, "tp": 0, "fp": 0, "fn": 0, "tn": 0}
+    for i in ids:
+        for j in ids:
+            if i >= j:
+                continue
+            inter = len(set(sh[i]) & set(sh[j]))
+            if inter == 0:
+                continue  # not a candidate (no shared shingle)
+            union = len(set(sh[i]) | set(sh[j]))
+            est = sum(1 for x, y in zip(sg[i], sg[j])
+                      if x == y) >= _EST_MIN_MATCHES
+            tru = 2 * inter >= union
+            exp["n_pairs"] += 1
+            exp["tp" if est and tru else
+                "fp" if est else
+                "fn" if tru else "tn"] += 1
+    assert exp["fp"] >= 1 and exp["tp"] >= 1 and exp["tn"] >= 1
+
+    got = dedup_pr_eval_df(docs).collect()[0].asDict()
+    for k, v in exp.items():
+        assert got[k] == v, (k, got, exp)
+    assert got["precision_ppm"] == exp["tp"] * 1_000_000 // (
+        exp["tp"] + exp["fp"])
+    assert got["recall_ppm"] == exp["tp"] * 1_000_000 // (
+        exp["tp"] + exp["fn"])
+    assert EST_N_PERM == 128 and _EST_MIN_MATCHES == 64

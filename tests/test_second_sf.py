@@ -62,6 +62,8 @@ SUBSET = [
     "mrr_eval",
     # global HDR cells and the per-source bp grid follow the corpus
     "quantile_normalize",
+    # confusion counts follow the corpus's boundary pairs
+    "dedup_pr_eval",
     # r5 tenth session: interleaved structure, norm tails, host rollup,
     # and the three custom temporal joins (tie/branch behavior is
     # data-dependent, so both scales matter)

@@ -1074,6 +1074,16 @@ def hdr_quantiles(spark, sf_dir):
     return hdr_quantiles_df(_docs(spark, sf_dir))
 
 
+# the ONE SQL twin of hdr_cells_df's (source, lb, ub, cnt) build —
+# interpolated into HDR_QUANTILES_SQL and QUANTILE_NORMALIZE_SQL so the
+# bucket scaffolding cannot drift between the two sketch consumers
+_HDR_SRC_CELLS_SQL = f"""SELECT source,
+         (v >> {_HDR_SH}) << {_HDR_SH} AS lb,
+         ((v >> {_HDR_SH}) << {_HDR_SH})
+           + (((1::BIGINT) << {_HDR_SH}) - 1) AS ub,
+         count(*) AS cnt
+  FROM t GROUP BY 1, 2, 3"""
+
 HDR_QUANTILES_SQL = rf"""
 WITH t AS (
   SELECT source,
@@ -1081,12 +1091,7 @@ WITH t AS (
                               x -> x != '')) AS BIGINT) AS v
   FROM documents
 ), c AS (
-  SELECT source,
-         (v >> {_HDR_SH}) << {_HDR_SH} AS lb,
-         ((v >> {_HDR_SH}) << {_HDR_SH})
-           + (((1::BIGINT) << {_HDR_SH}) - 1) AS ub,
-         count(*) AS cnt
-  FROM t GROUP BY 1, 2, 3
+  {_HDR_SRC_CELLS_SQL}
 ), r AS (
   SELECT source, lb, ub,
          sum(cnt) OVER (PARTITION BY source ORDER BY lb
@@ -1151,13 +1156,18 @@ def quantile_normalize_df(docs: DataFrame) -> DataFrame:
                # product overflows past ~2^31/10^4 rows per source
                F.expr("((cast(rk as bigint) - 1) * 10000) div (n - 1)"))
                .otherwise(F.lit(0)).cast("long")))
-    lb, ub = hdr_bucket_bounds()
-    cells = (toks.select(lb.alias("lb"), ub.alias("ub"))
-             .groupBy("lb", "ub").agg(F.count("*").alias("cnt")))
+    # the global sketch is the per-source sketch MERGED — the cell
+    # additivity hdr_cells_df advertises; the cell construction lives in
+    # exactly one place
+    cells = (hdr_cells_df(docs).groupBy("lb", "ub")
+             .agg(F.sum("cnt").alias("cnt")))
     wg = Window.orderBy("lb").rowsBetween(Window.unboundedPreceding, 0)
     g = (cells.withColumn("cum", F.sum("cnt").over(wg))
          .withColumn("cum_lo", F.col("cum") - F.col("cnt")))
-    n_total = g.select(F.sum("cnt").alias("nt"))
+    # total from the window-free cells frame, not g — deriving it
+    # through g would hang a second SinglePartition window off the
+    # 1-row aggregate branch
+    n_total = cells.select(F.sum("cnt").alias("nt"))
     per = (per.crossJoin(F.broadcast(n_total))
            .withColumn("gr", F.expr(
                "(pct_bp * (nt - 1)) div 10000 + 1")))
@@ -1190,12 +1200,11 @@ WITH t AS (
          CASE WHEN n > 1 THEN ((rk - 1) * 10000) // (n - 1)
               ELSE 0 END AS pct_bp
   FROM per
+), sc AS (
+  {_HDR_SRC_CELLS_SQL}
 ), c AS (
-  SELECT (v >> {_HDR_SH}) << {_HDR_SH} AS lb,
-         ((v >> {_HDR_SH}) << {_HDR_SH})
-           + (((1::BIGINT) << {_HDR_SH}) - 1) AS ub,
-         CAST(count(*) AS BIGINT) AS cnt
-  FROM t GROUP BY 1, 2
+  SELECT lb, ub, CAST(sum(cnt) AS BIGINT) AS cnt
+  FROM sc GROUP BY lb, ub
 ), g AS (
   SELECT lb, ub, cnt,
          sum(cnt) OVER (ORDER BY lb

@@ -873,8 +873,12 @@ ORACLES["minhash_est_pairs"] = MINHASH_EST_PAIRS_SQL
 # signature screen (``minhash_est_pairs``'s acceptance rule) as a
 # replacement for exact verification? Over the shared capped candidate
 # space, every pair is labeled by BOTH rules — est accept (>= 64 of 128
-# signature components match) vs exact truth (Jaccard >= 1/2 by integer
-# cross-multiplication) — and the confusion counts + precision/recall
+# signature components match) vs exact FULL-UNIVERSE truth (shingle
+# arrays re-attached to the bounded candidates and intersected exactly;
+# Jaccard >= 1/2 by integer cross-multiplication — the capped engine's
+# hot-dropped `inter` would understate J for boilerplate-sharing pairs
+# while the signatures see all shingles, biasing the matrix) — and the
+# confusion counts + precision/recall
 # roll up in exact ppm integers. FP/FN are the pairs whose +-0.09
 # estimator noise (K=128, 95%) crosses the threshold; a pipeline sizing
 # K trades this table against the O(|shingles|) exact-verify shuffle.
@@ -895,19 +899,36 @@ assert _TAU_NUM / _TAU_DEN == EST_THRESHOLD
 
 
 def dedup_pr_eval_df(docs: DataFrame) -> DataFrame:
+    # truth must be the EXACT full-universe Jaccard: the signatures are
+    # built over ALL shingles, while the capped pair engine's `inter`
+    # drops hot shingles — labeling truth with capped-inter/full-union
+    # would understate J for boilerplate-sharing pairs and bias the
+    # confusion matrix the eval exists to report. So the bounded
+    # candidate set re-attaches full shingle arrays and intersects them
+    # exactly (the minhash_lsh_pairs verify shape); only candidate
+    # GENERATION keeps the cap (pairs sharing nothing but boilerplate
+    # are not candidates — same as production).
+    shf = _with_shingles(docs).select("doc_id", "shingles")
     sigarr = _est_signatures_df(docs).localCheckpoint(eager=True)
-    pairs = _capped_pair_intersections(docs)
+    cand_ids = (_capped_pair_intersections(docs)
+                .select("a_id", "b_id").localCheckpoint(eager=True))
     matches = F.size(F.filter(
         F.zip_with("sa", "sb", lambda x, y: x == y), lambda m: m))
-    sc = (pairs
+    inter = F.size(F.array_intersect("sha", "shb"))
+    union = F.size("sha") + F.size("shb") - inter
+    sc = (cand_ids
+          .join(shf.select(F.col("doc_id").alias("a_id"),
+                           F.col("shingles").alias("sha")), "a_id")
+          .join(shf.select(F.col("doc_id").alias("b_id"),
+                           F.col("shingles").alias("shb")), "b_id")
           .join(sigarr.select(F.col("doc_id").alias("a_id"),
                               F.col("sig").alias("sa")), "a_id")
           .join(sigarr.select(F.col("doc_id").alias("b_id"),
                               F.col("sig").alias("sb")), "b_id")
-          .select("inter", "na", "nb", matches.alias("m")))
+          .select(inter.alias("inter"), union.alias("un"),
+                  matches.alias("m")))
     est_pos = F.col("m") >= _EST_MIN_MATCHES
-    tru_pos = (F.col("inter") * _TAU_DEN
-               >= (F.col("na") + F.col("nb") - F.col("inter")) * _TAU_NUM)
+    tru_pos = F.col("inter") * _TAU_DEN >= F.col("un") * _TAU_NUM
 
     def cnt(cond):
         return F.coalesce(
@@ -935,24 +956,28 @@ def dedup_pr_eval(spark, sf_dir):
 
 DEDUP_PR_EVAL_SQL = _PAIR_CTE + _EST_SIG_CTES + f"""
 , m AS (
-  SELECT p.inter, p.na, p.nb,
+  SELECT len(list_intersect(fa.shingles, fb.shingles)) AS inter,
+         len(fa.shingles) + len(fb.shingles)
+           - len(list_intersect(fa.shingles, fb.shingles)) AS un,
          list_sum(list_transform(range(1, {EST_N_PERM} + 1),
               k -> CASE WHEN sa.sig[k] = sb.sig[k] THEN 1 ELSE 0 END)) AS m
   FROM p JOIN sigarr sa ON sa.doc_id = p.a_id
          JOIN sigarr sb ON sb.doc_id = p.b_id
+         JOIN sh fa ON fa.doc_id = p.a_id
+         JOIN sh fb ON fb.doc_id = p.b_id
 ), conf AS (
   SELECT CAST(count(*) AS BIGINT) AS n_pairs,
          CAST(coalesce(sum(CASE WHEN m >= {_EST_MIN_MATCHES}
-                 AND inter * {_TAU_DEN} >= (na + nb - inter) * {_TAU_NUM}
+                 AND inter * {_TAU_DEN} >= un * {_TAU_NUM}
                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS tp,
          CAST(coalesce(sum(CASE WHEN m >= {_EST_MIN_MATCHES}
-                 AND inter * {_TAU_DEN} < (na + nb - inter) * {_TAU_NUM}
+                 AND inter * {_TAU_DEN} < un * {_TAU_NUM}
                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS fp,
          CAST(coalesce(sum(CASE WHEN m < {_EST_MIN_MATCHES}
-                 AND inter * {_TAU_DEN} >= (na + nb - inter) * {_TAU_NUM}
+                 AND inter * {_TAU_DEN} >= un * {_TAU_NUM}
                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS fn,
          CAST(coalesce(sum(CASE WHEN m < {_EST_MIN_MATCHES}
-                 AND inter * {_TAU_DEN} < (na + nb - inter) * {_TAU_NUM}
+                 AND inter * {_TAU_DEN} < un * {_TAU_NUM}
                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS tn
   FROM m
 )

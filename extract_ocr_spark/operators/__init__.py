@@ -120,7 +120,7 @@ def all_queries():
         # are the lowest-information picks for the external check)
         "gap_fill_daily", "self_bleu", "nb_lang_confusion",
         "neighbor_agg", "mrr_eval", "quantile_normalize",
-        "dedup_pr_eval",
+        "dedup_pr_eval", "split_leakage_check",
         "ann_topk_pq", "ann_topk_ivfpq",
         "chi2_drift", "cube_report", "hdr_quantiles", "ks_drift",
         "calibration_bins", "rrf_fusion", "pr_curve", "ndcg_eval",

@@ -93,18 +93,24 @@ def split_assign(spark, sf_dir):
     )
 
 
-SPLIT_ASSIGN_SQL = """
-WITH b AS (
+# the ONE SQL derivation of (doc_id, bucket, split) — interpolated into
+# SPLIT_ASSIGN_SQL and SPLIT_LEAKAGE_SQL so the bucket rule cannot drift
+_SPLIT_CTE = """sb AS (
   SELECT doc_id,
          CAST(('0x' || substring(sha256(text), 1, 8))::BIGINT % 100 AS BIGINT)
            AS bucket
   FROM documents
-)
-SELECT doc_id, bucket,
-       CASE WHEN bucket < 90 THEN 'train'
-            WHEN bucket < 95 THEN 'val'
-            ELSE 'test' END AS split
-FROM b ORDER BY doc_id
+), sp AS (
+  SELECT doc_id, bucket,
+         CASE WHEN bucket < 90 THEN 'train'
+              WHEN bucket < 95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM sb
+)"""
+
+SPLIT_ASSIGN_SQL = f"""
+WITH {_SPLIT_CTE}
+SELECT doc_id, bucket, split FROM sp ORDER BY doc_id
 """
 
 
@@ -1227,6 +1233,90 @@ ORDER BY p.doc_id
 
 QUERIES["quantile_normalize"] = quantile_normalize
 ORACLES["quantile_normalize"] = QUANTILE_NORMALIZE_SQL
+
+
+# -- Train/val/test near-dup leakage audit --------------------------------
+#
+# The eval-integrity check every split ships with: near-duplicate pairs
+# (the production word-3-gram Jaccard >= 1/2 rule, capped pair engine)
+# whose members land in DIFFERENT splits — each one is a doc the model
+# effectively trains on AND is evaluated on. Two structural facts the
+# docstring owes the reader: (1) raw-identical duplicates can NEVER
+# cross splits here — the split bucket is a hash of the content itself
+# (split_assign_df), so exact-dup leakage is impossible by
+# construction; (2) normalized-equal variants (case/whitespace) have
+# shingle Jaccard 1.0 and are caught by this channel, so the near-dup
+# rule subsumes the normalized-exact one. What remains — and what this
+# reports — is the genuinely paraphrase/near-dup leakage content-hash
+# splitting cannot prevent; the remedy is cluster-level splitting
+# (assign whole neardup_clusters to one split), and this query is the
+# audit that says whether you need it.
+#
+# Output: per unordered split pair, the leaking-pair count and the
+# worst (max) Jaccard. Integer counts; the jaccard is one division +
+# round(6) on exact integers (the ngram_jaccard form). Scale: the
+# capped pair engine + two equi joins against the map-only split
+# projection; the rollup is ≤ 3 rows.
+
+from .dedup import JACCARD_THRESHOLD as _LEAK_TAU  # noqa: E402
+
+_LEAK_TAU_NUM, _LEAK_TAU_DEN = 1, 2
+assert _LEAK_TAU_NUM / _LEAK_TAU_DEN == _LEAK_TAU
+
+
+def split_leakage_check_df(docs: DataFrame) -> DataFrame:
+    from ..operators.dedup import _capped_pair_intersections
+
+    sp = split_assign_df(docs).select("doc_id", "split")
+    pr = _capped_pair_intersections(docs)
+    j_ok = (F.col("inter") * _LEAK_TAU_DEN
+            >= (F.col("na") + F.col("nb") - F.col("inter"))
+            * _LEAK_TAU_NUM)
+    jac = F.round(F.col("inter")
+                  / (F.col("na") + F.col("nb") - F.col("inter")), 6)
+    x = (pr.filter(j_ok)
+         .join(sp.select(F.col("doc_id").alias("a_id"),
+                         F.col("split").alias("sa")), "a_id")
+         .join(sp.select(F.col("doc_id").alias("b_id"),
+                         F.col("split").alias("sb")), "b_id")
+         .filter(F.col("sa") != F.col("sb"))
+         .select(F.least("sa", "sb").alias("split_lo"),
+                 F.greatest("sa", "sb").alias("split_hi"),
+                 jac.alias("jaccard")))
+    return (x.groupBy("split_lo", "split_hi")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                 F.max("jaccard").alias("max_jaccard"))
+            .orderBy("split_lo", "split_hi"))
+
+
+def split_leakage_check(spark, sf_dir):
+    return split_leakage_check_df(_docs(spark, sf_dir))
+
+
+def _split_leakage_sql() -> str:
+    from .dedup import _PAIR_CTE
+
+    return _PAIR_CTE + f"""
+, {_SPLIT_CTE}
+, x AS (
+  SELECT least(sa.split, sb.split) AS split_lo,
+         greatest(sa.split, sb.split) AS split_hi,
+         round(inter * 1.0 / (na + nb - inter), 6) AS jaccard
+  FROM p JOIN sp sa ON sa.doc_id = p.a_id
+         JOIN sp sb ON sb.doc_id = p.b_id
+  WHERE sa.split <> sb.split
+    AND inter * {_LEAK_TAU_DEN} >= (na + nb - inter) * {_LEAK_TAU_NUM}
+)
+SELECT split_lo, split_hi, CAST(count(*) AS BIGINT) AS n_pairs,
+       max(jaccard) AS max_jaccard
+FROM x GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+SPLIT_LEAKAGE_SQL = _split_leakage_sql()
+
+QUERIES["split_leakage_check"] = split_leakage_check
+ORACLES["split_leakage_check"] = SPLIT_LEAKAGE_SQL
 
 
 # -- Per-source token-budget sampling ------------------------------------------

@@ -774,3 +774,66 @@ def test_quantile_normalize_plan_bounded_broadcast_no_python(spark):
     assert "CartesianProduct" not in plan, plan
     assert "Python" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan  # the bounded class
+
+
+def test_split_leakage_check_fixture(spark, tmp_path):
+    """A near-dup pair engineered (deterministic suffix search on the
+    content-hash bucket) to straddle two splits is reported with its
+    jaccard; an equally-near pair in the SAME split is not; disjoint
+    docs never appear. Also pins the structural fact the docstring
+    states: raw-identical texts always share a bucket, so exact-dup
+    leakage cannot exist."""
+    import hashlib
+
+    from extract_ocr_spark.operators.curation import (
+        split_assign_df, split_leakage_check)
+
+    def split_of(text):
+        b = int(hashlib.sha256(text.encode()).hexdigest()[:8], 16) % 100
+        return "train" if b < 90 else "val" if b < 95 else "test"
+
+    # two DISJOINT base vocabularies: the cross-split pair and the
+    # same-split pair must not be near-dups of each other
+    base_x = " ".join(f"w{i}" for i in range(30))
+    base_s = " ".join(f"v{i}" for i in range(30))
+
+    def find_pair(base, want_cross):
+        for t in range(500):
+            a_txt = base + f" tail{t}"
+            b_txt = base + f" vary{t}"
+            if (split_of(a_txt) != split_of(b_txt)) == want_cross:
+                return a_txt, b_txt
+        raise AssertionError("no pair found in 500 variants")
+
+    cross = find_pair(base_x, True)
+    same = find_pair(base_s, False)
+    rows = [
+        (1, cross[0], "en", "s", 99), (2, cross[1], "en", "s", 99),
+        (3, same[0], "en", "s", 99), (4, same[1], "en", "s", 99),
+        (5, "entirely disjoint vocabulary about unrelated matters with "
+            "no shared phrases anywhere at all", "en", "s", 99),
+    ]
+    assert split_of(rows[2][1]) == split_of(rows[3][1])
+
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long")
+    docs.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = [r.asDict() for r in
+           split_leakage_check(spark, str(tmp_path)).collect()]
+    lo, hi = sorted([split_of(cross[0]), split_of(cross[1])])
+    assert len(got) == 1 and got[0]["split_lo"] == lo \
+        and got[0]["split_hi"] == hi and got[0]["n_pairs"] == 1
+    # near-dup: 29 of 31ish shingles shared -> J well above 1/2
+    assert got[0]["max_jaccard"] > 0.8
+
+    # structural pin: identical text == identical bucket == same split
+    sp = {r["doc_id"]: r["split"]
+          for r in split_assign_df(
+              spark.createDataFrame(
+                  [(10, cross[0], "en", "s", 9),
+                   (11, cross[0], "en", "s", 9)],
+                  "doc_id long, text string, lang string, source string, "
+                  "n_chars long")).select("doc_id", "split").collect()}
+    assert sp[10] == sp[11]

@@ -64,6 +64,8 @@ SUBSET = [
     "quantile_normalize",
     # confusion counts follow the corpus's boundary pairs
     "dedup_pr_eval",
+    # which near-dup pairs straddle a split follows the content hashes
+    "split_leakage_check",
     # r5 tenth session: interleaved structure, norm tails, host rollup,
     # and the three custom temporal joins (tie/branch behavior is
     # data-dependent, so both scales matter)

@@ -51,7 +51,10 @@ def is_waf_challenge(body: bytes, *, content_type: str | None,
         return False
 
     text = body[:200_000].decode("utf-8", errors="ignore")
+    return _waf_markers_hit(text, allow_integration_heuristic)
 
+
+def _waf_markers_hit(text: str, allow_integration_heuristic: bool) -> bool:
     if any(p.search(text) for p in _HARD_BLOCK_MARKERS):
         return True
     if not allow_integration_heuristic:
@@ -62,6 +65,24 @@ def is_waf_challenge(body: bytes, *, content_type: str | None,
     if len(_ANCHOR_RE.findall(text)) >= 5:
         return False
     return True
+
+
+def is_waf_challenge_html_text(text: str,
+                               allow_integration_heuristic: bool = True) -> bool:
+    """``is_waf_challenge(text.encode('utf-8', 'ignore'),
+    content_type='text/html', ...)`` without the encode→decode round-trip.
+
+    For ASCII text within the 200k-byte window the byte path is an exact
+    identity (utf-8-encode then utf-8-decode of ASCII is the text itself,
+    and the known ``text/html`` content type short-circuits the byte head
+    sniff), so the marker regexes can run on the string directly. Anything
+    non-ASCII or longer falls back to the byte path — the 200k cut is a
+    BYTE offset and must not be approximated in chars."""
+    if len(text) <= 200_000 and text.isascii():
+        return _waf_markers_hit(text, allow_integration_heuristic)
+    return is_waf_challenge(text.encode("utf-8", errors="ignore"),
+                            content_type="text/html",
+                            allow_integration_heuristic=allow_integration_heuristic)
 
 
 def sniff_kind(url: str, *, content_type: str | None, body: bytes) -> str:

@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from typing import Any
 
-from .contentkit import is_waf_challenge
+from .contentkit import is_waf_challenge_html_text
 from .htmlkit import html_to_markdown
 from .ocrkit import normalize_ocr_text
 from .pdfkit import extract_pdf_text
@@ -93,9 +93,8 @@ def extract_doc(doc_id: str, spans: list[dict[str, Any]] | None,
             # heuristic (reference cli.py:473-483 / content.py:76-77):
             # browser-saved SPA pages are thin shells the heuristic would
             # misclassify as interstitials. Hard block markers always apply.
-            if is_waf_challenge(raw.encode("utf-8", errors="ignore"),
-                                content_type="text/html",
-                                allow_integration_heuristic=waf_integration):
+            if is_waf_challenge_html_text(
+                    raw, allow_integration_heuristic=waf_integration):
                 # Reference skips WAF interstitials entirely
                 # (crawl.py:1000-1021: blocked_waf, no variants written).
                 continue

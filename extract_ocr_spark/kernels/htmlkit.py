@@ -88,22 +88,21 @@ class _TreeBuilder(HTMLParser):
         self.root = Node("#document")
         self.stack: list[Node] = [self.root]
 
+    # html.parser already lowercases tag and attribute names before the
+    # callbacks fire (parse_starttag/parse_endtag), so no .lower() here.
     def handle_starttag(self, tag, attrs):
-        tag = tag.lower()
         if tag in _AUTOCLOSE_SIBLING and self.stack[-1].tag == tag:
             self.stack.pop()
-        node = Node(tag, {k.lower(): (v or "") for k, v in attrs})
+        node = Node(tag, {k: (v or "") for k, v in attrs} if attrs else None)
         self.stack[-1].children.append(node)
         if tag not in _VOID_TAGS:
             self.stack.append(node)
 
     def handle_startendtag(self, tag, attrs):
-        tag = tag.lower()
-        node = Node(tag, {k.lower(): (v or "") for k, v in attrs})
+        node = Node(tag, {k: (v or "") for k, v in attrs} if attrs else None)
         self.stack[-1].children.append(node)
 
     def handle_endtag(self, tag):
-        tag = tag.lower()
         if tag in _VOID_TAGS:
             return
         # Pop up to the nearest matching open tag; ignore stray end tags.
@@ -117,11 +116,136 @@ class _TreeBuilder(HTMLParser):
             self.stack[-1].children.append(Node(_TEXT, text=data))
 
 
+# ---------------------------------------------------------------------------
+# Fast-path tokenizer
+# ---------------------------------------------------------------------------
+# ``html.parser`` spends most of its time in ``goahead``'s generic
+# machinery (per-construct regex dispatch, position bookkeeping for error
+# reporting we never use). The tokenizer below handles a restricted,
+# well-formed grammar — plain start/end tags with conservative name and
+# attribute charsets, quoted/unquoted attribute values, charrefs in text
+# and attribute values, script/style CDATA content with a clean closing
+# tag — and returns None ("bail") the moment it sees anything else
+# (comments, doctypes, PIs, bogus '<', junk in tags, unterminated
+# constructs). On a bail the document is re-parsed by the stdlib
+# ``_TreeBuilder``, so behaviour on arbitrary input is *defined* by
+# html.parser; the fast path is only taken where its output is
+# structurally identical (verified by a differential fuzzer in
+# tests/test_kernels_html.py and full-corpus byte parity).
+#
+# Parity notes (mirrors html.parser with convert_charrefs=True):
+# - text between constructs is emitted as ONE chunk, html.unescape'd
+# - attribute values are unescape'd; bare attributes become ""
+# - tag/attr names are lowercased
+# - '<x .../>'' fires handle_startendtag (no push); CDATA mode is only
+#   entered for non-self-closing script/style
+# - CDATA content is emitted raw (no charref conversion) as one chunk
+
+_SIMPLE_TAG_RE = re.compile(
+    r"<([a-zA-Z][a-zA-Z0-9]*)"
+    r"((?:\s+[a-zA-Z_:][-a-zA-Z0-9_:.]*"
+    r"(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>='\"][^\s>]*))?)*)"
+    r"\s*(/?)>")
+_SIMPLE_ATTR_RE = re.compile(
+    r"\s+([a-zA-Z_:][-a-zA-Z0-9_:.]*)"
+    r"(?:\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>='\"][^\s>]*))?")
+_SIMPLE_END_RE = re.compile(r"</\s*([a-zA-Z][a-zA-Z0-9]*)\s*>")
+_CDATA_FIND = {t: re.compile(r"</\s*%s" % t, re.IGNORECASE)
+               for t in ("script", "style")}
+_CDATA_CLOSE = {t: re.compile(r"</\s*%s\s*>" % t, re.IGNORECASE)
+                for t in ("script", "style")}
+
+
+def _fast_parse(html: str) -> Node | None:
+    root = Node("#document")
+    stack = [root]
+    n = len(html)
+    i = 0
+    find = html.find
+    while i < n:
+        j = find("<", i)
+        if j < 0:
+            text = html[i:]
+            stack[-1].children.append(
+                Node(_TEXT, text=unescape(text) if "&" in text else text))
+            break
+        if j > i:
+            text = html[i:j]
+            stack[-1].children.append(
+                Node(_TEXT, text=unescape(text) if "&" in text else text))
+        if html[j + 1:j + 2] == "/":
+            m = _SIMPLE_END_RE.match(html, j)
+            if m is None:
+                return None
+            tag = m.group(1).lower()
+            if tag not in _VOID_TAGS:
+                # pop to nearest matching open tag; stray end tags ignored
+                for k in range(len(stack) - 1, 0, -1):
+                    if stack[k].tag == tag:
+                        del stack[k:]
+                        break
+            i = m.end()
+            continue
+        m = _SIMPLE_TAG_RE.match(html, j)
+        if m is None:
+            return None
+        tag = m.group(1).lower()
+        attr_src = m.group(2)
+        if attr_src:
+            attrs: dict[str, str] = {}
+            for am in _SIMPLE_ATTR_RE.finditer(attr_src):
+                v = am.group(2)
+                if v is None:
+                    v = ""
+                else:
+                    c0 = v[0]
+                    if c0 == '"' or c0 == "'":
+                        v = v[1:-1]
+                    if "&" in v:
+                        v = unescape(v)
+                attrs[am.group(1).lower()] = v
+            node = Node(tag, attrs)
+        else:
+            node = Node(tag)
+        i = m.end()
+        if m.group(3):  # self-closing: handle_startendtag (no push)
+            stack[-1].children.append(node)
+            continue
+        if tag in _AUTOCLOSE_SIBLING and stack[-1].tag == tag:
+            stack.pop()
+        stack[-1].children.append(node)
+        if tag not in _VOID_TAGS:
+            stack.append(node)
+        if tag == "script" or tag == "style":
+            fm = _CDATA_FIND[tag].search(html, i)
+            if fm is None:
+                return None  # unterminated CDATA: stdlib semantics apply
+            cm = _CDATA_CLOSE[tag].match(html, fm.start())
+            if cm is None:
+                return None  # '</script junk>' inside CDATA: bail
+            if fm.start() > i:
+                stack[-1].children.append(
+                    Node(_TEXT, text=html[i:fm.start()]))  # raw, no charrefs
+            for k in range(len(stack) - 1, 0, -1):
+                if stack[k].tag == tag:
+                    del stack[k:]
+                    break
+            i = cm.end()
+    return root
+
+
 def parse_html(html: str) -> Node:
     """Parse (possibly malformed) HTML into a Node tree."""
+    html = html or ""
+    try:
+        root = _fast_parse(html)
+        if root is not None:
+            return root
+    except Exception:
+        pass  # any fast-path surprise falls through to the stdlib parser
     builder = _TreeBuilder()
     try:
-        builder.feed(html or "")
+        builder.feed(html)
         builder.close()
     except Exception:
         # html.parser is tolerant, but guard anyway: return what we built.
@@ -131,9 +255,13 @@ def parse_html(html: str) -> Node:
 
 def clean_tree(root: Node) -> Node:
     """Drop script/style/noscript subtrees in place; return root."""
-    for node in root.iter():
-        if node.children:
-            node.children = [c for c in node.children if c.tag not in _DROP_TAGS]
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        cs = node.children
+        if cs:
+            node.children = cs = [c for c in cs if c.tag not in _DROP_TAGS]
+            stack.extend(cs)
     return root
 
 
@@ -214,6 +342,20 @@ def _stripped_text_lengths(root: Node) -> dict[int, int]:
             for k in lengths}
 
 
+def _has_stripped_text(node: Node) -> bool:
+    """Truthiness of ``get_text(node, '', strip=True)`` without building
+    the string: short-circuits on the first non-whitespace text node."""
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if n.tag == _TEXT:
+            if n.text.strip():
+                return True
+            continue
+        stack.extend(n.children)
+    return False
+
+
 def pick_main_content(root: Node, mode: str = "reference") -> Node:
     """Boilerplate-stripping main-content selection.
 
@@ -223,21 +365,49 @@ def pick_main_content(root: Node, mode: str = "reference") -> Node:
     ``text_len * (1 - link_density)`` (Boilerpipe-style), same tie-break.
     """
     # Single DFS pass records the first doc-order match per selector
-    # (equivalent to 7 sequential find_first traversals, 7× cheaper).
-    first_match: dict[int, Node] = {}
-    remaining = len(_MAIN_SELECTORS)
+    # (equivalent to 7 sequential find_first traversals); selector
+    # predicates are inlined — attrs are only consulted for div/the two
+    # id-bearing selectors, so the common node costs two tag compares.
+    first_match: list[Node | None] = [None] * 7
+    remaining = 7
     for n in root.iter():
-        if n.is_text():
+        tag = n.tag
+        if tag == _TEXT:
             continue
-        for si, sel in enumerate(_MAIN_SELECTORS):
-            if si not in first_match and sel(n):
-                first_match[si] = n
-                remaining -= 1
+        if first_match[0] is None and tag == "main":
+            first_match[0] = n
+            remaining -= 1
+        if first_match[1] is None and tag == "article":
+            first_match[1] = n
+            remaining -= 1
+        if first_match[2] is None or first_match[3] is None \
+                or first_match[4] is None:
+            # the three id selectors match ANY tag, not just div
+            id_ = n.attrs.get("id")
+            if id_ is not None:
+                if first_match[2] is None and id_ == "topic-content":
+                    first_match[2] = n
+                    remaining -= 1
+                if first_match[3] is None and id_ == "topic":
+                    first_match[3] = n
+                    remaining -= 1
+                if first_match[4] is None and id_ == "rh-topic":
+                    first_match[4] = n
+                    remaining -= 1
+        if tag == "div" and (first_match[5] is None
+                             or first_match[6] is None):
+            role = n.attrs.get("role")
+            if role is not None:
+                if first_match[5] is None and role == "main":
+                    first_match[5] = n
+                    remaining -= 1
+                if first_match[6] is None and role == "document":
+                    first_match[6] = n
+                    remaining -= 1
         if not remaining:
             break
-    for si in range(len(_MAIN_SELECTORS)):
-        node = first_match.get(si)
-        if node is not None and get_text(node, "", strip=True):
+    for node in first_match:
+        if node is not None and _has_stripped_text(node):
             return node
 
     # Fallback only: one bottom-up pass instead of O(divs × subtree).

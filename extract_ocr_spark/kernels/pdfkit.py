@@ -31,6 +31,19 @@ _POS_LINE_RE = re.compile(r"^@(-?\d+(?:\.\d+)?),(-?\d+(?:\.\d+)?):(.*)$")
 _Y_TOLERANCE = 2.0
 
 
+def _is_coord(s: str) -> bool:
+    """Exact mirror of the regex piece ``-?\\d+(?:\\.\\d+)?``:
+    ``str.isdecimal()`` is true for precisely the characters ``\\d``
+    matches (Unicode category Nd), so this equals a regex match without
+    the per-line ``re`` overhead on the hot path."""
+    if s.startswith("-"):
+        s = s[1:]
+    head, dot, frac = s.partition(".")
+    if dot:
+        return head.isdecimal() and frac.isdecimal()
+    return s.isdecimal()
+
+
 def _extract_page(page: str) -> str | None:
     """Extract one page's text in reading order; None = failing page."""
     lines = page.splitlines()
@@ -40,16 +53,25 @@ def _extract_page(page: str) -> str | None:
 
     positioned: list[tuple[float, float, int, str]] = []
     plain: list[str] = []
-    any_positioned = False
+    pos_append = positioned.append
+    plain_append = plain.append
     for i, ln in enumerate(lines):
-        m = _POS_LINE_RE.match(ln)
-        if m:
-            any_positioned = True
-            positioned.append((float(m.group(1)), float(m.group(2)), i, m.group(3)))
-        elif ln.strip():
-            plain.append(ln.rstrip())
+        # Fast path for the positioned-line format "@y,x:text" — string
+        # partition + isdecimal validation is ~5× cheaper than the regex
+        # and accepts exactly the same lines (the isdecimal shortcut covers
+        # plain non-negative integers; _is_coord ≡ the full \d pattern).
+        if ln and ln[0] == "@":
+            coords, colon, text = ln[1:].partition(":")
+            if colon:
+                y_s, comma, x_s = coords.partition(",")
+                if comma and (y_s.isdecimal() or _is_coord(y_s)) \
+                        and (x_s.isdecimal() or _is_coord(x_s)):
+                    pos_append((float(y_s), float(x_s), i, text))
+                    continue
+        if ln.strip():
+            plain_append(ln.rstrip())
 
-    if not any_positioned:
+    if not positioned:
         return "\n".join(plain).strip()
 
     # Reading order: cluster by y (rows), sort rows top-to-bottom, cells
@@ -63,8 +85,10 @@ def _extract_page(page: str) -> str | None:
             rows.append([item])
     out_lines: list[str] = []
     for row in rows:
-        row.sort(key=itemgetter(1, 2))
-        joined = " ".join(cell[3].strip() for cell in row if cell[3].strip())
+        if len(row) > 1:
+            row.sort(key=itemgetter(1, 2))
+        joined = " ".join(
+            [s for cell in row if (s := cell[3].strip())])
         # a row whose every cell is whitespace-only (e.g. a real-PDF show
         # of " ") contributes no output line, not a phantom blank line
         if joined:

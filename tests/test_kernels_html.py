@@ -185,3 +185,78 @@ def test_extract_anchors_text_and_hygiene():
         ("https://ex.com/shared", "Home"),
         ("https://other.com/Top", "Top 1"),
     ]
+
+
+# -- r6 fast-path tokenizer parity -------------------------------------------
+
+def _stdlib_tree(html):
+    from extract_ocr_spark.kernels.htmlkit import _TreeBuilder
+
+    b = _TreeBuilder()
+    try:
+        b.feed(html)
+        b.close()
+    except Exception:
+        pass
+    return b.root
+
+
+def _tree_repr(node):
+    return (node.tag, node.text, tuple(sorted(node.attrs.items())),
+            tuple(_tree_repr(c) for c in node.children))
+
+
+def test_fast_parse_differential_fuzz():
+    """The r6 fast-path tokenizer must either bail (None) or produce a
+    tree structurally identical to the stdlib html.parser builder —
+    seeded random soup over constructs both inside and outside the
+    fast path's grammar."""
+    import random
+
+    from extract_ocr_spark.kernels.htmlkit import _fast_parse
+
+    pieces = [
+        "<div>", "</div>", "<p>", "<a href='x.html'>", '<a href="y y">',
+        "<a href=plain>", "<br/>", "<br />", "<img src=a alt='b'>", "text ",
+        "&amp;", "&lt;", "&#65;", "&unknown;", "&amp", "& plain ", "</b>",
+        "<script>var x=1;</script>", "<style>.a{}</style>",
+        "<script>a<b</script>", "<li>", "<ul>", "</ul>", "<td>", "<tr>",
+        "<DIV CLASS='Q'>", "</DIV>", "<input value=''>", "<em a=1 b=2>",
+        "<span data-x='1' data-x='2'>", "</span>", " ", "\n", "<p/>",
+        "<a b = 'c'>", "<a  b  =  c  >", "<a b>", "</a >", "</ a>", "<hr>",
+        "<title>T</title>",
+        # constructs that must bail to the stdlib parser:
+        "<!-- c -->", "<!DOCTYPE html>", "<?pi?>", "a < b", "<", "<1>",
+        "<a b==c>", "<a =c>", "<a b=>", "<a 'q'>", "</weird-name>", "<a-b>",
+        "<script>never closed", "<a b=c\"d>",
+    ]
+    rng = random.Random(7)
+    checked = 0
+    for _ in range(4000):
+        doc = "".join(rng.choice(pieces) for _ in range(rng.randint(1, 12)))
+        fast = _fast_parse(doc)
+        if fast is None:
+            continue
+        checked += 1
+        assert _tree_repr(fast) == _tree_repr(_stdlib_tree(doc)), repr(doc)
+    assert checked > 500  # the fast path must actually cover real inputs
+
+
+def test_fast_parse_handles_bench_shapes_without_bail():
+    from extract_ocr_spark.datagen import gen_doc
+    from extract_ocr_spark.kernels.htmlkit import _fast_parse
+
+    for i in (0, 1, 2, 3, 4, 5, 6, 13):  # all seven html variants + WAF
+        spans = gen_doc(i)["spans"]
+        html = next(s["text"] for s in spans if s["kind"] == "html")
+        fast = _fast_parse(html)
+        assert fast is not None
+        assert _tree_repr(fast) == _tree_repr(_stdlib_tree(html))
+
+
+def test_fast_parse_bails_on_out_of_grammar_constructs():
+    from extract_ocr_spark.kernels.htmlkit import _fast_parse
+
+    for doc in ("<!DOCTYPE html><p>x</p>", "<!-- c --><p>x</p>",
+                "a < b", "<a b==c>", "<script>open", "<?pi?>"):
+        assert _fast_parse(doc) is None

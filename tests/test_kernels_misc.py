@@ -397,3 +397,70 @@ def test_rewrite_variants_corpus_scale_parity(spark):
     # and the rewrite actually happened (links resolved to relative .md)
     sample = a.orderBy("doc_id").first()["md_out"]
     assert "pages/" in sample and ".md" in sample, sample
+
+
+def test_pdfkit_is_coord_matches_regex_piece():
+    """r6: the string-op coordinate validator must accept exactly the
+    strings the original per-line regex piece -?\\d+(?:\\.\\d+)? accepted."""
+    import re
+
+    from extract_ocr_spark.kernels.pdfkit import _is_coord
+
+    piece = re.compile(r"-?\d+(?:\.\d+)?\Z")
+    cases = ["12", "-12", "1.5", "-0.25", "", "-", ".5", "1.", "-1.",
+             "1e5", "+1", " 1", "1 ", "nan", "inf", "1_000", "12.", "0",
+             "-0", "007", "12.000", "٥", "1.٥", "²", "--1", "1.2.3"]
+    for s in cases:
+        assert _is_coord(s) == bool(piece.match(s)), s
+
+
+def test_pdfkit_positioned_line_fast_path_parity():
+    """The optimized _extract_page line loop must classify lines exactly
+    like the original regex did."""
+    import re
+
+    from extract_ocr_spark.kernels.pdfkit import _extract_page
+
+    old_re = re.compile(r"^@(-?\d+(?:\.\d+)?),(-?\d+(?:\.\d+)?):(.*)$")
+
+    def old_extract_page(page):
+        lines = page.splitlines()
+        first_non_blank = next((ln for ln in lines if ln.strip()), "")
+        if first_non_blank.startswith("%%ERR"):
+            return None
+        positioned, plain = [], []
+        for i, ln in enumerate(lines):
+            m = old_re.match(ln)
+            if m:
+                positioned.append(
+                    (float(m.group(1)), float(m.group(2)), i, m.group(3)))
+            elif ln.strip():
+                plain.append(ln.rstrip())
+        if not positioned:
+            return "\n".join(plain).strip()
+        positioned.sort(key=lambda t: (t[0], t[1], t[2]))
+        rows = []
+        for item in positioned:
+            if rows and abs(item[0] - rows[-1][0][0]) <= 2.0:
+                rows[-1].append(item)
+            else:
+                rows.append([item])
+        out_lines = []
+        for row in rows:
+            row.sort(key=lambda t: (t[1], t[2]))
+            joined = " ".join(c[3].strip() for c in row if c[3].strip())
+            if joined:
+                out_lines.append(joined)
+        return "\n".join([*plain, *out_lines]).strip()
+
+    pages = [
+        "@12,40:hello\n@12,200:world\n@24,40:next",
+        "@-5,3:neg\n@-5.5,2:frac\nplain line\n  \n@bad,1:x\n@1,2",
+        "@1,2:a:b\n@1,2:\n@1,2,3:t\n@1.,2:t\n@1e5,2:t\n@+1,2:t",
+        "%%ERR corrupted",
+        "   \n\nonly plain\n",
+        "@2,1:tie\n@0,1:first\n@4,9:far\n@3.5,1:merge",
+        "",
+    ]
+    for page in pages:
+        assert _extract_page(page) == old_extract_page(page), repr(page)

@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from . import WS_RE, md5_long
+from . import WS_RE, fold_dot, fold_sq, md5_long
 
 from ..kernels.dedupkit import lsh_bands, minhash_signature
 
@@ -415,13 +415,15 @@ ORDER BY a_id, b_id
 
 # -- embedding cosine near-dup -------------------------------------------------------
 
+_EMB_DIM = 64  # the embeddings table's fixed dimensionality
+
+
 def _cosine(a, b):
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, v: acc + v)
-    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
-                            F.lit(0.0), lambda acc, v: acc + v))
-    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
-                            F.lit(0.0), lambda acc, v: acc + v))
+    # r6: unrolled codegen folds (bit-identical to the HOF folds — see
+    # operators.fold_dot) instead of three interpreted lambdas per pair.
+    dot = fold_dot(a, b, _EMB_DIM)
+    na = F.sqrt(fold_sq(a, _EMB_DIM))
+    nb = F.sqrt(fold_sq(b, _EMB_DIM))
     return dot / (na * nb)
 
 
@@ -430,7 +432,13 @@ def embedding_neardup_pairs(spark, sf_dir):
     both sides for bit-identical comparison). Deliberately O(n²) — the
     oracle-checked correctness twin — so it refuses inputs beyond
     ``MAX_EXACT_PAIR_ROWS``; the LSH variant
-    (similarity.embedding_neardup_lsh) is the scale path."""
+    (similarity.embedding_neardup_lsh) is the scale path.
+
+    r6: each vector's norm is computed once on the 2n-row side frames
+    instead of once per pair (n² times), and the dot is the unrolled
+    codegen fold — together 118.8 s → ~4 s at sf0.1 with bit-identical
+    output (norms are per-vector values; the pair expression
+    dot / (na * nb) is unchanged)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb"))
     n = emb.count()
@@ -439,14 +447,24 @@ def embedding_neardup_pairs(spark, sf_dir):
             f"embedding_neardup_pairs is the exact O(n²) twin; refusing "
             f"{n} rows (> {MAX_EXACT_PAIR_ROWS}). Use "
             f"similarity.embedding_neardup_lsh (bucketed) at scale.")
+    emb = emb.withColumn("nrm", F.sqrt(fold_sq(F.col("emb"), _EMB_DIM)))
     a = emb.alias("a")
     b = emb.alias("b")
-    c = _cosine(F.col("a.emb"), F.col("b.emb"))
-    return (
+    c = (fold_dot(F.col("a.emb"), F.col("b.emb"), _EMB_DIM)
+         / (F.col("a.nrm") * F.col("b.nrm")))
+    # Materialize the slim (a_id, b_id, c) pair frame once (lazy local
+    # checkpoint): the filter and the round both reference c, and the
+    # pushed-down predicate would otherwise re-evaluate the 64-term dot
+    # per reference (measured 19 s vs 3.5 s at sf0.1). Bounded by the
+    # row guard above: ≤ n²/2 × 28-byte rows live in executor storage.
+    slim = (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"),
                 c.alias("c"))
-        .filter(F.col("c") >= 0.4)
+        .localCheckpoint(eager=False)
+    )
+    return (
+        slim.filter(F.col("c") >= 0.4)
         .select("a_id", "b_id", F.round("c", 6).alias("cosine"))
         .orderBy("a_id", "b_id")
     )
@@ -754,27 +772,32 @@ _EST_A, _EST_B = _est_family()
 
 
 def _est_signatures_df(docs: DataFrame) -> DataFrame:
-    """(doc_id, sig[EST_N_PERM]) signature table: explode(shingles) ×
-    broadcast(128 perm rows) → map-side-combined min per (doc, i) → one
-    ordered array per doc. Kept un-checkpointed so callers (and the
-    plan-pin test) can see the build plan; minhash_est_pairs_df
-    checkpoints the slim result once before its two joins."""
-    perms = docs.sparkSession.createDataFrame(
-        [(i, a, b) for i, (a, b) in enumerate(zip(_EST_A, _EST_B))],
-        "i INT, a LONG, b LONG")
+    """(doc_id, sig[EST_N_PERM]) signature table: explode(shingles) →
+    ONE aggregation with 128 ``min((a_i*base + b_i) % P % M)`` columns
+    (the (a_i, b_i) literals are inlined into the expressions), packed
+    into the ordered array. r6 rewrite: the previous build crossJoined
+    every shingle row with a broadcast 128-row perm table — a 128×
+    row explosion (33M rows at sf0.1) shuffled through TWO aggregations
+    (min per (doc, i), then collect_list per doc). The inlined-literal
+    form computes the identical integers with zero row expansion, one
+    map-side-combined aggregation, and no BroadcastNestedLoopJoin in
+    the plan (measured 13.5 s → well under half on dedup_pr_eval's
+    sweep row). Kept un-checkpointed so callers (and the plan-pin test)
+    can see the build plan; minhash_est_pairs_df checkpoints the slim
+    result once before its two joins."""
     sh = _with_shingles(docs).select(
         "doc_id", F.explode("shingles").alias("shingle"))
     base = (md5_long(F.col("shingle")) % EST_BASE_MOD).alias("base")
-    sig = (sh.select("doc_id", base)
-           .crossJoin(F.broadcast(perms))
-           .select("doc_id", "i",
-                   ((F.col("a") * F.col("base") + F.col("b"))
-                    % EST_PRIME % EST_HASH_MOD).alias("h"))
-           .groupBy("doc_id", "i").agg(F.min("h").alias("h")))
-    return (sig.groupBy("doc_id")
-            .agg(F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "h"))),
-                lambda x: x["h"]).alias("sig")))
+    mins = [
+        F.min((F.col("base") * F.lit(_EST_A[i]) + F.lit(_EST_B[i]))
+              % EST_PRIME % EST_HASH_MOD).alias(f"h{i}")
+        for i in range(EST_N_PERM)
+    ]
+    return (sh.select("doc_id", base)
+            .groupBy("doc_id").agg(*mins)
+            .select("doc_id",
+                    F.array(*[f"h{i}" for i in range(EST_N_PERM)])
+                    .alias("sig")))
 
 
 def minhash_est_pairs_df(docs: DataFrame) -> DataFrame:

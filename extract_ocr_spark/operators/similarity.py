@@ -49,6 +49,12 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cosine_to_lit(emb_col, qvec: list[float]):
+    # NOTE(r6): HOF folds kept deliberately. An unrolled 64-term codegen
+    # chain was measured SLOWER here (ann_topk 0.69 s → 1.36 s): these
+    # queries touch few rows, and the big generated method recompiles on
+    # every invocation (fresh expression ids defeat the codegen cache),
+    # costing more than the interpreted fold saves. Unrolled folds only
+    # pay on large pair frames — see dedup.embedding_neardup_pairs.
     q = F.array(*[F.lit(float(v)) for v in qvec])
     dot = F.aggregate(F.zip_with(emb_col, q, lambda x, y: x * y),
                       F.lit(0.0), lambda acc, v: acc + v)
@@ -126,6 +132,9 @@ def _vec_sql(v: np.ndarray) -> str:
 def _bucket_expr(emb_col):
     """Native LSH bucket id: sign bits of dot products with literal
     hyperplanes, packed into an int."""
+    # NOTE(r6): HOF folds kept — unrolling the 8 plane dots (512 terms)
+    # regressed every bucket-deriving query (mrr_eval 1.5 s → 5 s) via
+    # per-invocation codegen compilation; see the _cosine_to_lit note.
     planes = _hyperplanes()
     bits = []
     for p in range(_N_PLANES):
@@ -239,6 +248,8 @@ _FOLD_NORM = ("sqrt(list_reduce(list_prepend(0.0, list_transform("
 
 
 def _pair_cosine(a, b):
+    # NOTE(r6): HOF folds kept — semdedup's candidate frames are small
+    # and the unrolled form measured slower (see _cosine_to_lit note).
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                       F.lit(0.0), lambda acc, v: acc + v)
     na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
@@ -253,6 +264,10 @@ def _cell_expr(emb_col):
     centroids), as one linear native expression: 16 dot products into an
     array, argmax via array_position(max). (A chained when/otherwise would
     nest the running best twice per step → exponential plan size.)"""
+    # NOTE(r6): kept as HOF folds deliberately — unrolling all 16
+    # centroid dots (16 × 64 terms) bloats the plan past the codegen
+    # method limits and measured ~2× SLOWER (semdedup 4.2 s → 9.9 s).
+    # Unrolled folds only pay when a plan carries a handful of them.
     cents = _centroids()
     dots = F.array(*[
         F.aggregate(
@@ -619,7 +634,6 @@ def ann_topk_int8(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     _guard_brute(emb, "ann_topk_int8")
     qv, nq2 = _quantize_py(_query_vector(spark, sf_dir))
-    qlit = F.array(*[F.lit(int(v)) for v in qv])
 
     # the scale denominator is STAGED as its own column: referenced once
     # per element inside the transform lambda, an inline array_max would
@@ -634,6 +648,7 @@ def ann_topk_int8(spark, sf_dir):
         F.transform(
             "emb",
             lambda x: F.floor(x / F.col("s") + F.lit(0.5)).cast("long")))
+    qlit = F.array(*[F.lit(int(v)) for v in qv])
     dot = F.aggregate(F.zip_with("q", qlit, lambda x, y: x * y),
                       F.lit(0).cast("long"), lambda a, v: a + v)
     n2 = F.aggregate(F.transform("q", lambda x: x * x),
@@ -822,6 +837,8 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim = len(cents[0])
 
         def best_of(centroids):
+            # NOTE(r6): HOF folds kept — K centroids × iterations of
+            # unrolled 64-term chains bloat the plan (measured slower).
             structs = []
             for cid, c in enumerate(centroids):
                 lit = F.array(*[F.lit(v).cast("long") for v in c])
@@ -1815,6 +1832,9 @@ def _pq_encode(df: DataFrame, cb: list[list[list[int]]]) -> DataFrame:
         df = df.withColumn(f"s{m}",
                            F.slice("q", m * _PQ_SUBDIM + 1, _PQ_SUBDIM))
     for m in range(_PQ_M):
+        # NOTE(r6): HOF folds kept — _PQ_K codewords × _PQ_M unrolled
+        # distance chains bloat the plan (ann_topk_pq measured 3× slower
+        # unrolled); the HOF form stays compact per codeword.
         structs = []
         for j in range(_PQ_K):
             lit = F.array(*[F.lit(v).cast("long") for v in cb[m][j]])

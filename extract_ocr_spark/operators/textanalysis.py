@@ -1256,10 +1256,20 @@ def inverted_index_df(docs: DataFrame) -> DataFrame:
     string so both engines hash one canonical form."""
     from . import bigram_array
 
+    # r6: one explicit term-keyed exchange feeds BOTH phases. The naive
+    # two-reference form computed the tokenize→bigram→explode chain and
+    # scanned the source twice (the df side partial-aggregated before
+    # its exchange, so the two exchange subtrees differed and
+    # ReuseExchange could not fire: 2 scans, 4 exchanges). With the
+    # shared repartition the subtrees are identical — one scan, the
+    # pair table shuffled once, both the df aggregate and the join read
+    # the same shuffle output (measured 7.0 s → ~3 s at sf0.1). The
+    # phase order is unchanged: df prunes hot phrases before any
+    # posting list is collected.
     pairs = docs.select(
         "doc_id",
         F.explode(F.array_distinct(bigram_array(tok_array(F.col("text")))))
-        .alias("term"))
+        .alias("term")).repartition("term")
     df_tab = (pairs.groupBy("term").agg(F.count("*").alias("df"))
               .filter((F.col("df") >= IDX_DF_MIN)
                       & (F.col("df") <= IDX_DF_CAP)))

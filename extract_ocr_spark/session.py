@@ -44,6 +44,25 @@ def get_spark(master: str | None = None, *, app_name: str = "extract_ocr_spark",
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Unfiltered count()/min/max over parquet answer from footer
+        # metadata instead of scanning rows — the brute-force guards
+        # (similarity._guard_brute, dedup's pair caps) count whole tables
+        # before every run, and at 100 TB a guard must not cost a scan.
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        # InferFiltersFromGenerate injects `size(g) > 0 AND isnotnull(g)`
+        # below every explode(g) and pushes it toward the scan. When g is
+        # a computed array (this repo's tokenizers/shinglers: regexp +
+        # split + transform chains), that filter RE-EVALUATES the whole
+        # construction 2× more per row — measured 3.8 s → 0.5 s on the
+        # sf0.1 shingle explode, and it compounds into every
+        # tokenize-then-explode query. The rule only pre-drops rows
+        # explode() drops anyway (empty/null arrays), so excluding it
+        # cannot change any result; it would only help if empty-array
+        # rows had to cross a shuffle before the explode, which never
+        # happens here (arrays are built in the same stage).
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer."
+                "InferFiltersFromGenerate")
         # Stall tolerance: on an oversubscribed VM (or a busy cluster
         # node) the driver can be starved long enough that executors
         # accumulate 60 consecutive heartbeat failures and self-exit,

@@ -268,11 +268,12 @@ def test_inverted_index_plan_jvm_native_no_cartesian(spark):
         assert py not in plan, plan
 
 
-def test_minhash_est_pairs_plan_broadcast_perms_no_python(spark):
-    """Signature build: the 128-row perm table joins by broadcast
-    (nested-loop — a cross product by design), signature minima
-    partial-aggregate map-side. Final pair plan: no cartesian, and the
-    numpy minhash kernel is NOT on this query's path (JVM-native)."""
+def test_minhash_est_pairs_plan_inlined_perms_no_python(spark):
+    """Signature build (r6 shape): the 128 permutation coefficients are
+    inlined literals inside ONE map-side-combined aggregation — no
+    broadcast perm table, no nested-loop expansion, no 128× row blowup.
+    Final pair plan: no cartesian, and the numpy minhash kernel is NOT
+    on this query's path (JVM-native)."""
     from extract_ocr_spark.operators.dedup import (
         _est_signatures_df,
         minhash_est_pairs_df,
@@ -287,14 +288,16 @@ def test_minhash_est_pairs_plan_broadcast_perms_no_python(spark):
            "MapInPandas")
 
     sig_plan = _plan(_est_signatures_df(docs))
-    assert "BroadcastNestedLoopJoin" in sig_plan, sig_plan
+    assert "BroadcastNestedLoopJoin" not in sig_plan, sig_plan
+    assert "CartesianProduct" not in sig_plan, sig_plan
     assert "partial_min" in sig_plan, sig_plan
+    # exactly one exchange: the min aggregation's (no (doc, i) re-shuffle)
+    assert sig_plan.count("Exchange") == 1, sig_plan
     for py in pys:
         assert py not in sig_plan, sig_plan
 
-    # the signature table is checkpointed before the pair joins, so the
-    # only cartesian anywhere was the broadcast perm expansion above —
-    # the final plan must have none (never a doc-pair cross product)
+    # the signature table is checkpointed before the pair joins — the
+    # final plan must have no cartesian (never a doc-pair cross product)
     plan = _plan(minhash_est_pairs_df(docs))
     assert "CartesianProduct" not in plan, plan
     for py in pys:

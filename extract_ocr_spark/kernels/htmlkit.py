@@ -455,6 +455,10 @@ _BLOCK_TAGS = frozenset(
         "fieldset", "address", "details", "summary", "dl", "dt", "dd",
     }
 )
+# Tags the mixed-content walker recurses into (everything else renders
+# inline): blocks ∪ headings ∪ the structured constructs walk() handles.
+_WALKED_TAGS = frozenset(_BLOCK_TAGS | set(_HEADINGS) | {
+    "ul", "ol", "table", "pre", "blockquote", "hr", "p"})
 
 
 class _MarkdownEmitter:
@@ -541,8 +545,7 @@ class _MarkdownEmitter:
             # recurse into block children.
             run: list[str] = []
             for c in node.children:
-                if c.is_text() or c.tag not in _BLOCK_TAGS and c.tag not in _HEADINGS \
-                        and c.tag not in ("ul", "ol", "table", "pre", "blockquote", "hr", "p"):
+                if c.tag == _TEXT or c.tag not in _WALKED_TAGS:
                     run.append(self.inline(c))
                 else:
                     if run:

@@ -67,6 +67,24 @@ def md5_long(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def spread_input(df, key: str = "doc_id"):
+    """Scale-adaptive source spread (the dedup._docs policy, shared):
+    the driver's test tables are single small parquet files (one input
+    split), so CPU-heavy map-side chains (tokenize, shingle, regex)
+    would run on one core. When the source has fewer partitions than the
+    session's parallelism, spread rows once — a few-MB shuffle buying a
+    full-parallel map side. On a real deployment the source has at least
+    session parallelism in splits and this is a no-op (an unconditional
+    repartition would move the whole corpus for nothing). Used by the
+    registry wrappers of measured map-heavy queries; the composable
+    ``*_df`` forms are untouched so their plan pins keep the
+    shuffle-free shapes."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, key)
+
+
 # -- r6: codegen-friendly vector folds ----------------------------------------
 #
 # ``F.aggregate(F.zip_with(...))`` lambdas are INTERPRETED per element —

@@ -22,7 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import WS_CHARS, WS_RE, bigram_array, md5_long, tok_array
+from . import (WS_CHARS, WS_RE, bigram_array, md5_long, spread_input,
+               tok_array)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -147,7 +148,7 @@ def contamination_check(spark, sf_dir):
     ``broadcast`` — the corpus-side shingle explosion never shuffles."""
     from .dedup import _drop_hot_shingles, _with_shingles
 
-    docs = _with_shingles(_docs(spark, sf_dir)).select(
+    docs = _with_shingles(spread_input(_docs(spark, sf_dir))).select(
         "doc_id", F.explode("shingles").alias("shingle"))
     # Eval set: docs 0-4 plus docs 100-104 — the latter stay IN the
     # corpus, modeling benchmark text that leaked into training data
@@ -725,7 +726,7 @@ def paragraph_dedup_df(docs: DataFrame, p: int = PARA_TOKENS) -> DataFrame:
 
 
 def paragraph_dedup(spark, sf_dir):
-    return (paragraph_dedup_df(_docs(spark, sf_dir))
+    return (paragraph_dedup_df(spread_input(_docs(spark, sf_dir)))
             .orderBy("doc_id"))
 
 
@@ -856,7 +857,7 @@ def dsir_weights_df(docs: DataFrame, target_lang: str = DSIR_TARGET_LANG,
 
 
 def dsir_weights(spark, sf_dir):
-    return dsir_weights_df(_docs(spark, sf_dir)).orderBy("doc_id")
+    return dsir_weights_df(spread_input(_docs(spark, sf_dir))).orderBy("doc_id")
 
 
 DSIR_WEIGHTS_SQL = rf"""
@@ -1290,7 +1291,7 @@ def split_leakage_check_df(docs: DataFrame) -> DataFrame:
 
 
 def split_leakage_check(spark, sf_dir):
-    return split_leakage_check_df(_docs(spark, sf_dir))
+    return split_leakage_check_df(spread_input(_docs(spark, sf_dir)))
 
 
 def _split_leakage_sql() -> str:
@@ -1792,7 +1793,7 @@ def boilerplate_lines_df(docs: DataFrame,
 
 
 def boilerplate_lines(spark, sf_dir):
-    return boilerplate_lines_df(_docs(spark, sf_dir)).orderBy("doc_id")
+    return boilerplate_lines_df(spread_input(_docs(spark, sf_dir))).orderBy("doc_id")
 
 
 BOILERPLATE_LINES_SQL = rf"""

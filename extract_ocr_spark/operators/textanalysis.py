@@ -14,7 +14,7 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from ..kernels.textstats import fingerprint, lang_id
-from . import PY_WS_RE, WS_CHARS, WS_RE, md5_long, tok_array
+from . import spread_input, PY_WS_RE, WS_CHARS, WS_RE, md5_long, tok_array
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -455,7 +455,7 @@ def lm_nll_scores_df(docs: DataFrame) -> DataFrame:
 
 
 def lm_nll_scores(spark, sf_dir):
-    return lm_nll_scores_df(_docs(spark, sf_dir))
+    return lm_nll_scores_df(spread_input(_docs(spark, sf_dir)))
 
 
 LM_NLL_SCORES_SQL = rf"""
@@ -749,7 +749,7 @@ def winnow_fingerprints_df(docs: "DataFrame") -> "DataFrame":
 
 
 def winnow_fingerprints(spark, sf_dir):
-    return winnow_fingerprints_df(_docs(spark, sf_dir)).orderBy(
+    return winnow_fingerprints_df(spread_input(_docs(spark, sf_dir))).orderBy(
         "doc_id", "pos")
 
 
@@ -1203,7 +1203,7 @@ def ccnet_buckets_df(docs: DataFrame) -> DataFrame:
 
 
 def ccnet_buckets(spark, sf_dir):
-    return ccnet_buckets_df(_docs(spark, sf_dir))
+    return ccnet_buckets_df(spread_input(_docs(spark, sf_dir)))
 
 
 CCNET_BUCKETS_SQL = f"""
@@ -1263,9 +1263,10 @@ def inverted_index_df(docs: DataFrame) -> DataFrame:
     # ReuseExchange could not fire: 2 scans, 4 exchanges). With the
     # shared repartition the subtrees are identical — one scan, the
     # pair table shuffled once, both the df aggregate and the join read
-    # the same shuffle output (measured 7.0 s → ~3 s at sf0.1). The
-    # phase order is unchanged: df prunes hot phrases before any
-    # posting list is collected.
+    # the same shuffle output (measured 7.0 s → 4.0 s at sf0.1; 1.4 s
+    # with the registry wrapper's spread_input). The phase order is
+    # unchanged: df prunes hot phrases before any posting list is
+    # collected.
     pairs = docs.select(
         "doc_id",
         F.explode(F.array_distinct(bigram_array(tok_array(F.col("text")))))
@@ -1284,7 +1285,7 @@ def inverted_index_df(docs: DataFrame) -> DataFrame:
 
 
 def inverted_index(spark, sf_dir):
-    return inverted_index_df(_docs(spark, sf_dir))
+    return inverted_index_df(spread_input(_docs(spark, sf_dir)))
 
 
 INVERTED_INDEX_SQL = rf"""
@@ -1368,7 +1369,7 @@ def pmi_collocations_df(docs: DataFrame) -> DataFrame:
 
 
 def pmi_collocations(spark, sf_dir):
-    return pmi_collocations_df(_docs(spark, sf_dir))
+    return pmi_collocations_df(spread_input(_docs(spark, sf_dir)))
 
 
 PMI_COLLOCATIONS_SQL = rf"""
@@ -2995,7 +2996,7 @@ def self_bleu_df(docs: DataFrame, *, _checkpoint: bool = True) -> DataFrame:
 
 
 def self_bleu(spark, sf_dir):
-    return self_bleu_df(_docs(spark, sf_dir)).orderBy("doc_id")
+    return self_bleu_df(spread_input(_docs(spark, sf_dir))).orderBy("doc_id")
 
 
 SELF_BLEU_SQL = rf"""
@@ -3151,7 +3152,7 @@ def nb_lang_confusion_df(docs: DataFrame, *,
 
 
 def nb_lang_confusion(spark, sf_dir):
-    return nb_lang_confusion_df(_docs(spark, sf_dir))
+    return nb_lang_confusion_df(spread_input(_docs(spark, sf_dir)))
 
 
 NB_LANG_CONFUSION_SQL = rf"""

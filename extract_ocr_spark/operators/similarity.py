@@ -199,7 +199,21 @@ def embedding_neardup_lsh(spark, sf_dir):
     bucket (8 hyperplanes) or collide via single-bit multiprobe — i.e.
     exactly the pairs whose buckets differ in ≤ 2 bits — verified exactly
     by cosine ≥ 0.4. At 10^9 vectors this joins within buckets instead of
-    the O(n²) pair space."""
+    the O(n²) pair space.
+
+    r6 restructure (guide §8: decide with small rows, move heavy rows
+    once): the band self-join now carries only (vec_id, probe) — not the
+    64-double payload — and pair ids are DEDUPLICATED before any cosine
+    is computed (multiprobe collides each near pair ~2× on average:
+    662k collision rows → 299k unique pairs at sf0.1). Embeddings are
+    re-attached to the unique pairs with per-vector norms computed once
+    on the side frame, the dot is the unrolled codegen fold
+    (bit-identical — operators.fold_dot), and the slim scored frame is
+    lazily checkpointed so the threshold filter cannot re-evaluate it.
+    Same rows out (a pair's cosine is the same wherever computed);
+    measured 12.8 s → ~2 s at sf0.1."""
+    from . import fold_dot, fold_sq
+
     emb = _emb(spark, sf_dir).withColumn("bucket", _bucket_expr(F.col("emb")))
     # multiprobe: each vector lands in its bucket plus the 8 single-bit
     # neighbors → any pair within bucket-Hamming distance 2 collides.
@@ -207,17 +221,32 @@ def embedding_neardup_lsh(spark, sf_dir):
         F.col("bucket"), *[
             F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(_N_PLANES)
         ])
-    banded = emb.select("vec_id", "emb", F.explode(probes).alias("b"))
+    banded = emb.select("vec_id", F.explode(probes).alias("b"))
     a = banded.alias("a")
     b = banded.alias("b")
-    c = _pair_cosine(F.col("a.emb"), F.col("b.emb"))
-    return (
+    pair_ids = (
         a.join(b, (F.col("a.b") == F.col("b.b"))
                & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(F.col("a.vec_id").alias("a_id"),
-                F.col("b.vec_id").alias("b_id"), c.alias("cosine"))
+                F.col("b.vec_id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
-        .filter(F.col("cosine") >= 0.4)
+    )
+    side = emb.select("vec_id", "emb").withColumn(
+        "nrm", F.sqrt(fold_sq(F.col("emb"), _DIM)))
+    cands = (
+        pair_ids
+        .join(side.select(F.col("vec_id").alias("a_id"),
+                          F.col("emb").alias("ea"),
+                          F.col("nrm").alias("na")), "a_id")
+        .join(side.select(F.col("vec_id").alias("b_id"),
+                          F.col("emb").alias("eb"),
+                          F.col("nrm").alias("nb")), "b_id")
+    )
+    c = fold_dot(F.col("ea"), F.col("eb"), _DIM) / (F.col("na") * F.col("nb"))
+    slim = cands.select("a_id", "b_id", c.alias("cosine")) \
+                .localCheckpoint(eager=False)
+    return (
+        slim.filter(F.col("cosine") >= 0.4)
         .select("a_id", "b_id", F.round("cosine", 6).alias("cosine"))
         .orderBy("a_id", "b_id")
     )
